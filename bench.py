@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query executes via the no-op sink so timing covers the full
+distributed plan without driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_data_ingestion_spark.plans import registry
+from etl_data_ingestion_spark.session import get_spark
+
+# Representative spread: scan-agg, selective join+topk, multi-join,
+# scan-filter-agg, plus extension operators as they land.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "window_running_total",
+    "agg_rollup_status_priority",
+    "dedup_exact_documents",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
+    "minhash_near_dup",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # Warm the JVM/codegen once with the cheapest query so timings
+    # reflect steady-state execution, not first-call classloading.
+    if names:
+        run_query(spark, names[0], sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""(queries registered in a later milestone)"""

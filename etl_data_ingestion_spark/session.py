@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-parity with the DuckDB oracle and
+for scale-readiness:
+
+- UTC session timezone: Spark TIMESTAMP is session-TZ-adjusted while
+  parquet NTZ / DuckDB timestamps are naive; pinning UTC makes the two
+  agree byte-for-byte.
+- AQE on (coalesce partitions, skew-join handling): at 100 TB the
+  static shuffle-partition number is always wrong for some stage; AQE
+  re-plans from runtime statistics.
+- `timeParserPolicy=CORRECTED`: strict `yyyy-MM-dd` parsing, matching
+  the reference's strptime('%Y-%m-%d') (reference main.py:400-410).
+- ANSI off: the ingestion path relies on cast-failure -> NULL plus
+  explicit validity flags (SURVEY.md §7.4); we never want a mid-job
+  exception from a malformed source value at scale.
+- Arrow on: every pandas_udf / applyInPandas transfer is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_data_ingestion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-created session.
+
+    The driver hands us its own SparkSession; these confs are the
+    runtime-settable subset of ``get_spark``'s defaults that correctness
+    depends on (timezone for oracle parity, non-ANSI casts for the
+    coercion path, strict date parsing).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; default is on anyway
+    return spark

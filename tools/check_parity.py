@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registered query on Spark at a given sf dir, runs its DuckDB
+oracle on the same parquet, and compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns, cells canonicalized). Exits nonzero on any mismatch.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+
+def canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    ]
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from etl_data_ingestion_spark.plans import registry
+    from etl_data_ingestion_spark.session import get_spark
+    from etl_data_ingestion_spark.catalog import TABLES, table_path
+
+    registry.load_all()
+    spark = get_spark(app_name="check_parity")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    failures, passed, rows_only = [], [], []
+    for name in registry.query_names():
+        if only and name not in only:
+            continue
+        fn = registry.QUERIES[name]
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark raised: {e}"))
+            print(f"FAIL {name}: spark raised: {e}")
+            continue
+        sql = registry.ORACLES.get(name)
+        if sql is None:
+            rows_only.append(name)
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle raised: {e}"))
+            print(f"FAIL {name}: oracle raised: {e}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(
+                (name, f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            )
+            print(f"FAIL {name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"rowcount: spark={len(sdf)} oracle={len(odf)}"))
+            print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            continue
+        a, b = canon_frame(sdf), canon_frame(odf)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            failures.append((name, f"values differ, first diffs: {diffs}"))
+            print(f"FAIL {name}: values differ; first diffs:")
+            for x, y in diffs:
+                print(f"   spark : {x}\n   oracle: {y}")
+            continue
+        passed.append(name)
+        print(f"OK   {name}: {len(sdf)} rows")
+
+    print(
+        f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failures)} failed"
+        f" (sf_dir={sf_dir})"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
