@@ -1,0 +1,38 @@
+"""Warehouse + quarantine sinks (reference L4, main.py:448-468).
+
+The reference slices rows into 500-row requests (BIGQUERY_BATCH_SIZE,
+.env:25) — an output-sizing knob, not a loop, in Spark terms: the
+``maxRecordsPerFile`` write option bounds output-file row counts the
+same way while every partition writes in parallel. Appends are
+idempotent-friendly: load_id identifies a source file's batch so a
+replay can be deduplicated downstream (fixes the reference's
+at-most-once gap, SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation
+
+
+class ParquetWarehouseSink:
+    """Append-mode parquet warehouse table (stands in for the BigQuery
+    table; swap for format('bigquery') with the connector jar)."""
+
+    def __init__(self, path: str, batch_size: int = 500):
+        self.path = path
+        self.batch_size = batch_size
+
+    def write(self, df: DataFrame, load_id: str) -> int:
+        """Append rows tagged with load_id; returns rows written,
+        counted via an Observation on the write itself (no second scan,
+        no driver collect)."""
+        obs = Observation(f"write:{load_id}")
+        (
+            df.withColumn("_load_id", F.lit(load_id))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("append")
+            .option("maxRecordsPerFile", self.batch_size)
+            .parquet(self.path)
+        )
+        return int(obs.get["rows"])

@@ -1,0 +1,78 @@
+"""Notification side-channel (reference O1-O4, main.py:575-627).
+
+The reference emails success / error / no-data reports through Gmail.
+The engine keeps the same event surface behind a protocol so the
+dataflow core stays pure; production would plug an SMTP/webhook
+implementation, tests plug the collecting one. Notification content is
+fed by aggregate counts (df.observe metrics) — never by collecting
+rows to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+
+class Notifier(Protocol):
+    def success(self, filename: str, inserted_rows: int) -> None: ...
+    def error(self, context: str, details: str) -> None: ...
+    def no_data(self, query: str) -> None: ...
+
+
+@dataclass
+class Notification:
+    kind: str  # success | error | no_data
+    subject: str
+    body: str
+
+
+@dataclass
+class CollectingNotifier:
+    """Accumulates notifications; the test/driver double."""
+
+    events: list[Notification] = field(default_factory=list)
+
+    def success(self, filename: str, inserted_rows: int) -> None:
+        # subject/body shape mirrors send_success_email (main.py:591-598)
+        self.events.append(
+            Notification(
+                "success",
+                f"SUCCESS: CTB File Processed - {filename}",
+                f"Successfully inserted {inserted_rows} rows from '{filename}'.",
+            )
+        )
+
+    def error(self, context: str, details: str) -> None:
+        # mirrors send_error_email (main.py:601-620)
+        self.events.append(
+            Notification(
+                "error", f"ERROR: CTB Processing Failed - {context}", details
+            )
+        )
+
+    def no_data(self, query: str) -> None:
+        # mirrors send_no_ctb_email (main.py:623-627)
+        self.events.append(
+            Notification(
+                "no_data",
+                "No CTB files found",
+                f"No messages matched query: {query}",
+            )
+        )
+
+
+class ConsoleNotifier(CollectingNotifier):
+    """Prints as it collects — the local/dev default."""
+
+    def success(self, filename: str, inserted_rows: int) -> None:
+        super().success(filename, inserted_rows)
+        print(f"[notify] {self.events[-1].subject}")
+
+    def error(self, context: str, details: str) -> None:
+        super().error(context, details)
+        print(f"[notify] {self.events[-1].subject}")
+
+    def no_data(self, query: str) -> None:
+        super().no_data(query)
+        print(f"[notify] {self.events[-1].subject}")

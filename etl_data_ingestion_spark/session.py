@@ -53,7 +53,33 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    An external driver (the verify harness, a notebook, spark-submit)
+    may import us from a path its executors' Python workers don't
+    share. addPyFile-ing a zip of the package ships it through Spark's
+    own file distribution, which works identically on a real cluster.
+    Idempotent per session.
+    """
+    import shutil
+    import tempfile
+
+    if getattr(spark, "_etl_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="etl_pkg_")
+    zip_base = os.path.join(staging, "etl_data_ingestion_spark")
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(archive)
+    spark._etl_pkg_shipped = True
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -71,4 +97,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static conf on some builds; default is on anyway
+    ship_package(spark)
     return spark

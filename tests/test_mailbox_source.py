@@ -1,0 +1,94 @@
+"""Mailbox source: MIME-tree flatten, CTB selection, base64 decode
+(reference S2-S5 semantics)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+
+from etl_data_ingestion_spark.sources import (
+    decode_attachment_data,
+    flatten_message_parts,
+    select_ctb_attachments,
+)
+
+
+def b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).decode().rstrip("=")
+
+
+def message(msg_id, payload):
+    return json.dumps({"id": msg_id, "payload": payload})
+
+
+def part(filename=None, attachment_id=None, data=None, children=None, mime="text/plain"):
+    p = {"filename": filename or "", "mimeType": mime, "body": {}}
+    if attachment_id:
+        p["body"]["attachmentId"] = attachment_id
+    if data:
+        p["body"]["data"] = data
+    if children:
+        p["parts"] = children
+    return p
+
+
+def test_nested_tree_first_ctb_match_wins(spark):
+    # CTB_two is nested deeper but CTB_one comes first depth-first —
+    # the reference takes the first match and breaks (main.py:571)
+    payload = part(
+        children=[
+            part(filename="notes.txt", attachment_id="a0"),
+            part(
+                mime="multipart/mixed",
+                children=[
+                    part(filename="CTB_one.tsv", attachment_id="a1"),
+                    part(filename="CTB_two.tsv", attachment_id="a2"),
+                ],
+            ),
+        ]
+    )
+    raw = spark.createDataFrame([(message("m1", payload),)], ["value"])
+    out = select_ctb_attachments(flatten_message_parts(raw)).collect()
+    assert len(out) == 1
+    assert out[0]["filename"] == "CTB_one.tsv"
+    assert out[0]["attachment_id"] == "a1"
+
+
+def test_no_match_yields_nothing(spark):
+    raw = spark.createDataFrame(
+        [(message("m2", part(children=[part(filename="other.csv", attachment_id="x")])),)],
+        ["value"],
+    )
+    assert select_ctb_attachments(flatten_message_parts(raw)).count() == 0
+
+
+def test_one_match_per_message_across_messages(spark):
+    rows = [
+        (message("m1", part(children=[part(filename="CTB_a.tsv", attachment_id="a")])),),
+        (message("m2", part(children=[part(filename="CTB_b.tsv", attachment_id="b")])),),
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    out = select_ctb_attachments(flatten_message_parts(raw))
+    assert {r["message_id"] for r in out.collect()} == {"m1", "m2"}
+
+
+def test_urlsafe_base64_roundtrip(spark):
+    original = "ORG CODE\tDEMAND QTY\nORG1\t1,234\n".encode()
+    # urlsafe alphabet chars exercised (- and _) plus stripped padding
+    blob = bytes(range(240, 256)) * 3 + original
+    raw = spark.createDataFrame(
+        [
+            (
+                message(
+                    "m1",
+                    part(children=[part(filename="CTB_x.tsv", data=b64url(blob))]),
+                ),
+            )
+        ],
+        ["value"],
+    )
+    out = decode_attachment_data(
+        select_ctb_attachments(flatten_message_parts(raw))
+    ).collect()
+    assert bytes(out[0]["content"]) == blob

@@ -1,0 +1,93 @@
+"""End-to-end landing-zone runs: lifecycle transitions, partial-success
+policy, notifications, warehouse append (reference L1-L5 / O1-O6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_data_ingestion_spark.ingest.lifecycle import LandingZone
+from etl_data_ingestion_spark.ingest.runner import run_landing_zone
+from etl_data_ingestion_spark.ingest.sinks import ParquetWarehouseSink
+from etl_data_ingestion_spark.notify import CollectingNotifier
+from tests.test_ingest_ctb import GOOD, CANONICAL, header_line, row
+
+
+@pytest.fixture
+def zone(spark, tmp_path):
+    z = LandingZone(spark, str(tmp_path / "landing"))
+    z.ensure_dirs()
+    return z
+
+
+@pytest.fixture
+def sinks(tmp_path):
+    return (
+        ParquetWarehouseSink(str(tmp_path / "warehouse")),
+        ParquetWarehouseSink(str(tmp_path / "quarantine")),
+    )
+
+
+def run(spark, zone, sinks):
+    notifier = CollectingNotifier()
+    report = run_landing_zone(spark, zone, sinks[0], sinks[1], notifier)
+    return report, notifier
+
+
+def test_clean_file_processed_with_success_email(spark, zone, sinks):
+    zone.put("CTB_clean.tsv", (header_line() + "\n" + row() + "\n" + row() + "\n").encode())
+    report, notifier = run(spark, zone, sinks)
+    assert [o.state for o in report.outcomes] == ["processed"]
+    assert report.total_inserted == 2
+    assert [e.kind for e in notifier.events] == ["success"]
+    assert zone.list_unprocessed() == []
+    wh = spark.read.parquet(sinks[0].path)
+    assert wh.count() == 2
+    assert "_load_id" in wh.columns
+
+
+def test_partial_success_processed_with_error_report(spark, zone, sinks):
+    body = row() + "\n" + row(DEMAND_QTY="bad") + "\n"
+    zone.put("CTB_partial.tsv", (header_line() + "\n" + body).encode())
+    report, notifier = run(spark, zone, sinks)
+    o = report.outcomes[0]
+    assert (o.state, o.valid_rows, o.quarantined_rows) == ("processed", 1, 1)
+    assert notifier.events[0].kind == "error"  # partial → error report (main.py:487-490)
+    assert spark.read.parquet(sinks[1].path).count() == 1
+
+
+def test_all_bad_rows_failed(spark, zone, sinks):
+    body = row(DEMAND_QTY="x") + "\n" + row(SNAPSHOT_DATE="nope") + "\n"
+    zone.put("CTB_allbad.tsv", (header_line() + "\n" + body).encode())
+    report, notifier = run(spark, zone, sinks)
+    assert report.outcomes[0].state == "failed"
+    assert notifier.events[0].kind == "error"
+
+
+def test_unknown_header_failed_file(spark, zone, sinks):
+    zone.put(
+        "CTB_badheader.tsv",
+        (header_line() + "\tEXTRA COL\n" + row() + "\tv\n").encode(),
+    )
+    report, notifier = run(spark, zone, sinks)
+    assert report.outcomes[0].state == "failed"
+    assert "EXTRA_COL" in notifier.events[0].body
+
+
+def test_empty_zone_no_data_notification(spark, zone, sinks):
+    report, notifier = run(spark, zone, sinks)
+    assert report.outcomes == []
+    assert [e.kind for e in notifier.events] == ["no_data"]
+
+
+def test_multi_file_isolation(spark, zone, sinks):
+    zone.put("CTB_a.tsv", (header_line() + "\n" + row() + "\n").encode())
+    zone.put("CTB_b.tsv", b"")  # empty → failed, must not abort the run
+    zone.put("CTB_c.tsv", (header_line() + "\n" + row() + "\n").encode())
+    report, notifier = run(spark, zone, sinks)
+    states = {o.path.rsplit("/", 1)[-1]: o.state for o in report.outcomes}
+    assert states == {
+        "CTB_a.tsv": "processed",
+        "CTB_b.tsv": "failed",
+        "CTB_c.tsv": "processed",
+    }
+    assert report.total_inserted == 2
