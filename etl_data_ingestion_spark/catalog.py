@@ -35,9 +35,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Projection/predicate pushdown is Catalyst's job —
     callers express filters/selects declaratively and the parquet reader
-    receives them (verify via .explain: PushedFilters / ReadSchema)."""
+    receives them (verify via .explain: PushedFilters / ReadSchema).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long (legacy nanosAsLong) and convert to
+    a microsecond timestamp — the same ns→us truncation DuckDB applies,
+    so oracle comparisons agree.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        import pyspark.sql.functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,1 +1,192 @@
-"""(queries registered in a later milestone)"""
+"""Aggregation operators (SURVEY.md §2.5): hash aggregation, distinct,
+rollup/cube/grouping sets, statistical aggregates, approx-distinct.
+
+Every groupBy here compiles to partial (map-side) + final aggregation —
+the map-side combine is what keeps 100 TB inputs from shuffling raw
+rows; only per-partition partial states cross the wire.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)  AS distinct_parts,
+       COUNT(DISTINCT l_suppkey)  AS distinct_suppliers,
+       COUNT(*)                   AS lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_distinct_counts", oracle=DISTINCT_ORACLE)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg — Spark plans expand +
+    two-phase aggregation; at scale prefer approx_count_distinct (see
+    agg_approx_distinct) when exactness isn't required."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("distinct_parts"),
+            F.count_distinct("l_suppkey").alias("distinct_suppliers"),
+            F.count(F.lit(1)).alias("lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("agg_rollup_status_priority", oracle=ROLLUP_ORACLE)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total in one pass
+    (Catalyst expands to grouping sets, still a single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS lines, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_cube_flag_status", oracle=CUBE_ORACLE)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+@register("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the DataFrame and SQL
+    surfaces are the same Catalyst plan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS balance
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+STATS_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(MIN(c_acctbal), 2)         AS min_bal,
+       ROUND(MAX(c_acctbal), 2)         AS max_bal,
+       ROUND(AVG(c_acctbal), 2)         AS avg_bal,
+       ROUND(STDDEV_SAMP(c_acctbal), 2) AS stddev_bal,
+       COUNT(*)                         AS customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_stats_acctbal", oracle=STATS_ORACLE)
+def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 2).alias("stddev_bal"),
+            F.count(F.lit(1)).alias("customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB answer to
+    distinct-counting — fixed-size sketch, no expand, mergeable across
+    partitions. Estimates are engine-specific, so the driver records a
+    rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+       ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_pivot_status", oracle=PIVOT_ORACLE)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list — naming the pivot values skips
+    the extra distinct-values job Spark otherwise runs first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    ).orderBy("l_returnflag")

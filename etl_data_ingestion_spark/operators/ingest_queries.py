@@ -1,1 +1,149 @@
-"""(queries registered in a later milestone)"""
+"""Oracle-checked queries exercising the CTB coercion semantics
+(SURVEY.md §2.2 T8-T13) against the driver fixtures.
+
+The ingestion golden tests (tests/test_ingest_ctb.py) pin the exact
+reference behavior on crafted TSVs; these queries re-express the same
+expressions over the shared parquet tables so the DuckDB oracle
+independently confirms the coercion rules:
+
+- T8/T9  trim + ''→NULL            → ingest_trim_empty_null
+- T10    comma-int parse + validity → ingest_comma_int_roundtrip
+- T11    strict date parse          → ingest_strict_date_parse
+- T13    row-validity accounting    → ingest_validity_accounting
+
+Dirty inputs are *derived deterministically* from fixture columns with
+identical SQL on both engines, so the comparison exercises the parse
+path, not fixture luck.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.ingest.coerce import INT_PATTERN
+from etl_data_ingestion_spark.plans.registry import register
+
+TRIM_ORACLE = """
+SELECT d.doc_id,
+       NULLIF(TRIM(d.padded), '') AS cleaned
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '   '
+              ELSE CONCAT('  ', source, '  ') END AS padded
+  FROM documents
+) d
+ORDER BY d.doc_id
+"""
+
+
+@register("ingest_trim_empty_null", oracle=TRIM_ORACLE)
+def ingest_trim_empty_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/T9: trim then ''→NULL (reference main.py:382, 387-388)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.when(F.col("doc_id") % 5 == 0, F.lit("   ")).otherwise(
+        F.concat(F.lit("  "), F.col("source"), F.lit("  "))
+    )
+    trimmed = F.trim(padded)
+    cleaned = F.when(trimmed == "", F.lit(None)).otherwise(trimmed)
+    return docs.select("doc_id", cleaned.alias("cleaned")).orderBy("doc_id")
+
+
+COMMA_INT_ORACLE = """
+SELECT o_orderkey,
+       formatted,
+       CASE WHEN REGEXP_MATCHES(REPLACE(formatted, ',', ''), '^[+-]?[0-9]+$')
+            THEN CAST(REPLACE(formatted, ',', '') AS BIGINT) END AS parsed,
+       REGEXP_MATCHES(REPLACE(formatted, ',', ''), '^[+-]?[0-9]+$') AS is_valid
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN CONCAT(CAST(o_orderkey AS VARCHAR), 'x')
+              ELSE FORMAT('{:,}', o_orderkey) END AS formatted
+  FROM orders
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("ingest_comma_int_roundtrip", oracle=COMMA_INT_ORACLE)
+def ingest_comma_int_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: thousands-separator stripped, strict integer check, failure
+    → NULL + invalid flag (reference main.py:389-399). Every 11th key
+    is made deliberately unparseable."""
+    orders = load_table(spark, sf_dir, "orders")
+    formatted = F.when(
+        F.col("o_orderkey") % 11 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("x")),
+    ).otherwise(F.format_number(F.col("o_orderkey"), 0))
+    df = orders.select("o_orderkey", formatted.alias("formatted"))
+    cleaned = F.regexp_replace("formatted", ",", "")
+    ok = cleaned.rlike(INT_PATTERN)
+    return df.select(
+        "o_orderkey",
+        "formatted",
+        F.when(ok, cleaned.cast("long")).alias("parsed"),
+        ok.alias("is_valid"),
+    ).orderBy("o_orderkey")
+
+
+DATE_ORACLE = """
+SELECT e.event_id,
+       CASE WHEN raw SIMILAR TO '[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}'
+            THEN STRFTIME(TRY_CAST(raw AS DATE), '%Y-%m-%d') END AS parsed_date,
+       (CASE WHEN raw SIMILAR TO '[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}'
+             THEN TRY_CAST(raw AS DATE) END) IS NOT NULL AS is_valid
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN STRFTIME(ts, '%m/%d/%Y')
+              ELSE STRFTIME(ts, '%Y-%m-%d') END AS raw
+  FROM events
+) e
+ORDER BY e.event_id
+"""
+
+
+@register("ingest_strict_date_parse", oracle=DATE_ORACLE)
+def ingest_strict_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: strict %Y-%m-%d — a US-format date (every 7th event) fails
+    closed to NULL + invalid (reference main.py:400-410)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.date_format("ts", "MM/dd/yyyy")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    df = events.select("event_id", raw.alias("raw"))
+    parsed = F.to_date("raw", "yyyy-M-d")
+    return df.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date"),
+        parsed.isNotNull().alias("is_valid"),
+    ).orderBy("event_id")
+
+
+ACCOUNTING_ORACLE = """
+WITH coerced AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN FALSE ELSE TRUE END AS date_ok,
+         CASE WHEN event_id % 11 = 0 THEN FALSE ELSE TRUE END AS int_ok
+  FROM events
+)
+SELECT COUNT(*)                                                   AS total_rows,
+       SUM(CASE WHEN date_ok AND int_ok THEN 1 ELSE 0 END)        AS valid_rows,
+       SUM(CASE WHEN NOT (date_ok AND int_ok) THEN 1 ELSE 0 END)  AS quarantined_rows
+FROM coerced
+"""
+
+
+@register("ingest_validity_accounting", oracle=ACCOUNTING_ORACLE)
+def ingest_validity_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: valid + quarantined == input — the conservation invariant
+    the runner's partial-success policy depends on (main.py:413-414,
+    470-511), computed as a single aggregate (no driver loop)."""
+    events = load_table(spark, sf_dir, "events")
+    date_ok = ~(F.col("event_id") % 7 == 0)
+    int_ok = ~(F.col("event_id") % 11 == 0)
+    row_ok = date_ok & int_ok
+    return events.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(row_ok, 1).otherwise(0)).alias("valid_rows"),
+        F.sum(F.when(~row_ok, 1).otherwise(0)).alias("quarantined_rows"),
+    )

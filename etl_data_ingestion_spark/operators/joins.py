@@ -1,1 +1,275 @@
-"""(queries registered in a later milestone)"""
+"""Join operators (SURVEY.md §2.5): broadcast/shuffle equi-joins,
+semi/anti, non-equi theta, range (band) join, full outer, and as-of.
+
+Scale stance per query is documented on each builder: small sides are
+broadcast explicitly; the only shuffles left are big-big joins keyed on
+their join keys, which AQE re-plans (skew-join splitting) at runtime.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+BROADCAST_DIMS_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@register("join_broadcast_dims", oracle=BROADCAST_DIMS_ORACLE)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation⋈region with explicit broadcasts: at 100 TB the
+    fact side streams map-side through two BroadcastHashJoins — zero
+    shuffles before the final small agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_semi", oracle=SEMI_ORACLE)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: existence check without duplication — Spark plans a
+    semi-join that short-circuits per probe row (no fanout, no distinct
+    needed afterwards)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_anti", oracle=ANTI_ORACLE)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders (reference has no joins at
+    all — this is the BigQuery-side surface brought in-engine)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+THETA_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS late_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_theta_late_shipments", oracle=THETA_ORACLE)
+def join_theta_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + theta condition: the equi part (orderkey) drives the
+    shuffle/join strategy; the non-equi residual evaluates as a
+    post-join filter — the scalable shape for theta joins (never a
+    cartesian)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+BAND_ORACLE = """
+SELECT b.band_name, COUNT(*) AS parts, ROUND(AVG(p_retailprice), 2) AS avg_price
+FROM part p
+JOIN (VALUES ('budget', 0.0, 500.0),
+             ('mid', 500.0, 1200.0),
+             ('premium', 1200.0, 1e9)) AS b(band_name, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band_name
+ORDER BY b.band_name
+"""
+
+
+@register("join_range_price_bands", oracle=BAND_ORACLE)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact against tiny interval table. Broadcast
+    nested-loop is the right plan when the build side is a handful of
+    bands; Catalyst picks it because the small side is broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band_name")
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH cust AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS customers FROM customer GROUP BY c_nationkey
+), supp AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS suppliers FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+       COALESCE(customers, 0) AS customers,
+       COALESCE(suppliers, 0) AS suppliers
+FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+ORDER BY nationkey
+"""
+
+
+@register("join_full_outer_nation_counts", oracle=FULL_OUTER_ORACLE)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides — aggregate BEFORE
+    joining so the join input is |keys|, not |rows|."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk, "full_outer")
+        .select(
+            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            F.coalesce(F.col("customers"), F.lit(0)).alias("customers"),
+            F.coalesce(F.col("suppliers"), F.lit(0)).alias("suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       ROUND(p.value, 3)  AS purchase_value,
+       ROUND(v.value, 3)  AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join (Spark has no native one; SURVEY.md §2.5).
+
+    Union-and-window composition: tag both sides, sort within each
+    ``by`` partition on the ``on`` column, and carry the right side's
+    last non-null values forward onto left rows. One shuffle + one
+    sort — the same cost as a sort-merge join, no per-group pandas.
+    Right-side rows at exactly the same ``on`` value match (ts <=
+    semantics), implemented by sorting right rows before left rows on
+    ties.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    cols = lt.columns + [c for c in rt.columns if c not in lt.columns]
+    lt_full = lt.select(
+        *[(F.col(c) if c in lt.columns else F.lit(None)).alias(c) for c in cols]
+    )
+    rt_full = rt.select(
+        *[(F.col(c) if c in rt.columns else F.lit(None)).alias(c) for c in cols]
+    )
+    unioned = lt_full.unionByName(rt_full)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{v}")
+            for v in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1)
+
+
+@register("join_asof_purchase_view", oracle=ASOF_ORACLE)
+def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    prior (or simultaneous) view event. DuckDB's native ASOF JOIN is
+    the oracle; our Spark plan is the union+window composition."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id", value_cols=["view_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 3).alias("purchase_value"),
+        F.round("_asof_view_value", 3).alias("last_view_value"),
+    ).orderBy("event_id")

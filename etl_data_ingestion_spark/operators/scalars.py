@@ -1,1 +1,183 @@
-"""(queries registered in a later milestone)"""
+"""Scalar-function operators (SURVEY.md §2.5): string / date / math /
+conditional / JSON / array expressions — all JVM-side built-ins inside
+whole-stage codegen; nothing here leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name)                                   AS name_upper,
+       SUBSTRING(p_type, 1, 6)                         AS type_prefix,
+       CAST(REGEXP_EXTRACT(p_brand, '[0-9]+') AS BIGINT) AS brand_num,
+       LENGTH(p_name)                                  AS name_len,
+       CONCAT(p_brand, ':', p_type)                    AS brand_type,
+       REPLACE(p_name, ' ', '_')                       AS name_snake
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_string_funcs", oracle=STRING_ORACLE)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).cast("long").alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    ).orderBy("p_partkey")
+
+
+DATE_ORACLE = """
+SELECT o_orderkey,
+       YEAR(o_orderdate)                                   AS order_year,
+       MONTH(o_orderdate)                                  AS order_month,
+       QUARTER(o_orderdate)                                AS order_quarter,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d')    AS month_end,
+       DAYOFWEEK(o_orderdate) + 1                          AS dow -- duckdb 0=Sun, spark 1=Sun
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_date_funcs", oracle=DATE_ORACLE)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS net,
+       CEIL(l_quantity)                             AS qty_ceil,
+       FLOOR(l_quantity / 10)                       AS qty_decile,
+       ABS(l_discount - 0.05)                       AS disc_dev,
+       ROUND(SQRT(l_extendedprice), 4)              AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 4)            AS price_ln,
+       MOD(l_orderkey, 7)                           AS key_mod7
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("scalar_math_funcs", oracle=MATH_ORACLE)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                    AS bal_tier,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       GREATEST(c_acctbal, 0.0)                AS bal_floor,
+       LEAST(c_nationkey, 10)                  AS nk_cap
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("scalar_conditional_funcs", oracle=COND_ORACLE)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey"), F.lit(10)).alias("nk_cap"),
+    ).orderBy("c_custkey")
+
+
+JSON_ORACLE = """
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k_value
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("scalar_json_extract", oracle=JSON_ORACLE)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on a string column (events.props) —
+    get_json_object is codegen'd; for repeated multi-field access
+    prefer from_json once into a struct."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    ).orderBy("event_id")
+
+
+ARRAY_ORACLE = """
+SELECT vec_id,
+       LEN(embedding)                                       AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4)               AS first_component,
+       ROUND(CAST(list_sum(embedding) AS DOUBLE), 3)        AS component_sum,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)        AS component_max
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("scalar_array_funcs", oracle=ARRAY_ORACLE)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on embedding vectors — F.aggregate folds JVM-side over
+    the array; no Python, no explode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias(
+            "first_component"
+        ),
+        F.round(comp_sum, 3).alias("component_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("component_max"),
+    ).orderBy("vec_id")

@@ -1,1 +1,190 @@
-"""(queries registered in a later milestone)"""
+"""Window-function operators (SURVEY.md §2.5): ranking, running
+aggregates, lag/lead, sliding frames, ntile/percent_rank.
+
+Scale: a window is one shuffle on partitionBy + an in-partition sort.
+Partition keys here (customer, user) have bounded fanout; a window
+over an unpartitioned 100 TB frame would single-task — never do that
+(the global-rank query below documents the top-k alternative).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+ORDER BY o_custkey, rnk
+"""
+
+
+@register("window_rank_top_orders_per_customer", oracle=RANK_ORACLE)
+def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number — Spark 4 plans WindowGroupLimit,
+    pushing the rank<=N limit into the sort (no full materialization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_running_total", oracle=RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+LAG_LEAD_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value, 3) AS value,
+       ROUND(LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS prev_value,
+       ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS next_value
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_lag_lead_events", oracle=LAG_LEAD_ORACLE)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round("value", 3).alias("value"),
+        F.round(F.lag("value").over(w), 3).alias("prev_value"),
+        F.round(F.lead("value").over(w), 3).alias("next_value"),
+    ).orderBy("event_id")
+
+
+MOVING_AVG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg3
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_moving_avg", oracle=MOVING_AVG_ORACLE)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame per user — constant-memory frame evaluation
+    regardless of partition size."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 3).alias("moving_avg3"),
+    ).orderBy("event_id")
+
+
+NTILE_ORACLE = """
+SELECT c_custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 4) AS pct_rank
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("window_ntile_percent_rank", oracle=NTILE_ORACLE)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) window — acceptable on dimension-sized
+    inputs only; at fact scale use approx quantiles instead (the sort
+    would land on a single task)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    ).orderBy("c_custkey")
+
+
+GAP_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS events_in_session,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("window_sessionize_gaps", oracle=GAP_SESSION_ORACLE)
+def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gaps-and-islands (lag + running sum) — the
+    batch analogue of session_window(); one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
