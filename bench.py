@@ -31,10 +31,14 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "window_running_total",
     "agg_rollup_status_priority",
+    "join_asof_purchase_view",
+    "stream_tumbling_hourly",
     "dedup_exact_documents",
+    "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_ivf_topk",
     "text_token_stats",
-    "minhash_near_dup",
+    "text_rolling_fingerprint",
 ]
 
 

@@ -1,0 +1,8 @@
+from .vectors import cosine_similarity, dot, l2_norm, l2_normalize  # noqa: F401
+from .text import (  # noqa: F401
+    tokens,
+    token_count,
+    word_ngrams,
+    char_shingles,
+    rolling_fingerprint,
+)

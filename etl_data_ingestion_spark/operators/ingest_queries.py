@@ -127,8 +127,8 @@ WITH coerced AS (
   FROM events
 )
 SELECT COUNT(*)                                                   AS total_rows,
-       SUM(CASE WHEN date_ok AND int_ok THEN 1 ELSE 0 END)        AS valid_rows,
-       SUM(CASE WHEN NOT (date_ok AND int_ok) THEN 1 ELSE 0 END)  AS quarantined_rows
+       CAST(SUM(CASE WHEN date_ok AND int_ok THEN 1 ELSE 0 END) AS BIGINT)       AS valid_rows,
+       CAST(SUM(CASE WHEN NOT (date_ok AND int_ok) THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_rows
 FROM coerced
 """
 

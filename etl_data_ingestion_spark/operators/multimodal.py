@@ -1,1 +1,122 @@
-"""(queries registered in a later milestone)"""
+"""Multimodal-column operators (BASELINE.json north star): image /
+audio / video payloads as opaque BinaryType columns with typed
+metadata, decoded/transformed through Arrow-batched pandas stages.
+
+The decode itself is STUBBED (no image/audio libraries in this
+container — see _fake_decode) with a deterministic fake, but every
+piece of Spark plumbing is real and tested: binary column handling,
+metadata schema, mapInPandas batch shapes, per-partition behavior,
+frame-sampling output layout. Swapping the stub for PIL/ffmpeg changes
+one inner function, not the dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+BINARY_META_ORACLE = """
+SELECT doc_id,
+       octet_length(ENCODE(text)) AS n_bytes,
+       sha256(text)               AS content_sha256, -- duckdb sha256 takes VARCHAR; hashes the same utf-8 bytes
+       substr(text, 1, 8)         AS head_bytes      -- fixture text is ascii: first 8 bytes == first 8 chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_binary_metadata", oracle=BINARY_META_ORACLE)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling, fully JVM-side: byte length, content
+    digest (the dedup key for media), head-byte sniff (magic-number
+    format detection at scale reads 8 bytes, not the blob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+        F.decode(F.substring(blob, 1, 8), "utf-8").alias("head_bytes"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_image_decode_stub")  # rows-only: decode is stubbed
+def multimodal_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage: binary column → (width, height, format,
+    channels) via Arrow-batched mapInPandas.
+
+    STUB: container has no image codec, so dimensions derive
+    deterministically from the content digest. The Spark-side contract
+    — binary in, typed metadata out, batch-iterator shape, closure
+    self-containment — is the real thing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def fake_decode(data: bytes) -> tuple[int, int, str, int]:
+            # STUB(no-codec): deterministic fake in place of
+            # PIL.Image.open(BytesIO(data)); replace body only.
+            h = hashlib.sha256(data).digest()
+            width = 64 + h[0] * 4
+            height = 64 + h[1] * 4
+            fmt = ["jpeg", "png", "webp"][h[2] % 3]
+            return width, height, fmt, 3
+
+        for pdf in batches:
+            meta = [fake_decode(bytes(b)) for b in pdf["content"]]
+            out = _pd.DataFrame(
+                meta, columns=["width", "height", "format", "channels"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return blobs.mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, format string, channels int",
+    ).orderBy("doc_id")
+
+
+@register("multimodal_frame_sample_stub")  # rows-only: decode is stubbed
+def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage: one row per sampled frame, exploded
+    from per-asset sample offsets — the output layout a captioning /
+    embedding stage consumes.
+
+    STUB(no-codec): frame timestamps derive from byte length at 1
+    byte ≈ 1 ms in place of ffprobe duration; the sampling policy
+    (uniform k frames, explode to rows, stable frame_id) is real.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    ).select(
+        "doc_id",
+        F.length("content").alias("n_bytes"),
+        (F.length("content") / 1000.0).alias("duration_s"),
+    )
+    k = 4
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.round(F.col("duration_s") * (i + 0.5) / k, 3),
+    )
+    return (
+        assets.withColumn("frame_ts_s", F.explode(offsets))
+        .select(
+            "doc_id",
+            F.concat_ws(":", F.col("doc_id"), F.col("frame_ts_s")).alias("frame_id"),
+            "frame_ts_s",
+            "duration_s",
+        )
+        .orderBy("doc_id", "frame_ts_s")
+    )

@@ -75,7 +75,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       ROUND(l_extendedprice * (1 - l_discount), 2) AS net,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
        CEIL(l_quantity)                             AS qty_ceil,
        FLOOR(l_quantity / 10)                       AS qty_decile,
        ABS(l_discount - 0.05)                       AS disc_dev,
@@ -93,7 +94,15 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+        # Money math in exact decimal space: double ROUND at 2dp straddles
+        # .005 representation boundaries differently across engines.
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("net"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),

@@ -1,1 +1,165 @@
-"""(queries registered in a later milestone)"""
+"""Similarity search over the embeddings table (BASELINE.json north
+star): brute-force cosine top-k as the correctness baseline, plus two
+sub-linear candidate generators for scale — random-projection LSH and
+an IVF (coarse-quantizer) index.
+
+Scale ladder:
+- brute force: |queries|×|corpus| dot products. Right answer, O(N)
+  per query — fine for reranking a candidate set, not for 100 TB.
+- BRP-LSH: hash-bucket join on projected bands; shuffle is
+  |rows|×|tables|, query cost ~bucket size.
+- IVF: k-means coarse centroids (fit on a sample), partition corpus by
+  nearest centroid (this is literally a Spark hash partition on
+  centroid id), probe the closest n_probe centroids per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.functions.vectors import cosine_similarity
+from etl_data_ingestion_spark.plans.registry import register
+
+TOPK_BRUTE_ORACLE = """
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q_id, e.vec_id,
+         CAST(list_cosine_similarity(q_emb, e.embedding) AS DOUBLE) AS cs
+  FROM queries CROSS JOIN embeddings e
+  WHERE e.vec_id <> q_id
+)
+SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rnk FROM (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY q_id, rnk
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=TOPK_BRUTE_ORACLE)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors: broadcast the queries,
+    stream the corpus once (map-side scoring, JVM fold for the dot
+    product), WindowGroupLimit keeps per-partition top-k heaps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity("q_emb", "embedding").alias("cs"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.round("cs", 4).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register("similarity_topk_lsh")  # rows-only: LSH candidates are engine-specific
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH on
+    L2-normalized vectors (euclidean distance on the unit sphere is
+    monotone in cosine: cos = 1 - d²/2). Candidates come from the
+    bucket join; exact rerank inside candidates only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("raw_vec")
+    )
+    normed = Normalizer(inputCol="raw_vec", outputCol="vec", p=2.0).transform(emb)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", numHashTables=6, bucketLength=0.75,
+        seed=42,
+    )
+    model = lsh.fit(normed)
+    queries = normed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    cand = model.approxSimilarityJoin(
+        queries.withColumnRenamed("q_vec", "vec").withColumnRenamed("q_id", "vec_id"),
+        normed,
+        1.2,  # d ≤ 1.2 ⟺ cos ≥ 0.28 on unit vectors
+        distCol="dist",
+    )
+    scored = cand.filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round(1 - F.col("dist") * F.col("dist") / 2, 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register("similarity_ivf_topk")  # rows-only: centroid assignment is model-specific
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded k-means coarse quantizer → corpus
+    partitioned by nearest centroid → queries probe their 2 nearest
+    centroids and brute-force only those partitions.
+
+    At 100 TB: fit on a sample (k-means sampling is built in),
+    repartition corpus by centroid_id once, and every query touches
+    ~2/k of the data — the classic recall/cost dial.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
+    )
+    km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="centroid_id")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", "embedding", "centroid_id")
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, center array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # rank centroids per query, keep 2 probes
+    qc = queries.crossJoin(F.broadcast(centers)).select(
+        "q_id",
+        "q_emb",
+        "centroid_id",
+        cosine_similarity("q_emb", "center").alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"))
+    probes = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= 2)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    scored = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine_similarity("q_emb", "embedding").alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.round("cs", 4).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )

@@ -1,1 +1,113 @@
-"""(queries registered in a later milestone)"""
+"""Registry entries for the streaming transformations, run in batch
+mode over the events fixture so the DuckDB oracle can check the same
+plan the streaming tests run incrementally (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+from etl_data_ingestion_spark.streaming import (
+    dedup_first_event,
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+
+TUMBLING_ORACLE = """
+SELECT STRFTIME(TIME_BUCKET(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_hourly", oracle=TUMBLING_ORACLE)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_counts(events).orderBy("window_start", "event_type")
+
+
+SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) - k.off * INTERVAL 30 MINUTE AS wstart
+  FROM events
+  CROSS JOIN (VALUES (0), (1)) AS k(off)
+)
+SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       STRFTIME(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS events
+FROM assigned
+GROUP BY wstart
+ORDER BY wstart
+"""
+
+
+@register("stream_sliding_hourly_30m", oracle=SLIDING_ORACLE)
+def stream_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30m: each event belongs to exactly 2
+    windows; the oracle materializes that assignment explicitly."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_counts(events).orderBy("window_start")
+
+
+SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS events_in_session
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_window_30m", oracle=SESSION_ORACLE)
+def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) per user; the oracle is the equivalent
+    gaps-and-islands rewrite (a new session starts when the gap from
+    the previous event reaches the 30m gap — session_window treats an
+    event exactly at the session end as outside it)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_aggregate(events).orderBy("user_id", "session_start")
+
+
+DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@register("stream_dedup_first_event", oracle=DEDUP_ORACLE)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        dedup_first_event(events)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

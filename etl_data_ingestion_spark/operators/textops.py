@@ -1,1 +1,170 @@
-"""(queries registered in a later milestone)"""
+"""Text-analysis operators over the documents table (BASELINE.json
+north star): token statistics, quality scoring, language-ID heuristic,
+BPE-ish token estimation, rolling-hash fingerprinting.
+
+Everything is JVM regexp/array expressions (codegen'd); the oracle
+runs the identical computation in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+from etl_data_ingestion_spark.plans.registry import register
+
+TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))        AS n_tokens,
+       LENGTH(text)                                           AS n_chars_actual,
+       ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 /
+             len(regexp_split_to_array(trim(text), '\\s+')), 3) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_stats", oracle=TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / n_tokens,
+            3,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+QUALITY_ORACLE = """
+SELECT doc_id,
+       ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t IN ('the','a','of','and','to','in'))) * 1.0
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio,
+       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g'))) * 1.0
+             / LENGTH(text), 4)                                   AS nonalpha_ratio,
+       CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 1000
+            THEN 1 ELSE 0 END                                     AS length_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals fed to a keep/drop policy: stopword ratio (a
+    fluency proxy), non-alphabetic density, length band — the standard
+    cheap filters run before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", "")))
+            / F.length("text"),
+            4,
+        ).alias("nonalpha_ratio"),
+        F.when(n_tokens.between(20, 1000), 1).otherwise(0).alias("length_ok"),
+    ).orderBy("doc_id")
+
+
+LANG_ID_ORACLE = """
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t IN ('the','of','and'))) >= 2 THEN 'en'
+         WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t IN ('der','und','die'))) >= 2 THEN 'de'
+         WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t IN ('el','de','la'))) >= 2 THEN 'es'
+         ELSE 'unknown'
+       END AS guessed_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id_heuristic", oracle=LANG_ID_ORACLE)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID — the n-gram-free heuristic tier; a
+    real pipeline would escalate 'unknown' docs to a model scorer. The
+    fixture text is synthetic English-ish for every label, so the value
+    here is the operator shape (votes → argmax), oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def votes(words: list[str]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    guessed = (
+        F.when(votes(["the", "of", "and"]) >= 2, "en")
+        .when(votes(["der", "und", "die"]) >= 2, "de")
+        .when(votes(["el", "de", "la"]) >= 2, "es")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), guessed.alias("guessed_lang")
+    ).orderBy("doc_id")
+
+
+BPE_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)                      AS chars_div4_estimate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_bpe_token_estimate", oracle=BPE_ORACLE)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation two ways: a BPE-ish pre-tokenizer regex
+    (word pieces + standalone symbols) and the chars/4 rule of thumb —
+    the pair used for budget planning before a real tokenizer pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("chars_div4_estimate"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                          t -> CAST(LENGTH(t) * 131 + COALESCE(ascii(t), 0) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_rolling_fingerprint", oracle=FINGERPRINT_ORACLE)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (reorder-detecting,
+    unlike bag-of-ngrams) — the cheap pre-filter for exact-ish dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")

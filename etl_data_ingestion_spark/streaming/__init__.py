@@ -1,0 +1,6 @@
+from .windows import (  # noqa: F401
+    tumbling_counts,
+    sliding_counts,
+    session_aggregate,
+    dedup_first_event,
+)

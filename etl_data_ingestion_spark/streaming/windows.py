@@ -1,0 +1,113 @@
+"""Streaming window transformations (SURVEY.md §2.5 streaming row).
+
+Each function is mode-agnostic: pass a batch DataFrame and it runs as
+a normal aggregation (the registry's oracle-checked path); pass a
+``readStream`` DataFrame and the same plan runs incrementally with
+watermark-managed state (exercised in tests/test_streaming.py).
+
+This is the engine's replacement for the reference's at-most-once
+INBOX-label commit (main.py:630-645): checkpointed streaming gives
+exactly-once state updates, and the watermark bounds how much state a
+100 TB/day stream accumulates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Late rows beyond the
+    watermark are dropped instead of reopening finalized windows."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_len).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in len/slide overlapping
+    windows — state is len/slide × tumbling, which is why slide should
+    stay a small fraction of length at scale."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_len, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "events",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Data-driven session windows per user: a session absorbs events
+    arriving within ``gap`` of its current end; state closes once the
+    watermark passes the gap."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "events_in_session",
+        )
+    )
+
+
+def dedup_first_event(
+    events: DataFrame,
+    keys: list[str] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First event per key.
+
+    Streaming mode: dropDuplicatesWithinWatermark — bounded state,
+    arrival-order "first", the streaming analogue of the reference's
+    process-once INBOX-label commit. Batch mode: the deterministic
+    event-time first via row_number (dropDuplicates' kept row is
+    arbitrary under parallel scan — never rely on it for parity).
+    """
+    keys = list(keys)
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

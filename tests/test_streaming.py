@@ -1,0 +1,82 @@
+"""Structured Streaming tests: the SAME transformations the registry
+oracle-checks in batch mode, here driven incrementally via readStream
+over the events fixture with a memory sink (complete/append modes),
+plus watermarked dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.streaming import (
+    dedup_first_event,
+    session_aggregate,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    # re-write the fixture as us-timestamps so readStream gets a plain
+    # timestamp schema (the raw fixture is ns, see catalog.load_table)
+    batch = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    batch.write.parquet(src)
+    return (
+        spark.readStream.schema(batch.schema).parquet(src),
+        batch,
+    )
+
+
+def run_to_completion(spark, df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream):
+    stream_df, batch_df = events_stream
+    got = run_to_completion(
+        spark, tumbling_counts(stream_df), "tumbling_out", "complete"
+    )
+    expected = tumbling_counts(batch_df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_session_stream_matches_batch(spark, events_stream):
+    stream_df, batch_df = events_stream
+    got = run_to_completion(
+        spark, session_aggregate(stream_df), "session_out", "complete"
+    )
+    expected = session_aggregate(batch_df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_dedup_stream_bounded_state(spark, events_stream):
+    stream_df, batch_df = events_stream
+    got = run_to_completion(
+        spark, dedup_first_event(stream_df), "dedup_out", "append"
+    )
+    # streaming keeps arrival-order first; with one availableNow batch
+    # over a sorted parquet the kept set of KEYS must equal batch mode's
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_first_event(batch_df).collect()
+    }
+    got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    assert got_keys == batch_keys
+    assert got.count() == len(batch_keys)
+
+
+def test_streaming_is_streaming(spark, events_stream):
+    stream_df, _ = events_stream
+    assert stream_df.isStreaming
+    assert tumbling_counts(stream_df).isStreaming
