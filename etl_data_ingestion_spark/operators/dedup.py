@@ -21,6 +21,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import random
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -194,17 +196,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh")  # rows-only: MinHash permutations are engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 5-char shingles → HashingTF →
-    seeded MinHashLSH → approxSimilarityJoin.
+    """MinHash + banded LSH near-dup candidates, pure DataFrame ops:
+    5-char shingles → 32 seeded minhashes (murmur3 over the shingle
+    array, no explode, no shuffle) → 8 bands × 4 rows → band-bucket
+    self-join → signature-agreement Jaccard estimate.
 
-    The LSH band-join's shuffle is |docs|×|tables| signature rows —
-    independent of the candidate-pair count, which is what makes
-    near-dup feasible at 100 TB (all-pairs is |docs|²). Seeded model →
-    deterministic output; the driver records a rows-only check since
-    hash families differ across engines.
+    Banding (AND within a band, OR across bands) is what makes this
+    work at 100 TB: candidate probability is 1-(1-s^r)^b, so unrelated
+    docs (s≈0.05 → s^4≈6e-6) essentially never collide while true
+    near-dups (s≥0.8) are caught with p≈0.99. (ml.MinHashLSH's
+    approxSimilarityJoin uses r=1 OR-amplification, which floods the
+    join with low-similarity candidates and recomputes exact distance
+    on full sparse vectors per pair — quadratic in practice.)
+
+    Shuffle cost: |docs|×b band keys + capped-bucket pairs; the
+    bucket-size cap drops degenerate boilerplate buckets, the standard
+    web-dedup guard.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    n_hashes, bands = 32, 8
+    rows = n_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -215,20 +225,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = corpus.select(
         "doc_id", char_shingles("text", 5).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    # One murmur3 pass over the shingles, then 32 universal-hash
+    # permutations (a·h+b mod p) — integer math instead of 32 full
+    # string-hash passes.
+    prime = 2147483647
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, prime), rnd.randrange(0, prime)) for _ in range(n_hashes)]
+    hashed = shingled.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.hash(s).cast("long")).alias("hs"),
     )
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 3).alias("est_jaccard"),
+    def _perm(a, b):
+        # closure, not default args: pyspark binds lambda arity
+        return lambda h: F.pmod(h * a + b, F.lit(prime))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in coeffs]
+    )
+    # Persist: the signature table feeds three plan branches (bucket
+    # histogram + both join sides); without it the full corpus scan +
+    # shingle/hash pipeline re-runs per branch. Signatures are
+    # |docs|×32 ints — negligible next to the corpus at any scale.
+    sigs = hashed.select("doc_id", sig.alias("sig")).persist()
+    sigs.count()  # materialize once; three downstream branches race otherwise
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.hash(
+                    *[F.element_at(F.col("sig"), j * rows + r + 1) for r in range(rows)],
+                    F.lit(j),
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", "sig", F.explode(band_keys).alias("b")
+    ).select("doc_id", "sig", "b.band", "b.bh")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 100))  # boilerplate cap
+        .select("band", "bh")
+    )
+    pruned = exploded.join(buckets, ["band", "bh"])
+    left = pruned.select(
+        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    right = pruned.select(
+        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda a, b: (a == b).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
         )
+        / F.lit(n_hashes)
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(est, 3).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.6)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -125,8 +125,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", array_to_vector("embedding").alias("vec")
     )
-    km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="centroid_id")
-    model = km.fit(emb)
+    km = KMeans(k=8, seed=42, maxIter=8, featuresCol="vec", predictionCol="centroid_id")
+    # Fit the coarse quantizer on a sample — at corpus scale the
+    # quantizer never sees the full data; only assignment does.
+    model = km.fit(emb.sample(fraction=0.25, seed=42))
     assigned = model.transform(emb).select("vec_id", "embedding", "centroid_id")
 
     centers = spark.createDataFrame(
