@@ -190,3 +190,49 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
     ).orderBy("l_returnflag")
+
+
+EXACT_PCTL_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_exact_percentiles", oracle=EXACT_PCTL_ORACLE)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB quantile_cont). Exact percentile sorts within the aggregate
+    buffer — fine per-group; for 100 TB single-group quantiles use
+    approx_percentile (t-digest sketch, mergeable map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch internals differ per engine
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: mergeable quantile sketch — map-side partial
+    sketches combine at the reducer, so cost is one scan regardless of
+    group cardinality. The scale path for distribution stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+            ).alias("approx_pctls")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,142 @@
+"""Source-format scans: csv / json / text / binaryFile (SURVEY.md
+§2.5 "scans" row; §2.1 S2/T1 analogues).
+
+Each query round-trips fixture data through a non-parquet format in a
+scratch dir and reads it back with a DECLARED schema (the reference is
+schema-on-write, SURVEY.md §1.3 — no inference), then aggregates; the
+oracle runs the same aggregate on the parquet table, proving the
+format encode/decode is lossless.
+
+The scratch write is driver-side setup for the scan under test, not
+part of the measured dataflow; paths are deterministic per sf so
+re-runs overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table, table_path
+from etl_data_ingestion_spark.plans.registry import register
+
+SCRATCH = "/tmp/spark_graft_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SCRATCH, tag, name)
+
+
+CSV_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("scan_csv_roundtrip", oracle=CSV_ORACLE)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with declared schema (header, quoting, multiLine):
+    nation → csv → read → aggregate. T1's delimited-text scan
+    (main.py:287-297) generalized to commas + quotes."""
+    path = _scratch(sf_dir, "nation_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+JSON_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("scan_json_roundtrip", oracle=JSON_ORACLE)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema: orders slice → json →
+    read → aggregate. Timestamps survive as ISO strings and are parsed
+    back by the declared TimestampType."""
+    path = _scratch(sf_dir, "orders_json")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    orders.coalesce(1).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).json(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TEXT_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_lines
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("scan_text_lines", oracle=TEXT_ORACLE)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text scan: nation flattened to TSV lines via
+    write.text, read back as raw lines, fields re-split — the exact
+    shape of the reference's CTB attachment decode (main.py:287-297,
+    split('\\n') then split('\\t'))."""
+    path = _scratch(sf_dir, "nation_text")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select(
+        F.concat_ws("\t", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    fields = F.split(F.col("value"), "\t")
+    return (
+        back.select(fields.getItem(2).cast("long").alias("n_regionkey"))
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register("scan_binary_files")  # rows-only: file sizes are storage-layout specific
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan (S4 analogue, main.py:200-219): every fixture
+    parquet as an opaque blob with metadata — path, length, and a
+    content digest computed distributively. The raw-landing read path
+    for attachment-style ingestion."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha256"),
+    ).orderBy("file_name")

@@ -1,0 +1,126 @@
+"""Subquery operators — scalar, IN, EXISTS/NOT EXISTS, correlated.
+
+The reference has zero subqueries (SURVEY.md §2.5: analytics delegated
+to BigQuery post-load; README.md:3); these bring that surface in-house.
+Expressed through spark.sql over temp views so Catalyst's subquery
+machinery (RewritePredicateSubquery → semi/anti join, scalar-subquery
+decorrelation) is what executes — not a hand-rewritten join. At scale
+each of these plans to a join Catalyst can reorder/broadcast like any
+other; none requires a correlated per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+SCALAR_ORACLE = """
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+ORDER BY p_partkey
+"""
+
+
+@register("subquery_scalar_above_avg", oracle=SCALAR_ORACLE)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts above the global average
+    retail price. Catalyst plans the subquery as its own stage and
+    feeds the scalar into the filter (one extra job, no per-row work).
+    No arithmetic on the output columns → raw doubles hash-match."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(SCALAR_ORACLE)
+
+
+IN_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("subquery_in_high_qty", oracle=IN_ORACLE)
+def subquery_in_high_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after RewritePredicateSubquery;
+    the quantity filter is pushed into the lineitem scan before the
+    shuffle."""
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(IN_ORACLE)
+
+
+EXISTS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("subquery_exists_returned", oracle=EXISTS_ORACLE)
+def subquery_exists_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape — fixtures lack
+    l_commitdate/l_receiptdate so the inner predicate is returnflag):
+    decorrelates to a semi join on l_orderkey; the date filter prunes
+    the probe side at the scan."""
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(EXISTS_ORACLE)
+
+
+NOT_EXISTS_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+ORDER BY c_custkey
+"""
+
+
+@register("subquery_not_exists_customers", oracle=NOT_EXISTS_ORACLE)
+def subquery_not_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → anti join (TPC-H Q22 shape): positive-balance
+    customers with no urgent order. (Every fixture customer has SOME
+    order, so the unfiltered variant would be a trivial 0-row check.)"""
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(NOT_EXISTS_ORACLE)
+
+
+CORRELATED_SCALAR_ORACLE = """
+SELECT l.l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS small_lots
+FROM lineitem l
+WHERE l.l_quantity < 0.5 * (
+  SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+HAVING COUNT(*) >= 3
+ORDER BY l.l_partkey
+"""
+
+
+@register("subquery_correlated_avg_qty", oracle=CORRELATED_SCALAR_ORACLE)
+def subquery_correlated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    half their part's average quantity. Catalyst decorrelates to an
+    aggregate-then-join — one pass over lineitem for the per-part
+    averages, not a per-row subquery execution."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(CORRELATED_SCALAR_ORACLE)

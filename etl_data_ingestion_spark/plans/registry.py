@@ -60,4 +60,7 @@ def load_all() -> None:
         ingest_queries,
         streaming_queries,
         multimodal,
+        subqueries,
+        pandas_surface,
+        sources_scan,
     )
