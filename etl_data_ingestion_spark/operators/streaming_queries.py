@@ -111,3 +111,44 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@register("stream_stateful_sessions")  # rows-only: genuine streaming execution
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState session tracker, driven END-TO-END as a
+    real incremental stream (readStream → stateful op → memory sink,
+    availableNow trigger) and returned as the materialized result.
+    The one queries() entry that exercises actual streaming execution
+    + state store, not a batch analogue. Non-SQL-expressible (the
+    emitted set depends on watermark/timeout semantics)."""
+    import os
+    import tempfile
+
+    from etl_data_ingestion_spark.streaming import sessionize_stateful
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", tag, "events_us")
+    if not os.path.exists(src):  # one rewrite: fixture is ns-timestamped
+        events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stateful_sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table("stream_stateful_sessions_out")
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,3 +1,4 @@
+from .stateful import sessionize_stateful  # noqa: F401
 from .windows import (  # noqa: F401
     tumbling_counts,
     sliding_counts,

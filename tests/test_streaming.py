@@ -12,6 +12,7 @@ from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.streaming import (
     dedup_first_event,
     session_aggregate,
+    sessionize_stateful,
     tumbling_counts,
 )
 
@@ -80,3 +81,52 @@ def test_streaming_is_streaming(spark, events_stream):
     stream_df, _ = events_stream
     assert stream_df.isStreaming
     assert tumbling_counts(stream_df).isStreaming
+
+
+def test_stateful_sessionize(spark, events_stream):
+    """applyInPandasWithState session tracker vs batch gaps-and-islands.
+
+    Sessions CLOSED by a gap transition must all be emitted; each
+    user's final session may or may not also appear depending on
+    whether the post-batch watermark advance fires its event-time
+    timeout — so assert closed ⊆ emitted ⊆ all."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    stream_df, batch_df = events_stream
+    got = run_to_completion(
+        spark, sessionize_stateful(stream_df, gap_minutes=30), "stateful_out", "append"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    flagged = batch_df.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_s").over(wsum))
+    sessions = (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    last_per_user = sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("last_id")
+    )
+    key = lambda rows: {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+    }
+    all_sessions = key(sessions.collect())
+    closed = key(
+        sessions.join(last_per_user, "user_id")
+        .filter(F.col("session_id") != F.col("last_id"))
+        .collect()
+    )
+    emitted = key(got.collect())
+    assert closed, "fixture must contain closed sessions"
+    assert closed <= emitted <= all_sessions
