@@ -52,6 +52,7 @@ def run_landing_zone(
     warehouse: ParquetWarehouseSink,
     quarantine: ParquetWarehouseSink,
     notifier: Notifier,
+    require_existing_target: bool = False,
 ) -> RunReport:
     report = RunReport()
     files = zone.list_unprocessed()
@@ -70,6 +71,10 @@ def run_landing_zone(
                     FileOutcome(path, "failed", error=res.file_error)
                 )
                 continue
+
+            # L3 (main.py:416-430): missing/denied target fails the
+            # file before any write, with an error notification.
+            warehouse.check_target(spark, require_existing_target)
 
             q_rows = quarantine.write(res.quarantine, load_id=filename)
             v_rows = warehouse.write(res.valid, load_id=filename)

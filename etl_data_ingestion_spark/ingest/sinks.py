@@ -23,6 +23,29 @@ class ParquetWarehouseSink:
         self.path = path
         self.batch_size = batch_size
 
+    def target_exists(self, spark) -> bool:
+        """L3 (main.py:416-430): verify the target before writing.
+
+        For a catalog table this is ``spark.catalog.tableExists``; for
+        the path-based stand-in, existence of the target directory.
+        ``require_existing`` mirrors the reference's fail-the-file
+        behavior; by default a first write may create the path."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(hpath))
+
+    def check_target(self, spark, require_existing: bool = False) -> None:
+        """Raise (→ runner marks the file Failed + error notification,
+        exactly the reference's missing-table policy) when the target
+        must pre-exist but doesn't."""
+        if require_existing and not self.target_exists(spark):
+            raise RuntimeError(
+                f"Target table/path does not exist or is not accessible: {self.path}"
+            )
+
     def write(self, df: DataFrame, load_id: str) -> int:
         """Append rows tagged with load_id; returns rows written,
         counted via an Observation on the write itself (no second scan,

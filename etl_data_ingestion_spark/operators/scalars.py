@@ -190,3 +190,66 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(comp_sum, 3).alias("component_sum"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("component_max"),
     ).orderBy("vec_id")
+
+
+MAP_ORACLE = """
+SELECT c_custkey,
+       c_acctbal                                   AS bal_value,
+       2                                           AS n_entries,
+       'bal,nk'                                    AS key_csv,
+       c_acctbal + CAST(c_nationkey AS DOUBLE)     AS value_sum
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("scalar_map_funcs", oracle=MAP_ORACLE)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map → element_at / size / map_keys /
+    aggregate-over-map_values, all JVM expressions. The oracle states
+    the algebraically-known result (DuckDB MAP internals differ), so
+    the check proves Spark's map ops compute the right values."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("bal"), F.col("c_acctbal"),
+        F.lit("nk"), F.col("c_nationkey").cast("double"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.element_at(m, "bal").alias("bal_value"),
+        F.size(m).alias("n_entries"),
+        F.concat_ws(",", F.map_keys(m)).alias("key_csv"),
+        F.aggregate(
+            F.map_values(m), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("value_sum"),
+    ).orderBy("c_custkey")
+
+
+FROM_JSON_ORACLE = """
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT)            AS k_value,
+       CAST(props->>'$.k' AS BIGINT) % 10 = 0   AS k_round
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+ORDER BY event_id
+"""
+
+
+@register("scalar_from_json_struct", oracle=FROM_JSON_ORACLE)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct — parse once, access many: the
+    right pattern when several fields are needed (vs per-path
+    get_json_object re-parsing)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_value"),
+            (F.col("p.k") % 10 == 0).alias("k_round"),
+        )
+        .orderBy("event_id")
+    )

@@ -91,3 +91,20 @@ def test_multi_file_isolation(spark, zone, sinks):
         "CTB_c.tsv": "processed",
     }
     assert report.total_inserted == 2
+
+
+def test_missing_target_fails_file(spark, zone, sinks):
+    """L3 (main.py:416-430): when the warehouse target must pre-exist
+    and doesn't, the file fails with an error notification and no rows
+    are written; lifecycle moves it to Failed/."""
+    from etl_data_ingestion_spark.ingest.runner import run_landing_zone
+    from etl_data_ingestion_spark.notify import CollectingNotifier
+
+    zone.put("CTB_ok.tsv", (header_line() + "\n" + row() + "\n").encode())
+    notifier = CollectingNotifier()
+    report = run_landing_zone(
+        spark, zone, sinks[0], sinks[1], notifier, require_existing_target=True
+    )
+    assert report.outcomes[0].state == "failed"
+    assert "does not exist" in notifier.events[0].body
+    assert zone.list_unprocessed() == []
