@@ -39,6 +39,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_token_stats",
     "text_rolling_fingerprint",
+    "subquery_correlated_avg_qty",
+    "pipeline_training_data_curation",
 ]
 
 

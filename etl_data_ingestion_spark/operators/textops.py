@@ -168,3 +168,71 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint("text").alias("fingerprint")
     ).orderBy("doc_id")
+
+
+CURATION_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ('the','a','of','and','to','in'))) AS stop_hits
+  FROM documents
+  WHERE trim(text) <> ''
+), gated AS (
+  SELECT * FROM scored
+  WHERE n_tokens BETWEEN 20 AND 1000
+    AND stop_hits >= 1
+    AND lang = 'en'
+), deduped AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_tokens) AS n_tokens
+  FROM gated
+  GROUP BY md5(text)
+)
+SELECT COUNT(*)                       AS docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT)  AS total_tokens,
+       ROUND(AVG(n_tokens), 2)        AS avg_tokens
+FROM deduped
+"""
+
+
+@register("pipeline_training_data_curation", oracle=CURATION_ORACLE)
+def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the end-to-end curation pass a
+    training-data pipeline runs per corpus snapshot — quality gate
+    (length band + stopword floor) → language filter → exact dedup on
+    content digest → corpus token accounting. One declarative plan:
+    the gates are pushed scan-ward by Catalyst, the dedup groups on a
+    16-byte md5 (never shuffles document text at the agg — only the
+    digest and token count survive the projection), and the final
+    accounting is a single partial+final aggregate. At 100 TB this is
+    the template: filters first (cheap, scan-side), digest-dedup next
+    (one shuffle of digests), THEN any expensive model scoring on the
+    survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(
+                F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+            ).alias("stop_hits"),
+        )
+    )
+    gated = scored.filter(
+        F.col("n_tokens").between(20, 1000)
+        & (F.col("stop_hits") >= 1)
+        & (F.col("lang") == "en")
+    )
+    deduped = gated.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
