@@ -62,9 +62,19 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     # Warm the JVM/codegen once with the cheapest query so timings
-    # reflect steady-state execution, not first-call classloading.
+    # reflect steady-state execution, not first-call classloading;
+    # likewise spin up the Python/Arrow workers (numpy import per
+    # worker) so UDF-stage queries measure compute, not process forks.
     if names:
         run_query(spark, names[0], sf_dir)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _warm = _pudf(lambda x: x * 0 + 1, "long")
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, cpus, 1, cpus).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:
