@@ -35,13 +35,12 @@ def _coefficients(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray
     return a, b
 
 
-def minhash_signature_udf(n_hashes: int = 32, k: int = 5, seed: int = 42):
-    """Build a pandas_udf: text column → array<long> signature
-    (NULL for texts shorter than k chars after trim)."""
+def make_minhash_fn(n_hashes: int = 32, k: int = 5, seed: int = 42):
+    """Pure pandas Series → Series signature function (unit-testable
+    without a SparkContext); NULL for texts shorter than k after trim."""
     A, B = _coefficients(n_hashes, seed)
     pw = np.array([_BASE ** np.uint64(k - 1 - j) for j in range(k)], dtype=np.uint64)
 
-    @pandas_udf("array<long>")
     def text_minhash(texts: pd.Series) -> pd.Series:
         hs_list, offsets, keep = [], [], []
         pos = 0
@@ -75,3 +74,9 @@ def minhash_signature_udf(n_hashes: int = 32, k: int = 5, seed: int = 42):
         return pd.Series(out)
 
     return text_minhash
+
+
+def minhash_signature_udf(n_hashes: int = 32, k: int = 5, seed: int = 42):
+    """Arrow-batched pandas_udf over make_minhash_fn (needs an active
+    SparkContext): text column → array<long> signature."""
+    return pandas_udf(make_minhash_fn(n_hashes, k, seed), "array<long>")

@@ -236,3 +236,27 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), '|') AS nations_csv
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("agg_collect_sorted", oracle=ARRAY_AGG_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / array_agg with an explicit sort — collect order
+    is nondeterministic under parallel merge in ANY engine, so a
+    deterministic pipeline always sorts the collected array. Bounded
+    per-group cardinality only (this materializes the group)."""
+    nation = load_table(spark, sf_dir, "nation")
+    arr = F.sort_array(F.collect_list("n_name"))
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.concat_ws("|", arr).alias("nations_csv"))
+        .orderBy("n_regionkey")
+    )

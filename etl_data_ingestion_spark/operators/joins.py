@@ -273,3 +273,36 @@ def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 3).alias("purchase_value"),
         F.round("_asof_view_value", 3).alias("last_view_value"),
     ).orderBy("event_id")
+
+
+SMJ_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_sortmerge_fact_fact", oracle=SMJ_ORACLE)
+def join_sortmerge_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join forced to sort-merge via hint("merge") — the
+    strategy this join NEEDS at 100 TB, where neither orders nor
+    lineitem broadcasts. (At test SF Spark would broadcast orders;
+    the hint makes the bench measure the scale-relevant plan: shuffle
+    both sides on l_orderkey/o_orderkey, sort, streaming merge. With
+    bucketed tables on the join key, both exchanges disappear.)"""
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -253,3 +253,32 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+POSEXPLODE_ORACLE = """
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       ROUND(CAST(embedding[i] AS DOUBLE), 4) AS component
+FROM (
+  SELECT vec_id, embedding,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+  WHERE vec_id < 20
+)
+ORDER BY vec_id, pos
+"""
+
+
+@register("scalar_posexplode_embedding", oracle=POSEXPLODE_ORACLE)
+def scalar_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows — the Generate
+    operator. Row count multiplies by array length, so at scale
+    explode AFTER filtering (the vec_id<20 predicate is pushed below
+    the Generate into the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .select(
+            "vec_id", "pos", F.round(F.col("component").cast("double"), 4).alias("component")
+        )
+        .orderBy("vec_id", "pos")
+    )

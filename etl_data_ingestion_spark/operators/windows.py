@@ -188,3 +188,34 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ), 2) AS trailing_90d_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_range_frame_90d", oracle=RANGE_FRAME_ORACLE)
+def window_range_frame_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame: trailing-90-day spend per customer —
+    rangeBetween on epoch seconds, not row counts. One shuffle on
+    o_custkey; the frame is evaluated with a sliding aggregate inside
+    the sorted partition, O(n) per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ → timestamp is identity under the UTC session tz; long = epoch s
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+    ).orderBy("o_custkey", "o_orderkey")

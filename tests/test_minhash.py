@@ -1,0 +1,57 @@
+"""Unit tests for the vectorized MinHash signature function —
+determinism, locality (near-identical texts agree on most minhashes),
+and separation (unrelated texts don't)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from etl_data_ingestion_spark.functions.minhash import make_minhash_fn
+
+
+def _sig_fn(n_hashes=32, k=5):
+    return make_minhash_fn(n_hashes=n_hashes, k=k)
+
+
+def test_deterministic_and_shape():
+    f = _sig_fn()
+    texts = pd.Series(["hello world, this is a document about spark"] * 2)
+    out = f(texts)
+    assert len(out) == 2
+    assert np.array_equal(out[0], out[1])
+    assert len(out[0]) == 32
+    out2 = _sig_fn()(texts)  # fresh closure, same seed
+    assert np.array_equal(out[0], out2[0])
+
+
+def test_short_text_null():
+    f = _sig_fn(k=5)
+    out = f(pd.Series(["abcd", "", None, "abcde"]))
+    assert out[0] is None and out[1] is None and out[2] is None
+    assert out[3] is not None
+
+
+def test_locality_vs_separation():
+    f = _sig_fn()
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the forest until it reaches the river bank at dawn"
+    )
+    near = base + " tiny edit"
+    far = (
+        "completely different content about database query optimization "
+        "strategies including join reordering and predicate pushdown rules"
+    )
+    s_base, s_near, s_far = f(pd.Series([base, near, far]))
+    agree_near = (np.asarray(s_base) == np.asarray(s_near)).mean()
+    agree_far = (np.asarray(s_base) == np.asarray(s_far)).mean()
+    assert agree_near >= 0.6, agree_near  # true near-dup: most minhashes agree
+    assert agree_far <= 0.2, agree_far  # unrelated: almost none do
+
+
+def test_signature_nonnegative_longs():
+    out = _sig_fn()(pd.Series(["some reasonably long text for hashing"]))
+    arr = np.asarray(out[0])
+    assert arr.dtype == np.int64
+    assert (arr >= 0).all()
