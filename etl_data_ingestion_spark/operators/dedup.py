@@ -383,3 +383,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_raw")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ----------------------------------------------- duplicate clustering
+
+
+@register("dedup_cluster_components")  # rows-only: iterative, not SQL-expressible
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph → one cluster
+    id (the minimum doc_id) per duplicate group, so a curation pass
+    keeps exactly one representative per CLUSTER, not per pair —
+    pairwise dedup alone under-deletes transitive groups (a~b, b~c).
+
+    Iterative label propagation: each node adopts the min label among
+    itself and its neighbors until fixpoint. Iteration count is
+    O(diameter) — near-dup graphs are overwhelmingly tiny cliques, so
+    3-4 rounds converge; each round is one shuffle-join of (edges ⋈
+    labels). localCheckpoint per round truncates the recursive lineage
+    (the classic iterative-Spark failure mode is an exponentially
+    deepening plan). The standard large-graph alternative (GraphFrames
+    CC / large-star small-star) is this same loop with smarter edge
+    rewriting."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(4):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .select(F.col("label").alias("cluster_rep"), "cluster_size")
+        .orderBy("cluster_rep")
+    )

@@ -306,3 +306,60 @@ def join_sortmerge_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+SALTED_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END AS k,
+         value
+  FROM events
+), dim AS (
+  SELECT user_id AS k, COUNT(*) AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT f.k,
+       COUNT(*)                    AS joined_rows,
+       CAST(MAX(d.user_events) AS BIGINT) AS dim_attr,
+       ROUND(SUM(f.value), 2)      AS total_value
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY f.k
+ORDER BY f.k
+"""
+
+
+@register("join_salted_skew", oracle=SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for a hot key: a synthetic skew (key 7 carries ~1/3
+    of the fact side) is joined against a small dim WITHOUT one reducer
+    owning the hot key — fact rows get salt = event_id % N, the dim
+    side is replicated ×N via explode(sequence), and the join key
+    becomes (k, salt), spreading the hot key over N reducers. Salting
+    preserves join semantics exactly, so the oracle is the PLAIN join:
+    the test proves the rewrite is sound. (AQE skew-join splitting
+    does this automatically for sort-merge joins; manual salting is
+    the tool when the skew is known and extreme, or for aggregations.)
+    """
+    n_salts = 8
+    events = load_table(spark, sf_dir, "events")
+    fact = events.select(
+        F.when(F.col("event_id") % 3 == 0, 7)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(n_salts)).alias("salt"),
+    )
+    dim = (
+        events.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("joined_rows"),
+            F.max("user_events").alias("dim_attr"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k")
+    )
