@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_data_ingestion_spark.catalog import load_table, table_path
 from etl_data_ingestion_spark.plans.registry import register
 
-SCRATCH = "/tmp/spark_graft_scratch"
+SCRATCH = "/root/repo/.scratch"  # repo-local, gitignored
 
 
 def _scratch(sf_dir: str, name: str) -> str:

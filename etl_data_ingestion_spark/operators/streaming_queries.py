@@ -122,13 +122,12 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     + state store, not a batch analogue. Non-SQL-expressible (the
     emitted set depends on watermark/timeout semantics)."""
     import os
-    import tempfile
 
+    from etl_data_ingestion_spark.operators.sources_scan import _scratch
     from etl_data_ingestion_spark.streaming import sessionize_stateful
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", tag, "events_us")
+    src = _scratch(sf_dir, "events_us")
     if not os.path.exists(src):  # one rewrite: fixture is ns-timestamped
         events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
