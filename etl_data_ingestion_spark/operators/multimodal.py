@@ -120,3 +120,60 @@ def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_ts_s")
     )
+
+
+@register("multimodal_resize_featurize_stub")  # rows-only: codecs stubbed
+def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + feature-extract stages chained in ONE mapInPandas pass
+    (decode → thumbnail → embed without re-shuffling between stages —
+    at 100 TB the blob crosses the Python boundary once, not three
+    times).
+
+    STUB(no-codec): the "thumbnail" is a deterministic byte slice in
+    place of PIL resize; the "embedding" is a fixed-dim unit vector
+    seeded from the content digest in place of a vision encoder. Real:
+    binary→binary+vector schema, single-pass chaining, batch shapes,
+    unit-norm invariant the downstream similarity ops rely on.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    dim = 16
+
+    def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def resize(data: bytes) -> bytes:
+            # STUB(no-codec): PIL thumbnail((64,64)) → bytes
+            return data[:64]
+
+        def featurize(thumb: bytes):
+            # STUB(no-codec): vision-encoder embedding; digest-seeded
+            h = hashlib.sha256(thumb).digest()
+            v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+            v = v.astype(np.float64)
+            v = v / np.linalg.norm(v)
+            return v.tolist()
+
+        for pdf in batches:
+            thumbs = [resize(bytes(b)) for b in pdf["content"]]
+            feats = [featurize(t) for t in thumbs]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "embedding": feats,
+                    "embedding_norm": [round(float(np.linalg.norm(f)), 6) for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(
+        pipeline,
+        schema=(
+            "doc_id long, thumb_bytes int, embedding array<double>, "
+            "embedding_norm double"
+        ),
+    ).select("doc_id", "thumb_bytes", F.size("embedding").alias("feat_dim"), "embedding_norm").orderBy("doc_id")
