@@ -133,3 +133,4 @@ def ingest_ctb_df(
     mailbox-sourced batches): columns must already be canonical."""
     corrupt = CORRUPT_COL if CORRUPT_COL in df.columns else None
     return split_valid_quarantine(df, types=types, corrupt_col=corrupt)
+
