@@ -282,3 +282,37 @@ def scalar_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+TRY_ORACLE = """
+SELECT c_custkey,
+       TRY_CAST(SUBSTRING(c_name, 10) AS BIGINT)  AS name_num,
+       TRY_CAST(c_mktsegment AS BIGINT)           AS seg_num,
+       CASE WHEN c_nationkey = 0 THEN NULL
+            ELSE FLOOR(c_acctbal / c_nationkey * 10000) / 10000 END AS bal_per_nation
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("scalar_try_funcs", oracle=TRY_ORACLE)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-closed expression surface: try_cast / try_divide return
+    NULL instead of raising — the row-level ingestion stance (reference
+    main.py:393-399: bad value → NULL + quarantine, never a crashed
+    job) available as ad-hoc expressions. At 100 TB a single malformed
+    value must never kill a 6-hour job; try_* + a validity filter is
+    the pattern."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.substring("c_name", 10, 100).try_cast("bigint").alias("name_num"),
+        F.col("c_mktsegment").try_cast("bigint").alias("seg_num"),
+        # floor-truncate, not round: ROUND on a double quotient at a
+        # .00005 boundary differs across engines; floor of the same
+        # bits never does
+        (
+            F.floor(F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")) * 10000)
+            / 10000
+        ).alias("bal_per_nation"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,61 @@
+"""Bucketed-table co-located join: the shuffle-elimination receipt.
+
+PLANS.md claims "with bucketed tables on the join key, both exchanges
+disappear" — this test writes orders/lineitem bucketed by the join
+key and proves the sort-merge join plan contains ZERO shuffle
+exchanges. At 100 TB this is the difference between re-shuffling two
+fact tables per join and reading pre-co-located buckets."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from etl_data_ingestion_spark.catalog import load_table
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir):
+    # tables land in the default warehouse dir (spark-warehouse/,
+    # gitignored): spark.sql.warehouse.dir is a static conf
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_bucketed")
+    yield spark.table("li_bucketed"), spark.table("orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    li, orders = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        # and the result is right
+        n = joined.count()
+        expected = li.count()  # every lineitem has its order
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
