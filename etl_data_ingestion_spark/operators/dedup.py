@@ -114,7 +114,7 @@ WITH corpus AS (
   FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0
 ), tokenized AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
-), grams AS (
+), grams_all AS (
   SELECT DISTINCT doc_id,
          UNNEST(list_distinct(list_transform(
            range(1, len(toks) - 1),
@@ -122,6 +122,11 @@ WITH corpus AS (
          ))) AS gram
   FROM tokenized
   WHERE len(toks) >= 3
+), grams AS (
+  -- frequent-gram cap: drop boilerplate grams whose posting list
+  -- exceeds 50 docs (they explode the self-join quadratically)
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
 ), common AS (
@@ -158,12 +163,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grams = (
+    grams_all = (
         corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
         .filter(F.size("grams") > 0)
         .select("doc_id", F.explode("grams").alias("gram"))
         .distinct()
     )
+    # frequent-gram cap (posting list ≤ 50 docs): boilerplate grams
+    # make the inverted-index self-join quadratic; dropping them biases
+    # jaccard DOWN slightly for docs made of boilerplate — the standard
+    # trade, mirrored exactly in the oracle.
+    rare = (
+        grams_all.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("gram")
+    )
+    grams = grams_all.join(rare, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
