@@ -128,7 +128,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     src = _scratch(sf_dir, "events_us")
-    if not os.path.exists(src):  # one rewrite: fixture is ns-timestamped
+    # _SUCCESS marker, not bare existence: a crashed partial write
+    # must not be reused as a source
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
         events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     q = (

@@ -108,3 +108,23 @@ def test_missing_target_fails_file(spark, zone, sinks):
     assert report.outcomes[0].state == "failed"
     assert "does not exist" in notifier.events[0].body
     assert zone.list_unprocessed() == []
+
+
+def test_run_sql_interface(spark, sf_dir):
+    """run_sql: the BigQuery-SQL replacement surface — ANSI SQL over
+    the registered catalog, including a join and an aggregate."""
+    from etl_data_ingestion_spark.sql import register_tables, run_sql
+
+    assert set(register_tables(spark, sf_dir)) >= {"lineitem", "orders", "nation"}
+    df = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert sum(r.n_customers for r in rows) == spark.table("customer").count()
