@@ -128,3 +128,24 @@ def test_run_sql_interface(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert sum(r.n_customers for r in rows) == spark.table("customer").count()
+
+
+def test_engine_config_env_overrides(monkeypatch):
+    """§2.6: the .env surface as a typed, validated config object."""
+    from etl_data_ingestion_spark.config import EngineConfig
+
+    cfg = EngineConfig()
+    assert cfg.batch_size == 500  # reference default (.env:25)
+    assert cfg.request_timeout_s == 900  # (.env:24)
+
+    monkeypatch.setenv("SPARKETL_BATCH_SIZE", "250")
+    monkeypatch.setenv("SPARKETL_NOTIFY_RECIPIENTS", "a@x.com,b@x.com")
+    cfg2 = EngineConfig()
+    assert cfg2.batch_size == 250
+    assert cfg2.notify_recipients == ("a@x.com", "b@x.com")
+
+    monkeypatch.setenv("SPARKETL_BATCH_SIZE", "0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        EngineConfig()
