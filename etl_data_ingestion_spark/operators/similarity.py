@@ -72,7 +72,12 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH on
     L2-normalized vectors (euclidean distance on the unit sphere is
     monotone in cosine: cos = 1 - d²/2). Candidates come from the
-    bucket join; exact rerank inside candidates only."""
+    bucket join; exact rerank inside candidates only.
+
+    Measured recall@10 vs similarity_topk_bruteforce: 29/30 ≈ 97% at
+    BOTH sf0.01 and sf0.1 with the 1.35 candidate radius (cos ≥ 0.09);
+    the previous 1.2 radius pruned to 17/30 at sf0.01 — the radius is
+    the recall/candidate-volume dial, re-measure when changing it."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -91,7 +96,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = model.approxSimilarityJoin(
         queries.withColumnRenamed("q_vec", "vec").withColumnRenamed("q_id", "vec_id"),
         normed,
-        1.2,  # d ≤ 1.2 ⟺ cos ≥ 0.28 on unit vectors
+        1.35,  # d ≤ 1.35 ⟺ cos ≥ 0.09 on unit vectors
         distCol="dist",
     )
     scored = cand.filter(
