@@ -59,3 +59,37 @@ class ParquetWarehouseSink:
             .parquet(self.path)
         )
         return int(obs.get["rows"])
+
+
+class BucketedWarehouseSink:
+    """Catalog-table warehouse sink with a bucket spec: appends land
+    pre-hashed into n_buckets on the bucket columns, so every
+    downstream join/aggregation on those columns reads co-located
+    buckets instead of re-shuffling the fact table
+    (tests/test_bucketing.py proves the Exchange disappears).
+
+    The batch-size option of ParquetWarehouseSink is subsumed here:
+    bucket count bounds file count per append; at 100 TB choose
+    n_buckets so each bucket file stays in the 100 MB-1 GB band."""
+
+    def __init__(self, table: str, bucket_cols: list[str], n_buckets: int = 64):
+        if not bucket_cols:
+            raise ValueError("bucket_cols must be non-empty")
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        self.table = table
+        self.bucket_cols = list(bucket_cols)
+        self.n_buckets = n_buckets
+
+    def write(self, df: DataFrame, load_id: str) -> int:
+        obs = Observation(f"write:{self.table}:{load_id}")
+        (
+            df.withColumn("_load_id", F.lit(load_id))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("append")
+            .bucketBy(self.n_buckets, *self.bucket_cols)
+            .sortBy(*self.bucket_cols)
+            .format("parquet")
+            .saveAsTable(self.table)
+        )
+        return int(obs.get["rows"])

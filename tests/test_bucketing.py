@@ -59,3 +59,31 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert n == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_sink_joins_without_shuffle(spark, sf_dir):
+    """BucketedWarehouseSink: two appends land bucketed; a self-join
+    on the bucket key (dedup-by-load_id shape) plans with no Exchange."""
+    from etl_data_ingestion_spark.ingest.sinks import BucketedWarehouseSink
+
+    spark.sql("DROP TABLE IF EXISTS wh_bucketed")
+    sink = BucketedWarehouseSink("wh_bucketed", ["l_orderkey"], n_buckets=4)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    n1 = sink.write(li, load_id="file_a")
+    n2 = sink.write(li.limit(100), load_id="file_b")
+    t = spark.table("wh_bucketed")
+    assert t.count() == n1 + n2
+    assert set(t.columns) == {"l_orderkey", "l_quantity", "_load_id"}
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = t.filter("_load_id = 'file_a'")
+        b = t.filter("_load_id = 'file_b'")
+        j = a.join(b, "l_orderkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS wh_bucketed")
