@@ -260,3 +260,29 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.concat_ws("|", arr).alias("nations_csv"))
         .orderBy("n_regionkey")
     )
+
+
+MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(MEDIAN(o_totalprice), 2) AS median_price,
+       ROUND(AVG(o_totalprice), 2)    AS mean_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_median_by_priority", oracle=MEDIAN_ORACLE)
+def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (interpolated, ≡ percentile 0.5) next to
+    the mean — the skew diagnostic pair. Same per-group sort cost note
+    as agg_exact_percentiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

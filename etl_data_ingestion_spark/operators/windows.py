@@ -219,3 +219,37 @@ def window_range_frame_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+VALUE_FUNCS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price,
+       ROUND(CUME_DIST() OVER w, 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_value_functions", oracle=VALUE_FUNCS_ORACLE)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + cume_dist — note last/nth need the
+    full-partition frame (the default frame stops at CURRENT ROW,
+    the classic silent-wrong-answer); one shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")
