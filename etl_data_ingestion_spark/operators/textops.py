@@ -236,3 +236,54 @@ def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
     )
+
+
+# Top character bigrams per language (public linguistics commonplace:
+# English th/he/in/er/an…, German en/er/ch/de/ei…, Spanish de/es/en/el/la…).
+LANG_BIGRAMS = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["en", "er", "ch", "de", "ei", "te", "in", "nd", "ie", "ge"],
+    "es": ["de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "as"],
+}
+
+BIGRAM_SCORE_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(lower(text))),
+                        i -> substring(lower(text), i, 2)) AS bg
+  FROM documents
+  WHERE length(trim(text)) >= 2
+)
+SELECT doc_id,
+       ROUND(len(list_filter(bg, g -> g IN ('th','he','in','er','an','re','on','at','en','nd'))) * 1.0 / len(bg), 4) AS en_score,
+       ROUND(len(list_filter(bg, g -> g IN ('en','er','ch','de','ei','te','in','nd','ie','ge'))) * 1.0 / len(bg), 4) AS de_score,
+       ROUND(len(list_filter(bg, g -> g IN ('de','es','en','el','la','os','ar','ue','ra','as'))) * 1.0 / len(bg), 4) AS es_score
+FROM grams
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_bigram_score", oracle=BIGRAM_SCORE_ORACLE)
+def text_lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language scoring — the model tier above the
+    stopword vote (text_lang_id_heuristic): per-language hit-rate of
+    the language's top-10 character bigrams. All JVM expressions
+    (transform over a sequence of substr pairs, no explode, no
+    shuffle); a real system swaps the 10-bigram lists for full
+    log-frequency tables — same plan shape, bigger literal maps (or a
+    broadcast-joined frequency table)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) >= 2
+    )
+    low = F.lower(F.col("text"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.length(low) - 1),
+        lambda i: F.substring(low, i, 2),
+    )
+    out = [F.col("doc_id")]
+    for lang, grams in LANG_BIGRAMS.items():
+        hits = F.size(F.filter(bg, lambda g: g.isin(*grams)))
+        out.append(
+            F.round(hits / F.size(bg), 4).alias(f"{lang}_score")
+        )
+    return docs.select(*out).orderBy("doc_id")
