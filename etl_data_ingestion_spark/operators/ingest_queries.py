@@ -147,3 +147,61 @@ def ingest_validity_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(row_ok, 1).otherwise(0)).alias("valid_rows"),
         F.sum(F.when(~row_ok, 1).otherwise(0)).alias("quarantined_rows"),
     )
+
+
+E2E_ORACLE = """
+SELECT c_name                                           AS master_cust_name,
+       CASE WHEN c_custkey % 13 = 0 THEN NULL
+            ELSE CAST(c_custkey AS VARCHAR) END          AS customer_number,
+       c_custkey * 7                                     AS demand_qty,
+       printf('2024-01-%02d', c_custkey % 28 + 1)        AS snapshot_date
+FROM customer
+WHERE c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
+ORDER BY master_cust_name
+"""
+
+
+@register("ingest_ctb_end_to_end", oracle=E2E_ORACLE)
+def ingest_ctb_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T14 end-to-end under the oracle: a CTB TSV is generated
+    deterministically from `customer` — BOM'd mixed-case aliased
+    headers (T4/T5), CRLF endings (T4), padded fields (T8), empties
+    (T9, every 13th), thousands-comma ints (T10), a bad int every
+    11th and a US-format date every 7th (T10/T11 → row rejected,
+    T13) — then ingested through the real file path
+    (ingest/pipeline.py). The oracle recomputes the surviving rows
+    straight from `customer`, so this single check covers header
+    normalize → alias map → validate → trim → null → coerce →
+    reject, against SQL ground truth. File write is driver-side
+    fixture setup (bounded: one email-attachment-sized file), as in
+    sources_scan.py."""
+    import os
+
+    from etl_data_ingestion_spark.ingest.pipeline import ingest_ctb_file
+    from etl_data_ingestion_spark.operators.sources_scan import _scratch
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rows = cust.orderBy("c_custkey").collect()
+    lines = ["﻿Master Cust Name\tCustomer Number\tDemand Qty\tSNAPSHOT_DATE"]
+    for r in rows:
+        k = r["c_custkey"]
+        name = f"  {r['c_name']}  "  # padding → T8 trim
+        number = "" if k % 13 == 0 else str(k)
+        qty = "x" if k % 11 == 0 else f"{k * 7:,d}"
+        date = "01/13/2024" if k % 7 == 0 else f"2024-01-{k % 28 + 1:02d}"
+        lines.append("\t".join([name, number, qty, date]))
+    path = _scratch(sf_dir, "ctb_e2e.tsv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        f.write("\r\n".join(lines) + "\r\n")
+
+    res = ingest_ctb_file(spark, path)
+    return (
+        res.valid.select(
+            F.col("MASTER_CUST_NAME").alias("master_cust_name"),
+            F.col("CUSTOMER_NUMBER").alias("customer_number"),
+            F.col("DEMAND_QTY").alias("demand_qty"),
+            F.date_format("SNAPSHOT_DATE", "yyyy-MM-dd").alias("snapshot_date"),
+        )
+        .orderBy("master_cust_name")
+    )
