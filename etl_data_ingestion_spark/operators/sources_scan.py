@@ -140,3 +140,84 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("sha256"),
     ).orderBy("file_name")
+
+
+MAILBOX_ORACLE = """
+SELECT CONCAT('msg-', CAST(doc_id AS VARCHAR)) AS message_id,
+       CONCAT('CTB_', CAST(doc_id AS VARCHAR), '.tsv') AS filename,
+       LENGTH(text) AS content_bytes
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id < 200
+ORDER BY message_id
+"""
+
+
+@register("mailbox_extract_pipeline", oracle=MAILBOX_ORACLE)
+def mailbox_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S5 under the oracle: MIME-shaped message JSON synthesized
+    IN-PLAN from `documents` (even doc_ids get a CTB attachment nested
+    under a wrapper part, urlsafe-base64-encoded; odd ones a decoy
+    'notes.txt' only), then the real extract path — mapInPandas tree
+    flatten (S5) → first-CTB-match selection (S5, main.py:518-523,571)
+    → urlsafe-base64 decode (S4, main.py:214). The oracle recomputes
+    which messages yield an attachment and the decoded byte length
+    straight from `documents`: a wrong traversal, filename predicate,
+    or decode changes the result."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # Spark base64 chunks >76-char output with CRLF (RFC 2045); Gmail
+    # payloads are continuous urlsafe — strip breaks, map alphabet,
+    # drop padding exactly like urlsafe_b64encode output
+    b64 = F.translate(
+        F.regexp_replace(F.base64(F.encode(F.col("text"), "utf-8")), "[\\r\\n]", ""),
+        "+/=",
+        "-_",
+    )
+    ctb_part = F.struct(
+        F.concat(F.lit("CTB_"), F.col("doc_id"), F.lit(".tsv")).alias("filename"),
+        F.lit("text/tab-separated-values").alias("mimeType"),
+        F.struct(
+            F.concat(F.lit("att-"), F.col("doc_id")).alias("attachmentId"),
+            b64.alias("data"),
+        ).alias("body"),
+    )
+    decoy = F.struct(
+        F.lit("notes.txt").alias("filename"),
+        F.lit("text/plain").alias("mimeType"),
+        F.struct(
+            F.lit(None).cast("string").alias("attachmentId"),
+            F.lit(None).cast("string").alias("data"),
+        ).alias("body"),
+    )
+    wrapper = F.struct(
+        F.lit("").alias("filename"),
+        F.lit("multipart/mixed").alias("mimeType"),
+        F.struct(
+            F.lit(None).cast("string").alias("attachmentId"),
+            F.lit(None).cast("string").alias("data"),
+        ).alias("body"),
+        F.when(F.col("doc_id") % 2 == 0, F.array(decoy, ctb_part)).otherwise(
+            F.array(decoy)
+        ).alias("parts"),
+    )
+    msg = F.to_json(
+        F.struct(
+            F.concat(F.lit("msg-"), F.col("doc_id")).alias("id"),
+            wrapper.alias("payload"),
+        )
+    )
+    raw = docs.select(msg.alias("value"))
+
+    from etl_data_ingestion_spark.sources.mailbox import (
+        decode_attachment_data,
+        flatten_message_parts,
+        select_ctb_attachments,
+    )
+
+    flat = flatten_message_parts(raw)
+    selected = select_ctb_attachments(flat, prefix="CTB")
+    decoded = decode_attachment_data(selected)
+    return decoded.select(
+        "message_id",
+        "filename",
+        F.length("content").alias("content_bytes"),
+    ).orderBy("message_id")
