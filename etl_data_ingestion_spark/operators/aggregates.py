@@ -286,3 +286,30 @@ def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+FILTERED_AGG_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000)          AS n_large,
+       CAST(BOOL_AND(o_totalprice > 0) AS BOOLEAN)            AS all_positive,
+       CAST(BOOL_OR(o_orderstatus = 'F') AS BOOLEAN)          AS any_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_filtered_boolean", oracle=FILTERED_AGG_ORACLE)
+def agg_filtered_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if + every/some — filtered and boolean aggregates, all
+    partial-aggregated map-side like any other agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+            F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )

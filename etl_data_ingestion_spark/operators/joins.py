@@ -363,3 +363,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer WHERE c_custkey < 200
+), b AS (
+  SELECT NULLIF(n_nationkey % 5, 0) AS k, COUNT(*) AS n_nations
+  FROM nation GROUP BY 1
+)
+SELECT a.c_custkey, a.k, b.n_nations
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.c_custkey
+"""
+
+
+@register("join_null_safe_eq", oracle=NULL_SAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> ≡ IS NOT DISTINCT FROM): NULL keys
+    MATCH each other, unlike `=` which drops them silently — the
+    semantics a dedup/upsert on nullable keys needs. Plans as a normal
+    hash join (null-safe equality is still a hashable key)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    a = cust.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    b = (
+        nation.select(F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select("c_custkey", a.k.alias("k"), "n_nations")
+        .orderBy("c_custkey")
+    )

@@ -180,9 +180,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nearest_centroid = pandas_udf(_nearest, "int")
 
+    # persist: the assignment feeds two plan branches (query lookup +
+    # probe scoring); without it the corpus UDF pass runs twice
     assigned = emb.select(
         "vec_id", "embedding", nearest_centroid("embedding").alias("centroid_id")
-    )
+    ).persist()
     queries = assigned.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
