@@ -399,3 +399,37 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", a.k.alias("k"), "n_nations")
         .orderBy("c_custkey")
     )
+
+
+SHUFFLE_HASH_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(o_totalprice), 2) AS order_value
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("join_shufflehash_fact", oracle=SHUFFLE_HASH_ORACLE)
+def join_shufflehash_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join via hint("shuffle_hash"): both sides shuffle
+    on the key but the build side hashes in memory — no sort on either
+    side, unlike sort-merge. The right call when one side is much
+    smaller than the other but too big to broadcast; memory-risky on
+    skew (no spill-friendly sort), which is why Spark defaults to SMJ.
+    Plan shows ShuffledHashJoin BuildRight."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).hint("shuffle_hash")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_value"),
+        )
+        .orderBy("l_returnflag")
+    )
