@@ -221,3 +221,80 @@ def mailbox_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filename",
         F.length("content").alias("content_bytes"),
     ).orderBy("message_id")
+
+
+SCHEMA_EVO_ORACLE = """
+SELECT n_regionkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN has_comment THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_new_col
+FROM (
+  SELECT n_regionkey, FALSE AS has_comment FROM nation
+  UNION ALL
+  SELECT n_regionkey, TRUE  AS has_comment FROM nation
+)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("scan_parquet_schema_evolution", oracle=SCHEMA_EVO_ORACLE)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 lands without a column, batch
+    2 adds `extra_comment`; mergeSchema=true reads both with the union
+    schema, old rows NULL-filled — how a long-lived landing table
+    absorbs upstream schema drift without rewriting history. (Default
+    reads take one footer's schema; merge is opt-in because footer
+    merging costs a pass over file metadata — at 100 TB pin the schema
+    in a catalog instead.)"""
+    path = _scratch(sf_dir, "nation_evolving")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(path)
+    nation.select(
+        "n_nationkey", "n_regionkey", F.concat(F.lit("c-"), "n_name").alias("extra_comment")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return (
+        merged.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("extra_comment").isNotNull(), 1).otherwise(0)
+            ).alias("rows_with_new_col"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+PARTITION_PRUNE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("scan_partitioned_pruning", oracle=PARTITION_PRUNE_ORACLE)
+def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: orders
+    written partitionBy(o_orderpriority), then a filter on the
+    partition column — the scan's PartitionFilters prune to ONE
+    directory, reading 1/5 of the data with zero row-level filtering.
+    At 100 TB partition-on-ingest by the dominant filter column is the
+    single highest-leverage layout decision (tests assert the
+    PartitionFilters appear and Spark reports pruned partitions)."""
+    path = _scratch(sf_dir, "orders_partitioned")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    part = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        part.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -287,3 +287,34 @@ def text_lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hits / F.size(bg), 4).alias(f"{lang}_score")
         )
     return docs.select(*out).orderBy("doc_id")
+
+
+NORMALIZE_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         ' +', ' ', 'g') AS normalized,
+       length(regexp_replace(
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         ' +', ' ', 'g')) AS n_chars
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
+@register("text_normalize_pipeline", oracle=NORMALIZE_ORACLE)
+def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alnum →
+    collapse whitespace) — the pass that runs BEFORE exact dedup so
+    near-identical formatting variants hash identically. Pure JVM
+    regexp chain, fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
+        " +",
+        " ",
+    )
+    return docs.select(
+        "doc_id", norm.alias("normalized"), F.length(norm).alias("n_chars")
+    ).orderBy("doc_id")

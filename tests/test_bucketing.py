@@ -87,3 +87,22 @@ def test_bucketed_sink_joins_without_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE IF EXISTS wh_bucketed")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    """scan_partitioned_pruning's layout claim: a filter on the
+    partition column appears as PartitionFilters on the scan, and the
+    pruned read touches one partition directory, not five."""
+    from etl_data_ingestion_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["scan_partitioned_pruning"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan  # the pushed partition predicate
+    # the partition predicate must live in PartitionFilters, not in
+    # row-level PushedFilters (absent/empty when nothing else pushes)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("1-URGENT" not in l for l in pushed)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("1-URGENT" in l for l in part_lines)
