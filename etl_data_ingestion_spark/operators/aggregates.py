@@ -313,3 +313,46 @@ def agg_filtered_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+SALTED_AGG_ORACLE = """
+SELECT k,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END AS k, value
+  FROM events
+)
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register("agg_salted_skew", oracle=SALTED_AGG_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for a hot key: stage 1 aggregates
+    on (key, salt) — the hot key's rows spread over 8 reducers —
+    stage 2 merges the partials per key. Decomposable aggregates only
+    (count/sum here; avg = sum/count at stage 2). Salting preserves
+    the result exactly, so the oracle is the PLAIN aggregate. (Spark's
+    own map-side partial aggregation already does this implicitly when
+    upstream partitioning is random; explicit salting is the tool when
+    a prior shuffle has already co-located the hot key.)"""
+    n_salts = 8
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("event_id") % 3 == 0, 7).otherwise(F.col("user_id")).alias("k"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(n_salts)).alias("salt"),
+    )
+    partial = keyed.groupBy("k", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return (
+        partial.groupBy("k")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+        .orderBy("k")
+    )
