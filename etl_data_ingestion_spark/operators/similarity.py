@@ -180,12 +180,13 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nearest_centroid = pandas_udf(_nearest, "int")
 
-    # persist: the assignment feeds two plan branches (query lookup +
-    # probe scoring); without it the corpus UDF pass runs twice
+    # assignment feeds ONLY the probe-scoring side; query vectors come
+    # straight from the corpus scan (no centroid needed), so the UDF
+    # runs exactly one corpus pass and nothing needs persisting
     assigned = emb.select(
         "vec_id", "embedding", nearest_centroid("embedding").alias("centroid_id")
-    ).persist()
-    queries = assigned.filter(F.col("vec_id") < 3).select(
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     # rank centroids per query, keep 2 probes
