@@ -153,3 +153,40 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS p_id,
+       p.user_id  AS p_user,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       v.event_id AS v_id,
+       STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY p_id, v_id
+"""
+
+
+@register("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase↔view interval join — the batch face of the
+    watermarked stream-stream join (same function runs incrementally
+    in tests/test_streaming.py::test_stream_stream_interval_join with
+    state eviction via the watermark + time-bound pair)."""
+    from etl_data_ingestion_spark.streaming import purchase_view_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    joined = purchase_view_interval_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "view"),
+    )
+    return joined.select(
+        "p_id",
+        "p_user",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        "v_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("v_ts"),
+    ).orderBy("p_id", "v_id")

@@ -111,3 +111,35 @@ def dedup_first_event(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def purchase_view_interval_join(
+    purchases: DataFrame, views: DataFrame, window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events in the preceding window. In streaming mode BOTH
+    sides carry watermarks and the time-bound condition — that pair is
+    what lets the state store evict buffered rows (an unbounded
+    stream-stream join would hold both streams forever). Batch mode:
+    identical plan semantics, ordinary range join."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return p.join(v, cond).select("p_id", "p_user", "p_ts", "v_id", "v_ts")

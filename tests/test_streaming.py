@@ -173,3 +173,28 @@ def test_streaming_landing_zone_exactly_once(spark, tmp_path):
     # consumed file is either already archived or still present but
     # checkpointed-as-consumed (never re-ingested, asserted above)
     assert os.listdir(str(unproc)) in ([], ["CTB_stream.tsv"])
+
+
+def test_stream_stream_interval_join(spark, events_stream):
+    """Watermarked stream-stream interval join vs the identical batch
+    join: same (purchase, view) pair set. Both sides watermarked at 1h
+    with a 30-minute interval bound — the condition pair that lets the
+    join state evict."""
+    from etl_data_ingestion_spark.streaming import purchase_view_interval_join
+
+    stream_df, batch_df = events_stream
+    sp = stream_df.filter("event_type = 'purchase'")
+    sv = stream_df.filter("event_type = 'view'")
+    got = run_to_completion(
+        spark,
+        purchase_view_interval_join(sp, sv),
+        "ss_join_out",
+        "append",
+    )
+    bp = batch_df.filter("event_type = 'purchase'")
+    bv = batch_df.filter("event_type = 'view'")
+    expected = purchase_view_interval_join(bp, bv)
+    key = lambda rows: {(r["p_id"], r["v_id"]) for r in rows}
+    got_pairs, exp_pairs = key(got.collect()), key(expected.collect())
+    assert exp_pairs, "fixture must produce join pairs"
+    assert got_pairs == exp_pairs
