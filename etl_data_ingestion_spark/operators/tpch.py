@@ -613,3 +613,38 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+Q22_ORACLE = """
+WITH positive AS (
+  SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM positive p
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM positive)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = p.c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("tpch_q22_sales_opportunity", oracle=Q22_ORACLE)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average
+    balances, no qualifying orders, grouped by a derived country code.
+    (Adapted: fixtures lack c_phone, so cntrycode = custkey % 7 and
+    the inner predicate is urgent orders — every fixture customer has
+    SOME order.) Combines the scalar subquery (one extra stage, value
+    broadcast into the filter), anti join, and derived-key
+    aggregation in a single plan."""
+    _ = spark  # registered via spark.sql over views
+    from etl_data_ingestion_spark.operators.subqueries import _view
+
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(Q22_ORACLE)

@@ -92,3 +92,55 @@ def test_urlsafe_base64_roundtrip(spark):
         select_ctb_attachments(flatten_message_parts(raw))
     ).collect()
     assert bytes(out[0]["content"]) == blob
+
+
+def test_mailbox_datasource_format(spark, tmp_path):
+    """spark.read.format('mailbox'): the extract stage as a custom
+    Python DataSource — per-file partitioned scan, prefix filter,
+    first-match-per-message, urlsafe decode to bytes."""
+    import base64
+    import json
+
+    from etl_data_ingestion_spark.sources.mailbox_datasource import (
+        MailboxDataSource,
+    )
+
+    def b64(s: str) -> str:
+        return base64.urlsafe_b64encode(s.encode()).decode().rstrip("=")
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(5):
+        parts = [
+            {"filename": "notes.txt", "mimeType": "text/plain", "body": {}},
+        ]
+        if i % 2 == 0:  # CTB attachment on even messages only
+            parts.append(
+                {
+                    "filename": f"CTB_{i}.tsv",
+                    "mimeType": "text/tab-separated-values",
+                    "body": {"data": b64(f"HEADER\nrow-{i}\n")},
+                }
+            )
+            parts.append(  # second match must be ignored (first wins)
+                {
+                    "filename": f"CTB_{i}_dup.tsv",
+                    "mimeType": "text/tab-separated-values",
+                    "body": {"data": b64("SHOULD NOT SURFACE")},
+                }
+            )
+        msg = {"id": f"m-{i}", "payload": {"mimeType": "multipart/mixed", "parts": parts}}
+        (inbox / f"msg_{i}.json").write_text(json.dumps(msg))
+
+    spark.dataSource.register(MailboxDataSource)
+    df = (
+        spark.read.format("mailbox")
+        .option("filenamePrefix", "CTB")
+        .option("numPartitions", 3)
+        .load(str(inbox))
+    )
+    rows = {r["message_id"]: r for r in df.collect()}
+    assert set(rows) == {"m-0", "m-2", "m-4"}
+    assert rows["m-0"]["filename"] == "CTB_0.tsv"
+    assert bytes(rows["m-0"]["content"]) == b"HEADER\nrow-0\n"
+    assert all("dup" not in r["filename"] for r in rows.values())
