@@ -27,7 +27,12 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "message_id string, filename string, mime_type string, content binary"
@@ -89,3 +94,49 @@ class MailboxReader(DataSourceReader):
                     )
                     break  # first match per message (main.py:571)
                 stack.extend(reversed(part.get("parts") or []))
+
+
+class MailboxStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: the landing dir as an unbounded source with
+    CHECKPOINTED offsets — the engine-level replacement for the
+    reference's at-most-once INBOX-label commit (O5, main.py:630-645;
+    SURVEY §4.1: a crash between insert and label removal
+    double-ingests). Here the offset {"n": files_consumed} lives in
+    the query checkpoint: a restarted query resumes exactly after the
+    last committed batch, never re-emitting a message.
+
+    Files must land append-only in lexicographic order (timestamped
+    names — the landing-zone convention); the offset is their sorted
+    count, so the offset stays O(1) regardless of history."""
+
+    def __init__(self, options):
+        self._delegate = MailboxReader(options)
+
+    def _files(self):
+        return sorted(
+            os.path.join(self._delegate.path, f)
+            for f in os.listdir(self._delegate.path)
+            if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        new = files[start["n"] :]
+        rows = list(self._delegate.read(_FileSlice(new)))
+        return iter(rows), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return iter(
+            list(self._delegate.read(_FileSlice(files[start["n"] : end["n"]])))
+        )
+
+
+def _mailbox_stream_reader(self, schema):
+    return MailboxStreamReader(self.options)
+
+
+MailboxDataSource.simpleStreamReader = _mailbox_stream_reader
