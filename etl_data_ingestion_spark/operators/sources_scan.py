@@ -298,3 +298,74 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+DATASOURCE_ORACLE = """
+SELECT CONCAT('m-', CAST(doc_id AS VARCHAR)) AS message_id,
+       CONCAT('CTB_', CAST(doc_id AS VARCHAR), '.tsv') AS filename,
+       LENGTH(text) AS content_bytes
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id < 120
+ORDER BY message_id
+"""
+
+
+@register("mailbox_datasource_scan", oracle=DATASOURCE_ORACLE)
+def mailbox_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered custom connector under the oracle:
+    spark.read.format("mailbox") over a landing dir of message-JSON
+    files (synthesized from `documents`: even doc_ids carry a CTB
+    attachment, odd ones only a decoy). The reader's partitioned
+    scan, prefix filter, first-match rule and urlsafe decode all have
+    to be right for the byte counts to match the oracle's recompute
+    from `documents`."""
+    import base64
+    import json
+
+    from etl_data_ingestion_spark.sources.mailbox_datasource import (
+        MailboxDataSource,
+    )
+
+    landing = _scratch(sf_dir, "mailbox_landing")
+    marker = os.path.join(landing, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(landing, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in docs:
+            i = r["doc_id"]
+            parts = [{"filename": "notes.txt", "mimeType": "text/plain", "body": {}}]
+            if i % 2 == 0:
+                data = (
+                    base64.urlsafe_b64encode(r["text"].encode())
+                    .decode()
+                    .rstrip("=")
+                )
+                parts.append(
+                    {
+                        "filename": f"CTB_{i}.tsv",
+                        "mimeType": "text/tab-separated-values",
+                        "body": {"data": data},
+                    }
+                )
+            msg = {"id": f"m-{i}", "payload": {"parts": parts}}
+            with open(os.path.join(landing, f"msg_{i:06d}.json"), "w") as f:
+                json.dump(msg, f)
+        open(marker, "w").close()
+
+    spark.dataSource.register(MailboxDataSource)
+    df = (
+        spark.read.format("mailbox")
+        .option("filenamePrefix", "CTB")
+        .option("numPartitions", 8)
+        .load(landing)
+    )
+    return df.select(
+        "message_id",
+        "filename",
+        F.length("content").alias("content_bytes"),
+    ).orderBy("message_id")
