@@ -46,6 +46,10 @@ HEADLINE = [
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     fn = registry.QUERIES[name]
+    # cold per sample: operators that persist intermediates (minhash
+    # signatures, IVF assignment) must re-earn them each run, or the
+    # second sample measures a cached different computation
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
@@ -76,9 +80,14 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # min of two runs per query: the host shows intermittent CPU
+    # contention, and a single sample can read 2-3x high; the minimum
+    # is the standard noise-robust estimator for cold-cache-free work
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        timings[name] = round(
+            min(run_query(spark, name, sf_dir) for _ in range(2)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
