@@ -55,3 +55,29 @@ def test_signature_nonnegative_longs():
     arr = np.asarray(out[0])
     assert arr.dtype == np.int64
     assert (arr >= 0).all()
+
+
+def test_minhash_properties_hypothesis():
+    """Property-based: for any text pair, signatures are length-32
+    int64, deterministic across calls, and agreement is symmetric."""
+    from hypothesis import given, settings, strategies as st
+
+    f = _sig_fn()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=0, max_size=400),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=0, max_size=400),
+    )
+    def prop(a, b):
+        out1 = f(pd.Series([a, b]))
+        out2 = f(pd.Series([b, a]))
+        for s1, s2 in ((out1[0], out2[1]), (out1[1], out2[0])):
+            if s1 is None or s2 is None:
+                assert (s1 is None) == (s2 is None)
+                continue
+            assert np.array_equal(s1, s2)  # order-independent determinism
+            assert len(s1) == 32 and np.asarray(s1).dtype == np.int64
+            assert (np.asarray(s1) >= 0).all()
+
+    prop()
