@@ -462,3 +462,44 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cluster_rep"), "cluster_size")
         .orderBy("cluster_rep")
     )
+
+
+@register("dedup_minhash_verified")  # rows-only: candidate tier is engine-specific
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-tier near-dup scheme: banded-minhash CANDIDATES →
+    exact shingle-set Jaccard VERIFICATION, computed only on candidate
+    pairs. This is the production pattern at 100 TB — the estimate
+    (signature agreement) admits candidates cheaply; the exact measure
+    (array_intersect/union on the pair's shingle sets) confirms them,
+    touching |candidates| documents instead of |docs|².
+
+    Output: confirmed pairs with both scores, so the estimator's
+    calibration is visible (est from 32 hashes vs exact)."""
+    from etl_data_ingestion_spark.functions.text import char_shingles
+
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tiny edit")).alias("text"),
+        )
+    )
+    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(exact, 3).alias("exact_jaccard"),
+        )
+        .filter(F.col("exact_jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
