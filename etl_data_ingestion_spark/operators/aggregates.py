@@ -148,20 +148,49 @@ def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+APPROX_DISTINCT_ORACLE = """
+-- Self-checking sketch parity: HLL estimates are engine-specific, so
+-- the hashed contract is (group, EXACT counts, estimate-within-5%
+-- booleans). Each engine checks ITS OWN sketch against its own exact
+-- count; the oracle mirrors the bound, not the estimate.
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)  AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       ABS(approx_count_distinct(l_partkey)  - COUNT(DISTINCT l_partkey))
+         <= 0.05 * COUNT(DISTINCT l_partkey)  AS parts_within_5pct,
+       ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+         <= 0.05 * COUNT(DISTINCT l_orderkey) AS orders_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_distinct", oracle=APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB answer to
     distinct-counting — fixed-size sketch, no expand, mergeable across
-    partitions. Estimates are engine-specific, so the driver records a
-    rows-only check."""
+    partitions. Estimates are engine-specific, so the query is
+    self-checking: exact counts plus a within-5% bound on the HLL
+    estimate, with the oracle asserting the same bound on DuckDB's
+    own sketch."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        )
-        .orderBy("l_returnflag")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.02)
+                - F.count_distinct("l_orderkey")
+            )
+            <= 0.05 * F.count_distinct("l_orderkey")
+        ).alias("orders_within_5pct"),
     )
 
 
@@ -221,20 +250,55 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: sketch internals differ per engine
+APPROX_PCTL_ORACLE = """
+-- Sketch parity contract: scalar exact percentiles + a within-1%
+-- bound on each engine's OWN approximate-quantile sketch. Scalar
+-- columns only (the round-1 array output crashed the driver's
+-- row canonicalizer).
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS exact_p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS exact_p75,
+       ABS(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
+         <= 0.01 * quantile_cont(l_extendedprice, 0.25) AS p25_within_1pct,
+       ABS(approx_quantile(l_extendedprice, 0.50) - quantile_cont(l_extendedprice, 0.50))
+         <= 0.01 * quantile_cont(l_extendedprice, 0.50) AS p50_within_1pct,
+       ABS(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75))
+         <= 0.01 * quantile_cont(l_extendedprice, 0.75) AS p75_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_percentile", oracle=APPROX_PCTL_ORACLE)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: mergeable quantile sketch — map-side partial
     sketches combine at the reducer, so cost is one scan regardless of
-    group cardinality. The scale path for distribution stats."""
+    group cardinality. The scale path for distribution stats.
+
+    Self-checking contract: exact percentiles as scalar columns plus a
+    within-1% bound on the sketch estimate; the oracle asserts the
+    same bound on DuckDB's approx_quantile (t-digest) — each engine
+    validates its own sketch, the hash compares exact values + bounds.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile(
-                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-            ).alias("approx_pctls")
-        )
-        .orderBy("l_returnflag")
+    ap = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    ex = [F.percentile("l_extendedprice", F.lit(p)) for p in (0.25, 0.5, 0.75)]
+    agg = li.groupBy("l_returnflag").agg(
+        ap.alias("ap"), ex[0].alias("e25"), ex[1].alias("e50"), ex[2].alias("e75")
+    )
+    def bound(i: int, e: str) -> F.Column:
+        return F.abs(F.element_at("ap", i) - F.col(e)) <= 0.01 * F.col(e)
+    return agg.select(
+        "l_returnflag",
+        F.round("e25", 2).alias("exact_p25"),
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e75", 2).alias("exact_p75"),
+        bound(1, "e25").alias("p25_within_1pct"),
+        bound(2, "e50").alias("p50_within_1pct"),
+        bound(3, "e75").alias("p75_within_1pct"),
     )
 
 
