@@ -209,7 +209,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash LSH
 
 
-@register("dedup_minhash_lsh")  # rows-only: MinHash permutations are engine-specific
+MINHASH_LSH_ORACLE = """
+-- Ground truth the LSH output must recover: ALL pairs with exact
+-- 5-char-shingle Jaccard >= 0.6 (the corpus is cleanly separated:
+-- every true pair sits at J >= 0.8, nothing lives in [0.5, 0.8), so
+-- the banded-LSH candidate set + signature-agreement filter lands on
+-- exactly this set — recall verified locally per seed; the minhash
+-- seed is fixed, so the comparison is deterministic).
+-- The n*10 >= m*6 size prefilter is safe: J >= 0.6 implies
+-- min(|A|,|B|)/max(|A|,|B|) >= 0.6.
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' tiny edit' FROM documents WHERE doc_id % 10 = 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(trim(text)) - 3),
+                                      i -> substr(trim(text), i, 5))) AS s
+  FROM corpus WHERE length(trim(text)) >= 5
+), sized AS (
+  SELECT doc_id, s, len(s) AS ns FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id AND a.ns * 10 >= b.ns * 6 AND b.ns * 10 >= a.ns * 6
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates: vectorized text→
     signature pandas UDF → 8 bands × 4 rows → band-bucket self-join →
@@ -291,11 +321,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(n_hashes)
     )
+    # Hashed contract is the PAIR SET (the estimate itself is
+    # hash-family-specific and not oracle-reproducible); est_jaccard
+    # stays internal as the candidate filter. dedup_minhash_verified
+    # exposes the exact score per surviving pair.
     return (
         left.join(right, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(est, 3).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -304,19 +339,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- SimHash
 
 
-@register("dedup_simhash")  # rows-only: murmur3 hash family is Spark-specific
+SIMHASH_ORACLE = """
+-- Exact-bucket SimHash recall contract: identical texts ALWAYS share
+-- a fingerprint (simhash is a pure function of the token multiset),
+-- so every planted exact copy must land in its original's bucket —
+-- pinned engine-independently without reproducing murmur3. Bucket
+-- PRECISION is deliberately not part of the contract: simhash
+-- approximates cosine similarity in token-frequency space, and this
+-- synthetic corpus draws every doc from the same ~20-word vocabulary,
+-- so unrelated docs legitimately share fingerprints (their token
+-- profiles really are near-parallel). On production text, 64-bit
+-- fingerprints make unrelated collisions ~2^-64; the banded variant
+-- (dedup_simhash_banded) carries the near-dup recall contract.
+SELECT COUNT(*) AS planted_total, COUNT(*) AS planted_found
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, entirely in JVM expressions:
     explode tokens → murmur3 hash → per-bit majority vote → recombine.
-    Near-identical docs land at hamming distance ≤ 3; the grouped
-    output pairs docs sharing a fingerprint (hamming 0 — the cheap
-    exact-bucket variant; banded multi-probe generalizes it)."""
+    Exact-bucket variant (full-fingerprint equality = hamming 0);
+    dedup_simhash_banded adds the multi-probe band tier for small
+    nonzero hamming. Output is the planted-copy recall summary (see
+    SIMHASH_ORACLE for why precision is not oracle-checkable on this
+    corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
+    fps = _simhash_fingerprints(corpus)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+        )
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("planted_total"),
+            F.sum(
+                F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+            ).alias("planted_found"),
+        )
+    )
+
+
+def _simhash_fingerprints(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash): 32-bit SimHash, all JVM
+    expressions — explode tokens → murmur3 → per-bit ±1 votes →
+    majority recombine."""
     toks = corpus.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
@@ -336,12 +414,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0).cast("long"),
     )
-    fps = votes.select("doc_id", fingerprint.alias("simhash"))
-    return (
-        fps.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("kept"))
-        .filter(F.col("bucket_size") > 1)
-        .orderBy("kept")
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+SIMHASH_BANDED_ORACLE = """
+-- Recall contract for the banded multi-probe tier: every planted
+-- single-token perturbation must be recovered as a (d, d+1M)
+-- candidate pair at hamming <= 4. A 1-token edit shifts each bit's
+-- vote by at most 1, so only near-tie bits flip (hamming 0-4 in this
+-- corpus, measured); 8 bands of 4 bits guarantee a surviving band
+-- through hamming 7, so banding never loses a pair the hamming <= 4
+-- verifier would accept. The oracle pins recall = 100%.
+SELECT COUNT(*) AS planted_total, COUNT(*) AS planted_found
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("dedup_simhash_banded", oracle=SIMHASH_BANDED_ORACLE)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-probe SimHash: 32-bit fingerprint split into 8
+    4-bit bands; docs sharing ANY band value become candidates
+    (pigeonhole: hamming <= 7 implies at least one intact band), then
+    candidates are verified at hamming <= 4 via xor bit-count. This is
+    the generalization of dedup_simhash's exact-bucket variant — it
+    surfaces near-identical docs the full-fingerprint match misses.
+
+    Shuffle cost is |docs|×8 band keys. Narrow 4-bit bands trade
+    candidate volume for the hamming-7 guarantee — each band bucket
+    holds ~|docs|/16 entries, so the verify tier is the dominant cost;
+    production 64-bit simhash uses 4-6 16-bit tables instead (Manku et
+    al., WWW'07) where the guarantee needed is only hamming <= 3.
+    Output is the planted-perturbation recall summary (fingerprints
+    themselves are murmur3-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzqxv")).alias("text"),
+        )
+    )
+    fps = _simhash_fingerprints(corpus)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("simhash", 4 * j).bitwiseAND(15).alias("bv"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bv")
+    left = bands.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    )
+    right = bands.select("band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    pairs = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= 4)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    return planted.join(
+        pairs.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("planted_total"),
+        F.count("hit").alias("planted_found"),
     )
 
 
@@ -404,46 +551,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- duplicate clustering
 
 
-@register("dedup_cluster_components")  # rows-only: iterative, not SQL-expressible
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph → one cluster
-    id (the minimum doc_id) per duplicate group, so a curation pass
-    keeps exactly one representative per CLUSTER, not per pair —
-    pairwise dedup alone under-deletes transitive groups (a~b, b~c).
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 20
+) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    every node repeatedly adopts the minimum label among itself and
+    its neighbors, UNTIL FIXPOINT (convergence-checked each round, not
+    a fixed iteration cap — a chain graph of diameter d needs d
+    rounds; a cap silently under-merges longer chains).
 
-    Iterative label propagation: each node adopts the min label among
-    itself and its neighbors until fixpoint. Iteration count is
-    O(diameter) — near-dup graphs are overwhelmingly tiny cliques, so
-    3-4 rounds converge; each round is one shuffle-join of (edges ⋈
-    labels). localCheckpoint per round truncates the recursive lineage
-    (the classic iterative-Spark failure mode is an exponentially
-    deepening plan). The standard large-graph alternative (GraphFrames
-    CC / large-star small-star) is this same loop with smarter edge
-    rewriting."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    Each round is one shuffle-join (edges ⋈ labels) + one aggregate;
+    localCheckpoint truncates the otherwise exponentially deepening
+    lineage (the classic iterative-Spark failure mode). The changed
+    check is `limit(1).count()` — it short-circuits at the first
+    changed label rather than counting them all. max_rounds bounds a
+    pathological diameter (at 100 TB, switch to large-star/small-star
+    rewriting, which converges in O(log d) rounds of the same joins).
+
+    Returns (node, label) with label = min node id of the component.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
+        und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(4):
+    for _ in range(max_rounds):
         neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
         changed = (
             new_labels.alias("n")
@@ -455,6 +604,66 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.localCheckpoint()
         if changed == 0:
             break
+    und.unpersist()
+    return labels
+
+
+CLUSTER_ORACLE = """
+-- Same deterministic chain graph, components via recursive CTE:
+-- every 10th doc spawns a duplication chain d — d+1M — d+2M [— d+3M]
+-- of length 2 + (d % 30)/10, so cluster sizes 2, 3 and 4 all occur
+-- and transitive closure is genuinely required (chain ends share no
+-- direct edge). label(n) = min reachable node = chain head.
+WITH RECURSIVE base AS (
+  SELECT doc_id AS d, 2 + (doc_id % 30) // 10 AS chain_len
+  FROM documents WHERE doc_id % 10 = 0
+), edges AS (
+  SELECT d + i * 1000000 AS a, d + (i + 1) * 1000000 AS b
+  FROM base, UNNEST(range(0, chain_len - 1)) AS t(i)
+), und AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+), reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT reach.node, und.b AS r FROM reach JOIN und ON reach.r = und.a
+), labeled AS (
+  SELECT node, MIN(r) AS label FROM reach GROUP BY node
+)
+SELECT label AS cluster_rep, COUNT(*) AS cluster_size
+FROM labeled
+GROUP BY label
+HAVING COUNT(*) > 1
+ORDER BY cluster_rep
+"""
+
+
+@register("dedup_cluster_components", oracle=CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a duplicate-pair graph → one cluster
+    id (the minimum doc_id) per duplicate group, so a curation pass
+    keeps exactly one representative per CLUSTER, not per pair —
+    pairwise dedup alone under-deletes transitive groups (a~b, b~c).
+
+    The pair graph here is CONSTRUCTED deterministically (duplication
+    chains of length 2-4 keyed off doc_id) so the oracle can recompute
+    the exact components with a recursive CTE; chains specifically
+    exercise transitivity — their endpoints share no direct edge, so a
+    pairwise join can't reproduce the clusters. In production the edge
+    feed is dedup_minhash_verified's confirmed pairs (an LSH-derived
+    edge set is hash-family-specific, which is why correctness is
+    pinned on a constructed graph instead)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    base = docs.select(
+        F.col("doc_id").alias("d"),
+        (F.lit(2) + (F.col("doc_id") % 30) / F.lit(10)).cast("int").alias("chain_len"),
+    )
+    edges = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("chain_len") - 2)).alias("i"), "d"
+    ).select(
+        (F.col("d") + F.col("i") * 1000000).alias("doc_a"),
+        (F.col("d") + (F.col("i") + 1) * 1000000).alias("doc_b"),
+    )
+    labels = connected_components(edges)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -464,20 +673,46 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_verified")  # rows-only: candidate tier is engine-specific
+MINHASH_VERIFIED_ORACLE = """
+-- Exact-verification ground truth: every pair at exact 5-shingle
+-- Jaccard >= 0.7 with its score. The Spark side reaches this set
+-- through LSH candidates + exact verification on candidates only;
+-- a candidate-tier recall miss or a wrong exact-Jaccard expression
+-- both surface as a diff here.
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' tiny edit' FROM documents WHERE doc_id % 10 = 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(trim(text)) - 3),
+                                      i -> substr(trim(text), i, 5))) AS s
+  FROM corpus WHERE length(trim(text)) >= 5
+), sized AS (
+  SELECT doc_id, s, len(s) AS ns FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 3) AS exact_jaccard
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id AND a.ns * 10 >= b.ns * 7 AND b.ns * 10 >= a.ns * 7
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_verified", oracle=MINHASH_VERIFIED_ORACLE)
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full two-tier near-dup scheme: banded-minhash CANDIDATES →
     exact shingle-set Jaccard VERIFICATION, computed only on candidate
     pairs. This is the production pattern at 100 TB — the estimate
     (signature agreement) admits candidates cheaply; the exact measure
     (array_intersect/union on the pair's shingle sets) confirms them,
-    touching |candidates| documents instead of |docs|².
-
-    Output: confirmed pairs with both scores, so the estimator's
-    calibration is visible (est from 32 hashes vs exact)."""
+    touching |candidates| documents instead of |docs|²."""
     from etl_data_ingestion_spark.functions.text import char_shingles
 
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -494,12 +729,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        .filter(exact >= 0.7)  # raw-value filter, mirroring the oracle's WHERE
         .select(
             "doc_a",
             "doc_b",
-            "est_jaccard",
             F.round(exact, 3).alias("exact_jaccard"),
         )
-        .filter(F.col("exact_jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
     )

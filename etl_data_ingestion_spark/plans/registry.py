@@ -113,6 +113,7 @@ CHECK_ORDER: list[str] = [
     "stream_tumbling_hourly",
     "stream_dedup_first_event",
     # ---- round-3 window starts here (slot 51+) ----
+    "dedup_simhash_banded",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
