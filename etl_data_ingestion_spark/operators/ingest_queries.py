@@ -155,7 +155,7 @@ SELECT c_name                                           AS master_cust_name,
             ELSE CAST(c_custkey AS VARCHAR) END          AS customer_number,
        c_custkey * 7                                     AS demand_qty,
        printf('2024-01-%02d', c_custkey % 28 + 1)        AS snapshot_date
-FROM customer
+FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 5000)
 WHERE c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
 ORDER BY master_cust_name
 """
@@ -181,7 +181,9 @@ def ingest_ctb_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_ingestion_spark.operators.sources_scan import _scratch
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    rows = cust.orderBy("c_custkey").collect()
+    # limit BEFORE collect: the fixture must stay email-attachment-
+    # sized at any sf (the oracle applies the identical LIMIT)
+    rows = cust.orderBy("c_custkey").limit(5000).collect()
     lines = ["﻿Master Cust Name\tCustomer Number\tDemand Qty\tSNAPSHOT_DATE"]
     for r in rows:
         k = r["c_custkey"]

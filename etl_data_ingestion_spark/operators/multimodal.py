@@ -46,7 +46,33 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_image_decode_stub")  # rows-only: decode is stubbed
+IMAGE_DECODE_ORACLE = """
+-- The stub decode is a PURE function of the content digest, so the
+-- oracle recomputes it from sha256 hex: byte k of the digest is
+-- hex-pair k, decoded arithmetically (strpos over the hex alphabet).
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+), b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS h0,
+         (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS h1,
+         (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS h2
+  FROM h
+)
+SELECT doc_id,
+       CAST(64 + h0 * 4 AS INT) AS width,
+       CAST(64 + h1 * 4 AS INT) AS height,
+       CASE h2 % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+       CAST(3 AS INT) AS channels
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_image_decode_stub", oracle=IMAGE_DECODE_ORACLE)
 def multimodal_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode stage: binary column → (width, height, format,
     channels) via Arrow-batched mapInPandas.
@@ -87,7 +113,24 @@ def multimodal_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_frame_sample_stub")  # rows-only: decode is stubbed
+FRAME_SAMPLE_ORACLE = """
+-- The sampling policy is pure arithmetic over byte length (the stub's
+-- 1 byte ≈ 1 ms duration), so the oracle recomputes every frame row.
+-- All-INTEGER millisecond timestamps: ts_ms = bytes*(2i+1)/8 under
+-- floor division. (A float formulation is NOT portable: Spark rounds
+-- the binary double 0.05849999… down while DuckDB rounds its decimal
+-- face 0.0585 up — integer math sidesteps the half-boundary.)
+SELECT doc_id,
+       doc_id || ':' || i                                AS frame_id,
+       CAST(i AS INT)                                    AS frame_idx,
+       (octet_length(ENCODE(text)) * (2 * i + 1)) // 8   AS frame_ts_ms,
+       octet_length(ENCODE(text))                        AS duration_ms
+FROM documents, UNNEST(range(0, 4)) AS t(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample_stub", oracle=FRAME_SAMPLE_ORACLE)
 def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling stage: one row per sampled frame, exploded
     from per-asset sample offsets — the output layout a captioning /
@@ -95,34 +138,55 @@ def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     STUB(no-codec): frame timestamps derive from byte length at 1
     byte ≈ 1 ms in place of ffprobe duration; the sampling policy
-    (uniform k frames, explode to rows, stable frame_id) is real.
+    (uniform k frames at (i+½)·duration/k, explode to rows, stable
+    frame_id) is real. Integer-ms timestamps keep the arithmetic
+    engine-portable (see FRAME_SAMPLE_ORACLE).
     """
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     ).select(
         "doc_id",
-        F.length("content").alias("n_bytes"),
-        (F.length("content") / 1000.0).alias("duration_s"),
+        F.length("content").cast("long").alias("duration_ms"),
     )
     k = 4
     offsets = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.round(F.col("duration_s") * (i + 0.5) / k, 3),
+        lambda i: F.floor(
+            F.col("duration_ms") * (i.cast("long") * 2 + 1) / F.lit(2 * k)
+        ),
     )
     return (
-        assets.withColumn("frame_ts_s", F.explode(offsets))
+        assets.select(
+            "doc_id",
+            "duration_ms",
+            F.posexplode(offsets).alias("frame_idx", "frame_ts_ms"),
+        )
         .select(
             "doc_id",
-            F.concat_ws(":", F.col("doc_id"), F.col("frame_ts_s")).alias("frame_id"),
-            "frame_ts_s",
-            "duration_s",
+            F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")).alias("frame_id"),
+            "frame_idx",
+            "frame_ts_ms",
+            "duration_ms",
         )
-        .orderBy("doc_id", "frame_ts_s")
+        .orderBy("doc_id", "frame_idx")
     )
 
 
-@register("multimodal_resize_featurize_stub")  # rows-only: codecs stubbed
+RESIZE_FEATURIZE_ORACLE = """
+-- Pinned invariants of the chained pass: thumbnail size = first 64
+-- bytes (the stub slice), fixed 16-dim embedding, unit L2 norm — all
+-- recomputable without the codec.
+SELECT doc_id,
+       CAST(LEAST(64, octet_length(ENCODE(text))) AS INT) AS thumb_bytes,
+       CAST(16 AS INT)                            AS feat_dim,
+       1.0                                        AS embedding_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize_featurize_stub", oracle=RESIZE_FEATURIZE_ORACLE)
 def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + feature-extract stages chained in ONE mapInPandas pass
     (decode → thumbnail → embed without re-shuffling between stages —

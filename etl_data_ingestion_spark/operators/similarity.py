@@ -67,7 +67,64 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_lsh")  # rows-only: LSH candidates are engine-specific
+def _exact_topk(emb: DataFrame, k: int = 10) -> DataFrame:
+    """Ground-truth exact cosine top-k for the 3 query vectors —
+    the in-plan yardstick the ANN self-checks compare against.
+    Trivially cheap here (3 queries × corpus, one broadcast pass)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("cs")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk")
+    )
+
+
+def _ann_selfcheck(
+    ann: DataFrame, exact: DataFrame, floor: float, with_top1: bool
+) -> DataFrame:
+    """Fold an ANN result (q_id, vec_id) against the exact top-10 into
+    the per-query verification row the oracle pins: result count,
+    recall-above-floor, and (optionally) whether the true nearest
+    neighbor was found. Recall VALUES are engine/seed-specific; the
+    bound is what both engines can agree on (the oracle asserts its
+    own constant — the 'oracle the bound, not the estimate' pattern).
+    """
+    hits = ann.join(
+        exact.withColumnRenamed("rnk", "ex_rnk"), ["q_id", "vec_id"], "left"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("ann_results"),
+        (F.count("ex_rnk") >= F.lit(floor * 10)).alias("recall_floor_ok"),
+    ]
+    if with_top1:
+        aggs.append(
+            (F.sum(F.when(F.col("ex_rnk") == 1, 1).otherwise(0)) > 0).alias(
+                "top1_found"
+            )
+        )
+    return hits.groupBy("q_id").agg(*aggs).orderBy("q_id")
+
+
+TOPK_LSH_ORACLE = """
+-- BRP-LSH self-check contract (seeded model, deterministic): 10
+-- results per query, recall@10 vs exact >= 0.8 (measured 9-10/10 at
+-- sf0.01 and sf0.1), true nearest neighbor always in the result.
+SELECT vec_id AS q_id,
+       CAST(10 AS BIGINT) AS ann_results,
+       TRUE AS recall_floor_ok,
+       TRUE AS top1_found
+FROM embeddings WHERE vec_id < 3
+ORDER BY q_id
+"""
+
+
+@register("similarity_topk_lsh", oracle=TOPK_LSH_ORACLE)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH on
     L2-normalized vectors (euclidean distance on the unit sphere is
@@ -77,7 +134,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured recall@10 vs similarity_topk_bruteforce: 29/30 ≈ 97% at
     BOTH sf0.01 and sf0.1 with the 1.35 candidate radius (cos ≥ 0.09);
     the previous 1.2 radius pruned to 17/30 at sf0.01 — the radius is
-    the recall/candidate-volume dial, re-measure when changing it."""
+    the recall/candidate-volume dial, re-measure when changing it.
+    Output is the per-query verification summary (see
+    TOPK_LSH_ORACLE); the neighbor lists themselves are seed-specific.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -107,14 +167,35 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - F.col("dist") * F.col("dist") / 2, 4).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
+    ann = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
-        .orderBy("q_id", "rnk")
+        .select("q_id", "vec_id")
     )
+    exact = _exact_topk(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return _ann_selfcheck(ann, exact, floor=0.8, with_top1=True)
 
 
-@register("similarity_ivf_topk")  # rows-only: centroid assignment is model-specific
+IVF_TOPK_ORACLE = """
+-- IVF self-check contract (deterministic quantizer: seeded sample,
+-- first-k init, fixed Lloyd rounds): 10 results per query, recall@10
+-- vs exact >= 0.2. The floor is honest, not aspirational: these
+-- synthetic embeddings have no cluster structure, so probing 2/8
+-- partitions recovers ≈ the probed corpus fraction (measured 3-6/10
+-- per query); on clustered real embeddings the same k/n_probe lands
+-- ≫90%. A higher floor here would encode fixture luck, not a
+-- guarantee the operator provides.
+SELECT vec_id AS q_id,
+       CAST(10 AS BIGINT) AS ann_results,
+       TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id < 3
+ORDER BY q_id
+"""
+
+
+@register("similarity_ivf_topk", oracle=IVF_TOPK_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer fit on a bounded sample
     → corpus partitioned by nearest centroid (map-side, centers
@@ -210,9 +291,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity("q_emb", "embedding").alias("cs"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
-    return (
+    ann = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
-        .select("q_id", "vec_id", F.round("cs", 4).alias("cos_sim"), "rnk")
-        .orderBy("q_id", "rnk")
+        .select("q_id", "vec_id")
     )
+    return _ann_selfcheck(ann, _exact_topk(emb), floor=0.2, with_top1=False)

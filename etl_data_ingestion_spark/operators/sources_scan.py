@@ -124,16 +124,42 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_binary_files")  # rows-only: file sizes are storage-layout specific
+BINARY_FILES_ORACLE = """
+-- The blob fixtures are deterministic byte strings, so the oracle
+-- reconstructs each file's exact content and digests it in SQL —
+-- verifying the binaryFile scan delivered byte-identical payloads.
+SELECT 'blob_' || i || '.bin'                                   AS file_name,
+       octet_length(ENCODE('payload-' || i || '-' || repeat('ab', i)))  AS n_bytes,
+       sha256('payload-' || i || '-' || repeat('ab', i))        AS sha256
+FROM UNNEST(range(0, 10)) AS t(i)
+ORDER BY file_name
+"""
+
+
+@register("scan_binary_files", oracle=BINARY_FILES_ORACLE)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binaryFile scan (S4 analogue, main.py:200-219): every fixture
-    parquet as an opaque blob with metadata — path, length, and a
-    content digest computed distributively. The raw-landing read path
-    for attachment-style ingestion."""
+    """binaryFile scan (S4 analogue, main.py:200-219): opaque blobs
+    with metadata — path, length, and a content digest computed
+    distributively. The raw-landing read path for attachment-style
+    ingestion. Scans a deterministic blob fixture dir (content is a
+    known byte string per file, so the oracle can re-derive every
+    digest; fixture write is driver-side bounded setup, same pattern
+    as the TSV/CSV scan fixtures)."""
+    import os
+
+    blob_dir = _scratch(sf_dir, "blobs")
+    if not os.path.exists(os.path.join(blob_dir, "_SUCCESS")):
+        os.makedirs(blob_dir, exist_ok=True)
+        for i in range(10):
+            payload = f"payload-{i}-" + "ab" * i
+            with open(os.path.join(blob_dir, f"blob_{i}.bin"), "wb") as f:
+                f.write(payload.encode("utf-8"))
+        with open(os.path.join(blob_dir, "_SUCCESS"), "w"):
+            pass
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "blob_*.bin")
+        .load(blob_dir)
     )
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),

@@ -113,14 +113,54 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_sessions")  # rows-only: genuine streaming execution
+STATEFUL_SESSIONS_ORACLE = """
+-- Batch-equivalence oracle for the stateful streaming sessionizer:
+-- gaps-and-islands sessions (30-min gap, gap measured from the
+-- session's LAST event, strict >). Emitted = every session CLOSED by
+-- a later event, plus each user's final session IF the event-time
+-- timeout fired for it — i.e. its timeout timestamp (last event +
+-- gap) fell strictly below the final watermark (global max ts - 2h
+-- watermark delay). Final sessions still open at end-of-replay stay
+-- in state and are not emitted.
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), agg AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       STRFTIME(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM agg
+WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+   OR session_end + INTERVAL 30 MINUTE
+      < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_stateful_sessions", oracle=STATEFUL_SESSIONS_ORACLE)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState session tracker, driven END-TO-END as a
     real incremental stream (readStream → stateful op → memory sink,
     availableNow trigger) and returned as the materialized result.
     The one queries() entry that exercises actual streaming execution
-    + state store, not a batch analogue. Non-SQL-expressible (the
-    emitted set depends on watermark/timeout semantics)."""
+    + state store, not a batch analogue. The oracle is the
+    gaps-and-islands batch equivalent restricted to CLOSED sessions
+    (see STATEFUL_SESSIONS_ORACLE)."""
     import os
 
     from etl_data_ingestion_spark.operators.sources_scan import _scratch
