@@ -38,7 +38,6 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("l_suppkey").alias("distinct_suppliers"),
             F.count(F.lit(1)).alias("lines"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -62,10 +61,6 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
     )
 
 
@@ -86,10 +81,6 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("lines"),
             F.round(F.sum("l_quantity"), 2).alias("qty"),
-        )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
         )
     )
 
@@ -144,7 +135,6 @@ def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("c_acctbal"), 2).alias("stddev_bal"),
             F.count(F.lit(1)).alias("customers"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -218,7 +208,7 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
-    ).orderBy("l_returnflag")
+    )
 
 
 EXACT_PCTL_ORACLE = """
@@ -246,7 +236,6 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
             F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -322,7 +311,6 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nation.groupBy("n_regionkey")
         .agg(F.concat_ws("|", arr).alias("nations_csv"))
-        .orderBy("n_regionkey")
     )
 
 
@@ -348,7 +336,6 @@ def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median("o_totalprice"), 2).alias("median_price"),
             F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -375,7 +362,6 @@ def agg_filtered_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.every(F.col("o_totalprice") > 0).alias("all_positive"),
             F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -418,5 +404,4 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pn").alias("n_events"),
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
-        .orderBy("k")
     )

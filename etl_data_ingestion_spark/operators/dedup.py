@@ -63,7 +63,6 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("text_group_size"))
         .groupBy("text_group_size")
         .agg(F.count(F.lit(1)).alias("n_groups"))
-        .orderBy("text_group_size")
     )
 
 
@@ -99,7 +98,6 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("copies") > 1)
         .select("kept_doc_id", "copies")
-        .orderBy("kept_doc_id")
     )
 
 
@@ -202,7 +200,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -332,7 +329,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.6)
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -544,7 +540,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_raw") >= 0.98)
         .drop("_raw")
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -669,7 +664,6 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
         .select(F.col("label").alias("cluster_rep"), "cluster_size")
-        .orderBy("cluster_rep")
     )
 
 
@@ -735,5 +729,4 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(exact, 3).alias("exact_jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )

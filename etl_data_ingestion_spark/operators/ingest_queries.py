@@ -47,7 +47,7 @@ def ingest_trim_empty_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trimmed = F.trim(padded)
     cleaned = F.when(trimmed == "", F.lit(None)).otherwise(trimmed)
-    return docs.select("doc_id", cleaned.alias("cleaned")).orderBy("doc_id")
+    return docs.select("doc_id", cleaned.alias("cleaned"))
 
 
 COMMA_INT_ORACLE = """
@@ -84,7 +84,7 @@ def ingest_comma_int_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "formatted",
         F.when(ok, cleaned.cast("long")).alias("parsed"),
         ok.alias("is_valid"),
-    ).orderBy("o_orderkey")
+    )
 
 
 DATE_ORACLE = """
@@ -117,7 +117,7 @@ def ingest_strict_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date"),
         parsed.isNotNull().alias("is_valid"),
-    ).orderBy("event_id")
+    )
 
 
 ACCOUNTING_ORACLE = """
@@ -205,5 +205,4 @@ def ingest_ctb_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("DEMAND_QTY").alias("demand_qty"),
             F.date_format("SNAPSHOT_DATE", "yyyy-MM-dd").alias("snapshot_date"),
         )
-        .orderBy("master_cust_name")
     )

@@ -41,7 +41,6 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
-        .orderBy("r_name", "n_name")
     )
 
 
@@ -67,7 +66,6 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
         )
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -88,7 +86,6 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -117,7 +114,6 @@ def join_theta_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("late_lines"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -153,7 +149,6 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("parts"),
             F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
         )
-        .orderBy("band_name")
     )
 
 
@@ -192,7 +187,6 @@ def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.col("customers"), F.lit(0)).alias("customers"),
             F.coalesce(F.col("suppliers"), F.lit(0)).alias("suppliers"),
         )
-        .orderBy("nationkey")
     )
 
 
@@ -272,7 +266,7 @@ def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("value", 3).alias("purchase_value"),
         F.round("_asof_view_value", 3).alias("last_view_value"),
-    ).orderBy("event_id")
+    )
 
 
 SMJ_ORACLE = """
@@ -304,7 +298,6 @@ def join_sortmerge_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -361,7 +354,6 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_events").alias("dim_attr"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("k")
     )
 
 
@@ -397,7 +389,6 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, a.k.eqNullSafe(b.k))
         .select("c_custkey", a.k.alias("k"), "n_nations")
-        .orderBy("c_custkey")
     )
 
 
@@ -431,5 +422,4 @@ def join_shufflehash_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum("o_totalprice"), 2).alias("order_value"),
         )
-        .orderBy("l_returnflag")
     )

@@ -43,7 +43,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(blob).alias("n_bytes"),
         F.sha2(blob, 256).alias("content_sha256"),
         F.decode(F.substring(blob, 1, 8), "utf-8").alias("head_bytes"),
-    ).orderBy("doc_id")
+    )
 
 
 IMAGE_DECODE_ORACLE = """
@@ -110,7 +110,7 @@ def multimodal_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         decode,
         schema="doc_id long, width int, height int, format string, channels int",
-    ).orderBy("doc_id")
+    )
 
 
 FRAME_SAMPLE_ORACLE = """
@@ -169,7 +169,6 @@ def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_ts_ms",
             "duration_ms",
         )
-        .orderBy("doc_id", "frame_idx")
     )
 
 
@@ -240,4 +239,4 @@ def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFr
             "doc_id long, thumb_bytes int, embedding array<double>, "
             "embedding_norm double"
         ),
-    ).select("doc_id", "thumb_bytes", F.size("embedding").alias("feat_dim"), "embedding_norm").orderBy("doc_id")
+    ).select("doc_id", "thumb_bytes", F.size("embedding").alias("feat_dim"), "embedding_norm")

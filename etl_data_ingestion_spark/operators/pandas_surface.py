@@ -48,7 +48,7 @@ def pandas_scalar_net_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         net_trunc("l_extendedprice", "l_discount").alias("net_trunc"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 GROUPED_UDAF_ORACLE = """
@@ -84,7 +84,6 @@ def pandas_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", "l_extendedprice", "l_quantity")
         .groupBy("l_returnflag")
         .applyInPandas(weighted, "l_returnflag string, qty_weighted_price double")
-        .orderBy("l_returnflag")
     )
 
 
@@ -122,4 +121,4 @@ def pandas_map_batches_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
         stats, "doc_id long, n_tokens long, n_chars long"
-    ).orderBy("doc_id")
+    )

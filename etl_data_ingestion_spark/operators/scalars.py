@@ -35,7 +35,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-    ).orderBy("p_partkey")
+    )
 
 
 DATE_ORACLE = """
@@ -70,7 +70,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_end"
         ),
         F.dayofweek("o_orderdate").alias("dow"),
-    ).orderBy("o_orderkey")
+    )
 
 
 MATH_ORACLE = """
@@ -109,7 +109,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
         F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 COND_ORACLE = """
@@ -139,7 +139,7 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("c_nationkey"), F.lit(10)).alias("nk_cap"),
-    ).orderBy("c_custkey")
+    )
 
 
 JSON_ORACLE = """
@@ -159,7 +159,7 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
-    ).orderBy("event_id")
+    )
 
 
 ARRAY_ORACLE = """
@@ -189,7 +189,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(comp_sum, 3).alias("component_sum"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("component_max"),
-    ).orderBy("vec_id")
+    )
 
 
 MAP_ORACLE = """
@@ -222,7 +222,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.map_values(m), F.lit(0.0), lambda acc, x: acc + x
         ).alias("value_sum"),
-    ).orderBy("c_custkey")
+    )
 
 
 FROM_JSON_ORACLE = """
@@ -251,7 +251,6 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.k").alias("k_value"),
             (F.col("p.k") % 10 == 0).alias("k_round"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -280,7 +279,6 @@ def scalar_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "pos", F.round(F.col("component").cast("double"), 4).alias("component")
         )
-        .orderBy("vec_id", "pos")
     )
 
 
@@ -315,4 +313,4 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")) * 10000)
             / 10000
         ).alias("bal_per_nation"),
-    ).orderBy("c_custkey")
+    )

@@ -32,7 +32,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL is a zero-shuffle concatenation of partitions —
     unionByName avoids silent positional-column bugs."""
     big, building = _splits(spark, sf_dir)
-    return big.unionByName(building).orderBy("c_custkey", "c_mktsegment")
+    return big.unionByName(building)
 
 
 INTERSECT_ORACLE = """
@@ -46,7 +46,7 @@ ORDER BY c_custkey
 @register("setop_intersect", oracle=INTERSECT_ORACLE)
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, building = _splits(spark, sf_dir)
-    return big.intersect(building).orderBy("c_custkey")
+    return big.intersect(building)
 
 
 EXCEPT_ORACLE = """
@@ -60,7 +60,7 @@ ORDER BY c_custkey
 @register("setop_except", oracle=EXCEPT_ORACLE)
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, building = _splits(spark, sf_dir)
-    return big.exceptAll(building).distinct().orderBy("c_custkey")
+    return big.exceptAll(building).distinct()
 
 
 UNION_DISTINCT_ORACLE = """
@@ -76,4 +76,4 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION DISTINCT = union + dedup shuffle; prefer UNION ALL when
     inputs are disjoint by construction."""
     big, building = _splits(spark, sf_dir)
-    return big.unionByName(building).distinct().orderBy("c_custkey")
+    return big.unionByName(building).distinct()

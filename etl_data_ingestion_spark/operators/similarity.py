@@ -63,7 +63,6 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id", F.round("cs", 4).alias("cos_sim"), "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -108,7 +107,7 @@ def _ann_selfcheck(
                 "top1_found"
             )
         )
-    return hits.groupBy("q_id").agg(*aggs).orderBy("q_id")
+    return hits.groupBy("q_id").agg(*aggs)
 
 
 TOPK_LSH_ORACLE = """

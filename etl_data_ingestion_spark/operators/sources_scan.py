@@ -59,7 +59,6 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
             F.min("n_name").alias("first_name"),
         )
-        .orderBy("n_regionkey")
     )
 
 
@@ -91,7 +90,6 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -120,7 +118,6 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.select(fields.getItem(2).cast("long").alias("n_regionkey"))
         .groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
-        .orderBy("n_regionkey")
     )
 
 
@@ -165,7 +162,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("sha256"),
-    ).orderBy("file_name")
+    )
 
 
 MAILBOX_ORACLE = """
@@ -246,7 +243,7 @@ def mailbox_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "message_id",
         "filename",
         F.length("content").alias("content_bytes"),
-    ).orderBy("message_id")
+    )
 
 
 SCHEMA_EVO_ORACLE = """
@@ -287,7 +284,6 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.when(F.col("extra_comment").isNotNull(), 1).otherwise(0)
             ).alias("rows_with_new_col"),
         )
-        .orderBy("n_regionkey")
     )
 
 
@@ -322,7 +318,6 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -394,4 +389,4 @@ def mailbox_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "message_id",
         "filename",
         F.length("content").alias("content_bytes"),
-    ).orderBy("message_id")
+    )

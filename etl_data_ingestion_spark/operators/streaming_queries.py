@@ -31,7 +31,7 @@ ORDER BY window_start, event_type
 @register("stream_tumbling_hourly", oracle=TUMBLING_ORACLE)
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return tumbling_counts(events).orderBy("window_start", "event_type")
+    return tumbling_counts(events)
 
 
 SLIDING_ORACLE = """
@@ -54,7 +54,7 @@ def stream_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1h windows sliding every 30m: each event belongs to exactly 2
     windows; the oracle materializes that assignment explicitly."""
     events = load_table(spark, sf_dir, "events")
-    return sliding_counts(events).orderBy("window_start")
+    return sliding_counts(events)
 
 
 SESSION_ORACLE = """
@@ -87,7 +87,7 @@ def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous event reaches the 30m gap — session_window treats an
     event exactly at the session end as outside it)."""
     events = load_table(spark, sf_dir, "events")
-    return session_aggregate(events).orderBy("user_id", "session_start")
+    return session_aggregate(events)
 
 
 DEDUP_ORACLE = """
@@ -109,7 +109,6 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup_first_event(events)
         .select("event_id", "user_id", "event_type")
-        .orderBy("event_id")
     )
 
 
@@ -191,7 +190,6 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -229,4 +227,4 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
         "v_id",
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("v_ts"),
-    ).orderBy("p_id", "v_id")
+    )

@@ -44,7 +44,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_tokens,
             3,
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 QUALITY_ORACLE = """
@@ -81,7 +81,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("nonalpha_ratio"),
         F.when(n_tokens.between(20, 1000), 1).otherwise(0).alias("length_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 LANG_ID_ORACLE = """
@@ -120,7 +120,7 @@ def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"), guessed.alias("guessed_lang")
-    ).orderBy("doc_id")
+    )
 
 
 BPE_ORACLE = """
@@ -144,7 +144,7 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.ceil(F.length("text") / 4.0).cast("long").alias("chars_div4_estimate"),
-    ).orderBy("doc_id")
+    )
 
 
 FINGERPRINT_ORACLE = """
@@ -167,7 +167,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", rolling_fingerprint("text").alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 CURATION_ORACLE = """
@@ -286,7 +286,7 @@ def text_lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             F.round(hits / F.size(bg), 4).alias(f"{lang}_score")
         )
-    return docs.select(*out).orderBy("doc_id")
+    return docs.select(*out)
 
 
 NORMALIZE_ORACLE = """
@@ -317,4 +317,4 @@ def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", norm.alias("normalized"), F.length(norm).alias("n_chars")
-    ).orderBy("doc_id")
+    )

@@ -38,7 +38,6 @@ def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
         .select("o_custkey", "o_orderkey", "rnk")
-        .orderBy("o_custkey", "rnk")
     )
 
 
@@ -65,7 +64,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 LAG_LEAD_ORACLE = """
@@ -88,7 +87,7 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 3).alias("value"),
         F.round(F.lag("value").over(w), 3).alias("prev_value"),
         F.round(F.lead("value").over(w), 3).alias("next_value"),
-    ).orderBy("event_id")
+    )
 
 
 MOVING_AVG_ORACLE = """
@@ -115,7 +114,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.avg("value").over(w), 3).alias("moving_avg3"),
-    ).orderBy("event_id")
+    )
 
 
 NTILE_ORACLE = """
@@ -138,7 +137,7 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-    ).orderBy("c_custkey")
+    )
 
 
 GAP_SESSION_ORACLE = """
@@ -186,7 +185,6 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "session_start"
             ),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -218,7 +216,7 @@ def window_range_frame_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 VALUE_FUNCS_ORACLE = """
@@ -252,4 +250,4 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
