@@ -1,0 +1,292 @@
+"""TPC-H q2/q9/q16/q20 over a DERIVED partsupp table.
+
+The driver fixtures ship no partsupp, which blocked these four shapes
+in round 1 (COVERAGE.md backlog #3). The unblock: derive partsupp
+deterministically from the pairs the fixtures DO pin — the distinct
+(l_partkey, l_suppkey) combinations observed in lineitem — with
+availqty/supplycost as pure key arithmetic. Both engines derive the
+identical table from the identical parquet, so the oracle checks the
+full query shape (min-cost-supplier correlated subquery, 6-table
+profit rollup, NOT-IN supplier exclusion, correlated half-sum
+threshold) with zero fixture luck.
+
+Derivation contract (mirrored in every oracle's CTE):
+    ps_partkey, ps_suppkey  = distinct lineitem pairs
+    ps_availqty             = (p*7 + s*11) % 9999 + 1
+    ps_supplycost           = ((p*31 + s*13) % 99900) / 100.0 + 1.0
+
+Scale note: the distinct-pair extraction is one hash aggregate on
+(partkey, suppkey) — at 100 TB this is the standard "build the dim
+from the fact" pattern and shuffles 16-byte keys; a real deployment
+would read the real partsupp instead, same plans downstream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         CAST((ps_partkey * 31 + ps_suppkey * 13) % 99900 AS DOUBLE) / 100.0
+           + 1.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp derivation above as a DataFrame (see module
+    docstring for the contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 13) % 99900)
+            / F.lit(100.0)
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+Q2_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+eu_ps AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM partsupp, supplier, nation, region
+  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ROUND(ps_supplycost, 2) AS supplycost
+FROM part, eu_ps
+WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'STANDARD'
+  AND ps_supplycost = (SELECT MIN(ps_supplycost) FROM eu_ps i
+                       WHERE i.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2_min_cost_supplier", oracle=Q2_ORACLE)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier in a region): the correlated
+    MIN subquery becomes a per-part aggregate joined back on equality —
+    the standard decorrelation Catalyst would also pick. Dimension
+    chain (supplier⋈nation⋈region) broadcasts; partsupp stays on the
+    shuffle side (it is fact-sized at scale)."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    eu_dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_dims), ps.ps_suppkey == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    target_parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(target_parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q9_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()}
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("tpch_q9_product_type_profit", oracle=Q9_ORACLE)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year): 6-table join where
+    lineitem joins partsupp on the COMPOSITE (partkey, suppkey) key —
+    the one TPC-H join with a two-column equi-key. part filter
+    broadcasts and prunes lineitem early; orders supplies the year."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).alias("sum_profit")
+    )
+
+
+Q16_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_part_counts", oracle=Q16_ORACLE)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts by part attributes): NOT IN
+    over an excluded-supplier set = broadcast left-anti join, then
+    distinct-count per attribute triple. (The reference excludes
+    complaint suppliers by comment; the fixture has no s_comment, so
+    the exclusion predicate is negative account balance — same NOT IN
+    plan shape.)"""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    target = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(
+            F.broadcast(excluded),
+            ps.ps_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(target), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()}
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT ps_suppkey
+    FROM partsupp
+    JOIN (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1997-01-01'
+          GROUP BY l_partkey, l_suppkey) sold
+      ON sold.l_partkey = ps_partkey AND sold.l_suppkey = ps_suppkey
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > 0.5 * qty
+  )
+ORDER BY s_name
+"""
+
+
+@register("tpch_q20_potential_promotion", oracle=Q20_ORACLE)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of target parts):
+    the correlated half-sum threshold decorrelates to a grouped
+    lineitem aggregate joined on the composite key; the double IN
+    nesting becomes two semi joins. Nation filter narrows last (it is
+    cheapest); the lineitem aggregate carries the date pushdown."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sold = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qualified = (
+        ps.join(
+            sold,
+            (ps.ps_partkey == sold.l_partkey) & (ps.ps_suppkey == sold.l_suppkey),
+        )
+        .join(F.broadcast(small_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(qualified, supplier.s_suppkey == qualified.ps_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )

@@ -114,6 +114,10 @@ CHECK_ORDER: list[str] = [
     "stream_dedup_first_event",
     # ---- round-3 window starts here (slot 51+) ----
     "dedup_simhash_banded",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_potential_promotion",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
@@ -147,6 +151,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from etl_data_ingestion_spark.operators import (  # noqa: F401
         tpch,
+        tpch_partsupp,
         joins,
         aggregates,
         windows,
