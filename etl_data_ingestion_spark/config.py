@@ -58,6 +58,16 @@ class EngineConfig:
             r for r in _env("NOTIFY_RECIPIENTS", "").split(",") if r
         )
     )
+    # warehouse routing (reference writes straight to BigQuery,
+    # main.py:448-468): 'parquet' = local warehouse stand-in;
+    # 'bigquery' = format("bigquery") IF the connector jar is present
+    # (guarded fallback in ingest/sinks.py::make_warehouse_sink)
+    warehouse_format: str = field(
+        default_factory=lambda: _env("WAREHOUSE_FORMAT", "parquet")
+    )
+    bigquery_table: str = field(
+        default_factory=lambda: _env("BIGQUERY_TABLE", "")
+    )
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:
@@ -65,4 +75,13 @@ class EngineConfig:
         if self.request_timeout_s <= 0:
             raise ValueError(
                 f"request_timeout_s must be positive, got {self.request_timeout_s}"
+            )
+        if self.warehouse_format not in ("parquet", "bigquery"):
+            raise ValueError(
+                f"warehouse_format must be 'parquet' or 'bigquery', "
+                f"got {self.warehouse_format!r}"
+            )
+        if self.warehouse_format == "bigquery" and not self.bigquery_table:
+            raise ValueError(
+                "warehouse_format='bigquery' requires bigquery_table"
             )

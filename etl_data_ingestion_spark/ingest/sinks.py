@@ -61,6 +61,72 @@ class ParquetWarehouseSink:
         return int(obs.get["rows"])
 
 
+class BigQueryWarehouseSink:
+    """Real-BigQuery sink hook (reference main.py:448-468 writes via
+    the BigQuery client; COVERAGE.md backlog #4): routes the same
+    append through ``format("bigquery")`` when the spark-bigquery
+    connector jar is on the classpath.
+
+    The connector is NOT bundled here (no Google services in this
+    environment), so construction is guarded: ``is_available`` probes
+    the JVM classpath for the connector's relation provider, and
+    ``make_warehouse_sink`` falls back to ParquetWarehouseSink when
+    the probe fails — a deployment with the jar gets BigQuery writes
+    with no code change, one without gets a working local warehouse
+    instead of a classpath stacktrace."""
+
+    CONNECTOR_CLASS = "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+
+    def __init__(self, table: str, batch_size: int = 500):
+        if not table:
+            raise ValueError("BigQuery table must be non-empty (dataset.table)")
+        self.table = table
+        self.batch_size = batch_size
+
+    @classmethod
+    def is_available(cls, spark) -> bool:
+        """True iff the spark-bigquery connector is loadable in this
+        session's JVM."""
+        try:
+            spark._jvm.java.lang.Class.forName(cls.CONNECTOR_CLASS)
+            return True
+        except Exception:
+            return False
+
+    def check_target(self, spark, require_existing: bool = False) -> None:
+        if not self.is_available(spark):
+            raise RuntimeError(
+                "spark-bigquery connector not on classpath; "
+                "use make_warehouse_sink() for guarded fallback"
+            )
+
+    def write(self, df: DataFrame, load_id: str) -> int:
+        obs = Observation(f"write:{load_id}")
+        (
+            df.withColumn("_load_id", F.lit(load_id))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.format("bigquery")
+            .mode("append")
+            .option("table", self.table)
+            .save()
+        )
+        return int(obs.get["rows"])
+
+
+def make_warehouse_sink(spark, config):
+    """Config-driven sink selection (EngineConfig.warehouse_format):
+    'bigquery' + connector present → BigQueryWarehouseSink; otherwise
+    the parquet warehouse at config.warehouse_path. Fallback is
+    silent-but-inspectable: the returned object's type says which path
+    was taken (tests/test_runner.py asserts the absent-connector
+    case)."""
+    if config.warehouse_format == "bigquery" and BigQueryWarehouseSink.is_available(
+        spark
+    ):
+        return BigQueryWarehouseSink(config.bigquery_table, config.batch_size)
+    return ParquetWarehouseSink(config.warehouse_path, config.batch_size)
+
+
 class BucketedWarehouseSink:
     """Catalog-table warehouse sink with a bucket spec: appends land
     pre-hashed into n_buckets on the bucket columns, so every

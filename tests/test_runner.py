@@ -149,3 +149,37 @@ def test_engine_config_env_overrides(monkeypatch):
 
     with _pytest.raises(ValueError):
         EngineConfig()
+
+
+def test_bigquery_sink_fallback_when_connector_absent(spark, monkeypatch):
+    """Backlog #4: warehouse_format='bigquery' without the connector
+    jar must fall back to the parquet warehouse cleanly — sink
+    selection is probe-driven, never a classpath stacktrace."""
+    from etl_data_ingestion_spark.config import EngineConfig
+    from etl_data_ingestion_spark.ingest.sinks import (
+        BigQueryWarehouseSink,
+        ParquetWarehouseSink,
+        make_warehouse_sink,
+    )
+
+    # this container has no spark-bigquery jar
+    assert BigQueryWarehouseSink.is_available(spark) is False
+
+    monkeypatch.setenv("SPARKETL_WAREHOUSE_FORMAT", "bigquery")
+    monkeypatch.setenv("SPARKETL_BIGQUERY_TABLE", "dataset.ctb")
+    cfg = EngineConfig()
+    sink = make_warehouse_sink(spark, cfg)
+    assert isinstance(sink, ParquetWarehouseSink)
+
+    # direct construction still validates, and its pre-write check
+    # reports the missing connector explicitly
+    bq = BigQueryWarehouseSink("dataset.ctb")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="connector"):
+        bq.check_target(spark)
+
+    # config validation: bigquery format requires a table
+    monkeypatch.setenv("SPARKETL_BIGQUERY_TABLE", "")
+    with _pytest.raises(ValueError, match="bigquery_table"):
+        EngineConfig()
