@@ -73,3 +73,41 @@ def test_curation_keeps_subset(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert 0 < row.docs_kept <= n_docs
     assert row.total_tokens >= row.docs_kept * 20  # length gate floor
+
+
+def test_connected_components_converges_past_fixed_cap(spark):
+    """The label-propagation loop is convergence-checked, not
+    iteration-capped: a diameter-8 chain (longer than the old 4-round
+    cap) must still collapse to one component with the min-node label."""
+    import pyspark.sql.functions as F
+
+    from etl_data_ingestion_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 108)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(chain)
+    got = {(r.node, r.label) for r in labels.collect()}
+    assert got == {(n, 100) for n in range(100, 109)}
+
+    # two disjoint cliques stay separate
+    cliques = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    by_label = (
+        connected_components(cliques)
+        .groupBy("label")
+        .agg(F.collect_set("node").alias("nodes"))
+        .collect()
+    )
+    comp = {r.label: sorted(r.nodes) for r in by_label}
+    assert comp == {1: [1, 2, 3], 10: [10, 11]}
+
+
+def test_simhash_banded_recovers_perturbed_copies(spark, sf_dir):
+    """The banded multi-probe tier must recover every planted 1-token
+    perturbation (hamming <= 4 here) — the recall the exact-bucket
+    variant cannot provide for nonzero hamming."""
+    row = q("dedup_simhash_banded", spark, sf_dir).collect()[0]
+    assert row.planted_total > 0
+    assert row.planted_found == row.planted_total
