@@ -22,7 +22,7 @@ Scale design notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.functions.minhash import minhash_signature_udf
@@ -255,9 +255,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (transform/array_min) are interpreted, not codegen'd,
     while the UDF is one rolling-hash pass + 32 modulo-free
     multiply-shift permutations folded with minimum.reduceat across
-    the whole batch. Map-side only, no shuffle; shuffle cost is
-    |docs|×b band keys + capped-bucket pairs (bucket cap ≤100 drops
-    degenerate boilerplate buckets, the standard web-dedup guard).
+    the whole batch. Map-side only, no shuffle.
+
+    Shuffle shape — ONE Exchange of |docs|×b band rows total: the
+    bucket-size cap (≥2 to pair, ≤100 to drop degenerate boilerplate
+    buckets, the standard web-dedup guard) is a COUNT window over
+    (band, bh), and the pruned result is persisted hash-partitioned on
+    exactly the self-join key, so both join sides reuse that
+    partitioning with no further Exchange. (The previous shape —
+    groupBy histogram + join back — shuffled the exploded table twice
+    more.)
     """
     n_hashes, bands = 32, 8
     rows = n_hashes // bands
@@ -268,18 +275,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" tiny edit")).alias("text"),
         )
     )
-    sigs = (
-        corpus.select(
-            "doc_id", minhash_signature_udf(n_hashes=n_hashes, k=5)("text").alias("sig")
-        )
-        .filter(F.col("sig").isNotNull())
-        # Persist: the signature table feeds three plan branches (bucket
-        # histogram + both join sides); without it the corpus scan +
-        # signature UDF re-runs per branch. |docs|×32 longs — negligible
-        # next to the corpus at any scale (at 100 TB: write to a table).
-        .persist()
-    )
-    sigs.count()  # materialize once; three downstream branches race otherwise
+    sigs = corpus.select(
+        "doc_id", minhash_signature_udf(n_hashes=n_hashes, k=5)("text").alias("sig")
+    ).filter(F.col("sig").isNotNull())
     band_keys = F.array(
         *[
             F.struct(
@@ -295,13 +293,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sigs.select(
         "doc_id", "sig", F.explode(band_keys).alias("b")
     ).select("doc_id", "sig", "b.band", "b.bh")
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= 100))  # boilerplate cap
-        .select("band", "bh")
+    bucket_n = Window.partitionBy("band", "bh")
+    pruned = (
+        exploded.withColumn("n", F.count(F.lit(1)).over(bucket_n))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 100))
+        .drop("n")
+        # Persist AFTER the prune: both self-join sides read this —
+        # one UDF pass, one Exchange, and the cached partitioning
+        # (band, bh) is the join key. |kept docs|×b rows of 32 longs;
+        # at 100 TB this materializes to a table instead.
+        .persist()
     )
-    pruned = exploded.join(buckets, ["band", "bh"])
+    pruned.count()  # materialize once; both join branches race otherwise
     left = pruned.select(
         "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
