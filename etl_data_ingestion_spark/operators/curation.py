@@ -1,0 +1,189 @@
+"""Corpus-curation operators a production training-data pipeline runs
+between ingestion and tokenization (BASELINE.json north star,
+complementing dedup.py / textops.py): benchmark decontamination,
+language-stratified downsampling, PII scrubbing.
+
+Each is a pure DataFrame transform with a DuckDB oracle; engine-
+specific randomness (Bernoulli sampling) uses the bound-contract
+pattern (exact totals + in-plan bound booleans, oracle pins the same
+bound).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.functions.text import word_ngrams
+from etl_data_ingestion_spark.plans.registry import register
+
+DECONTAMINATE_ORACLE = """
+-- Exact 5-gram collision decontamination: any training doc sharing a
+-- distinct word 5-gram with the benchmark set (every 50th doc) is
+-- flagged with its overlap count. At this corpus that surfaces
+-- exactly the docs that are genuine near-dups of benchmark docs —
+-- the contamination a real eval-leak scan must catch.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) u(i)
+  WHERE len(t) >= 5
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT doc_id, COUNT(*) AS shared_grams
+FROM grams
+WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("pipeline_decontaminate_benchmark", oracle=DECONTAMINATE_ORACLE)
+def pipeline_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision (the
+    GPT-3/PaLM-style eval-leak scan, at 5-gram granularity for these
+    short fixture docs): explode distinct 5-grams, broadcast-semi-join
+    the benchmark gram set, count overlaps per training doc.
+
+    Scale shape: the benchmark side is eval-suite-sized (small) — its
+    distinct grams BROADCAST, so the corpus-side scan never shuffles;
+    cost is one pass + map-side semi join. Flagged docs are dropped
+    (or reviewed) before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 5)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+STRATIFIED_ORACLE = """
+-- Language-stratified downsampling contract: per-language exact
+-- totals, the configured keep fraction, and a 5-sigma binomial bound
+-- on the seeded Bernoulli sample size (engine-specific draw,
+-- engine-independent bound — each engine asserts its own sampler).
+SELECT lang,
+       COUNT(*) AS total_docs,
+       CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END AS keep_fraction,
+       TRUE AS sample_within_bounds
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_stratified_sample", oracle=STRATIFIED_ORACLE)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling (rebalance an en-dominated
+    corpus): sampleBy with per-stratum fractions — en keeps 25%,
+    every other language keeps 100%. This is the standard mixture
+    rebalancing step before tokenization.
+
+    sampleBy is a map-side Bernoulli filter — no shuffle, no
+    collect; the only aggregate is the verification summary. The
+    sampled count is seed/partitioning-specific, so the contract is
+    a 5-sigma binomial bound per stratum (see STRATIFIED_ORACLE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total_docs"))
+    counts = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = F.when(F.col("lang") == "en", F.lit(0.25)).otherwise(F.lit(1.0))
+    mean = frac * F.col("total_docs")
+    sd = F.sqrt(frac * (1 - frac) * F.col("total_docs"))
+    return (
+        totals.join(counts, "lang", "left")
+        .select(
+            "lang",
+            "total_docs",
+            frac.alias("keep_fraction"),
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - mean)
+                <= 5 * sd
+            ).alias("sample_within_bounds"),
+        )
+    )
+
+
+PII_SCRUB_ORACLE = """
+-- PII scrub over deterministically planted contacts: every 3rd doc
+-- gets an email + phone appended; the scrubber must find exactly
+-- those (the base corpus is letters/spaces only — no digits, no '@')
+-- and replace them with fixed tokens. The oracle runs the same
+-- regexes in DuckDB (RE2) as Spark runs in Java regex — the patterns
+-- are written in the dialect-common subset.
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com call 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '[EMAIL]', 'g'),
+           '555-[0-9]{4}', '[PHONE]', 'g') AS clean,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       length(clean) AS scrubbed_len,
+       NOT (clean LIKE '%@%' OR regexp_matches(clean, '555-[0-9]{4}'))
+         AS clean_of_pii
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+@register("text_pii_scrub", oracle=PII_SCRUB_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage (emails + phone numbers → fixed redaction
+    tokens), all JVM regexp — codegen'd, zero Python in the row path.
+    Contacts are PLANTED deterministically (every 3rd doc) so the
+    oracle can verify detection counts, the scrubbed text length, and
+    a clean-of-PII postcondition exactly; patterns stay in the
+    RE2∩Java-regex common subset so both engines run the same
+    semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, planted).otherwise(F.col("text")).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return dirty.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(clean).alias("scrubbed_len"),
+        (
+            ~(clean.contains("@") | (F.regexp_count(clean, F.lit(PHONE_RE)) > 0))
+        ).alias("clean_of_pii"),
+    )

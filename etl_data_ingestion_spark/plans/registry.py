@@ -118,6 +118,9 @@ CHECK_ORDER: list[str] = [
     "tpch_q9_product_type_profit",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_potential_promotion",
+    "pipeline_decontaminate_benchmark",
+    "pipeline_stratified_sample",
+    "text_pii_scrub",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
@@ -162,6 +165,7 @@ def load_all() -> None:
         similarity,
         textops,
         ingest_queries,
+        curation,
         streaming_queries,
         multimodal,
         subqueries,
