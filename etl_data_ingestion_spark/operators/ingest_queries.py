@@ -206,3 +206,54 @@ def ingest_ctb_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("SNAPSHOT_DATE", "yyyy-MM-dd").alias("snapshot_date"),
         )
     )
+
+
+UPSERT_ORACLE = """
+-- SCD1 upsert semantics: treat events as a CDC stream of per-user
+-- updates; the warehouse keeps exactly the LATEST row per key
+-- (event-time, event_id as the deterministic tie-break). This is the
+-- MERGE/upsert the reference's append-only BigQuery load cannot
+-- express (main.py:448-468 appends blindly; dedup was left to
+-- consumers).
+SELECT user_id,
+       event_id  AS latest_event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+       ROUND(value, 3) AS latest_value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("warehouse_upsert_latest", oracle=UPSERT_ORACLE)
+def warehouse_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key upsert (SCD type 1) as one windowed
+    dedup — the batch form of a CDC MERGE into the warehouse.
+
+    Scale shape: ONE hash shuffle on the key, then a per-partition
+    top-1 (WindowGroupLimit pushes rn=1 into a per-partition limit
+    before the full sort materializes). The streaming twin is
+    dropDuplicates-within-watermark / foreachBatch MERGE; at 100 TB
+    pair this with bucketed storage on user_id so repeated upsert
+    batches never re-shuffle the warehouse side."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            F.round("value", 3).alias("latest_value"),
+        )
+    )

@@ -122,3 +122,76 @@ def pandas_map_batches_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         stats, "doc_id long, n_tokens long, n_chars long"
     )
+
+
+UDTF_ORACLE = """
+-- Python UDTF parity: one output row per sentence ('.'-separated
+-- non-empty segments), with its index and token count — recomputable
+-- exactly in SQL. The fixture text has no periods, so sentences are
+-- planted deterministically by replacing every 7th space with '. '.
+WITH dotted AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(
+             regexp_split_to_array(trim(text), '\\s+'),
+             -- duckdb lambda index is 1-based; (i-1) aligns with
+             -- spark's 0-based transform index
+             (w, i) -> CASE WHEN (i - 1) % 7 = 0 AND i > 1 THEN '. ' || w
+                            ELSE ' ' || w END
+           ), 'string_agg', '') AS t
+  FROM documents WHERE doc_id < 100
+), sentences AS (
+  SELECT doc_id, i - 1 AS sentence_idx,
+         trim(regexp_split_to_array(t, '\\.')[i]) AS s
+  FROM dotted, UNNEST(range(1, len(regexp_split_to_array(t, '\\.')) + 1)) u(i)
+)
+SELECT doc_id,
+       CAST(sentence_idx AS INT) AS sentence_idx,
+       s AS sentence,
+       CAST(len(regexp_split_to_array(s, '\\s+')) AS INT) AS n_tokens
+FROM sentences
+WHERE s <> ''
+ORDER BY doc_id, sentence_idx
+"""
+
+
+@register("udtf_sentence_split", oracle=UDTF_ORACLE)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4 API): text → one row per
+    sentence with index and token count — the lateral-view shape
+    (one input row fans out to N output rows with their own schema)
+    that scalar/grouped/map pandas APIs don't express.
+
+    The UDTF runs per input ROW (its python overhead scales with row
+    count, unlike Arrow-batched mapInPandas) — right for fan-out
+    transforms whose per-row work dominates, here as API-surface
+    coverage. Sentences are planted by replacing every 7th space with
+    '. ' so the oracle can recompute the exact fan-out."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_tokens int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, raw in enumerate((text or "").split(".")):
+                s = raw.strip()
+                if s:
+                    yield i, s, len(s.split())
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    dotted = F.array_join(
+        F.transform(
+            toks,
+            lambda w, i: F.when((i % 7 == 0) & (i > 0), F.concat(F.lit(". "), w))
+            .otherwise(F.concat(F.lit(" "), w)),
+        ),
+        "",
+    )
+    spark.udtf.register("sentence_split", SentenceSplit)
+    prepared = docs.select("doc_id", dotted.alias("t"))
+    prepared.createOrReplaceTempView("udtf_input")
+    return spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence, s.n_tokens "
+        "FROM udtf_input, LATERAL sentence_split(t) s"
+    )

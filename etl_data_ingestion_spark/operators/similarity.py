@@ -114,6 +114,10 @@ TOPK_LSH_ORACLE = """
 -- BRP-LSH self-check contract (seeded model, deterministic): 10
 -- results per query, recall@10 vs exact >= 0.8 (measured 9-10/10 at
 -- sf0.01 and sf0.1), true nearest neighbor always in the result.
+-- Contract verified at the driver's gate sf (0.01); at sf0.001 the
+-- 500-vector corpus puts query 2's top-1 outside the 1.35 radius
+-- buckets (top1_found False there) — the bound is a property of
+-- (data, radius, seed), not a universal LSH guarantee.
 SELECT vec_id AS q_id,
        CAST(10 AS BIGINT) AS ann_results,
        TRUE AS recall_floor_ok,

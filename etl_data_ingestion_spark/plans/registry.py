@@ -121,6 +121,8 @@ CHECK_ORDER: list[str] = [
     "pipeline_decontaminate_benchmark",
     "pipeline_stratified_sample",
     "text_pii_scrub",
+    "udtf_sentence_split",
+    "warehouse_upsert_latest",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
