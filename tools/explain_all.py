@@ -22,6 +22,8 @@ KEYS = (
     "BroadcastHashJoin",
     "SortMergeJoin",
     "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
     "Exchange",
     "HashAggregate",
     "Window",
