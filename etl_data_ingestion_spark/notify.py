@@ -76,3 +76,67 @@ class ConsoleNotifier(CollectingNotifier):
     def no_data(self, query: str) -> None:
         super().no_data(query)
         print(f"[notify] {self.events[-1].subject}")
+
+
+@dataclass
+class SmtpNotifier(CollectingNotifier):
+    """Real email transport (reference O1, main.py:575-588: SMTP over
+    Gmail with app credentials) — completes the Notifier protocol with
+    the delivery mechanism the reference actually uses.
+
+    Composition: message CONTENT comes from CollectingNotifier (the
+    subject/body shapes mirroring main.py:591-627 stay in one place
+    and remain inspectable in self.events after sending); this class
+    only adds transport. smtplib is stdlib, so no guard is needed —
+    but the connection is opened per send and failures raise to the
+    caller (the runner's per-file exception isolation decides policy,
+    mirroring the reference's try/except around each send,
+    main.py:585-588)."""
+
+    host: str = "localhost"
+    port: int = 25
+    sender: str = "etl-engine@localhost"
+    recipients: tuple[str, ...] = ()
+    username: str | None = None
+    password: str | None = None
+    use_tls: bool = False
+    # injection point for tests / alternative transports: a callable
+    # returning an smtplib.SMTP-compatible object
+    connection_factory: object | None = None
+
+    def _send(self, subject: str, body: str) -> None:
+        if not self.recipients:
+            return
+        import smtplib
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        msg["Subject"] = subject
+        msg["From"] = self.sender
+        msg["To"] = ", ".join(self.recipients)
+        msg.set_content(body)
+
+        factory = self.connection_factory or (
+            lambda: smtplib.SMTP(self.host, self.port, timeout=30)
+        )
+        conn = factory()
+        try:
+            if self.use_tls:
+                conn.starttls()
+            if self.username and self.password:
+                conn.login(self.username, self.password)
+            conn.send_message(msg)
+        finally:
+            conn.quit()
+
+    def success(self, filename: str, inserted_rows: int) -> None:
+        super().success(filename, inserted_rows)
+        self._send(self.events[-1].subject, self.events[-1].body)
+
+    def error(self, context: str, details: str) -> None:
+        super().error(context, details)
+        self._send(self.events[-1].subject, self.events[-1].body)
+
+    def no_data(self, query: str) -> None:
+        super().no_data(query)
+        self._send(self.events[-1].subject, self.events[-1].body)

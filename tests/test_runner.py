@@ -183,3 +183,53 @@ def test_bigquery_sink_fallback_when_connector_absent(spark, monkeypatch):
     monkeypatch.setenv("SPARKETL_BIGQUERY_TABLE", "")
     with _pytest.raises(ValueError, match="bigquery_table"):
         EngineConfig()
+
+
+def test_smtp_notifier_sends_through_injected_transport():
+    """O1 transport completion: SmtpNotifier composes the reference's
+    message shapes (main.py:591-627) with a real smtplib send path,
+    exercised here through an injected SMTP-compatible transport."""
+    from etl_data_ingestion_spark.notify import SmtpNotifier
+
+    sent, lifecycle = [], []
+
+    class FakeSmtp:
+        def starttls(self):
+            lifecycle.append("tls")
+
+        def login(self, u, p):
+            lifecycle.append(f"login:{u}")
+
+        def send_message(self, msg):
+            sent.append((msg["Subject"], msg["To"], msg.get_content()))
+
+        def quit(self):
+            lifecycle.append("quit")
+
+    n = SmtpNotifier(
+        recipients=("ops@example.com",),
+        username="bot",
+        password="pw",
+        use_tls=True,
+        connection_factory=FakeSmtp,
+    )
+    n.success("CTB_1.tsv", 1200)
+    n.error("CTB_2.tsv", "schema validation failed")
+    n.no_data("filename:CTB")
+
+    assert [s[0] for s in sent] == [
+        "SUCCESS: CTB File Processed - CTB_1.tsv",
+        "ERROR: CTB Processing Failed - CTB_2.tsv",
+        "No CTB files found",
+    ]
+    assert all(to == "ops@example.com" for _, to, _ in sent)
+    assert "1200 rows" in sent[0][2]
+    # tls + login before each send, quit after each (3 sends)
+    assert lifecycle.count("tls") == 3 and lifecycle.count("quit") == 3
+    # content remains inspectable (CollectingNotifier composition)
+    assert len(n.events) == 3
+
+    # no recipients -> no transport opened at all
+    silent = SmtpNotifier(connection_factory=lambda: (_ for _ in ()).throw(AssertionError))
+    silent.success("x", 1)
+    assert len(silent.events) == 1
