@@ -612,6 +612,72 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    edge rewriting (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — converges in O(log d) rounds
+    where plain min-label propagation needs O(d), which is the
+    difference that matters on chain-heavy graphs at 100 TB.
+
+    Each round:
+      large-star: every node u links its LARGER neighbors to
+                  m(u) = min(N(u) ∪ {u});
+      small-star: every node u links its smaller-or-equal neighbors
+                  (and itself) to m(u).
+    Both are one groupBy(min) + one join per half-round — the same
+    shuffle primitive as label propagation, just with edge rewriting
+    that contracts star centers exponentially faster. Fixpoint check:
+    the edge multiset stops changing (count + xor-ish hash compare,
+    two cheap aggregates). Returns (node, label) with label = the
+    component's minimum node id."""
+
+    def half_round(e: DataFrame, large: bool) -> DataFrame:
+        # neighbors of u (undirected view)
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        joined = nbrs.join(m, "u")
+        if large:
+            kept = joined.filter(F.col("v") > F.col("u"))
+        else:
+            kept = joined.filter(F.col("v") <= F.col("u"))
+        out = kept.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = half_round(e, large=True).localCheckpoint()
+        e = half_round(e, large=False).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("a", "b").cast("long")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint every edge is (node -> its component min); add roots
+    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    return e.select(F.col("a").alias("node"), F.col("b").alias("label")).unionByName(
+        roots
+    ).distinct()
+
+
 CLUSTER_ORACLE = """
 -- Same deterministic chain graph, components via recursive CTE:
 -- every 10th doc spawns a duplication chain d — d+1M — d+2M [— d+3M]
