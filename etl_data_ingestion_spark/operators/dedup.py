@@ -569,8 +569,9 @@ def connected_components(
     lineage (the classic iterative-Spark failure mode). The changed
     check is `limit(1).count()` — it short-circuits at the first
     changed label rather than counting them all. max_rounds bounds a
-    pathological diameter (at 100 TB, switch to large-star/small-star
-    rewriting, which converges in O(log d) rounds of the same joins).
+    pathological diameter; for chain-heavy graphs at 100 TB use
+    connected_components_star below — O(log d) rounds of the same
+    shuffle primitive, equivalence-tested against this loop.
 
     Returns (node, label) with label = min node id of the component.
     """

@@ -198,3 +198,48 @@ def test_stream_stream_interval_join(spark, events_stream):
     got_pairs, exp_pairs = key(got.collect()), key(expected.collect())
     assert exp_pairs, "fixture must produce join pairs"
     assert got_pairs == exp_pairs
+
+
+def test_stream_upsert_matches_batch_upsert(spark, tmp_path):
+    """foreachBatch keep-latest MERGE: streaming the events in
+    micro-batches into the upsert sink must end at exactly the state
+    the batch warehouse_upsert_latest computes — per-key latest rows,
+    regardless of how the stream was chopped into batches."""
+    import pyspark.sql.functions as F
+
+    from etl_data_ingestion_spark.streaming.upsert import (
+        latest_per_key,
+        run_stream_upsert,
+    )
+
+    from etl_data_ingestion_spark.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_upsert(
+        spark,
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "state" / "current"))
+    want = latest_per_key(events)
+    assert got.count() == want.count()
+    diff = got.select("user_id", "event_id").exceptAll(
+        want.select("user_id", "event_id")
+    )
+    assert diff.count() == 0
