@@ -159,3 +159,51 @@ class BucketedWarehouseSink:
             .saveAsTable(self.table)
         )
         return int(obs.get["rows"])
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file compaction for an append-mode warehouse directory —
+    the maintenance pass every long-lived append target needs (each
+    micro-batch/file append lands more files; scan cost and NameNode/
+    listing pressure grow with file COUNT, not bytes).
+
+    Rewrites the directory to ceil(total_bytes / target_file_bytes)
+    files via a round-robin repartition (no shuffle key — compaction
+    must not skew), atomically swapping the directory. Returns the
+    new file count; no-ops (returns current count) when the directory
+    already has fewer than min_files files. At 100 TB the same
+    operation targets a table format's rewrite-data-files action
+    (Iceberg/Delta OPTIMIZE) partition-by-partition."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    if len(files) < min_files:
+        return len(files)
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+    )

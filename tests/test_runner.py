@@ -233,3 +233,28 @@ def test_smtp_notifier_sends_through_injected_transport():
     silent = SmtpNotifier(connection_factory=lambda: (_ for _ in ()).throw(AssertionError))
     silent.success("x", 1)
     assert len(silent.events) == 1
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Small-file maintenance: 16 tiny appended files compact to the
+    byte-targeted count with zero row loss; an already-compact dir is
+    left untouched."""
+    import os
+
+    from etl_data_ingestion_spark.catalog import load_table
+    from etl_data_ingestion_spark.ingest.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "wh")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    for _ in range(4):  # 4 appends x 4 partitions = 16 small files
+        nation.repartition(4).write.mode("append").parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 16
+    rows_before = spark.read.parquet(path).count()
+
+    after = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert after == 1  # everything fits one target file
+    assert spark.read.parquet(path).count() == rows_before
+
+    # idempotent: below min_files -> no rewrite
+    assert compact_parquet_dir(spark, path) == 1
