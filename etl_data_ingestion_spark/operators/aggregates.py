@@ -405,3 +405,107 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
     )
+
+
+CMS_ORACLE = """
+-- Count-Min heavy hitters contract: over a constructed skewed key
+-- space (5 hot keys ~4k rows each, ~36k cold keys), the CMS estimate
+-- for each TRUE top-5 key must satisfy the sketch's deterministic
+-- guarantees: never below the exact count (CMS only overestimates)
+-- and within eps*N of it (eps = 2/width, here width=1024 over
+-- N=60k rows -> slack ~117; collisions with cold keys stay far
+-- under it). Exact counts + bounds are engine-independent; the
+-- estimates themselves depend on Spark's murmur3 rows and stay
+-- internal.
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_' || (l_orderkey % 5)
+              ELSE 'cold_' || l_orderkey END AS k
+  FROM lineitem
+), exact AS (
+  SELECT k, COUNT(*) AS exact_count FROM keyed GROUP BY k
+)
+SELECT k, exact_count,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_eps
+FROM exact
+ORDER BY exact_count DESC, k
+LIMIT 5
+"""
+
+
+@register("agg_heavy_hitters_countmin", oracle=CMS_ORACLE)
+def agg_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a Count-Min Sketch built from plain
+    DataFrame aggregates — the fixed-memory alternative to exact
+    per-key counts when the key space is unbounded (URLs, n-grams,
+    user ids at 100 TB): d=3 hash rows × w=1024 buckets regardless of
+    cardinality, mergeable across partitions/batches by bucket-wise
+    sum.
+
+    Construction is two hash-aggregates, all JVM: (row, bucket) →
+    count, then est(key) = min over rows of its bucket count. The
+    verification joins the estimate back to the true top-5 keys and
+    asserts CMS's deterministic guarantees (est >= exact always;
+    est <= exact + eps*N here), which is what the oracle pins — see
+    CMS_ORACLE."""
+    d, w = 3, 1024
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("l_orderkey") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("l_orderkey").cast("string")))
+        .alias("k")
+    )
+    total = keyed.count()
+    eps_slack = 2.0 * total / w
+    # sketch: one (hash_row, bucket) count table, built in ONE pass
+    # via explode over the d hash rows
+    rows = keyed.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(F.hash("k", F.lit(j)), F.lit(w)).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("k", "rb.j", "rb.b")
+    sketch = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    # true top-5 (exact) — the keys whose estimates we audit
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "k").limit(5)
+    # estimate = min over the key's d buckets
+    key_buckets = top.select(
+        "k",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(F.hash("k", F.lit(j)), F.lit(w)).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("k", "exact_count", "rb.j", "rb.b")
+    est = (
+        key_buckets.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("k", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "k",
+        "exact_count",
+        (F.col("cms_est") >= F.col("exact_count")).alias("est_ge_exact"),
+        (F.col("cms_est") <= F.col("exact_count") + F.lit(eps_slack)).alias(
+            "est_within_eps"
+        ),
+    )

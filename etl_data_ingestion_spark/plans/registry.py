@@ -123,6 +123,7 @@ CHECK_ORDER: list[str] = [
     "text_pii_scrub",
     "udtf_sentence_split",
     "warehouse_upsert_latest",
+    "agg_heavy_hitters_countmin",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
