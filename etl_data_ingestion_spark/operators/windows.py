@@ -251,3 +251,63 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+PCTL_BUCKET_ORACLE = """
+-- Scalable global-percentile contract: decile assignment via
+-- broadcast sketch BOUNDARIES (one mergeable approx_percentile
+-- aggregate + a map-side bucket expression — no global sort, no
+-- single-task window). The per-decile population must land within 2%
+-- of N/10 (sketch accuracy 10000 makes boundary error tiny and
+-- deterministic); the oracle pins the bound for every decile.
+SELECT CAST(i AS INT) AS decile, TRUE AS size_within_2pct
+FROM UNNEST(range(1, 11)) t(i)
+ORDER BY decile
+"""
+
+
+@register("window_percentile_bucket_scalable", oracle=PCTL_BUCKET_ORACLE)
+def window_percentile_bucket_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB answer to window_ntile_percent_rank's documented
+    caveat (global ntile = unpartitioned single-task sort): global
+    decile assignment WITHOUT a global sort. approx_percentile
+    computes the 9 boundary values in one mergeable sketch aggregate;
+    the 1-row boundary table broadcasts; each row's decile is a
+    map-side comparison fold. Cost at any scale: one scan + one
+    sketch + one broadcast — the plan a fact-table ranking must use.
+
+    Output is the verification summary (per-decile population within
+    2% of N/10); assignments themselves are sketch-boundary-exact and
+    engine-specific at the margins."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.approx_percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(10000),
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    assigned = orders.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+            )
+        ).alias("decile"),
+        "n_total",
+    )
+    return (
+        assigned.groupBy("decile", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+        .select(
+            "decile",
+            (
+                F.abs(F.col("n_in_bucket") - F.col("n_total") / 10.0)
+                <= 0.02 * F.col("n_total")
+            ).alias("size_within_2pct"),
+        )
+    )

@@ -124,6 +124,7 @@ CHECK_ORDER: list[str] = [
     "udtf_sentence_split",
     "warehouse_upsert_latest",
     "agg_heavy_hitters_countmin",
+    "window_percentile_bucket_scalable",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
