@@ -429,7 +429,12 @@ SIMHASH_BANDED_ORACLE = """
 -- vote by at most 1, so only near-tie bits flip (hamming 0-4 in this
 -- corpus, measured); 8 bands of 4 bits guarantee a surviving band
 -- through hamming 7, so banding never loses a pair the hamming <= 4
--- verifier would accept. The oracle pins recall = 100%.
+-- verifier would accept. The oracle pins recall = 100% at the
+-- driver's verification sf (0.01). The bound is data-dependent: at
+-- sf0.1 the longer-document tail pushes ~2% of 1-token edits past
+-- hamming 4 (one pair reaches 8 — beyond ANY 8x4 banding
+-- guarantee); production simhash uses 64-bit fingerprints where a
+-- 1-token edit stays proportionally far smaller.
 SELECT COUNT(*) AS planted_total, COUNT(*) AS planted_found
 FROM documents WHERE doc_id % 10 = 0
 """
