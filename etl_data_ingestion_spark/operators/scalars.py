@@ -314,3 +314,82 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("bal_per_nation"),
     )
+
+
+PROFILE_ORACLE = """
+-- Column-profile parity: one row per profiled column with null count,
+-- exact distinct count, and min/max rendered as strings. The UNPIVOT
+-- shape (per-column aggregate -> long format) is what a profiling UI
+-- consumes; every cell is engine-exact.
+SELECT 'o_custkey' AS column_name,
+       COUNT(*) - COUNT(o_custkey)     AS n_nulls,
+       COUNT(DISTINCT o_custkey)       AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+       CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+FROM orders
+ORDER BY column_name
+"""
+
+
+@register("profile_table_stats", oracle=PROFILE_ORACLE)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the data-quality pass a pipeline runs on every
+    new source): per-column null count, exact distinct count, min/max
+    — computed in ONE scan (all per-column aggregates in a single
+    groupBy-less agg; Catalyst fuses them into one HashAggregate),
+    then unpivoted to the long (column_name, stats) layout.
+
+    At 100 TB swap count_distinct for approx_count_distinct per the
+    agg_approx_distinct pattern; the single-scan structure is the
+    point — profiling must not cost one job per column."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _num(col):  # numeric min/max rendered like the oracle's ROUND
+        return (
+            F.round(F.min(col), 2).cast("string"),
+            F.round(F.max(col), 2).cast("string"),
+        )
+
+    def _str(col):
+        return F.min(col).cast("string"), F.max(col).cast("string")
+
+    cols = {
+        "o_custkey": _str("o_custkey"),
+        "o_orderstatus": _str("o_orderstatus"),
+        "o_orderpriority": _str("o_orderpriority"),
+        "o_totalprice": _num("o_totalprice"),
+    }
+    aggs = []
+    for c, (mn, mx) in cols.items():
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

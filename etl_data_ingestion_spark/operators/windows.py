@@ -311,3 +311,75 @@ def window_percentile_bucket_scalable(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("size_within_2pct"),
         )
     )
+
+
+GAP_FILL_ORACLE = """
+-- Resample-and-forward-fill parity: each user's event stream becomes
+-- a dense hourly grid between their first and last active hour;
+-- hours with no events carry the last observed hourly average
+-- forward (is_gap marks them). Exact: grid construction, join, and
+-- IGNORE NULLS carry-forward are all engine-deterministic.
+WITH hourly AS (
+  SELECT user_id, TIME_BUCKET(INTERVAL 1 HOUR, ts) AS h,
+         ROUND(AVG(value), 3) AS v
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM spans
+), j AS (
+  SELECT g.user_id, g.h, hourly.v
+  FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+)
+SELECT user_id,
+       STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       v IS NULL AS is_gap
+FROM j
+ORDER BY user_id, h
+"""
+
+
+@register("timeseries_gap_fill_hourly", oracle=GAP_FILL_ORACLE)
+def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (the feature-engineering
+    staple for sensor/event data): per-key dense hourly grid via
+    sequence()+explode between first and last active hour, left join
+    the observed hourly aggregate, carry the last non-null value
+    forward with last(ignorenulls) over an unbounded-preceding frame.
+
+    Scale shape: one shuffle on user_id for the hourly aggregate; the
+    grid explode is map-side from the per-key span row (grid size =
+    span-hours, NOT event count); the fill window rides the same
+    user_id partitioning. Dense-grid blowup is the operator's real
+    risk at 100 TB — bound the span or bucket by (key, week) so one
+    ancient event can't inflate a key's grid."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 3).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )

@@ -125,6 +125,8 @@ CHECK_ORDER: list[str] = [
     "warehouse_upsert_latest",
     "agg_heavy_hitters_countmin",
     "window_percentile_bucket_scalable",
+    "profile_table_stats",
+    "timeseries_gap_fill_hourly",
     "stream_sliding_hourly_30m",
     "stream_session_window_30m",
     "stream_interval_join",
