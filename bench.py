@@ -80,13 +80,16 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # min of two runs per query: the host shows intermittent CPU
-    # contention, and a single sample can read 2-3x high; the minimum
-    # is the standard noise-robust estimator for cold-cache-free work
+    # min of three runs per query: the host shows intermittent CPU
+    # contention in multi-minute bursts (identical code measured 11.1s
+    # and 17.5s totals minutes apart), and a single sample can read
+    # 2-3x high; the minimum is the standard noise-robust estimator
+    # for cold-cache-free work, and the third sample meaningfully
+    # lowers the odds a whole burst spans every sample of a query
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(2)), 3
+            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
         )
 
     total = round(sum(timings.values()), 3)
