@@ -113,17 +113,33 @@ class BigQueryWarehouseSink:
         return int(obs.get["rows"])
 
 
-def make_warehouse_sink(spark, config):
+def make_warehouse_sink(spark, config, strict: bool = False):
     """Config-driven sink selection (EngineConfig.warehouse_format):
     'bigquery' + connector present → BigQueryWarehouseSink; otherwise
-    the parquet warehouse at config.warehouse_path. Fallback is
-    silent-but-inspectable: the returned object's type says which path
-    was taken (tests/test_runner.py asserts the absent-connector
-    case)."""
-    if config.warehouse_format == "bigquery" and BigQueryWarehouseSink.is_available(
-        spark
-    ):
-        return BigQueryWarehouseSink(config.bigquery_table, config.batch_size)
+    the parquet warehouse at config.warehouse_path.
+
+    A fallback away from an explicitly requested BigQuery target is
+    never silent: it logs a warning at selection time, and with
+    ``strict=True`` it raises instead — so a production deployment
+    that demands BigQuery fails fast rather than quietly landing data
+    in a local path (tests/test_runner.py asserts both behaviors)."""
+    if config.warehouse_format == "bigquery":
+        if BigQueryWarehouseSink.is_available(spark):
+            return BigQueryWarehouseSink(config.bigquery_table, config.batch_size)
+        msg = (
+            "warehouse_format='bigquery' requested but the spark-bigquery "
+            "connector is not on the classpath; "
+            + (
+                "strict mode: refusing to fall back"
+                if strict
+                else f"falling back to parquet warehouse at {config.warehouse_path!r}"
+            )
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return ParquetWarehouseSink(config.warehouse_path, config.batch_size)
 
 
@@ -174,14 +190,29 @@ def compact_parquet_dir(
 
     Rewrites the directory to ceil(total_bytes / target_file_bytes)
     files via a round-robin repartition (no shuffle key — compaction
-    must not skew), atomically swapping the directory. Returns the
-    new file count; no-ops (returns current count) when the directory
-    already has fewer than min_files files. At 100 TB the same
-    operation targets a table format's rewrite-data-files action
-    (Iceberg/Delta OPTIMIZE) partition-by-partition."""
+    must not skew), then swaps the directory. The swap is two renames
+    (a directory can't be replaced atomically on POSIX), so entry-time
+    recovery handles the crash windows: a leftover ``__old`` with no
+    live directory is renamed back (crash between the renames), and a
+    leftover ``__compacting`` is discarded (crash before the swap).
+    Returns the new file count; no-ops (returns current count) when
+    the directory already has fewer than min_files files. At 100 TB
+    the same operation targets a table format's rewrite-data-files
+    action (Iceberg/Delta OPTIMIZE) partition-by-partition, whose
+    snapshot commit removes the rename window entirely."""
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # crash recovery from a previous interrupted compaction
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
     files = [
         f
@@ -194,9 +225,7 @@ def compact_parquet_dir(
     n_out = max(1, math.ceil(total / target_file_bytes))
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -97,8 +97,10 @@ class SmtpNotifier(CollectingNotifier):
     port: int = 25
     sender: str = "etl-engine@localhost"
     recipients: tuple[str, ...] = ()
-    username: str | None = None
-    password: str | None = None
+    # repr=False: credentials must never leak through the generated
+    # __repr__ into error/debug logs that format the notifier
+    username: str | None = field(default=None, repr=False)
+    password: str | None = field(default=None, repr=False)
     use_tls: bool = False
     # injection point for tests / alternative transports: a callable
     # returning an smtplib.SMTP-compatible object

@@ -77,8 +77,8 @@ MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
-       CEIL(l_quantity)                             AS qty_ceil,
-       FLOOR(l_quantity / 10)                       AS qty_decile,
+       CAST(CEIL(l_quantity) AS BIGINT)             AS qty_ceil,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT)       AS qty_decile,
        ABS(l_discount - 0.05)                       AS disc_dev,
        ROUND(SQRT(l_extendedprice), 4)              AS price_sqrt,
        ROUND(LN(l_extendedprice + 1), 4)            AS price_ln,

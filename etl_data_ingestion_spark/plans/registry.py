@@ -42,77 +42,20 @@ def register(name: str, oracle: Optional[str] = None):
 
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
-# queries() dict, so ordering IS the verification schedule. Round 1
-# checked registration slots 1-50 (tpch/join/agg/window/setop +
-# scalar_string_funcs → 48 green). CHECK_ORDER puts everything that
-# has never received a driver verdict (plus the two repaired ERR
-# aggregates) in the front window; round-1 greens park at the tail.
-# Names not listed follow in registration order after the listed ones,
-# so newly added queries land right behind the current window and
-# head the NEXT round's window automatically.
+# queries() dict, so ordering IS the verification schedule.
+# Round 1 checked registration slots 1-50 (48 green). Round 2's window
+# covered ingest/dedup/similarity/text/scalars/subqueries/pandas/
+# mailbox/stream-analogues → 49/50 green (scalar_math_funcs hash-failed
+# on an oracle dtype since fixed). Round 3's window below: the one
+# retest, the 27 queries that have never received a driver verdict,
+# the three newly derived TPC-H queries (q4/q12/q21), then the oldest
+# round-1 greens (refactored since their verdict — 90 terminal
+# orderBys removed) to fill the 50. Names not listed follow in
+# registration order after the listed ones.
 CHECK_ORDER: list[str] = [
-    # §2.2 ingest T1-T14 proof + end-to-end curation
-    "ingest_trim_empty_null",
-    "ingest_comma_int_roundtrip",
-    "ingest_strict_date_parse",
-    "ingest_validity_accounting",
-    "ingest_ctb_end_to_end",
-    "pipeline_training_data_curation",
-    # dedup family
-    "dedup_exact_documents",
-    "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    # similarity search
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_ivf_topk",
-    # text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id_heuristic",
-    "text_bpe_token_estimate",
-    "text_rolling_fingerprint",
-    "text_lang_bigram_score",
-    "text_normalize_pipeline",
-    # scalar function surface (scalar_string_funcs already green r1)
-    "scalar_date_funcs",
+    # slot 1: round-2 red row, oracle dtype repaired (CEIL/FLOOR→BIGINT)
     "scalar_math_funcs",
-    "scalar_conditional_funcs",
-    "scalar_json_extract",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "scalar_from_json_struct",
-    "scalar_posexplode_embedding",
-    "scalar_try_funcs",
-    # subqueries
-    "subquery_scalar_above_avg",
-    "subquery_in_high_qty",
-    "subquery_exists_returned",
-    "subquery_not_exists_customers",
-    "subquery_correlated_avg_qty",
-    # pandas UDF surface
-    "pandas_scalar_net_value",
-    "pandas_grouped_weighted_avg",
-    "pandas_map_batches_tokens",
-    # round-1 ERR rows, repaired this round
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # sort / top-k
-    "topk_orders_by_price",
-    "sort_global_nation",
-    # mailbox extract path + partition pruning receipt
-    "mailbox_extract_pipeline",
-    "mailbox_datasource_scan",
-    "scan_partitioned_pruning",
-    # streaming batch-analogues (2 of 6; rest head round 3)
-    "stream_tumbling_hourly",
-    "stream_dedup_first_event",
-    # ---- round-3 window starts here (slot 51+) ----
+    # slots 2-28: never driver-verified (round-2 additions)
     "dedup_simhash_banded",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
@@ -140,6 +83,30 @@ CHECK_ORDER: list[str] = [
     "multimodal_image_decode_stub",
     "multimodal_frame_sample_stub",
     "multimodal_resize_featurize_stub",
+    # slots 29-31: new this round — lineitem date/shipmode derivation
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_supplier",
+    # slots 32-50: oldest round-1 greens, re-verified post-refactor
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q22_sales_opportunity",
+    "join_broadcast_dims",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_late_shipments",
+    "join_range_price_bands",
+    "join_full_outer_nation_counts",
 ]
 
 
@@ -161,6 +128,7 @@ def load_all() -> None:
     from etl_data_ingestion_spark.operators import (  # noqa: F401
         tpch,
         tpch_partsupp,
+        tpch_dates,
         joins,
         aggregates,
         windows,

@@ -8,26 +8,49 @@ Every micro-batch:
   1. reduces ITSELF to latest-per-key (cheap: batch-local window),
   2. unions with the current state table,
   3. keeps the overall latest row per key,
-  4. atomically swaps the state directory (write new -> rename).
+  4. commits by atomically replacing a pointer file (``CURRENT``) that
+     names the live versioned data directory.
+
+The pointer-file commit is the crash-safety mechanism: data dirs are
+immutable once written (``v_<batch_id>``), and the ONLY mutation is a
+single ``os.replace`` of the pointer — atomic on POSIX. A crash before
+the replace leaves the previous state live (the replayed batch
+recomputes the same merge — keep-latest of a union is idempotent); a
+crash after leaves only garbage version dirs, GC'd on the next commit.
+This closes the window the earlier two-rename swap had, where a crash
+between renames left no current state at all.
 
 foreachBatch makes the sink transactional per micro-batch under
-Structured Streaming's checkpointing: a replayed batch recomputes the
-same state (the merge is idempotent — keep-latest of a union is
-associative), which upgrades the reference's at-most-once load to
-effectively-once state.
+Structured Streaming's checkpointing, upgrading the reference's
+at-most-once load to effectively-once state.
 
 At 100 TB the same loop targets a table format with real MERGE
-(Delta/Iceberg `MERGE INTO`) and bucketed state on the key so the
-union-window never re-shuffles the full state; the parquet-swap here
-is the dependency-free stand-in with identical semantics.
+(Delta/Iceberg `MERGE INTO`) — whose commit protocol is exactly this
+pointer swap on a metadata file — and bucketed state on the key so the
+union-window never re-shuffles the full state.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+POINTER_NAME = "CURRENT"
+
+
+def current_state_path(state_dir: str) -> str | None:
+    """Resolve the live state directory via the pointer file; None when
+    no state has ever been committed."""
+    ptr = os.path.join(state_dir, POINTER_NAME)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        name = fh.read().strip()
+    path = os.path.join(state_dir, name)
+    return path if name and os.path.exists(path) else None
 
 
 def latest_per_key(df: DataFrame, key: str = "user_id") -> DataFrame:
@@ -47,26 +70,37 @@ def run_stream_upsert(
     key: str = "user_id",
 ):
     """Drive the stream into a keep-latest state table; returns the
-    started query (caller awaits / stops)."""
+    started query (caller awaits / stops). Read the committed state via
+    ``current_state_path(state_dir)``."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_latest = latest_per_key(batch_df, key)
-        cur_path = os.path.join(state_dir, "current")
-        if os.path.exists(cur_path):
+        cur_path = current_state_path(state_dir)
+        if cur_path is not None:
             state = batch_latest.sparkSession.read.parquet(cur_path)
             merged = latest_per_key(state.unionByName(batch_latest), key)
         else:
             merged = batch_latest
-        tmp_path = os.path.join(state_dir, f"_tmp_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp_path)
-        old = os.path.join(state_dir, f"_old_{batch_id}")
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(tmp_path, cur_path)
-        if os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        version = f"v_{batch_id}"
+        new_dir = os.path.join(state_dir, version)
+        # overwrite: a replayed batch rewrites its own version dir
+        merged.write.mode("overwrite").parquet(new_dir)
+        ptr_tmp = os.path.join(state_dir, f"_ptr_tmp_{batch_id}")
+        with open(ptr_tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        # the one and only commit point — atomic
+        os.replace(ptr_tmp, os.path.join(state_dir, POINTER_NAME))
+        # best-effort GC of superseded versions and stale pointer temps
+        for entry in os.listdir(state_dir):
+            stale_version = entry.startswith("v_") and entry != version
+            stale_ptr = entry.startswith("_ptr_tmp_") and entry != f"_ptr_tmp_{batch_id}"
+            if stale_version:
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+            elif stale_ptr:
+                try:
+                    os.remove(os.path.join(state_dir, entry))
+                except OSError:
+                    pass
 
     return (
         events_stream.writeStream.foreachBatch(merge_batch)

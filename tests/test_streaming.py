@@ -208,6 +208,7 @@ def test_stream_upsert_matches_batch_upsert(spark, tmp_path):
     import pyspark.sql.functions as F
 
     from etl_data_ingestion_spark.streaming.upsert import (
+        current_state_path,
         latest_per_key,
         run_stream_upsert,
     )
@@ -236,7 +237,9 @@ def test_stream_upsert_matches_batch_upsert(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = spark.read.parquet(str(tmp_path / "state" / "current"))
+    state_path = current_state_path(str(tmp_path / "state"))
+    assert state_path is not None, "pointer file must name a committed state"
+    got = spark.read.parquet(state_path)
     want = latest_per_key(events)
     assert got.count() == want.count()
     diff = got.select("user_id", "event_id").exceptAll(
