@@ -82,17 +82,24 @@ def main() -> None:
 
     # min of three runs per query: the host shows intermittent CPU
     # contention in multi-minute bursts (identical code measured 11.1s
-    # and 17.5s totals minutes apart), and a single sample can read
-    # 2-3x high; the minimum is the standard noise-robust estimator
-    # for cold-cache-free work, and the third sample meaningfully
-    # lowers the odds a whole burst spans every sample of a query
+    # and 17.5s totals minutes apart; round-3 caught an 8.2s min-of-3
+    # for a query that measures 1.5s outside the burst), and a single
+    # sample can read 2-3x high; the minimum is the standard
+    # noise-robust estimator for cold-cache-free work. ALL samples are
+    # recorded alongside the min so a regression (all samples high) is
+    # distinguishable from a contention burst (high min, wide spread)
+    # from the artifact alone.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
-        )
+        runs = [round(run_query(spark, name, sf_dir), 3) for _ in range(3)]
+        samples[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+    spread = {
+        name: round(max(runs) - min(runs), 3) for name, runs in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -100,6 +107,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -263,14 +263,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-shift permutations folded with minimum.reduceat across
     the whole batch. Map-side only, no shuffle.
 
-    Shuffle shape — ONE Exchange of |docs|×b band rows total: the
-    bucket-size cap (≥2 to pair, ≤100 to drop degenerate boilerplate
-    buckets, the standard web-dedup guard) is a COUNT window over
-    (band, bh), and the pruned result is persisted hash-partitioned on
-    exactly the self-join key, so both join sides reuse that
-    partitioning with no further Exchange. (The previous shape —
-    groupBy histogram + join back — shuffled the exploded table twice
-    more.)
+    Shuffle shape — ONE Exchange of |docs|×b band rows total, and no
+    self-join at all: each (band, bh) bucket is collected into one
+    sorted array (groupBy + collect_list), capped at 2..100 items
+    (the ≤100 boilerplate-bucket guard is the standard web-dedup
+    move), and pairs are expanded IN-BUCKET with nested array
+    transforms — at most C(100,2) pairs per bucket, bounded memory
+    regardless of corpus size. Round-3 bisect note: the previous
+    window-count + persist + self-join shape and this one measure
+    within noise of each other at sf0.1 (1.4-1.7s interleaved
+    min-of-3; the 6.4s in BENCH_r02 was host contention under
+    min-of-2 sampling), but this shape drops the persist/count
+    barrier and the cache lifecycle, and plans a single Exchange.
     """
     n_hashes, bands = 32, 8
     rows = n_hashes // bands
@@ -299,23 +303,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sigs.select(
         "doc_id", "sig", F.explode(band_keys).alias("b")
     ).select("doc_id", "sig", "b.band", "b.bh")
-    bucket_n = Window.partitionBy("band", "bh")
-    pruned = (
-        exploded.withColumn("n", F.count(F.lit(1)).over(bucket_n))
-        .filter((F.col("n") >= 2) & (F.col("n") <= 100))
-        .drop("n")
-        # Persist AFTER the prune: both self-join sides read this —
-        # one UDF pass, one Exchange, and the cached partitioning
-        # (band, bh) is the join key. |kept docs|×b rows of 32 longs;
-        # at 100 TB this materializes to a table instead.
-        .persist()
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= 100))
     )
-    pruned.count()  # materialize once; both join branches race otherwise
-    left = pruned.select(
-        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    # all i<j pairs within the bucket: sort_array ordered items by
+    # doc_id (first struct field), so position order IS id order
+    pair_expr = F.flatten(
+        F.transform(
+            "items",
+            lambda a, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda b: F.struct(
+                    a.doc_id.alias("doc_a"),
+                    a.sig.alias("sig_a"),
+                    b.doc_id.alias("doc_b"),
+                    b.sig.alias("sig_b"),
+                ),
+            ),
+        )
     )
-    right = pruned.select(
-        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
+        "p.doc_a", "p.sig_a", "p.doc_b", "p.sig_b"
     )
     est = (
         F.aggregate(
@@ -332,9 +342,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays internal as the candidate filter. dedup_minhash_verified
     # exposes the exact score per surviving pair.
     return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(est, 3).alias("est_jaccard"))
+        pairs.select("doc_a", "doc_b", F.round(est, 3).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.6)
         .select("doc_a", "doc_b")
         .distinct()
