@@ -849,3 +849,120 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact, 3).alias("exact_jaccard"),
         )
     )
+
+
+SEMANTIC_ORACLE = """
+-- SemDeDup-style contract (Abbas et al. 2023: k-means cluster, prune
+-- near-duplicate pairs INSIDE clusters only): every planted perturbed
+-- copy (cos ~0.999 to its source) must be caught — source and copy
+-- land in the same cluster because the perturbation is tiny relative
+-- to inter-centroid distance — and the keep-minimum rule must retain
+-- exactly one of each pair. Floor at 97% rather than pinned 100%:
+-- a copy CAN straddle a cluster boundary on adversarial data (the
+-- known SemDeDup recall trade vs brute force), though none do here
+-- at any fixture sf. planted_total is computed from the table, so
+-- the contract is scale-aware.
+SELECT COUNT(*) AS planted_total,
+       TRUE AS recall_floor_ok,
+       TRUE AS keep_one_per_pair
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+@register("dedup_semantic_clusters", oracle=SEMANTIC_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped: deterministic k-means quantizer
+    (driver-side Lloyd on a bounded sample — the similarity_ivf_topk
+    pattern) assigns every vector to a cluster map-side; candidate
+    pairs are generated ONLY within clusters (self-join on cluster_id),
+    scored by exact cosine, and pairs >= 0.97 drop the larger vec_id.
+
+    This is the scalable middle tier between dedup_embedding_cosine
+    (brute force, quadratic) and pure LSH: clustering bounds the
+    quadratic to sum(|cluster|^2) ~= n^2/k, and k grows with the
+    corpus (k ~= n / target_cluster_size) so per-cluster work is
+    constant at any scale. The shuffle is one Exchange on cluster_id.
+    Output is the planted-recall contract (SEMANTIC_ORACLE); cluster
+    assignments themselves are quantizer-specific."""
+    import numpy as np
+
+    k_centroids, n_iter, cos_floor = 8, 10, 0.97
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (1.0 + 0.02 * (2.0 * (i % 2).cast("double") - 1.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(perturbed)
+
+    sample = np.array(
+        [r["embedding"] for r in emb.limit(2500).collect()], dtype=np.float64
+    )
+    cents = sample[:k_centroids].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(k_centroids):
+            pts = sample[lab == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents64 = cents.copy()
+
+    def _nearest(embs):
+        X = np.stack(embs.to_numpy())
+        d2 = (
+            (X ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ cents64.T)
+            + (cents64 ** 2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    nearest_centroid = pandas_udf(_nearest, "int")
+    assigned = corpus.select(
+        "vec_id", "embedding", nearest_centroid("embedding").alias("cluster_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= cos_floor)
+        .select(F.col("a.vec_id").alias("keep"), F.col("b.vec_id").alias("drop"))
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("keep"),
+        (F.col("vec_id") + 1000000).alias("drop"),
+    )
+    hits = planted.join(dup_pairs, ["keep", "drop"], "left_semi")
+    dropped = dup_pairs.select("drop").distinct()
+    # keep-one check: no planted SOURCE may be dropped (sources only
+    # pair with their own copy at 0.97 in this corpus, and keep=min)
+    sources_dropped = planted.select(F.col("keep").alias("drop")).join(
+        dropped, "drop", "left_semi"
+    )
+    return (
+        planted.agg(F.count(F.lit(1)).alias("planted_total"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("found")))
+        .crossJoin(sources_dropped.agg(F.count(F.lit(1)).alias("src_dropped")))
+        .select(
+            "planted_total",
+            (F.col("found") >= F.ceil(F.col("planted_total") * 0.97)).alias(
+                "recall_floor_ok"
+            ),
+            (F.col("src_dropped") == 0).alias("keep_one_per_pair"),
+        )
+    )

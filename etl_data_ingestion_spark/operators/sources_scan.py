@@ -390,3 +390,33 @@ def mailbox_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filename",
         F.length("content").alias("content_bytes"),
     )
+
+
+ORC_ORACLE = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("scan_orc_roundtrip", oracle=ORC_ORACLE)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: supplier → orc → read → aggregate. Spark's second
+    first-class columnar format (vectorized reader, predicate pushdown
+    and column pruning like parquet) — the format choice a warehouse
+    migration actually encounters. The oracle aggregates the original
+    parquet; matching output proves the ORC write/read preserved
+    values and types."""
+    path = _scratch(sf_dir, "supplier_orc")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supplier.coalesce(1).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )

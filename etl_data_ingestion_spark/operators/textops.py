@@ -318,3 +318,128 @@ def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", norm.alias("normalized"), F.length(norm).alias("n_chars")
     )
+
+
+GOPHER_ORACLE = """
+-- Gopher-style document quality rules (Rae et al. 2021, Table A1
+-- subset expressible over single-line fixture docs): word-count
+-- bounds, mean-word-length bounds, stopword presence, alpha-word
+-- fraction. Each rule is a column; gopher_pass ANDs them — the
+-- filter a pretraining pipeline applies before tokenization.
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ts) AS n_words,
+         ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 / len(ts), 4) AS mean_word_len,
+         len(list_filter(ts, t -> t IN ('the','a','of','and','to','in'))) AS n_stop,
+         ROUND(len(list_filter(ts, t -> regexp_matches(t, '^[a-z]+$'))) * 1.0
+               / len(ts), 4) AS alpha_word_frac
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, n_stop, alpha_word_frac,
+       CAST(n_words BETWEEN 20 AND 1000
+            AND mean_word_len BETWEEN 2.0 AND 10.0
+            AND n_stop >= 2
+            AND alpha_word_frac >= 0.8 AS BOOLEAN) AS gopher_pass
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_gopher_quality_rules", oracle=GOPHER_ORACLE)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter: the rule battery a pretraining
+    pipeline runs before tokenization, as pure codegen'd array/regexp
+    expressions — zero Python in the row path, no shuffle (the rules
+    are per-document projections; at 100 TB this is a map-only stage
+    ahead of the tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(ts)
+    mean_wl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+    )
+    stops = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stops, t)))
+    alpha_frac = F.round(
+        F.size(F.filter(ts, lambda t: t.rlike("^[a-z]+$"))) / n_words, 4
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(20, 1000)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("n_stop") >= 2)
+        & (F.col("alpha_word_frac") >= 0.8),
+    )
+
+
+REPETITION_ORACLE = """
+-- Gopher-style repetition metrics: fraction of tokens claimed by the
+-- single most frequent token, and the duplicate-2-gram fraction
+-- (1 - distinct/total). High values flag boilerplate/spam documents
+-- that perplexity filters miss.
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+), top_word AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n FROM counts GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         len(ts) - 1 AS total_2g,
+         len(list_distinct(list_transform(range(1, len(ts)),
+                                          i -> ts[i] || ' ' || ts[i+1]))) AS uniq_2g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents)
+  WHERE len(ts) >= 2
+)
+SELECT w.doc_id,
+       ROUND(w.top_c * 1.0 / w.n, 4) AS top_word_frac,
+       ROUND(1.0 - g.uniq_2g * 1.0 / g.total_2g, 4) AS dup_2gram_frac
+FROM top_word w JOIN grams g ON w.doc_id = g.doc_id
+ORDER BY w.doc_id
+"""
+
+
+@register("text_repetition_stats", oracle=REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics (Gopher Table A1's repetition family adapted
+    to single-line docs): top-token fraction + duplicate-2-gram
+    fraction, computed entirely with array higher-order functions —
+    per-document projections, NO token explode, NO shuffle. (The
+    tempting explode + groupBy(doc_id, token) formulation shuffles
+    |corpus tokens| rows; the array form keeps the work inside the
+    document's own row — the right trade when documents are bounded,
+    which a pretraining corpus enforces upstream.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    with_ts = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
+    # top-token count via: distinct tokens -> count each token's
+    # occurrences with a filter scan -> array_max
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct("ts"),
+            lambda u: F.size(F.filter("ts", lambda t: t == u)),
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("ts", i + 1), F.element_at("ts", i + 2)),
+    )
+    return with_ts.select(
+        "doc_id",
+        F.round(top_c / F.size("ts"), 4).alias("top_word_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / (F.size("ts") - 1), 4
+        ).alias("dup_2gram_frac"),
+    )

@@ -642,3 +642,45 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir, "customer", "orders")
     return spark.sql(Q22_ORACLE)
+
+
+Q17_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size = 5
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("tpch_q17_small_qty_revenue", oracle=Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    0.2*AVG threshold decorrelates to a per-part aggregate joined back
+    on l_partkey — computed over ONLY the target parts' lineitems
+    (semi-join pushdown of the part filter into the aggregate input),
+    so the per-part average never aggregates the full fact table.
+    (Adapted: fixtures lack p_container, so the part predicate is
+    brand + size — same selectivity role, same plan shape.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    target = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5)
+    ).select("p_partkey")
+    # restrict lineitem once; both the threshold aggregate and the
+    # final filter read this narrowed slice
+    narrowed = li.join(
+        F.broadcast(target), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = narrowed.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        narrowed.join(
+            F.broadcast(thresholds),
+            (F.col("l_partkey") == F.col("t_partkey"))
+            & (F.col("l_quantity") < F.col("qty_threshold")),
+        )
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -134,11 +134,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_ORACLE = f"""
 WITH {PARTSUPP_CTE.strip()}
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
+  -- decimal-exact amount: double SUM is order-dependent, and this
+  -- aggregate demonstrably lands on different cents between engines
+  -- (5143321.00 vs 5143320.99 at sf0.01) with float math. Casting
+  -- the operands to DECIMAL makes the sum exact and associative in
+  -- BOTH engines, so the rounded total is engine-independent.
   SELECT n_name AS nation,
          EXTRACT(year FROM o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           - CAST(ps_supplycost AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4)) AS amount
   FROM part, supplier, lineitem, partsupp, orders, nation
   WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
     AND ps_partkey = l_partkey AND p_partkey = l_partkey
@@ -155,7 +163,10 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (profit by nation and year): 6-table join where
     lineitem joins partsupp on the COMPOSITE (partkey, suppkey) key —
     the one TPC-H join with a two-column equi-key. part filter
-    broadcasts and prunes lineitem early; orders supplies the year."""
+    broadcasts and prunes lineitem early; orders supplies the year.
+    The profit amount is computed in DECIMAL so the sum is exact and
+    order-independent (see Q9_ORACLE note); the final rounded total
+    casts back to double to match the oracle dtype."""
     ps = derived_partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
@@ -164,9 +175,10 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    amount = dec("l_extendedprice") * (1 - dec("l_discount")) - dec(
         "ps_supplycost"
-    ) * F.col("l_quantity")
+    ) * dec("l_quantity")
     profit = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(
@@ -178,12 +190,12 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             amount.alias("amount"),
         )
     )
     return profit.groupBy("nation", "o_year").agg(
-        F.round(F.sum("amount"), 2).alias("sum_profit")
+        F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
     )
 
 
@@ -289,4 +301,51 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(qualified, supplier.s_suppkey == qualified.ps_suppkey, "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+Q11_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+national AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+)
+SELECT ps_partkey, ROUND(SUM(v), 2) AS part_value
+FROM national
+GROUP BY ps_partkey
+HAVING SUM(v) > (SELECT SUM(v) * 0.001 FROM national)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@register("tpch_q11_important_stock", oracle=Q11_ORACLE)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): one nation's
+    partsupp value, grouped per part, kept when above a fraction of
+    the nation's TOTAL value — the scalar subquery over the same
+    grouped input. The national slice is computed once and feeds both
+    the per-part aggregate and the grand total (Catalyst reuses the
+    scan; the total is a 1-row broadcast into the HAVING filter).
+    Completes the 22-query TPC-H shape coverage together with q17."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    national = ps.join(
+        F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_semi"
+    ).select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    per_part = national.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    total = national.agg((F.sum("v") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sv") > F.col("threshold"))
+        .select(
+            "ps_partkey", F.round("sv", 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
     )

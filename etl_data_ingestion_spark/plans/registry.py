@@ -83,11 +83,19 @@ CHECK_ORDER: list[str] = [
     "multimodal_image_decode_stub",
     "multimodal_frame_sample_stub",
     "multimodal_resize_featurize_stub",
-    # slots 29-31: new this round — lineitem date/shipmode derivation
+    # slots 29-33: new this round — lineitem date/shipmode derivation
+    # (q4/q12/q21) + q11/q17, completing all 22 TPC-H shapes
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
     "tpch_q21_waiting_supplier",
-    # slots 32-50: oldest round-1 greens, re-verified post-refactor
+    "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue",
+    # slots 34-37: new this round — curation + format surface
+    "text_gopher_quality_rules",
+    "text_repetition_stats",
+    "scan_orc_roundtrip",
+    "dedup_semantic_clusters",
+    # slots 38-50: oldest round-1 greens, re-verified post-refactor
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -101,12 +109,6 @@ CHECK_ORDER: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q22_sales_opportunity",
-    "join_broadcast_dims",
-    "join_left_semi",
-    "join_left_anti",
-    "join_theta_late_shipments",
-    "join_range_price_bands",
-    "join_full_outer_nation_counts",
 ]
 
 
