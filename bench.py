@@ -89,12 +89,23 @@ def main() -> None:
     # recorded alongside the min so a regression (all samples high) is
     # distinguishable from a contention burst (high min, wide spread)
     # from the artifact alone.
-    timings: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
+    #
+    # Samples are INTERLEAVED (pass over all queries, three passes),
+    # not back-to-back per query: a burst lasting one pass (~30-60s)
+    # then poisons at most one of each query's three samples instead
+    # of all three of one query's (round-3 measured ivf_topk min-of-3
+    # at 2.9s back-to-back inside a burst vs 1.4s clean). An untimed
+    # warm-up pass runs first: a query's first-ever execution also
+    # pays its own codegen/broadcast-thread/Python-worker setup
+    # (round-3 pass-1 measured 2-8x pass-3 on EVERY query), which is
+    # per-process overhead, not plan cost.
     for name in names:
-        runs = [round(run_query(spark, name, sf_dir), 3) for _ in range(3)]
-        samples[name] = runs
-        timings[name] = min(runs)
+        run_query(spark, name, sf_dir)
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _pass in range(3):
+        for name in names:
+            samples[name].append(round(run_query(spark, name, sf_dir), 3))
+    timings = {name: min(runs) for name, runs in samples.items()}
 
     total = round(sum(timings.values()), 3)
     spread = {

@@ -1,0 +1,136 @@
+"""Round-3 operator tests: Gopher quality rules, repetition stats,
+semantic dedup, ORC roundtrip, and the q9/q11/q17 TPC-H additions —
+exact Python recomputation where the semantics are per-document, shape
+and contract invariants elsewhere."""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from etl_data_ingestion_spark.plans import registry
+
+registry.load_all()
+
+
+def q(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def round4(x: float) -> float:
+    # Spark (and DuckDB) ROUND is half-up on the exact binary value;
+    # Python's built-in round is banker's — 4.28125 must go to 4.2813
+    return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+STOPWORDS = {"the", "a", "of", "and", "to", "in"}
+
+
+def _gopher_metrics(text: str):
+    ts = re.split(r"\s+", text.strip())
+    n = len(ts)
+    mean_wl = round4(len(text.replace(" ", "")) / n)
+    n_stop = sum(t in STOPWORDS for t in ts)
+    alpha = round4(sum(bool(re.fullmatch("[a-z]+", t)) for t in ts) / n)
+    return n, mean_wl, n_stop, alpha
+
+
+def test_gopher_rules_match_python_recompute(spark, sf_dir):
+    """Every emitted metric and the final gate must equal a direct
+    Python recomputation of the published rule definitions."""
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q("text_gopher_quality_rules", spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        n, mean_wl, n_stop, alpha = _gopher_metrics(docs[r.doc_id])
+        assert (r.n_words, r.n_stop) == (n, n_stop)
+        assert abs(r.mean_word_len - mean_wl) < 1e-9
+        assert abs(r.alpha_word_frac - alpha) < 1e-9
+        expect = (
+            20 <= n <= 1000
+            and 2.0 <= mean_wl <= 10.0
+            and n_stop >= 2
+            and alpha >= 0.8
+        )
+        assert r.gopher_pass == expect, r
+
+
+def test_repetition_stats_match_python_recompute(spark, sf_dir):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q("text_repetition_stats", spark, sf_dir).collect()
+    checked = 0
+    for r in rows:
+        ts = re.split(r"\s+", docs[r.doc_id].strip())
+        if len(ts) < 2:
+            continue
+        top = max(ts.count(t) for t in set(ts))
+        grams = [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+        assert abs(r.top_word_frac - round4(top / len(ts))) < 1e-9
+        assert (
+            abs(r.dup_2gram_frac - round4(1 - len(set(grams)) / len(grams)))
+            < 1e-9
+        )
+        checked += 1
+    assert checked == len(rows) > 0
+
+
+def test_semantic_dedup_contract_holds(spark, sf_dir):
+    """Planted perturbed copies must be recalled through the cluster
+    bound and the keep-min rule must never drop a source."""
+    row = q("dedup_semantic_clusters", spark, sf_dir).collect()[0]
+    assert row.planted_total > 0
+    assert row.recall_floor_ok
+    assert row.keep_one_per_pair
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir):
+    """The ORC write/read must preserve every value the aggregate
+    sees — compare against the same aggregate straight off parquet."""
+    import pyspark.sql.functions as F
+
+    got = {
+        r.s_nationkey: (r.n_suppliers, r.total_bal)
+        for r in q("scan_orc_roundtrip", spark, sf_dir).collect()
+    }
+    want = {
+        r.s_nationkey: (r.n, round(r.bal, 2))
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_q11_descending_and_above_threshold(spark, sf_dir):
+    rows = q("tpch_q11_important_stock", spark, sf_dir).collect()
+    assert rows, "q11 must return at least one important part"
+    vals = [r.part_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q17_returns_single_scalar(spark, sf_dir):
+    rows = q("tpch_q17_small_qty_revenue", spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].avg_yearly is None or rows[0].avg_yearly >= 0
+
+
+def test_q9_year_is_long_and_sum_is_double(spark, sf_dir):
+    """The round-3 dtype contract: o_year bigint (not int32), and the
+    decimal-exact profit sum cast back to double — both must survive
+    refactors or the driver's value-hash fails on dtype alone."""
+    df = q("tpch_q9_product_type_profit", spark, sf_dir)
+    dt = dict(df.dtypes)
+    assert dt["o_year"] == "bigint"
+    assert dt["sum_profit"] == "double"
