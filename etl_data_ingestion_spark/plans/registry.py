@@ -90,12 +90,14 @@ CHECK_ORDER: list[str] = [
     "tpch_q21_waiting_supplier",
     "tpch_q11_important_stock",
     "tpch_q17_small_qty_revenue",
-    # slots 34-37: new this round — curation + format surface
+    # slots 34-39: new this round — curation + format + multimodal
     "text_gopher_quality_rules",
     "text_repetition_stats",
     "scan_orc_roundtrip",
     "dedup_semantic_clusters",
-    # slots 38-50: oldest round-1 greens, re-verified post-refactor
+    "pipeline_domain_mixture_weights",
+    "multimodal_byte_entropy",
+    # slots 40-50: oldest round-1 greens, re-verified post-refactor
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -107,8 +109,6 @@ CHECK_ORDER: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q22_sales_opportunity",
 ]
 
 
