@@ -325,9 +325,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): one nation's
     partsupp value, grouped per part, kept when above a fraction of
     the nation's TOTAL value — the scalar subquery over the same
-    grouped input. The national slice is computed once and feeds both
-    the per-part aggregate and the grand total (Catalyst reuses the
-    scan; the total is a 1-row broadcast into the HAVING filter).
+    grouped input. The plan scans the national slice twice (per-part
+    aggregate and grand total group on different keys, so no exchange
+    is reusable) — the standard q11 trade: two narrow 2-column
+    pushdown scans beat persisting the slice at scale; the total is a
+    1-row broadcast into the HAVING filter.
     Completes the 22-query TPC-H shape coverage together with q17."""
     ps = derived_partsupp(spark, sf_dir)
     supplier = load_table(spark, sf_dir, "supplier")
