@@ -6,7 +6,7 @@ plan the streaming tests run incrementally (tests/test_streaming.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
@@ -227,4 +227,79 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
         "v_id",
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("v_ts"),
+    )
+
+
+LATE_DATA_ORACLE = """
+-- Watermark late-data accounting, batch analogue: arrival order is
+-- the event_id sequence within each event_type (the per-partition
+-- ordering a log source guarantees); the watermark trails the
+-- running-max event time by 30 minutes; a row older than the
+-- watermark at its arrival is late and would be dropped by a
+-- streaming aggregate. The real behavior (GLOBAL watermark at
+-- micro-batch granularity) is proven against an actual
+-- withWatermark stream in tests/test_streaming.py; this row-level
+-- analogue is the audit query a pipeline runs to size its watermark
+-- delay against observed out-of-orderness.
+WITH arrivals AS (
+  -- the fixture stream is perfectly ordered (zero late rows), which
+  -- would leave the late path untested; plant deterministic
+  -- stragglers: every 97th event re-arrives at the END of the stream
+  -- (event_id + 10000000) carrying its ORIGINAL event time
+  SELECT event_id, event_type, ts FROM events
+  UNION ALL
+  SELECT event_id + 10000000, event_type, ts FROM events
+  WHERE event_id % 97 = 0
+), seq AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_water
+  FROM arrivals
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < high_water - INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN ts < high_water - INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS late_frac
+FROM seq
+GROUP BY event_type
+"""
+
+
+@register("stream_late_data_accounting", oracle=LATE_DATA_ORACLE)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting under a 30-minute watermark: per
+    event_type, how many rows arrived behind the running-max event
+    time by more than the delay — i.e. would be DROPPED by the
+    streaming aggregate — and the late fraction. This is the query
+    that answers "is 30 minutes enough watermark for this source?"
+    from history. One shuffle (window on event_type) + one aggregate
+    on the same key, so the second aggregate needs no exchange. At
+    100 TB the per-key sort is the cost; the streaming engine itself
+    tracks the watermark in O(1) state (streaming/windows.py) — this
+    batch analogue exists for delay sizing and audits."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    stragglers = events.filter(F.col("event_id") % 97 == 0).select(
+        (F.col("event_id") + 10000000).alias("event_id"), "event_type", "ts"
+    )
+    arrivals = events.unionByName(stragglers)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    high_water = F.max("ts").over(w)
+    late = F.col("ts") < high_water - F.expr("INTERVAL 30 MINUTES")
+    flagged = arrivals.select(
+        "event_type", F.when(late, 1).otherwise(0).alias("is_late")
+    )
+    n, nl = F.count(F.lit(1)), F.sum("is_late")
+    return flagged.groupBy("event_type").agg(
+        n.alias("n_events"),
+        nl.cast("long").alias("n_late"),
+        F.round(nl / n, 4).alias("late_frac"),
     )

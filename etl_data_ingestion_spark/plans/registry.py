@@ -97,7 +97,8 @@ CHECK_ORDER: list[str] = [
     "dedup_semantic_clusters",
     "pipeline_domain_mixture_weights",
     "multimodal_byte_entropy",
-    # slots 40-50: oldest round-1 greens, re-verified post-refactor
+    "stream_late_data_accounting",
+    # slots 41-50: oldest round-1 greens, re-verified post-refactor
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -108,7 +109,6 @@ CHECK_ORDER: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
 ]
 
 

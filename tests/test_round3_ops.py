@@ -134,3 +134,57 @@ def test_q9_year_is_long_and_sum_is_double(spark, sf_dir):
     dt = dict(df.dtypes)
     assert dt["o_year"] == "bigint"
     assert dt["sum_profit"] == "double"
+
+
+def test_domain_mixture_weights_normalize(spark, sf_dir):
+    """Weights and natural fractions each sum to ~1; sqrt scaling must
+    up-weight below-average domains and down-weight above-average
+    ones (upsample_factor crosses 1.0 in the right direction)."""
+    rows = q("pipeline_domain_mixture_weights", spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.natural_frac for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.mixture_weight for r in rows) - 1.0) < 0.01
+    mean_frac = 1.0 / len(rows)
+    for r in rows:
+        if r.natural_frac < mean_frac * 0.9:
+            assert r.upsample_factor > 1.0, r
+        if r.natural_frac > mean_frac * 1.1:
+            assert r.upsample_factor < 1.0, r
+
+
+def test_byte_entropy_matches_python(spark, sf_dir):
+    """Entropy recomputed from the raw utf-8 bytes with math.log2
+    must match to rounding, and bounds must hold:
+    0 <= H <= log2(distinct bytes)."""
+    import math
+    from collections import Counter
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q("multimodal_byte_entropy", spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        data = docs[r.doc_id].encode("utf-8")
+        counts = Counter(data)
+        n = len(data)
+        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        assert r.n_bytes == n
+        assert r.n_distinct_bytes == len(counts)
+        assert abs(r.entropy_bits - round4(ent)) < 1e-9, r
+        assert 0.0 <= r.entropy_bits <= math.log2(max(len(counts), 2))
+        assert not r.looks_compressed  # ascii text sits near 4 bits
+
+
+def test_late_data_accounting_counts_planted_stragglers(spark, sf_dir):
+    """Only the planted end-of-stream stragglers can be late, and at
+    least some must be (their event time is far behind the high-water
+    mark when they arrive)."""
+    rows = q("stream_late_data_accounting", spark, sf_dir).collect()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    planted = events.filter("event_id % 97 = 0").count()
+    total_late = sum(r.n_late for r in rows)
+    assert 0 < total_late <= planted
+    for r in rows:
+        assert 0.0 <= r.late_frac < 0.05

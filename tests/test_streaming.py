@@ -246,3 +246,60 @@ def test_stream_upsert_matches_batch_upsert(spark, tmp_path):
         want.select("user_id", "event_id")
     )
     assert diff.count() == 0
+
+
+def test_watermark_drops_late_window_update(spark, tmp_path):
+    """A genuinely late row (behind the watermark by more than the
+    delay when its micro-batch runs) must be DROPPED from the windowed
+    aggregate: the finalized window emits WITHOUT it. This is the real
+    withWatermark behavior that stream_late_data_accounting's batch
+    analogue sizes the delay for."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, ts timestamp")
+
+    src = str(tmp_path / "wm_src")
+    # batch 1: two on-time events; max event time base+2h, so the
+    # watermark for the NEXT batch is base+1h30m
+    mk([(1, base), (2, base + dt.timedelta(hours=2))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: one LATE row targeting the [base, base+1h) window
+    # (ts < watermark base+1h30m) and one fresh row that advances
+    # the watermark further
+    mk(
+        [
+            (3, base + dt.timedelta(minutes=10)),
+            (4, base + dt.timedelta(hours=2, minutes=10)),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = {r.wstart: r.n for r in spark.table("wm_drop").collect()}
+    # the [base, base+1h) window finalized with ONLY event 1 —
+    # late event 3 was dropped, not merged
+    assert emitted.get(base) == 1, emitted
