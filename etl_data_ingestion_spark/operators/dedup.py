@@ -966,3 +966,60 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("src_dropped") == 0).alias("keep_one_per_pair"),
         )
     )
+
+
+INCREMENTAL_ORACLE = """
+-- Incremental-ingestion dedup: the production mode. A NEW BATCH is
+-- deduped against the EXISTING corpus index (content digests), never
+-- all-pairs over the union — the index never reshuffles per batch.
+-- New batch = every 7th doc plus planted exact copies of every 10th
+-- index doc (doc_id + 2000000), so the collision path is exercised
+-- deterministically: the planted copies MUST flag, the rest must
+-- not (fixture texts are unique).
+WITH idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), new_batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, sha256(text) FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+)
+SELECT n.doc_id, (i.h IS NOT NULL) AS dup_of_index
+FROM new_batch n LEFT JOIN idx i ON n.h = i.h
+"""
+
+
+@register("dedup_incremental_new_docs", oracle=INCREMENTAL_ORACLE)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against an existing index: each new document
+    carries a verdict — already in the corpus (by content digest) or
+    genuinely new. The join is new-batch ⋈ digest-index on the 32-byte
+    sha256 key: per ingestion batch the small (new) side shuffles or
+    broadcasts while the big index stays put — at 100 TB the index is
+    a bucketed digest table and this is a bucket-local lookup, NOT a
+    re-dedup of the union (which would reshuffle the whole corpus
+    every batch). The near-dup tier composes the same way: new-batch
+    minhash band keys probe the index's band buckets
+    (dedup_minhash_lsh's bucket layout) — same join shape, fuzzier
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = lambda c: F.sha2(F.encode(c, "utf-8"), 256)
+    idx = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(digest(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    new_batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 7 != 0)
+            ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+        .select("doc_id", digest(F.col("text")).alias("h"))
+    )
+    return new_batch.join(idx, "h", "left").select(
+        "doc_id", F.coalesce("in_index", F.lit(False)).alias("dup_of_index")
+    )

@@ -98,7 +98,8 @@ CHECK_ORDER: list[str] = [
     "pipeline_domain_mixture_weights",
     "multimodal_byte_entropy",
     "stream_late_data_accounting",
-    # slots 41-50: oldest round-1 greens, re-verified post-refactor
+    "dedup_incremental_new_docs",
+    # slots 42-50: oldest round-1 greens, re-verified post-refactor
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -108,7 +109,6 @@ CHECK_ORDER: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 ]
 
 

@@ -188,3 +188,13 @@ def test_late_data_accounting_counts_planted_stragglers(spark, sf_dir):
     assert 0 < total_late <= planted
     for r in rows:
         assert 0.0 <= r.late_frac < 0.05
+
+
+def test_incremental_dedup_flags_exactly_planted(spark, sf_dir):
+    """Every planted copy (doc_id + 2000000, identical text) must flag
+    dup_of_index=True; every organic new doc must not (fixture texts
+    are unique)."""
+    rows = q("dedup_incremental_new_docs", spark, sf_dir).collect()
+    flagged = {r.doc_id for r in rows if r.dup_of_index}
+    planted = {r.doc_id for r in rows if r.doc_id >= 2000000}
+    assert planted and flagged == planted
