@@ -90,7 +90,8 @@ CHECK_ORDER: list[str] = [
     "tpch_q21_waiting_supplier",
     "tpch_q11_important_stock",
     "tpch_q17_small_qty_revenue",
-    # slots 34-39: new this round — curation + format + multimodal
+    # slots 34-43: new this round — curation + format + multimodal +
+    # streaming audit + incremental dedup + multiset set ops
     "text_gopher_quality_rules",
     "text_repetition_stats",
     "scan_orc_roundtrip",
@@ -99,7 +100,9 @@ CHECK_ORDER: list[str] = [
     "multimodal_byte_entropy",
     "stream_late_data_accounting",
     "dedup_incremental_new_docs",
-    # slots 42-50: oldest round-1 greens, re-verified post-refactor
+    "setop_intersect_all",
+    "setop_except_all",
+    # slots 44-50: oldest round-1 greens, re-verified post-refactor
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -107,8 +110,6 @@ CHECK_ORDER: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q7_volume_shipping",
 ]
 
 
