@@ -198,3 +198,34 @@ def test_incremental_dedup_flags_exactly_planted(spark, sf_dir):
     flagged = {r.doc_id for r in rows if r.dup_of_index}
     planted = {r.doc_id for r in rows if r.doc_id >= 2000000}
     assert planted and flagged == planted
+
+
+def test_multiset_setops_match_counter_arithmetic(spark, sf_dir):
+    """intersectAll keeps min(count_l, count_r) per key; exceptAll
+    keeps count_l - count_r (right side is a subset of the left by
+    construction) — recompute both from raw Counters."""
+    from collections import Counter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    low = Counter(r.l_suppkey for r in li.filter("l_quantity < 10").collect())
+    ret = Counter(r.l_suppkey for r in li.filter("l_returnflag = 'R'").collect())
+    low_ret = Counter(
+        r.l_suppkey
+        for r in li.filter("l_quantity < 10 AND l_returnflag = 'R'").collect()
+    )
+
+    got_i = {
+        r.l_suppkey: r.multiplicity
+        for r in q("setop_intersect_all", spark, sf_dir).collect()
+    }
+    want_i = {
+        k: min(low[k], ret[k]) for k in low if k in ret and min(low[k], ret[k]) > 0
+    }
+    assert got_i == want_i
+
+    got_e = {
+        r.l_suppkey: r.multiplicity
+        for r in q("setop_except_all", spark, sf_dir).collect()
+    }
+    want_e = {k: low[k] - low_ret[k] for k in low if low[k] - low_ret[k] > 0}
+    assert got_e == want_e
