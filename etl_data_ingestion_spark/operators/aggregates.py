@@ -509,3 +509,49 @@ def agg_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_eps"
         ),
     )
+
+
+ZSCORE_ORACLE = """
+-- Per-event-type z-score outlier accounting: population stats per
+-- type, then each event scored against its type's mean/stddev;
+-- |z| > 3 flags the outlier. The stats table is |event_types| rows —
+-- broadcast-sized at any corpus scale.
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sd) > 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(ABS((e.value - s.mu) / s.sd)), 3) AS max_abs_z
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("timeseries_zscore_outliers", oracle=ZSCORE_ORACLE)
+def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: two-pass shape —
+    aggregate per-type mean/stddev (map-side partials, |types| output
+    rows), broadcast the tiny stats table back onto the fact scan,
+    score each event, re-aggregate outlier counts. At 100 TB this is
+    two map-side-combined aggregations and zero fact-table shuffles
+    beyond them; the alternative single-pass window formulation
+    (avg/stddev OVER (PARTITION BY type)) shuffles and buffers the
+    whole fact table per type — strictly worse."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 3).alias("max_abs_z"),
+        )
+    )

@@ -1,0 +1,222 @@
+"""Corpus-shaping operators between cleaning and tokenization
+(BASELINE.json north star, alongside curation.py): C4-style line-level
+filtering, duplicated-span detection (the substring-dedup tier), and
+overlapping-window chunking for embedding/retrieval pipelines.
+
+Everything is JVM array/regexp expressions or a single well-keyed
+shuffle; each query has an exact DuckDB oracle. Fixture docs are
+single-line word streams (no sentence punctuation), so the line ops
+synthesize fixed-width 10-token pseudo-lines — the operator shape
+(split → per-line rule filter → order-preserving reassembly) is the
+real C4 pass; a corpus with newlines swaps the splitter only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.functions.text import word_ngrams
+from etl_data_ingestion_spark.plans.registry import register
+
+C4_LINE_ORACLE = """
+-- C4-style line-level cleaning (Raffel et al. 2020 §2.2 adapted to
+-- line-free fixture docs): split into 10-token pseudo-lines, keep a
+-- line iff it has >=5 words AND contains a stopword (the fixture
+-- analogue of C4's terminal-punctuation + >=3-words rules), reassemble
+-- survivors in order. Per-doc accounting of lines kept and bytes
+-- retained.
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT)),
+                        i -> list_slice(ts, i * 10 + 1, i * 10 + 10)) AS lines
+  FROM t
+), k AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines,
+           x -> len(x) >= 5 AND
+                len(list_filter(x, w -> w IN ('the','a','of','and','to','in'))) > 0
+         ) AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       -- COALESCE: duckdb array_to_string(NULL-from-empty) yields
+       -- NULL where spark's array_join gives ''; 0-length either way
+       CAST(COALESCE(length(array_to_string(
+              list_transform(kept, x -> array_to_string(x, ' ')), ' ')), 0)
+            AS BIGINT) AS cleaned_len,
+       ROUND(len(kept) * 1.0 / n_lines, 4) AS kept_frac
+FROM k
+ORDER BY doc_id
+"""
+
+
+@register("text_c4_line_filter", oracle=C4_LINE_ORACLE)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filter: per-document split into lines, drop lines
+    failing cheap rules, reassemble the survivors in order. All array
+    higher-order functions on the document's own row — a map-only
+    stage with NO explode and NO shuffle, which is what makes the C4
+    pass viable at 100 TB (the alternative explode-lines → filter →
+    groupBy-reassemble shuffles every line of the corpus and needs an
+    order column to restore line order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(ts) / F.lit(10.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.slice(ts, i * 10 + 1, 10),
+    )
+    stops = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    kept = F.filter(
+        lines,
+        lambda x: (F.size(x) >= 5)
+        & (F.size(F.filter(x, lambda w: F.array_contains(stops, w))) > 0),
+    )
+    cleaned = F.array_join(
+        F.transform(kept, lambda x: F.array_join(x, " ")), " "
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.round(F.size(kept) / n_lines.cast("double"), 4).alias("kept_frac"),
+    )
+
+
+DUP_SPANS_ORACLE = """
+-- Duplicated-span detection (the scalable stand-in for suffix-array
+-- exact substring dedup, Lee et al. 2021): a doc's 8-gram is
+-- "duplicated" iff the same 8-gram occurs in ANY other document.
+-- Per-doc share of duplicated 8-grams — the signal used to drop or
+-- trim boilerplate-heavy documents.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+  FROM toks, UNNEST(range(1, len(ts) - 6)) u(i)
+  WHERE len(ts) >= 8
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT doc_id, COUNT(*) AS n_dup
+  FROM grams WHERE g IN (SELECT g FROM shared)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(d.n_dup, 0) AS n_dup_grams,
+       ROUND(COALESCE(d.n_dup, 0) * 1.0 / t.n_grams, 4) AS dup_frac
+FROM tot t LEFT JOIN dup d USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("dedup_duplicated_spans", oracle=DUP_SPANS_ORACLE)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction: explode each document's
+    distinct word 8-grams, find grams appearing in >=2 distinct docs
+    (one shuffle keyed on the gram), semi-join back, and report the
+    per-doc duplicated share.
+
+    Scale shape: the corpus-sized work is ONE Exchange of (gram,
+    doc_id) pairs — the same partial-aggregate + semi-join skeleton as
+    pipeline_decontaminate_benchmark, but corpus-wide instead of
+    vs a broadcastable benchmark set. At 100 TB the production
+    variant ships `xxhash64(gram)` (8-byte keys) through the shuffle
+    instead of the gram text — identical plan, ~10× narrower rows;
+    the string form is kept here so the oracle compares exact values.
+    This is the scalable stand-in for suffix-array substring dedup,
+    which has no distributed-friendly formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 8)).alias("g")
+    )
+    # per-doc totals straight off the array size: map-only, no explode,
+    # no shuffle — one fewer corpus pass than aggregating the gram rows
+    tot = docs.select(
+        "doc_id", F.size(word_ngrams("text", 8)).cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    # (doc_id, g) pairs are distinct by construction (word_ngrams
+    # dedups per doc), so plain count == count_distinct(doc_id) minus
+    # the expand + extra aggregation level a distinct agg would plan
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup = (
+        grams.join(shared, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+CHUNK_ORACLE = """
+-- Overlapping-window chunking (embedding/retrieval prep): 64-token
+-- windows at stride 48 (16-token overlap), at least one chunk per
+-- document, short tail chunks kept. Emits per-chunk token and char
+-- accounting — the unit of work every downstream embedder consumes.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS chunk_idx,
+         list_slice(ts, i * 48 + 1, i * 48 + 64) AS ck
+  FROM toks, UNNEST(range(0, (len(ts) - 1) // 48 + 1)) u(i)
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(ck) AS BIGINT) AS n_tokens,
+       CAST(length(array_to_string(ck, ' ')) AS BIGINT) AS n_chars
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("pipeline_chunk_documents", oracle=CHUNK_ORACLE)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows (size 64,
+    stride 48) — the fan-out stage feeding embedding models and
+    retrieval indexes. Built as transform-over-sequence + posexplode:
+    the window construction is per-row array math (no shuffle); the
+    explode multiplies rows ~n_tokens/48× which is the OUTPUT size,
+    not overhead. At 100 TB chunking is embarrassingly parallel and
+    this plan keeps it a single map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = (F.floor((F.size(ts) - 1) / 48) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(ts, i * 48 + 1, 64),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ck")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("ck").cast("long").alias("n_tokens"),
+        F.length(F.array_join("ck", " ")).cast("long").alias("n_chars"),
+    )

@@ -315,3 +315,63 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     return _ann_selfcheck(ann, _exact_topk(emb), floor=0.2)
+
+
+QUANTIZE_ORACLE = """
+-- Embedding normalize + int8 quantization accounting: per-vector L2
+-- norm, absolute-max scale, and the worst-case reconstruction error
+-- of symmetric int8 quantization (q = round(x / (max_abs/127))) —
+-- the compression step an ANN index applies before storing 100 TB of
+-- vectors. All math is double-precision folds over the same element
+-- order in both engines, so values are bit-identical before ROUND.
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), m AS (
+  SELECT vec_id, e,
+         len(e) AS n_dims,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(e, v -> v * v)),
+                          (a, b) -> a + b)) AS nrm,
+         list_max(list_transform(e, v -> abs(v))) AS mx
+  FROM x
+)
+SELECT vec_id,
+       CAST(n_dims AS BIGINT) AS n_dims,
+       ROUND(nrm, 4) AS l2_norm,
+       ROUND(mx, 5) AS max_abs,
+       ROUND(list_max(list_transform(
+               e, v -> abs(v - round(v / (mx / 127), 0) * (mx / 127)))),
+             6) AS max_quant_err
+FROM m
+ORDER BY vec_id
+"""
+
+
+@register("embedding_l2_quantize", oracle=QUANTIZE_ORACLE)
+def embedding_l2_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization accounting for the vector store:
+    per-vector L2 norm, abs-max scale, and the max reconstruction
+    error of q = round(x/scale), scale = max_abs/127 — the 4× storage
+    cut (float32 → int8) every production ANN index takes before
+    holding corpus-scale vectors.
+
+    All JVM fold/transform expressions over the vector's own row —
+    map-only, no shuffle, no Python. The fold accumulates in double
+    in the same element order as the oracle's list_reduce, so the
+    comparison is exact up to the final ROUND."""
+    from etl_data_ingestion_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = mx / F.lit(127)
+    err = F.array_max(
+        F.transform(xs, lambda x: F.abs(x - F.round(x / scale) * scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(l2_norm("embedding"), 4).alias("l2_norm"),
+        F.round(mx, 5).alias("max_abs"),
+        F.round(err, 6).alias("max_quant_err"),
+    )

@@ -102,14 +102,18 @@ CHECK_ORDER: list[str] = [
     "dedup_incremental_new_docs",
     "setop_intersect_all",
     "setop_except_all",
-    # slots 44-50: oldest round-1 greens, re-verified post-refactor
+    # slots 44-48: round-3 late additions — corpus shaping (C4 line
+    # filter, duplicated spans, chunking), int8 embedding quantize,
+    # z-score outliers — first-time verdicts outrank re-verification
+    "text_c4_line_filter",
+    "dedup_duplicated_spans",
+    "pipeline_chunk_documents",
+    "embedding_l2_quantize",
+    "timeseries_zscore_outliers",
+    # slots 49-50: oldest round-1 greens, re-verified post-refactor
+    # (q5/q6/q10/q14/q18 move to the round-4 re-verification window)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_orders",
 ]
 
 
@@ -143,6 +147,7 @@ def load_all() -> None:
         textops,
         ingest_queries,
         curation,
+        corpus,
         streaming_queries,
         multimodal,
         subqueries,

@@ -1,0 +1,128 @@
+"""Tests for the corpus-shaping batch (corpus.py + the embedding
+quantize and z-score additions): exact Python recomputation for the
+per-document/per-vector ops, planted-structure checks for the
+cross-document span detector, invariant checks for z-score."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from etl_data_ingestion_spark.plans import registry
+
+registry.load_all()
+
+STOPWORDS = {"the", "a", "of", "and", "to", "in"}
+
+
+def q(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def _c4_recompute(text: str):
+    ts = re.split(r"\s+", text.strip())
+    lines = [ts[i : i + 10] for i in range(0, len(ts), 10)]
+    kept = [
+        ln for ln in lines if len(ln) >= 5 and any(w in STOPWORDS for w in ln)
+    ]
+    cleaned = " ".join(" ".join(ln) for ln in kept)
+    return len(lines), len(kept), len(cleaned)
+
+
+def test_c4_line_filter_matches_python_recompute(spark, sf_dir):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q("text_c4_line_filter", spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        n_lines, n_kept, clen = _c4_recompute(docs[r.doc_id])
+        assert (r.n_lines, r.n_kept, r.cleaned_len) == (n_lines, n_kept, clen)
+        assert abs(r.kept_frac - round(n_kept / n_lines, 4)) < 1e-9
+
+
+def test_duplicated_spans_full_dup_on_planted_copy(spark, sf_dir):
+    """Two planted copies of the same >=8-token doc must each report
+    dup_frac 1.0; a doc sharing no 8-gram with anything reports 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet("/tmp/span_docs/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in q("dedup_duplicated_spans", spark, "/tmp/span_docs").collect()
+    }
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].n_dup_grams == 0 and out[3].dup_frac == 0.0
+    # 10 tokens -> 3 distinct 8-grams per doc
+    assert out[1].n_grams == 3
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunk windows (size 64, stride 48) must tile each document:
+    first chunk starts at 0, consecutive starts 48 apart, the union
+    covers all tokens, and only the last chunk may be short."""
+    docs = {
+        r.doc_id: len(re.split(r"\s+", r.text.strip()))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q("pipeline_chunk_documents", spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        expect_chunks = (n - 1) // 48 + 1
+        assert [c.chunk_idx for c in chunks] == list(range(expect_chunks))
+        for c in chunks[:-1]:
+            assert c.n_tokens == min(64, n - c.chunk_idx * 48)
+        last = chunks[-1]
+        assert last.n_tokens == n - last.chunk_idx * 48 or last.n_tokens == 64
+        # coverage: last chunk reaches the final token
+        assert last.chunk_idx * 48 + last.n_tokens >= n
+
+
+def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    """int8 symmetric quantization guarantees |x - q*s| <= s/2 with
+    s = max_abs/127; the norm must match numpy's in double."""
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float32)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    rows = q("embedding_l2_quantize", spark, sf_dir).collect()
+    assert len(rows) == len(emb)
+    for r in rows:
+        v = emb[r.vec_id].astype(np.float64)
+        assert r.n_dims == len(v)
+        assert abs(r.l2_norm - round(math.sqrt(float((v * v).sum())), 4)) < 1e-9
+        s = float(np.abs(v).max()) / 127
+        # emitted err is ROUND(.,6), which can tip over s/2 by up to
+        # half an ulp of the 6th decimal
+        assert r.max_quant_err <= s / 2 + 5.1e-7
+
+
+def test_zscore_outliers_bounded_and_complete(spark, sf_dir):
+    """Every event type appears; outliers are a subset of events; the
+    reported max |z| is consistent with the outlier count."""
+    from etl_data_ingestion_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    rows = q("timeseries_zscore_outliers", spark, sf_dir).collect()
+    assert len(rows) == n_types
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_events
+        if r.max_abs_z <= 3:
+            assert r.n_outliers == 0
+        else:
+            assert r.n_outliers >= 1
