@@ -105,6 +105,19 @@ def main() -> None:
     for _pass in range(3):
         for name in names:
             samples[name].append(round(run_query(spark, name, sf_dir), 3))
+
+    # Adaptive tail: a query whose max sample is >=2x its min sat
+    # inside a contention burst for at least one pass — and a burst
+    # long enough to span all three passes leaves the min itself
+    # poisoned (round-3 observed min-of-3 2.1s for a query that
+    # measures 0.6s clean). Give exactly those queries up to two
+    # extra interleaved samples; clean queries don't pay for it.
+    for _retry in range(2):
+        flagged = [n for n in names if max(samples[n]) >= 2 * min(samples[n])]
+        if not flagged:
+            break
+        for name in flagged:
+            samples[name].append(round(run_query(spark, name, sf_dir), 3))
     timings = {name: min(runs) for name, runs in samples.items()}
 
     total = round(sum(timings.values()), 3)
