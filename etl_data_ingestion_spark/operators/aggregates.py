@@ -555,3 +555,73 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 3).alias("max_abs_z"),
         )
     )
+
+
+HLL_UNION_ORACLE = """
+-- Mergeable-sketch distributed counting: per-group HLL sketches union
+-- to a global distinct estimate WITHOUT rescanning the fact table —
+-- the pattern a 1000-executor cluster uses for corpus-wide distinct
+-- counts (each executor sketches its partition; only fixed-size
+-- sketch bytes cross the wire). The estimate is engine-specific, so
+-- the contract emits exact values both engines compute plus bound
+-- booleans each engine asserts of its own sketch (Datasketches HLL at
+-- lgConfigK=12: relative std err ~1.6%%; 5%% is >3 sigma).
+WITH g AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT CAST(COUNT(*) AS BIGINT)                       AS n_groups,
+       CAST(SUM(exact_parts) AS BIGINT)               AS sum_group_exact,
+       (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_global,
+       TRUE AS groups_within_5pct,
+       TRUE AS union_within_5pct
+FROM g
+"""
+
+
+@register("agg_hll_partitioned_union", oracle=HLL_UNION_ORACLE)
+def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed distinct counting via mergeable HLL sketches
+    (Datasketches, built into Spark: hll_sketch_agg / hll_union_agg):
+    sketch l_partkey per return flag, then UNION the per-group
+    sketches into a global estimate — no second scan of lineitem, only
+    |groups| fixed-size sketch binaries move. This is how a fleet
+    reports corpus-wide distincts at 100 TB: partial sketches merge
+    associatively across executors, days, or tables, where exact
+    COUNT(DISTINCT) would shuffle every key.
+
+    Correctness contract (engine-specific estimates): exact per-group
+    and global distincts computed by both engines, plus 5%-bound
+    booleans each engine asserts of its own sketch estimates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    global_exact = li.select(
+        F.count_distinct("l_partkey").alias("exact_global")
+    )
+    grp_ok = F.every(
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_parts"))
+            / F.col("exact_parts")
+        )
+        <= 0.05
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("exact_parts").alias("sum_group_exact"),
+        grp_ok.alias("groups_within_5pct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+    )
+    return merged.crossJoin(F.broadcast(global_exact)).select(
+        "n_groups",
+        "sum_group_exact",
+        "exact_global",
+        "groups_within_5pct",
+        (
+            F.abs(F.col("union_est") - F.col("exact_global"))
+            / F.col("exact_global")
+            <= 0.05
+        ).alias("union_within_5pct"),
+    )

@@ -110,10 +110,10 @@ CHECK_ORDER: list[str] = [
     "pipeline_chunk_documents",
     "embedding_l2_quantize",
     "timeseries_zscore_outliers",
-    # slots 49-50: oldest round-1 greens, re-verified post-refactor
-    # (q5/q6/q10/q14/q18 move to the round-4 re-verification window)
+    "agg_hll_partitioned_union",
+    # slot 50: oldest round-1 green, re-verified post-refactor
+    # (q3/q5/q6/q10/q14/q18 move to the round-4 re-verification window)
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
 ]
 
 

@@ -126,3 +126,19 @@ def test_zscore_outliers_bounded_and_complete(spark, sf_dir):
             assert r.n_outliers == 0
         else:
             assert r.n_outliers >= 1
+
+
+def test_hll_union_matches_global_on_overlapping_groups(spark, tmp_path):
+    """Groups share keys, so sum(group exacts) > global exact; the
+    unioned sketch must estimate the GLOBAL count (dedup across
+    groups), not the sum — within the pinned 5% bound."""
+    rows = [(k % 3, k % 400) for k in range(5000)]
+    df = spark.createDataFrame(rows, "l_returnflag long, l_partkey long")
+    # reuse the operator body against a synthesized lineitem
+    path = str(tmp_path / "li")
+    df.write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    out = registry.QUERIES["agg_hll_partitioned_union"](spark, path).collect()[0]
+    assert out.n_groups == 3
+    assert out.exact_global == 400
+    assert out.sum_group_exact > out.exact_global
+    assert out.groups_within_5pct and out.union_within_5pct
