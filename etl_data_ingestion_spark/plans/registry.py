@@ -148,6 +148,7 @@ def load_all() -> None:
         ingest_queries,
         curation,
         corpus,
+        funnel,
         streaming_queries,
         multimodal,
         subqueries,

@@ -142,3 +142,63 @@ def test_hll_union_matches_global_on_overlapping_groups(spark, tmp_path):
     assert out.exact_global == 400
     assert out.sum_group_exact > out.exact_global
     assert out.groups_within_5pct and out.union_within_5pct
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_funnel_respects_order_and_window(spark, tmp_path):
+    """User 1 converts fully inside the windows; user 2's click comes
+    BEFORE the view (order violation); user 3's purchase is 2h after
+    the click (window violation)."""
+    from datetime import datetime as dt
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    h = lambda hh, mm=0: dt(2024, 1, 1, hh, mm)
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(10), 1, "click", 1.0, "{}"),
+        (3, t(20), 1, "purchase", 1.0, "{}"),
+        (4, t(30), 2, "click", 1.0, "{}"),
+        (5, t(40), 2, "view", 1.0, "{}"),
+        (6, t(0), 3, "view", 1.0, "{}"),
+        (7, t(10), 3, "click", 1.0, "{}"),
+        (8, h(3), 3, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = registry.QUERIES["funnel_view_click_purchase"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (3, 2, 1)
+    assert abs(out.click_rate - round(2 / 3, 4)) < 1e-9
+    assert out.purchase_rate == 0.5
+
+
+def test_retention_triangle_on_planted_cohorts(spark, tmp_path):
+    """Two users start day 0 (one returns day 1), one starts day 1:
+    the triangle must show cohort sizes 2 and 1 and retention 0.5 for
+    (day0 cohort, offset 1)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt(2024, 1, 1, 10), 2, "view", 1.0, "{}"),
+        (3, dt(2024, 1, 2, 9), 1, "click", 1.0, "{}"),
+        (4, dt(2024, 1, 2, 11), 3, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        (r.cohort_day, r.day_offset): r
+        for r in registry.QUERIES["retention_daily_cohorts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("2024-01-01", 0)].cohort_size == 2
+    assert out[("2024-01-01", 0)].retention == 1.0
+    assert out[("2024-01-01", 1)].n_active == 1
+    assert out[("2024-01-01", 1)].retention == 0.5
+    assert out[("2024-01-02", 0)].cohort_size == 1
