@@ -236,3 +236,42 @@ def compact_parquet_dir(
             if f.endswith(".parquet") and not f.startswith("_")
         ]
     )
+
+
+def write_time_partitioned(
+    spark,
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    files_per_day: int = 1,
+) -> int:
+    """Time-partitioned, time-ordered warehouse layout: partition the
+    output by event day (`partitionBy("event_date")` → Hive layout a
+    later scan prunes with PartitionFilters) and sort rows by the
+    timestamp WITHIN each file (`sortWithinPartitions` — no global
+    sort, no extra Exchange beyond the day repartition), so parquet
+    row-group min/max statistics on ts become tight and a time-range
+    predicate skips row groups inside the day too.
+
+    This is the canonical event-log layout at 100 TB: day-level
+    partition pruning (thousands of partitions, O(1) listing per
+    queried day) + intra-file ordering for rowgroup skipping. The
+    repartition key includes a within-day split so one hot day can
+    still fan out over `files_per_day` files/executors.
+
+    Returns the number of day partitions written.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    with_day = df.withColumn("event_date", F.to_date(F.col(ts_col)))
+    split = (F.xxhash64(F.col(ts_col)) % files_per_day).cast("int")
+    (
+        with_day.repartition(F.col("event_date"), split)
+        .sortWithinPartitions("event_date", ts_col)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return len([d for d in os.listdir(path) if d.startswith("event_date=")])

@@ -202,3 +202,44 @@ def test_retention_triangle_on_planted_cohorts(spark, tmp_path):
     assert out[("2024-01-01", 1)].n_active == 1
     assert out[("2024-01-01", 1)].retention == 0.5
     assert out[("2024-01-02", 0)].cohort_size == 1
+
+
+def test_time_partitioned_write_prunes_and_orders(spark, sf_dir, tmp_path):
+    """The layout must (1) produce one Hive dir per day, (2) keep rows
+    time-ordered within every file (tight rowgroup stats), and (3)
+    show PartitionFilters pruning when a day is queried."""
+    import os
+
+    from etl_data_ingestion_spark.catalog import load_table
+    from etl_data_ingestion_spark.ingest.sinks import write_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    n_days = ev.selectExpr("count(distinct to_date(ts))").collect()[0][0]
+    path = str(tmp_path / "ev_by_day")
+    written = write_time_partitioned(spark, ev, path, ts_col="ts")
+    assert written == n_days
+
+    # per-file ordering: every file's ts column is non-decreasing
+    back = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    bad = (
+        back.withColumn("f", F.input_file_name())
+        .withColumn(
+            "prev",
+            F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("f")
+                .orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .filter(F.col("prev") > F.col("ts"))
+        .count()
+    )
+    assert bad == 0
+
+    # partition pruning: a day-equality predicate must reach
+    # PartitionFilters, not the data filters
+    one_day = back.filter(F.col("event_date") == F.lit("2024-01-02"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
