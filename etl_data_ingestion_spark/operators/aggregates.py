@@ -625,3 +625,52 @@ def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("union_within_5pct"),
     )
+
+
+HISTOGRAM_ORACLE = """
+-- Fixed-bin value histogram (profiling/monitoring staple): 20 equal
+-- bins over [0, 200), out-of-range values clamped to the edge buckets
+-- (width_bucket semantics: 0 below, n+1 at-or-above hi). The bucket
+-- arithmetic is written out so both engines compute the identical
+-- integer. One map-side-combined aggregate; |bins| output rows.
+WITH b AS (
+  SELECT CASE WHEN value < 0 THEN 0
+              WHEN value >= 200 THEN 21
+              ELSE CAST(FLOOR(value / 10.0) AS BIGINT) + 1 END AS bucket
+  FROM events
+)
+SELECT bucket,
+       CASE WHEN bucket = 0 THEN NULL ELSE (bucket - 1) * 10.0 END AS lo_edge,
+       CASE WHEN bucket = 21 THEN NULL ELSE bucket * 10.0 END AS hi_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("agg_value_histogram", oracle=HISTOGRAM_ORACLE)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via width_bucket — the profiling/
+    monitoring aggregate every warehouse dashboard runs. Bucket
+    assignment is a codegen'd scalar expression (map-only); the
+    aggregate moves |bins| partial states per partition, nothing
+    else. At 100 TB this is the cheapest possible distribution
+    sketch; pair with agg_approx_percentile when quantiles, not
+    shapes, are the question."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20))
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") > 0, (F.col("bucket") - 1) * 10.0).alias(
+                "lo_edge"
+            ),
+            F.when(F.col("bucket") < 21, F.col("bucket") * 10.0).alias(
+                "hi_edge"
+            ),
+            "n_events",
+        )
+    )

@@ -443,3 +443,74 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct(grams)) / (F.size("ts") - 1), 4
         ).alias("dup_2gram_frac"),
     )
+
+
+TFIDF_ORACLE = """
+-- TF-IDF top terms: corpus document frequency per term (one gram-keyed
+-- aggregate), joined back to per-document term counts; top-3 terms per
+-- doc by tf * ln(N/df). Ordering is on the raw double (identical in
+-- both engines for identical integer tf/df/N) with a term tie-break.
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC,
+                                     tf.term) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(tfidf, 4) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@register("text_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting, the classic relevance/keyword-extraction
+    statistic: per-doc term counts (one Exchange on (doc, term)),
+    corpus document frequencies (one Exchange on term — partial
+    aggregation means only per-partition (term, count) states move),
+    scalar N broadcast, top-3 per doc via WindowGroupLimit (per-
+    partition top-k heaps before the doc_id shuffle).
+
+    Scale notes: df is the vocabulary-sized table (Zipf: << corpus);
+    the tf→df join shuffles on term with map-side combine upstream.
+    The production variant drops terms with df=1 before the join
+    (they can't rank without context) and hashes terms to 8-byte ids;
+    kept as strings here so the oracle compares exact values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc_id, term) is distinct in tf, so df is a plain count
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -243,3 +243,53 @@ def test_time_partitioned_write_prunes_and_orders(spark, sf_dir, tmp_path):
     one_day = back.filter(F.col("event_date") == F.lit("2024-01-02"))
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_date" in plan
+
+
+def test_tfidf_ranks_distinctive_term_first(spark, tmp_path):
+    """A term appearing 3x in one doc and nowhere else must outrank
+    corpus-wide terms; df counts docs, not occurrences."""
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common common other other"),
+            (3, "common other filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = registry.QUERIES["text_tfidf_top_terms"](
+        spark, str(tmp_path)
+    ).collect()
+    top1 = {r.doc_id: r for r in rows if r.rnk == 1}
+    assert top1[1].term == "zebra"
+    assert top1[1].tf == 3 and top1[1].df == 1
+    # 'common' is in every doc -> ln(3/3)=0 -> can never rank above
+    # any doc-exclusive term
+    for r in rows:
+        if r.term == "common":
+            assert r.tfidf == 0.0
+
+
+def test_histogram_buckets_clamp_and_partition(spark, tmp_path):
+    """Boundary semantics: v=10 goes to bucket 2 (left-closed bins),
+    v<0 to bucket 0, v>=200 to bucket 21; counts total the input."""
+    from datetime import datetime as dt
+
+    vals = [-5.0, 0.0, 9.99, 10.0, 55.5, 199.99, 200.0, 500.0]
+    rows = [
+        (i, dt(2024, 1, 1), 1, "view", v, "{}") for i, v in enumerate(vals)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.bucket: r
+        for r in registry.QUERIES["agg_value_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0].n_events == 1 and out[0].lo_edge is None
+    assert out[1].n_events == 2          # 0.0 and 9.99
+    assert out[2].n_events == 1          # 10.0 is left-closed in bin 2
+    assert out[6].n_events == 1          # 55.5
+    assert out[20].n_events == 1         # 199.99
+    assert out[21].n_events == 2 and out[21].hi_edge is None  # 200, 500
+    assert sum(r.n_events for r in out.values()) == len(vals)
