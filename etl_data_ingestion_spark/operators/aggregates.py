@@ -674,3 +674,48 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+HASH_SAMPLE_ORACLE = """
+-- Consistent-hash sampling: per group, keep the k rows with the
+-- lowest md5(id) — a deterministic, engine-independent "uniform"
+-- sample (md5 is avalanching, so hash order is uncorrelated with id
+-- order). Unlike Bernoulli sampling this is reproducible across
+-- engines, reruns, AND growing data (a kept row stays kept until k
+-- better hashes arrive) — the property that makes debugging samples
+-- and cross-system A/B slices stable.
+WITH ranked AS (
+  SELECT event_type, event_id,
+         md5(CAST(event_id AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS rnk
+  FROM events
+)
+SELECT event_type, event_id, h, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""
+
+
+@register("agg_consistent_hash_sample", oracle=HASH_SAMPLE_ORACLE)
+def agg_consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling by hash order (lowest-k
+    md5(id) per event type). Plans as WindowGroupLimit: each partition
+    keeps a k-row heap per group BEFORE the shuffle, so the Exchange
+    moves at most k·|groups| rows per partition regardless of input
+    size — the same pre-shuffle top-k machinery as topk_orders_by_price,
+    pointed at a hash to make the "top" a uniform sample. Rerunning on
+    appended data keeps prior sample members unless displaced by a
+    lower hash — stable debugging slices at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h, F.asc("event_id"))
+    return (
+        ev.select("event_type", "event_id", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "event_id", "h", F.col("rnk").cast("long").alias("rnk"))
+    )

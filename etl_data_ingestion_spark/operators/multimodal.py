@@ -312,3 +312,64 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_bits"),
         (ent >= 7.0).alias("looks_compressed"),
     )
+
+
+PAYLOAD_DEDUP_ORACLE = """
+-- Exact payload dedup by content digest — the FIRST pass every
+-- multimodal pipeline runs (identical images/audio re-crawled under
+-- different ids): sha256 over the raw bytes, keep-lowest-id per
+-- digest, report only duplicated digests. Works on any binary
+-- payload; fixture payloads are the utf-8 bytes of text, so the
+-- oracle digests the same bytes from the string column.
+WITH corpus AS (
+  -- fixtures carry no byte-identical payloads; plant re-crawls of
+  -- every 7th doc under fresh ids (same pattern as dedup_exact_*)
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+), h AS (
+  SELECT doc_id, sha256(text) AS content_sha256, length(text) AS payload_bytes
+  FROM corpus
+)
+SELECT content_sha256,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(MIN(payload_bytes) AS BIGINT) AS payload_bytes
+FROM h
+GROUP BY content_sha256
+HAVING COUNT(*) >= 2
+ORDER BY content_sha256
+"""
+
+
+@register("multimodal_payload_dedup", oracle=PAYLOAD_DEDUP_ORACLE)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-digest dedup over the opaque binary column: sha2-256 of
+    the payload bytes (JVM-side, no Python), group on the 32-byte
+    digest, keep the lowest id. The shuffle carries (digest, id,
+    size) — never the payloads — which is what makes this viable when
+    the payloads are 100 TB of media: digest at scan time, move only
+    digests. Same skeleton as dedup_exact_documents, applied to the
+    binary tier (reference delegates blob identity to GCS object
+    names, main.py:222-247; this derives it from content instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    h = corpus.select(
+        "doc_id",
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
+    )
+    return (
+        h.groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min("payload_bytes").alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -293,3 +293,47 @@ def test_histogram_buckets_clamp_and_partition(spark, tmp_path):
     assert out[20].n_events == 1         # 199.99
     assert out[21].n_events == 2 and out[21].hi_edge is None  # 200, 500
     assert sum(r.n_events for r in out.values()) == len(vals)
+
+
+def test_payload_dedup_finds_planted_recrawls(spark, sf_dir):
+    """Every 7th doc is planted as a re-crawl: each duplicated digest
+    must show exactly 2 copies with the original id kept."""
+    n_sevens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 7 = 0")
+        .count()
+    )
+    rows = registry.QUERIES["multimodal_payload_dedup"](spark, sf_dir).collect()
+    assert len(rows) == n_sevens
+    for r in rows:
+        assert r.n_copies == 2
+        assert r.keeper_doc_id % 7 == 0 and r.keeper_doc_id < 2000000
+
+
+def test_hash_sample_stable_under_append(spark, tmp_path):
+    """The consistent-hash property: sampling a superset keeps every
+    prior member unless displaced by a lower hash — verified by
+    recomputing the k=5 sample before/after appending rows."""
+    from datetime import datetime as dt
+
+    base = [(i, dt(2024, 1, 1), 1, "view", 1.0, "{}") for i in range(40)]
+    _write_events(spark, str(tmp_path), base)
+    before = {
+        r.event_id
+        for r in registry.QUERIES["agg_consistent_hash_sample"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    extra = [(i, dt(2024, 1, 2), 1, "view", 1.0, "{}") for i in range(40, 80)]
+    _write_events(spark, str(tmp_path), base + extra)
+    after_rows = registry.QUERIES["agg_consistent_hash_sample"](
+        spark, str(tmp_path)
+    ).collect()
+    after = {r.event_id for r in after_rows}
+    max_h_after = max(r.h for r in after_rows)
+    # members that left were displaced by a strictly lower hash
+    import hashlib
+
+    for ev_id in before - after:
+        h = hashlib.md5(str(ev_id).encode()).hexdigest()
+        assert h > max_h_after
