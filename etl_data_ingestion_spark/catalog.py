@@ -37,10 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     callers express filters/selects declaratively and the parquet reader
     receives them (verify via .explain: PushedFilters / ReadSchema).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long (legacy nanosAsLong) and convert to
-    a microsecond timestamp — the same ns→us truncation DuckDB applies,
-    so oracle comparisons agree.
+    events.ts normalizes to TimestampType (LTZ) whatever the fixture
+    writer produced: older fixtures carry parquet TIMESTAMP(NANOS)
+    (unreadable by the vectorized reader — read as long via legacy
+    nanosAsLong, truncate ns→us exactly like DuckDB does), newer ones
+    read natively as TIMESTAMP_NTZ. The session timezone is pinned UTC
+    (session.py) so NTZ→LTZ is an identity on the values, and
+    ``withWatermark`` — which rejects NTZ event time — works on the
+    same column the batch oracles check.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -49,8 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
