@@ -44,13 +44,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read natively as TIMESTAMP_NTZ. The session timezone is pinned UTC
     (session.py) so NTZ→LTZ is an identity on the values, and
     ``withWatermark`` — which rejects NTZ event time — works on the
-    same column the batch oracles check.
+    same column the batch oracles check. The cast is only
+    value-preserving under UTC, so a non-UTC session fails loudly here
+    rather than silently shifting every timestamp off the oracle.
+
+    Pushdown exception: because ``ts`` is a derived column (withColumn
+    cast), filters on it are evaluated post-scan, NOT pushed to the
+    parquet reader — unlike every other table/column, where
+    declarative filters reach the scan (PushedFilters in .explain).
+    At scale, ts-range queries should rely on directory-level time
+    partitioning (see operators/sources_scan.py's partitioned layout
+    writer) for pruning instead of row-group predicate pushdown.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         import pyspark.sql.functions as F
 
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events.ts normalization requires spark.sql.session.timeZone"
+                f"=UTC (got {tz!r}); run session.tune_session(spark) first — "
+                "a non-UTC session would shift ts values away from the oracle"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         ts_type = dict(df.dtypes).get("ts")

@@ -43,77 +43,75 @@ def register(name: str, oracle: Optional[str] = None):
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
-# Round 1 checked registration slots 1-50 (48 green). Round 2's window
-# covered ingest/dedup/similarity/text/scalars/subqueries/pandas/
-# mailbox/stream-analogues → 49/50 green (scalar_math_funcs hash-failed
-# on an oracle dtype since fixed). Round 3's window below: the one
-# retest, the 27 queries that have never received a driver verdict,
-# the three newly derived TPC-H queries (q4/q12/q21), then the oldest
-# round-1 greens (refactored since their verdict — 90 terminal
-# orderBys removed) to fill the 50. Names not listed follow in
-# registration order after the listed ones.
+# Round 1 checked registration slots 1-50 (48 green). Round 2:
+# 49/50 green. Round 3: 50/50 green — every driver verdict ever
+# issued is now green (146/152; the other 6 registered after the
+# window filled and were judge-verified green at sf0.01). Round 4's
+# window below: the 6 never-driver-checked queries first, then 44 of
+# the 47 queries whose only verdict is from round 1 (oldest verdicts,
+# most refactor drift since — tpch/join/agg/window/setop families).
+# The 3 deferred r1-greens (setop_union_all, setop_union_distinct,
+# window_value_functions — value-function shapes untouched since r1)
+# plus the 49 round-2 greens head the round-5 window. Names not
+# listed follow in registration order after the listed ones.
 CHECK_ORDER: list[str] = [
-    # slot 1: round-2 red row, oracle dtype repaired (CEIL/FLOOR→BIGINT)
-    "scalar_math_funcs",
-    # slots 2-28: never driver-verified (round-2 additions)
-    "dedup_simhash_banded",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_potential_promotion",
-    "pipeline_decontaminate_benchmark",
-    "pipeline_stratified_sample",
-    "text_pii_scrub",
-    "udtf_sentence_split",
-    "warehouse_upsert_latest",
-    "agg_heavy_hitters_countmin",
-    "window_percentile_bucket_scalable",
-    "profile_table_stats",
-    "timeseries_gap_fill_hourly",
-    "stream_sliding_hourly_30m",
-    "stream_session_window_30m",
-    "stream_interval_join",
-    "stream_stateful_sessions",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_text_lines",
-    "scan_binary_files",
-    "scan_parquet_schema_evolution",
-    "multimodal_binary_metadata",
-    "multimodal_image_decode_stub",
-    "multimodal_frame_sample_stub",
-    "multimodal_resize_featurize_stub",
-    # slots 29-33: new this round — lineitem date/shipmode derivation
-    # (q4/q12/q21) + q11/q17, completing all 22 TPC-H shapes
-    "tpch_q4_order_priority",
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q17_small_qty_revenue",
-    # slots 34-43: new this round — curation + format + multimodal +
-    # streaming audit + incremental dedup + multiset set ops
-    "text_gopher_quality_rules",
-    "text_repetition_stats",
-    "scan_orc_roundtrip",
-    "dedup_semantic_clusters",
-    "pipeline_domain_mixture_weights",
-    "multimodal_byte_entropy",
-    "stream_late_data_accounting",
-    "dedup_incremental_new_docs",
-    "setop_intersect_all",
-    "setop_except_all",
-    # slots 44-48: round-3 late additions — corpus shaping (C4 line
-    # filter, duplicated spans, chunking), int8 embedding quantize,
-    # z-score outliers — first-time verdicts outrank re-verification
-    "text_c4_line_filter",
-    "dedup_duplicated_spans",
-    "pipeline_chunk_documents",
-    "embedding_l2_quantize",
-    "timeseries_zscore_outliers",
-    "agg_hll_partitioned_union",
-    # slot 50: oldest round-1 green, re-verified post-refactor
-    # (q3/q5/q6/q10/q14/q18 move to the round-4 re-verification window)
-    "tpch_q1_pricing_summary",
+    # slots 1-6: never driver-verified (registered after the round-3
+    # window filled; judge-verified green via tools/check_parity.py)
+    "funnel_view_click_purchase",
+    "retention_daily_cohorts",
+    "text_tfidf_top_terms",
+    "agg_value_histogram",
+    "multimodal_payload_dedup",
+    "agg_consistent_hash_sample",
+    # slots 7-18: TPC-H round-1 greens, re-verified post-refactor
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_sales_opportunity",
+    # slots 19-29: all 11 join shapes (round-1 verdicts)
+    "join_broadcast_dims",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_late_shipments",
+    "join_range_price_bands",
+    "join_full_outer_nation_counts",
+    "join_asof_purchase_view",
+    "join_sortmerge_fact_fact",
+    "join_salted_skew",
+    "join_null_safe_eq",
+    "join_shufflehash_fact",
+    # slots 30-40: aggregation round-1 greens
+    "agg_distinct_counts",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_stats_acctbal",
+    "agg_pivot_status",
+    "agg_exact_percentiles",
+    "agg_collect_sorted",
+    "agg_median_by_priority",
+    "agg_filtered_boolean",
+    "agg_salted_skew",
+    # slots 41-47: window round-1 greens
+    "window_rank_top_orders_per_customer",
+    "window_running_total",
+    "window_lag_lead_events",
+    "window_moving_avg",
+    "window_ntile_percent_rank",
+    "window_sessionize_gaps",
+    "window_range_frame_90d",
+    # slots 48-50: set ops + the one r1 scalar family
+    "setop_intersect",
+    "setop_except",
+    "scalar_string_funcs",
 ]
 
 
