@@ -55,6 +55,42 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def time_oracles(names: list[str], sf_dir: str, cpus: int) -> dict[str, float | None]:
+    """Best-of-N DuckDB timings for each query's oracle SQL on the same
+    parquet — the 2x perf gate is defined against these, so the artifact
+    should carry them instead of each judge re-timing by hand.
+
+    Expensive oracles (first sample >= 5s, e.g. the exact-Jaccard
+    minhash ground truth: ~93s at sf0.1) get a single sample; cheap
+    ones get best-of-3. Queries with no registered oracle map to None.
+    """
+    import duckdb
+
+    from etl_data_ingestion_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={cpus}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    out: dict[str, float | None] = {}
+    for name in names:
+        sql = registry.ORACLES.get(name)
+        if sql is None:
+            out[name] = None
+            continue
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+            if samples[0] >= 5.0:
+                break
+        out[name] = round(min(samples), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -124,19 +160,51 @@ def main() -> None:
     spread = {
         name: round(max(runs) - min(runs), 3) for name, runs in samples.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
+
+    # DuckDB oracle timings + ratios: the perf gate is spark/duckdb on
+    # identical parquet, so the artifact carries both sides. Timed
+    # after the Spark passes so the JVM is idle during DuckDB runs.
+    duck = time_oracles(names, sf_dir, cpus)
+    ratio = {
+        name: (round(timings[name] / duck[name], 2) if duck[name] else None)
+        for name in names
+    }
+    # "comparable" excludes heavy oracles (>=5s: oracles that compute a
+    # different, brute-force algorithm as ground truth — e.g. minhash's
+    # exact-Jaccard all-pairs, 93s in DuckDB vs 2s in Spark at sf0.1).
+    # Including them would flatter the total; they're still reported
+    # per-query under "ratio".
+    heavy = [n for n in names if duck[n] and duck[n] >= 5.0]
+    comparable = [n for n in names if duck[n] and n not in heavy]
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "samples": samples,
+            "spread": spread,
+            "duckdb": duck,
+            "ratio": ratio,
+            "heavy_oracles": heavy,
+            "ratio_total_comparable": (
+                round(
+                    sum(timings[n] for n in comparable)
+                    / sum(duck[n] for n in comparable),
+                    2,
+                )
+                if comparable
+                else None
+            ),
+            "sf": sf,
+        }
     )
+    # Line-initial, printed twice: round-3's artifact came back
+    # parsed:null because the driver's tail capture clipped the opening
+    # of the single summary line; a duplicate line means at least one
+    # copy survives clipping from either end.
+    sys.stdout.write("\n" + summary + "\n" + summary + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
