@@ -199,12 +199,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_TOPK_ORACLE = """
 -- IVF self-check contract (deterministic quantizer: seeded sample,
 -- first-k init, fixed Lloyd rounds): 10 results per query, recall@10
--- vs exact >= 0.2. The floor is honest, not aspirational: these
--- synthetic embeddings have no cluster structure, so probing 2/8
--- partitions recovers ≈ the probed corpus fraction (measured 3-6/10
--- per query); on clustered real embeddings the same k/n_probe lands
--- ≫90%. A higher floor here would encode fixture luck, not a
--- guarantee the operator provides.
+-- vs exact >= 0.6 per query with n_probe=4/8. Measured per-query
+-- recall at sf0.001/0.01/0.1: min 7/10, aggregate 24-26/30 (80-87%)
+-- — the floor leaves one result of margin below the worst measured
+-- query at any sf. These synthetic embeddings have no cluster
+-- structure, so recall tracks the probed corpus fraction (~50% at
+-- 4/8) plus the ranked-probe margin; on clustered real embeddings
+-- the same k/n_probe lands ≫90%.
 SELECT vec_id AS q_id,
        CAST(10 AS BIGINT) AS ann_results,
        TRUE AS recall_floor_ok
@@ -217,7 +218,7 @@ ORDER BY q_id
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer fit on a bounded sample
     → corpus partitioned by nearest centroid (map-side, centers
-    broadcast) → queries probe their 2 nearest centroids and
+    broadcast) → queries probe their 4 nearest centroids and
     brute-force only those partitions.
 
     Quantizer training is a driver-side numpy Lloyd loop over a FIXED
@@ -227,15 +228,21 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe scoring) stays fully distributed; the recall/cost dial is
     n_probe/k, not a code change.
 
-    Measured recall@10 vs similarity_topk_bruteforce at sf0.1: 14/30
-    ≈ 47% with n_probe=2/8 — the fixture embeddings are near-uniform
-    (no cluster structure), so IVF recall ≈ fraction of corpus probed
-    (25%) plus margin; on clustered real embeddings the same
-    k/n_probe typically lands ≫90%. The honest trade, quantified.
+    Measured recall@10 vs similarity_topk_bruteforce with n_probe=4/8
+    (round-4 sweep over n_probe ∈ {2,4,5}, k ∈ {8,16}, first-k vs
+    kmeans++ init, at sf0.001/0.01/0.1): aggregate 24-26/30 (80-87%),
+    per-query min 7/10 at every sf — the 0.6 contractual floor in the
+    oracle holds with one result of margin. n_probe=2 measured 11-14/30
+    (47%); kmeans++ init was NOISIER on this structureless fixture
+    (18-26/30), so first-k init stays. The fixture embeddings are
+    near-uniform, so recall tracks the probed corpus fraction (~50% at
+    4/8) plus the ranked-probe margin; on clustered real embeddings
+    the same k/n_probe typically lands ≫90%. The honest trade,
+    quantified and now contractual.
     """
     import numpy as np
 
-    k_centroids, n_iter = 8, 10
+    k_centroids, n_probe, n_iter = 8, 4, 10
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sample = np.array(
         [
@@ -288,7 +295,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # rank centroids per query, keep 2 probes
+    # rank centroids per query, keep n_probe probes
     qc = queries.crossJoin(F.broadcast(centers)).select(
         "q_id",
         "q_emb",
@@ -298,7 +305,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"))
     probes = (
         qc.withColumn("p", F.row_number().over(wq))
-        .filter(F.col("p") <= 2)
+        .filter(F.col("p") <= n_probe)
         .select("q_id", "q_emb", "centroid_id")
     )
     scored = probes.join(assigned, "centroid_id").filter(
@@ -314,7 +321,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id")
     )
-    return _ann_selfcheck(ann, _exact_topk(emb), floor=0.2)
+    return _ann_selfcheck(ann, _exact_topk(emb), floor=0.6)
 
 
 QUANTIZE_ORACLE = """
