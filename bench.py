@@ -63,11 +63,20 @@ def time_oracles(names: list[str], sf_dir: str, cpus: int) -> dict[str, float | 
     Expensive oracles (first sample >= 5s, e.g. the exact-Jaccard
     minhash ground truth: ~93s at sf0.1) get a single sample; cheap
     ones get best-of-3. Queries with no registered oracle map to None.
+
+    An oracle still running after $SPARK_GRAFT_ORACLE_TIMEOUT seconds
+    (default 180) is interrupted and reported as None: brute-force
+    ground-truth oracles are superlinear (all-pairs Jaccard is
+    O(docs²)) and stop terminating at the scale-curve sfs (sf>=0.3)
+    long before the Spark side breaks a sweat.
     """
+    import threading
+
     import duckdb
 
     from etl_data_ingestion_spark.catalog import TABLES, table_path
 
+    budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "180"))
     con = duckdb.connect()
     con.execute(f"SET threads={cpus}")
     for t in TABLES:
@@ -81,13 +90,22 @@ def time_oracles(names: list[str], sf_dir: str, cpus: int) -> dict[str, float | 
             out[name] = None
             continue
         samples = []
+        timed_out = False
         for _ in range(3):
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            samples.append(time.perf_counter() - t0)
+            try:
+                con.execute(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+            except duckdb.InterruptException:
+                timed_out = True
+                break
+            finally:
+                timer.cancel()
             if samples[0] >= 5.0:
                 break
-        out[name] = round(min(samples), 3)
+        out[name] = None if timed_out else round(min(samples), 3)
     return out
 
 
