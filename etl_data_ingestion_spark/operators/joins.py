@@ -423,3 +423,80 @@ def join_shufflehash_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("order_value"),
         )
     )
+
+
+BLOOM_PRUNED_ORACLE = """
+-- Bloom-pruned fact⋈dim join: the bloom pre-filter has no false
+-- negatives and every false positive is removed by the exact join
+-- that follows, so the result equals the plain join — which is
+-- exactly what the oracle computes.
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = 7
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("join_bloom_pruned", oracle=BLOOM_PRUNED_ORACLE)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom) semi-join reduction, built distributively:
+    the pattern that turns a fact⋈dim join into a fact-scan prune when
+    the dim predicate is selective — Spark's own
+    spark.sql.optimizer.runtime.bloomFilter applies it automatically in
+    narrow cases; this operator is the explicit, always-available form.
+
+    Shape: (1) build side (suppliers of one nation) folds into a
+    4096-bit bloom as a 64-row aggregate — bucket = hash1(key) mod 64,
+    bitmap = BIT_OR(1 << (hash2(key) mod 64)) — no driver collect, the
+    bitmap IS a DataFrame; (2) the fact scan computes the same two
+    hashes map-side, broadcast-joins the 64-row bitmap on bucket, and
+    drops every row whose bit is absent BEFORE the exact join;
+    (3) the exact broadcast join removes bloom false positives.
+
+    At 100 TB: the probe is map-side-only (two xxhash64 + one AND per
+    row against a broadcast smaller than a cache line per bucket), so
+    rows that can't join never reach the join — with a selective dim
+    filter that's a >90% cut in joined volume, and with a sort-merge
+    fact-fact join it's a >90% cut in SHUFFLED bytes, which is the
+    difference that matters. False-positive rate here:
+    ~40 keys / 4096 bits ≈ 1%; size the bitmap at ~10 bits/key.
+    """
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(64))
+    # python-API shiftleft wants a literal shift; the per-row shift is
+    # a SQL expression
+    bit_mask = lambda c: F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({c}, 1), 64) AS INT))"
+    )
+    bitmap = dim.groupBy(bucket("s_suppkey").alias("bucket")).agg(
+        F.bit_or(bit_mask("s_suppkey")).alias("bits")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pruned = (
+        li.withColumn("bucket", bucket("l_suppkey"))
+        .join(F.broadcast(bitmap), "bucket", "left")
+        .filter(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(bit_mask("l_suppkey")) != 0)
+        )
+    )
+    return (
+        pruned.join(F.broadcast(dim), pruned.l_suppkey == dim.s_suppkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -373,3 +373,158 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+CDC_CHUNK_ORACLE = """
+-- Content-defined chunking (Gear rolling hash, FastCDC family)
+-- contract. The chunker itself is not SQL-expressible, so the oracle
+-- pins every property it CAN derive from the payload bytes alone:
+-- per planted duplicate-payload group (re-crawls of every 7th doc) —
+--   * distinct_chunkings = 1: byte-identical payloads MUST chunk
+--     identically (content-defined means content-determined; this is
+--     what makes chunk-level dedup find shifted/duplicated media),
+--   * sizes_ok: chunk sizes sum exactly to payload bytes,
+--   * bounds_ok: every chunk within [32, 256] bytes (last may be
+--     short),
+--   * count_ok: chunk count within [ceil(bytes/256),
+--     floor(bytes/32)+1] — the only counts a bounded chunker can
+--     produce.
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+), h AS (
+  SELECT doc_id, sha256(text) AS content_sha256,
+         length(text) AS n_bytes
+  FROM corpus
+)
+SELECT content_sha256,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(1 AS BIGINT) AS distinct_chunkings,
+       TRUE AS sizes_ok,
+       TRUE AS bounds_ok,
+       TRUE AS count_ok
+FROM h
+GROUP BY content_sha256
+HAVING COUNT(*) >= 2
+ORDER BY content_sha256
+"""
+
+
+@register("multimodal_cdc_chunking", oracle=CDC_CHUNK_ORACLE)
+def multimodal_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over opaque binary payloads — the
+    sub-file dedup primitive for media/blob stores (FastCDC/Gear
+    family; public algorithm): a seeded 256-entry gear table drives a
+    rolling hash; a chunk boundary falls where (hash & mask) == 0,
+    bounded to [32, 256] bytes. Byte-identical payloads chunk
+    identically wherever they appear, so chunk digests dedup shared
+    content ACROSS payloads — the step beyond whole-payload digests
+    (multimodal_payload_dedup) when media is re-encoded containers
+    around identical streams.
+
+    Spark shape: payload bytes never shuffle — chunking runs map-side
+    in ONE Arrow-batched mapInPandas pass emitting per-payload
+    accounting (chunk count, sequence signature, size/bound checks);
+    the only Exchange groups 32-byte digests. Per-row Python is the
+    honest cost: a byte-sequential rolling hash is the canonical
+    can't-express-in-built-ins case, and it rides the scan, not a
+    shuffle. At 100 TB the same pass emits (chunk_digest, offset)
+    pairs for a chunk-store join; here it emits the verification
+    summary the oracle pins (see CDC_CHUNK_ORACLE).
+    """
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    gear = rng.integers(0, 1 << 63, size=256, dtype=np.int64).tolist()
+    MINC, MAXC, MASK = 32, 256, 0x3F  # avg target 64B at 6 mask bits
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    payload = corpus.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("content_sha256"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+
+    def chunk_accounting(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk_sizes(data: bytes) -> list[int]:
+            sizes, h, start = [], 0, 0
+            for i, b in enumerate(data):
+                h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+                clen = i - start + 1
+                if clen >= MINC and ((h & MASK) == 0 or clen >= MAXC):
+                    sizes.append(clen)
+                    start, h = i + 1, 0
+            if start < len(data):
+                sizes.append(len(data) - start)
+            return sizes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, sha, data in zip(
+                pdf["doc_id"], pdf["content_sha256"], pdf["data"]
+            ):
+                data = bytes(data)
+                sizes = chunk_sizes(data)
+                shas, off = [], 0
+                for s in sizes:
+                    shas.append(
+                        hashlib.sha256(data[off : off + s]).hexdigest()
+                    )
+                    off += s
+                body_ok = all(MINC <= s <= MAXC for s in sizes[:-1])
+                last_ok = (not sizes) or sizes[-1] <= MAXC
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "content_sha256": sha,
+                        "n_bytes": len(data),
+                        "n_chunks": len(sizes),
+                        "seq_sig": hashlib.sha256(
+                            "|".join(shas).encode()
+                        ).hexdigest(),
+                        "sizes_ok": sum(sizes) == len(data),
+                        "bounds_ok": body_ok and last_ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    acct = payload.mapInPandas(
+        chunk_accounting,
+        schema=(
+            "doc_id long, content_sha256 string, n_bytes long, "
+            "n_chunks long, seq_sig string, sizes_ok boolean, "
+            "bounds_ok boolean"
+        ),
+    )
+    lo = F.ceil(F.col("n_bytes") / MAXC)
+    hi = F.floor(F.col("n_bytes") / MINC) + 1
+    acct = acct.withColumn(
+        "count_ok", (F.col("n_chunks") >= lo) & (F.col("n_chunks") <= hi)
+    )
+    return (
+        acct.groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("seq_sig").alias("distinct_chunkings"),
+            F.bool_and("sizes_ok").alias("sizes_ok"),
+            F.bool_and("bounds_ok").alias("bounds_ok"),
+            F.bool_and("count_ok").alias("count_ok"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "content_sha256",
+            "n_copies",
+            "distinct_chunkings",
+            "sizes_ok",
+            "bounds_ok",
+            "count_ok",
+        )
+    )

@@ -383,3 +383,86 @@ def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+EWMA_ORACLE = """
+-- Exponentially weighted moving average over the daily value series
+-- (alpha = 0.5): y_1 = x_1; y_i = 0.5*x_i + 0.5*y_{i-1}. The daily
+-- input is ROUND(SUM(value), 6) so both engines fold from identical
+-- doubles; the recursion then applies the identical double ops in the
+-- identical order, so results are bit-equal before the final ROUND.
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+), ew AS (
+  SELECT rn, d, x, x AS y FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.d, i.x, 0.5 * i.x + 0.5 * ew.y
+  FROM idx i JOIN ew ON i.rn = ew.rn + 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       ROUND(x, 2) AS daily_total,
+       ROUND(y, 4) AS ewma_value
+FROM ew ORDER BY day
+"""
+
+
+@register("timeseries_ewma_daily", oracle=EWMA_ORACLE)
+def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily event-value series (alpha = 0.5):
+    the standard trend/anomaly-baseline transform, which no built-in
+    window function expresses because each output depends recursively
+    on the previous OUTPUT, not a frame of inputs.
+
+    Spark-first shape: the corpus-sized work is ONE map-side-combined
+    groupBy(day) that collapses |events| rows to |days| partials; the
+    inherently-sequential recursion then runs as an F.aggregate fold
+    over the sorted |days|-element array — JVM expression codegen, no
+    Python, no extra shuffle, serial only over the tiny smoothed
+    series (30 points here), never over events. Per-key EWMA at scale
+    is the same fold inside groupBy(key).agg — the day-rollup bounds
+    the serial section regardless of event volume.
+
+    Numeric parity: the fold input is ROUND(SUM, 6) (absorbing
+    summation-order difference between engines); the recursion itself
+    applies identical literal double arithmetic (0.5*x + 0.5*y) in
+    identical order on both sides, so values are bit-equal before the
+    final ROUND — the same 'same ops, same order' discipline as
+    embedding_l2_quantize.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    series = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    folded = series.select(
+        F.aggregate(
+            "s",
+            F.expr("CAST(array() AS array<struct<d:string,y:double,x:double>>)"),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["d"].alias("d"),
+                        F.when(F.size(acc) == 0, e["x"])
+                        .otherwise(
+                            e["x"] * F.lit(0.5)
+                            + F.element_at(acc, -1)["y"] * F.lit(0.5)
+                        )
+                        .alias("y"),
+                        e["x"].alias("x"),
+                    )
+                ),
+            ),
+        ).alias("ew")
+    )
+    return folded.select(F.explode("ew").alias("r")).select(
+        F.col("r.d").alias("day"),
+        F.round("r.x", 2).alias("daily_total"),
+        F.round("r.y", 4).alias("ewma_value"),
+    )
