@@ -1023,3 +1023,95 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_batch.join(idx, "h", "left").select(
         "doc_id", F.coalesce("in_index", F.lit(False)).alias("dup_of_index")
     )
+
+
+BLOOM_INCREMENTAL_ORACLE = """
+-- Bloom-prefiltered incremental dedup: same contract as
+-- dedup_incremental_new_docs (the bloom tier changes the COST, not
+-- the answer — no false negatives, and every false positive is
+-- killed by the exact verification join). Same corpus construction:
+-- index = docs with doc_id % 7 <> 0; new batch = every 7th doc plus
+-- planted copies of every 10th index doc.
+WITH idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), new_batch AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, sha256(text) FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+)
+SELECT n.doc_id, (i.h IS NOT NULL) AS dup_of_index
+FROM new_batch n LEFT JOIN idx i ON n.h = i.h
+"""
+
+
+@register("dedup_bloom_incremental", oracle=BLOOM_INCREMENTAL_ORACLE)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup where the corpus index is consulted through a
+    BLOOM BITMAP first: at 100 TB the digest index is billions of rows,
+    and joining every ingestion batch against it — even digest-only —
+    costs an index-sized shuffle or a huge storage-side lookup. The
+    bloom tier folds the index into a fixed-size bitmap ONCE (here
+    65,536 bits as a 1024-row (bucket, bits) aggregate — the same
+    distributive BIT_OR build as join_bloom_pruned, no driver
+    collect; in production, rebuilt only on compaction and small
+    enough to broadcast or pin in memory), so the per-batch path is:
+
+      1. map-side bloom probe of the new batch (two hashes + AND
+         against a broadcast bitmap) — most genuinely-new docs exit
+         here having touched NOTHING index-sized;
+      2. exact verification join against the index for the bloom
+         HITS only (planted dups + ~1% false positives), a
+         candidate-sized semi join instead of a batch-sized one.
+
+    No false negatives (a digest in the index always hits its bits),
+    and false positives only send a few extra digests to
+    verification — so the output is EXACTLY the plain incremental
+    answer, which is what the oracle checks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    idx = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    new_batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .unionByName(
+            docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 7 != 0))
+            .select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.sha2(F.col("text"), 256).alias("h"),
+            )
+        )
+    )
+    n_buckets = 1024
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))
+    bit_mask = lambda c: F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({c}, 1), 64) AS INT))"
+    )
+    bitmap = idx.groupBy(bucket("h").alias("bucket")).agg(
+        F.bit_or(bit_mask("h")).alias("bits")
+    )
+    probed = (
+        new_batch.withColumn("bucket", bucket("h"))
+        .join(F.broadcast(bitmap), "bucket", "left")
+        .withColumn(
+            "bloom_hit",
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(bit_mask("h")) != 0),
+        )
+    )
+    # bloom misses are definitively new; hits verify against the index
+    misses = probed.filter(~F.col("bloom_hit")).select(
+        "doc_id", F.lit(False).alias("dup_of_index")
+    )
+    hits = (
+        probed.filter(F.col("bloom_hit"))
+        .join(idx.withColumn("in_idx", F.lit(True)), "h", "left")
+        .select(
+            "doc_id", F.coalesce("in_idx", F.lit(False)).alias("dup_of_index")
+        )
+    )
+    return misses.unionByName(hits)

@@ -466,3 +466,109 @@ def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r.x", 2).alias("daily_total"),
         F.round("r.y", 4).alias("ewma_value"),
     )
+
+
+CUMULATIVE_DISTINCT_ORACLE = """
+-- Daily cumulative distinct users (the "users to date" growth curve).
+-- The naive form (COUNT(DISTINCT) over an expanding frame) rescans
+-- history per day; the scalable identity: a user contributes 1 only
+-- on their FIRST day, so cumulative-distinct = running SUM of
+-- first-appearance counts.
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS d, COUNT(*) AS new_users FROM firsts GROUP BY 1
+), days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+)
+SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY days.d) AS BIGINT)
+         AS cumulative_users
+FROM days LEFT JOIN per_day ON days.d = per_day.d
+ORDER BY day
+"""
+
+
+@register("window_cumulative_distinct_users", oracle=CUMULATIVE_DISTINCT_ORACLE)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve via the first-appearance
+    identity: COUNT(DISTINCT) over an expanding window is O(n·days)
+    and holds per-frame distinct state; summing first-appearance
+    counts is two ordinary aggregations plus a |days|-row running sum.
+
+    Scale shape: one shuffle on user_id for MIN(day) (map-side
+    partial), one |users|→|days| rollup, then the running sum over a
+    |days|-sized series — the expanding-distinct state never exists.
+    This is the standard rewrite for "DAU to date" dashboards at fact
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = events.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    joined = days.join(per_day, "d", "left").select(
+        "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+TRANSITION_ORACLE = """
+-- Per-user event-type transition counts (first-order Markov): the
+-- behavioral-model input (next-action prediction, anomaly flows).
+-- LAG over (user, time) pairs each event with its successor.
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+             4) AS p_transition
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+@register("events_transition_matrix", oracle=TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over the event stream: LEAD over
+    (user_id, ts) pairs each event with its successor; aggregate to
+    (from, to) counts and row-normalized probabilities.
+
+    Scale shape: ONE shuffle on user_id (the lead window), map-side
+    partial counts to a |event_types|² result, and the probability
+    normalization is a window over that tiny matrix. The per-user
+    ordering the window needs is the same sort a sessionizer already
+    pays — at 100 TB this rides time-bucketed event-log layout
+    (operators/sources_scan.py) so each partition sorts locally."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wnorm), 4
+        ).alias("p_transition"),
+    )
