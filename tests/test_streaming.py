@@ -303,3 +303,64 @@ def test_watermark_drops_late_window_update(spark, tmp_path):
     # the [base, base+1h) window finalized with ONLY event 1 —
     # late event 3 was dropped, not merged
     assert emitted.get(base) == 1, emitted
+
+
+def test_stateful_ewma_stream_matches_batch_fold(spark, tmp_path):
+    """The streaming EWMA's carried state must reproduce the batch
+    fold exactly when the stream replays a time-ordered log: source
+    files are landed in event-time order (the layout the
+    time-partitioned event-log writer produces) and consumed one per
+    trigger, so each micro-batch extends the recursion where the last
+    one stopped."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from etl_data_ingestion_spark.catalog import load_table
+    from etl_data_ingestion_spark.streaming import ewma_stateful
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # land as 3 time-ordered files (thirds of the time range)
+    rows = events.orderBy("ts", "event_id").collect()
+    src = str(tmp_path / "src")
+    third = len(rows) // 3
+    schema = events.schema
+    for i, lo in enumerate([0, third, 2 * third]):
+        hi = len(rows) if i == 2 else lo + third
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        ewma_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("ewma_out").toPandas()
+    # last emitted row per key = final state
+    final = {
+        r.event_type: (r.ewma_value, r.n_events)
+        for _, r in out.sort_values("n_events").iterrows()
+    }
+
+    # batch fold in the same (ts, event_id) order
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    for etype, grp in pdf.groupby("event_type"):
+        y = None
+        for v in grp.sort_values(["ts", "event_id"])["value"]:
+            y = float(v) if y is None else 0.5 * float(v) + 0.5 * y
+        got_y, got_n = final[etype]
+        assert got_n == len(grp)
+        assert abs(got_y - y) < 1e-9, (etype, got_y, y)
