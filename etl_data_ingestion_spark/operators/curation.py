@@ -242,3 +242,83 @@ def pipeline_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(mix, 4).alias("mixture_weight"),
         F.round(mix / nat, 4).alias("upsample_factor"),
     )
+
+
+DSIR_ORACLE = """
+-- DSIR-style importance weights (Xie et al. 2023, "Data Selection
+-- for Language Models via Importance Resampling" — public paper):
+-- score each corpus doc by how target-like its unigram distribution
+-- is, log p_target(doc) - log p_corpus(doc) under add-one-smoothed
+-- unigram LMs. Target stand-in: the lang='en' slice. Docs that
+-- look like the target get weight > 0 and are upsampled.
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), tf AS (
+  SELECT w, COUNT(*) AS tc FROM words WHERE lang = 'en' GROUP BY w
+), cf AS (
+  SELECT w, COUNT(*) AS cc FROM words GROUP BY w
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM words WHERE lang = 'en') AS t_total,
+         (SELECT COUNT(*) FROM words) AS c_total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(SUM(LN((tc + 1.0) / t_total) - LN((cc + 1.0) / c_total)),
+             4) AS importance_weight
+FROM words
+JOIN tf USING (w) JOIN cf USING (w) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("pipeline_dsir_weights", oracle=DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc log-likelihood ratio between a
+    target unigram LM (the lang='en' slice here; in production, the
+    high-quality reference corpus) and the raw-corpus LM — the
+    importance-resampling signal for pretraining data selection.
+
+    Scale shape: the two LMs are VOCABULARY-sized aggregates (map-side
+    combined word counts) that broadcast back onto the corpus scan —
+    the corpus itself shuffles once on doc_id for the per-doc sum and
+    never on the join key (word-frequency tables are the small side by
+    construction). The fixture vocabulary is raw words; at open-web
+    scale DSIR buckets words into 10k hashed n-gram features first so
+    the LM stays fixed-size — same plan, hashed key (the hash must
+    then live in ONE engine's UDF registered to both, since xxhash64
+    isn't portable SQL — which is why the oracle-checked form here
+    stays on raw words).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    cf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    totals = (
+        words.groupBy()
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "t_total"
+            ),
+            F.count(F.lit(1)).alias("c_total"),
+        )
+    )
+    scored = (
+        words.join(F.broadcast(tf), "w")
+        .join(F.broadcast(cf), "w")
+        .crossJoin(F.broadcast(totals))
+    )
+    term = F.log((F.col("tc") + 1.0) / F.col("t_total")) - F.log(
+        (F.col("cc") + 1.0) / F.col("c_total")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.sum(term), 4).alias("importance_weight"),
+    )

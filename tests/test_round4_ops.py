@@ -133,3 +133,41 @@ def test_cdc_chunking_boundary_shift_locality(spark):
     b_set = {hashlib.sha256(c).hexdigest() for c in b}
     # most tail chunks of the original reappear despite the 21-byte shift
     assert len(a_tail & b_set) >= len(a_tail) * 0.6
+
+
+def test_cdc_chunker_invariants_property():
+    """Property test over random byte strings: for ANY payload the
+    chunker must (a) partition the bytes exactly, (b) respect
+    [MINC, MAXC] for every non-final chunk and MAXC for the final
+    one, (c) be deterministic."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(42)
+    gear = rng.integers(0, 1 << 63, size=256, dtype=np.int64).tolist()
+    MINC, MAXC, MASK = 32, 256, 0x3F
+
+    def chunk_sizes(data: bytes) -> list[int]:
+        sizes, h, start = [], 0, 0
+        for i, b in enumerate(data):
+            h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+            clen = i - start + 1
+            if clen >= MINC and ((h & MASK) == 0 or clen >= MAXC):
+                sizes.append(clen)
+                start, h = i + 1, 0
+        if start < len(data):
+            sizes.append(len(data) - start)
+        return sizes
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000))
+    def check(data):
+        sizes = chunk_sizes(data)
+        assert sum(sizes) == len(data)
+        assert all(MINC <= s <= MAXC for s in sizes[:-1])
+        if sizes:
+            assert sizes[-1] <= MAXC
+        assert chunk_sizes(data) == sizes
+
+    check()
