@@ -420,3 +420,59 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+DPP_ORACLE = """
+-- Dynamic-partition-pruning shape: the dim side (distinct priorities
+-- whose name starts '1-' or '2-') only exists at runtime, and the
+-- join key IS the partition column, so Spark prunes the partitioned
+-- fact's directories with a dynamicpruning subquery instead of
+-- scanning all 5. Semantically the join against the derived dim is
+-- a filter, which is what the oracle states directly.
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("scan_partitioned_dpp", oracle=DPP_ORACLE)
+def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: scan_partitioned_pruning shows
+    STATIC pruning (literal filter on the partition column); this is
+    the join-driven case — the selective dim is computed at runtime
+    (a scan+filter, not a literal), so Catalyst can only prune the
+    partitioned fact via a DPP subquery (PartitionFilters:
+    [dynamicpruningexpression(...)], asserted by
+    tests/test_round4_ops.py::test_dpp_fires_on_partitioned_join).
+
+    At 100 TB this is THE mechanism that makes star-schema joins on a
+    date/tenant-partitioned fact cheap: the dim filter runs first and
+    only matching fact directories are listed/read — no code change,
+    but the layout must partition on the join key (which the
+    partitioned writer here does)."""
+    path = _scratch(sf_dir, "orders_partitioned")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .filter(
+            F.col("o_orderpriority").startswith("1-")
+            | F.col("o_orderpriority").startswith("2-")
+        )
+        .withColumnRenamed("o_orderpriority", "p")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.p)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -171,3 +171,17 @@ def test_cdc_chunker_invariants_property():
         assert chunk_sizes(data) == sizes
 
     check()
+
+
+def test_dpp_fires_on_partitioned_join(spark):
+    """The partitioned-fact ⋈ runtime-dim join must carry a
+    dynamicpruning expression in the fact scan's PartitionFilters —
+    the receipt that only matching directories are read."""
+    df = registry.QUERIES["scan_partitioned_dpp"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {
+        (r.o_orderpriority, r.o_orderstatus): r.n_orders for r in df.collect()
+    }
+    assert got, "join must produce rows"
+    assert all(p.startswith(("1-", "2-")) for p, _ in got)
