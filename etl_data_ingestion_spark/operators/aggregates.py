@@ -719,3 +719,52 @@ def agg_consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("event_type", "event_id", "h", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+BITMAP_DISTINCT_ORACLE = """
+-- Exact distinct customers per order-month via bitmap aggregation:
+-- answer is identical to COUNT(DISTINCT), which is what the oracle
+-- computes; the bitmap formulation is the part that scales (see
+-- docstring).
+SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+FROM orders
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+@register("agg_bitmap_exact_distinct", oracle=BITMAP_DISTINCT_ORACLE)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count —
+    public Spark 3.5+ SQL functions): each (group, 32k-id bucket)
+    folds its ids into a fixed 4KB bitmap map-side, bitmaps OR-merge
+    across partitions, and the final count sums per-bucket popcounts.
+
+    Why not COUNT(DISTINCT)? Its partial state is the full value SET
+    per group (the shuffle carries every distinct id, and skewed
+    groups carry it on one reducer); approx_count_distinct fixes the
+    state but gives estimates. The bitmap split keeps EXACTNESS with
+    bounded per-row state (4KB per bucket) and adds a second,
+    id-range-based key (bucket) that shards a hot group's state
+    across reducers — the exact-distinct-at-scale pattern for
+    id-shaped keys. HLL (agg_approx_distinct / hll_partitioned_union)
+    remains the choice when ids aren't integers or 2%% error is fine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            ),
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("order_month", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("order_month")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_customers"))
+    )

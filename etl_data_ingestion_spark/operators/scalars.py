@@ -393,3 +393,47 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+VARIANT_ORACLE = """
+-- Variant-typed semi-structured access (Spark 4 VariantType via
+-- parse_json/variant_get): same answers as string-JSON extraction,
+-- which is what DuckDB computes. The variant encoding is the part
+-- that matters at scale — parsed once at ingest into a binary
+-- columnar form, each field access is a cheap typed probe instead of
+-- re-parsing the JSON string per expression (scalar_json_extract's
+-- get_json_object re-parses per call).
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS max_k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("scalar_variant_json", oracle=VARIANT_ORACLE)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through VariantType: parse_json ONCE into
+    the binary variant encoding, then typed variant_get probes for
+    filter and aggregates — the Spark-4-native replacement for
+    repeated get_json_object string re-parsing (scalar_json_extract
+    keeps the classic form for comparison). At 100 TB the variant
+    column is written at ingest (shredded, columnar) and every
+    downstream field access skips JSON parsing entirely."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
