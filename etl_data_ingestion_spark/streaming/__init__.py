@@ -1,5 +1,6 @@
 from .ewma import ewma_stateful  # noqa: F401
 from .stateful import sessionize_stateful  # noqa: F401
+from .transitions import transitions_stateful  # noqa: F401
 from .windows import (  # noqa: F401
     purchase_view_interval_join,
     tumbling_counts,

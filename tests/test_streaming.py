@@ -364,3 +364,65 @@ def test_stateful_ewma_stream_matches_batch_fold(spark, tmp_path):
         got_y, got_n = final[etype]
         assert got_n == len(grp)
         assert abs(got_y - y) < 1e-9, (etype, got_y, y)
+
+
+def test_stateful_transitions_stream_matches_batch_lead(spark, tmp_path):
+    """Streaming transition pairs (state-carried across micro-batches)
+    must equal the batch LEAD pairing over the same time-ordered
+    events — INCLUDING the pairs that span batch boundaries, which a
+    per-batch LEAD would drop."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_data_ingestion_spark.catalog import load_table
+    from etl_data_ingestion_spark.streaming import transitions_stateful
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    rows = events.orderBy("ts", "event_id").collect()
+    src = str(tmp_path / "src")
+    third = len(rows) // 3
+    for i, lo in enumerate([0, third, 2 * third]):
+        hi = len(rows) if i == 2 else lo + third
+        spark.createDataFrame(rows[lo:hi], events.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transitions_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("trans_out")
+        .groupBy("from_type", "to_type")
+        .count()
+        .collect()
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sum(r["count"] for r in got) > 0
