@@ -768,3 +768,92 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("order_month")
         .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_customers"))
     )
+
+
+THETA_SETOPS_ORACLE = """
+-- Theta-sketch set operations (Datasketches via Spark's
+-- theta_sketch_agg / theta_union / theta_intersection /
+-- theta_difference): unlike HLL, theta sketches estimate
+-- INTERSECTION and DIFFERENCE cardinalities, not just unions — the
+-- audience-overlap / retention-overlap primitive. Contract follows
+-- the approx_distinct pattern: the query emits the EXACT
+-- cardinalities (cheap at fixture scale) plus in-plan booleans that
+-- each sketch estimate lands within 5% OF THE UNION SIZE — sketch
+-- theory: intersection/difference error scales with |A∪B|, not with
+-- the (possibly tiny) result, so a result-relative bound would be
+-- dishonest for near-total overlaps (at generated sf1, |A\B| = 5259
+-- against a 149,805 union — result-relative 5% is unachievable by
+-- ANY fixed-size sketch). The oracle recomputes the exact values
+-- and pins the bounds TRUE.
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+), b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+            AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+            AS BIGINT) AS exact_intersect,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+            AS BIGINT) AS exact_diff,
+       TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+"""
+
+
+@register("agg_theta_sketch_setops", oracle=THETA_SETOPS_ORACLE)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate set algebra over customer sets with theta sketches:
+    each order-status slice folds to a FIXED-SIZE sketch map-side
+    (mergeable, like the HLL/count-min tier), and union/intersection/
+    difference cardinalities come from sketch algebra on the two
+    1-row results — at 100 TB the slices never co-shuffle; only
+    kilobyte sketches meet. HLL can only union; theta's intersection/
+    difference is what answers "how many customers are in BOTH
+    segments" without a distinct-set join. Estimates are
+    engine-specific, so the contract emits exact values + bound
+    booleans, with error measured against the UNION size (see
+    THETA_SETOPS_ORACLE — intersection/difference sketch error
+    scales with |A∪B|, verified failing result-relative at sf1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus")
+        .agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+    )
+    a = sk.filter(F.col("o_orderstatus") == "O").select(F.col("sk").alias("sk_a"))
+    b = sk.filter(F.col("o_orderstatus") == "F").select(F.col("sk").alias("sk_b"))
+    both = a.crossJoin(b)
+
+    cust = orders.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        "o_custkey", "o_orderstatus"
+    ).distinct()
+    flags = cust.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("in_b"),
+    )
+    exact = flags.groupBy().agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersect"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("exact_diff"),
+    )
+
+    est_union = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+    est_inter = F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+    est_diff = F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+    within = lambda est, ex: (
+        F.abs(est - F.col(ex)) <= 0.05 * F.col("exact_union")
+    )
+    return both.crossJoin(F.broadcast(exact)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        within(est_union, "exact_union").alias("union_ok"),
+        within(est_inter, "exact_intersect").alias("intersect_ok"),
+        within(est_diff, "exact_diff").alias("diff_ok"),
+    )
