@@ -62,16 +62,53 @@ def latest_per_key(df: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def list_versions(state_dir: str) -> list[int]:
+    """Committed version ids (batch ids) present on disk, ascending.
+    With retain_versions > 1 these are the time-travel points."""
+    out = []
+    for entry in os.listdir(state_dir):
+        if entry.startswith("v_"):
+            try:
+                out.append(int(entry[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def state_path_at(state_dir: str, version: int) -> str:
+    """Path of a retained historical version (time travel). Raises
+    KeyError when the version has been GC'd — the same contract as a
+    table format's expired snapshot."""
+    path = os.path.join(state_dir, f"v_{version}")
+    if not os.path.exists(path):
+        raise KeyError(
+            f"version {version} not retained in {state_dir}; "
+            f"available: {list_versions(state_dir)}"
+        )
+    return path
+
+
 def run_stream_upsert(
     spark,
     events_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     key: str = "user_id",
+    retain_versions: int = 1,
 ):
     """Drive the stream into a keep-latest state table; returns the
     started query (caller awaits / stops). Read the committed state via
-    ``current_state_path(state_dir)``."""
+    ``current_state_path(state_dir)``.
+
+    ``retain_versions`` keeps the N most recent immutable version dirs
+    instead of GC-ing everything but CURRENT — the snapshot-retention
+    dial of a table format: each retained ``v_<batch>`` is a
+    consistent state as of that commit, readable via
+    ``state_path_at`` (time travel / incremental-diff audits / blast-
+    radius rollback after a bad upstream batch). The pointer swap is
+    unchanged — retention only widens what the GC spares, so the
+    crash-safety argument (immutable dirs + one atomic replace) is
+    untouched."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_latest = latest_per_key(batch_df, key)
@@ -90,9 +127,15 @@ def run_stream_upsert(
             fh.write(version)
         # the one and only commit point — atomic
         os.replace(ptr_tmp, os.path.join(state_dir, POINTER_NAME))
-        # best-effort GC of superseded versions and stale pointer temps
+        # best-effort GC: spare the retain_versions newest committed
+        # versions (current included); drop older ones + stale temps
+        keep = {
+            f"v_{v}"
+            for v in list_versions(state_dir)[-max(1, retain_versions):]
+        }
+        keep.add(version)
         for entry in os.listdir(state_dir):
-            stale_version = entry.startswith("v_") and entry != version
+            stale_version = entry.startswith("v_") and entry not in keep
             stale_ptr = entry.startswith("_ptr_tmp_") and entry != f"_ptr_tmp_{batch_id}"
             if stale_version:
                 shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)

@@ -221,3 +221,58 @@ def test_compaction_crash_between_renames_restores_old(spark, tmp_path):
     assert not os.path.exists(old) and not os.path.exists(tmp)
     after = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_upsert_version_retention_time_travel(spark, tmp_path):
+    """retain_versions keeps the N newest immutable snapshots: after a
+    multi-batch run, a retained historical version must read back as
+    exactly the keep-latest state over the stream prefix up to that
+    commit — time travel — while versions beyond the horizon are GC'd
+    and raise like an expired snapshot."""
+    import pytest as _pytest
+
+    from etl_data_ingestion_spark.streaming.upsert import (
+        list_versions,
+        run_stream_upsert,
+        state_path_at,
+    )
+
+    events = _events(spark, 1)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    # 4 single-file micro-batches, split by event_id quartile
+    quarters = [
+        events.filter(F.col("event_id") % 4 == i).coalesce(1) for i in range(4)
+    ]
+    for q4 in quarters:
+        q4.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_upsert(
+        spark, stream, state, str(tmp_path / "ckpt"), retain_versions=3
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    versions = list_versions(state)
+    assert len(versions) == 3, versions  # 4 commits, horizon 3
+    with _pytest.raises(KeyError):
+        state_path_at(state, 0)  # oldest snapshot expired
+
+    # time travel: version v_k = keep-latest over batches 0..k; batch
+    # order follows file landing order (quartile i landed i-th)
+    penultimate = versions[-2]
+    prefix = events.filter(F.col("event_id") % 4 <= penultimate)
+    got = spark.read.parquet(state_path_at(state, penultimate))
+    want = latest_per_key(prefix)
+    assert got.count() == want.count()
+    assert (
+        got.select("user_id", "event_id")
+        .exceptAll(want.select("user_id", "event_id"))
+        .count()
+        == 0
+    )
