@@ -322,3 +322,74 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.round(F.sum(term), 4).alias("importance_weight"),
     )
+
+
+AES_COLUMN_ORACLE = """
+-- Column-level encryption contract (aes_encrypt/aes_decrypt, GCM,
+-- fixed IV for determinism in the CONTRACT ONLY — production uses
+-- random IVs and loses determinism, see docstring): DuckDB has no
+-- AES surface, so the oracle pins what it can derive — row count,
+-- which rows carry planted PII (every 3rd doc — same planting as
+-- text_pii_scrub), ciphertext expansion for GCM (len = plaintext +
+-- 12B IV + 16B tag), and TRUE for the roundtrip/tamper booleans the
+-- query proves in-plan.
+SELECT doc_id,
+       (doc_id % 3 = 0) AS had_pii,
+       CAST(length(text) + CASE WHEN doc_id % 3 = 0 THEN 21 ELSE 0 END
+            + 28 AS BIGINT) AS ciphertext_bytes,
+       TRUE AS roundtrip_ok,
+       TRUE AS tamper_detected
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register("scalar_aes_column_protection", oracle=AES_COLUMN_ORACLE)
+def scalar_aes_column_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest column protection for PII-bearing text: aes_encrypt /
+    aes_decrypt (AES-256-GCM) around the sensitive column, with an
+    in-plan tamper check (flipping a ciphertext byte must make
+    authenticated decryption fail -> try_aes_decrypt NULL). All JVM
+    expressions — the row path never leaves codegen.
+
+    Determinism note: the contract pins a FIXED IV so both engines'
+    row hashes agree; real deployments use the default random IV
+    (same plaintext -> different ciphertext) and pair encryption with
+    an envelope KMS for the data key. What survives into production
+    unchanged: the plan shape (map-only project), the GCM expansion
+    accounting (+12 IV +16 tag), and the tamper postcondition.
+
+    PII planting mirrors text_pii_scrub (every 3rd doc gets a contact
+    line) so the oracle can state which rows carried PII."""
+    key = F.lit("0123456789abcdef0123456789abcdef")  # 32B = AES-256
+    iv = F.lit("000102030405060708090a0b")  # 12B hex-decoded below
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" mail a.b@example.com")),
+        )
+        .otherwise(F.col("text"))
+        .alias("pt"),
+    )
+    ct = F.aes_encrypt(
+        F.col("pt").cast("binary"), key, F.lit("GCM"), F.lit("DEFAULT"),
+        F.unhex(iv),
+    )
+    enc = planted.select("doc_id", "pt", ct.alias("ct"))
+    rt = F.aes_decrypt(F.col("ct"), key, F.lit("GCM")).cast("string")
+    # flip the last byte: GCM authentication must reject it
+    tampered = F.concat(
+        F.substring(F.col("ct"), 1, F.octet_length(F.col("ct")) - 1),
+        F.expr("X'00'"),
+    )
+    bad = F.try_aes_decrypt(tampered, key, F.lit("GCM"))
+    return enc.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("had_pii"),
+        F.octet_length("ct").cast("long").alias("ciphertext_bytes"),
+        (rt == F.col("pt")).alias("roundtrip_ok"),
+        bad.isNull().alias("tamper_detected"),
+    )
