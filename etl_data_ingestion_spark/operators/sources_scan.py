@@ -476,3 +476,48 @@ def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+XML_ORACLE = """
+-- XML roundtrip (Spark 4 built-in XML datasource): supplier written
+-- as row-tagged XML, read back with a declared schema, aggregated.
+-- The semi-structured-feed format the reference's ecosystem would
+-- hand an ingestion pipeline after CSV and JSON.
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("scan_xml_roundtrip", oracle=XML_ORACLE)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (built-in datasource since Spark 4 — the spark-xml
+    package merged upstream): supplier → rowTag XML → declared-schema
+    read → aggregate. Completes the scan family (csv/json/text/
+    binary/orc/parquet-evolution/partitioned/xml); schema is declared
+    rather than inferred, the discipline every production feed scan
+    follows (inference is a full extra pass and drifts silently)."""
+    path = _scratch(sf_dir, "supplier_xml")
+    supplier = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        supplier.coalesce(1).write.mode("overwrite").format("xml").option(
+            "rootTag", "suppliers"
+        ).option("rowTag", "supplier").save(path)
+    back = (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
