@@ -528,3 +528,103 @@ def multimodal_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_ok",
         )
     )
+
+
+WAV_DECODE_ORACLE = """
+-- REAL audio decode (not a stub): WAV/RIFF is uncompressed PCM, so
+-- the stdlib `wave` module decodes it with no codec dependency — the
+-- one modality this container can decode for real. Payloads are
+-- synthesized deterministically per doc (8 kHz mono int16 square
+-- wave, amplitude = 100 + doc_id % 900, length = 800 + 160*(doc_id %
+-- 5) samples), so every decoded field is EXACTLY predictable from
+-- doc_id alone — the oracle derives all of them without touching a
+-- byte: header fields, sample count, payload size (44-byte RIFF
+-- header + 2 bytes/sample), and peak == rms == amplitude (a square
+-- wave's |sample| is constant).
+SELECT doc_id,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       CAST(800 + 160 * (doc_id % 5) AS BIGINT) AS n_samples,
+       CAST(44 + 2 * (800 + 160 * (doc_id % 5)) AS BIGINT) AS payload_bytes,
+       CAST(100 + doc_id % 900 AS BIGINT) AS peak,
+       CAST(100 + doc_id % 900 AS BIGINT) AS rms
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_wav_decode_real", oracle=WAV_DECODE_ORACLE)
+def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode over opaque binary payloads — upgrades the
+    multimodal decode tier from stub to real for the modality that
+    needs no codec library: WAV/RIFF PCM via stdlib ``wave``. Two
+    Arrow-batched mapInPandas stages: (1) synthesize a deterministic
+    WAV per doc (the fixture carries no media; synthesis parameters
+    are pure functions of doc_id so the oracle predicts every output
+    exactly), (2) DECODE — parse the RIFF header, read frames,
+    np.frombuffer the int16 PCM, compute peak and RMS from the actual
+    samples. Swap stage 1 for a binary column of crawled WAVs and
+    stage 2 runs unchanged — payloads never shuffle, only typed
+    metadata leaves the scan stage (same discipline as
+    multimodal_byte_entropy)."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                amp = 100 + int(doc_id) % 900
+                n = 800 + 160 * (int(doc_id) % 5)
+                samples = np.where(
+                    np.arange(n) % 2 == 0, amp, -amp
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["wav"]):
+                data = bytes(data)
+                with wave_mod.open(io.BytesIO(data), "rb") as w:
+                    rate = w.getframerate()
+                    ch = w.getnchannels()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_samples": n,
+                        "payload_bytes": len(data),
+                        "peak": int(np.abs(pcm).max()),
+                        "rms": int(round(np.sqrt((pcm ** 2).mean()))),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    wavs = docs.mapInPandas(synth, schema="doc_id long, wav binary")
+    return wavs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate int, n_channels int, n_samples long, "
+            "payload_bytes long, peak long, rms long"
+        ),
+    )
