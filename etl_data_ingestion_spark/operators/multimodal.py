@@ -628,3 +628,137 @@ def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload_bytes long, peak long, rms long"
         ),
     )
+
+
+PNG_DECODE_ORACLE = """
+-- REAL image decode (not a stub) for the codec-free subset: PNG is
+-- zlib-deflated filtered scanlines, so stdlib zlib + struct decode
+-- it with no imaging library. Payloads are synthesized
+-- deterministically (8-bit grayscale, width = 16 + doc_id % 16,
+-- height = 8 + doc_id % 8, row y filled with (y + doc_id) % 256,
+-- filter type 0), so the oracle derives every decoded field in SQL —
+-- including the full pixel sum via a generate_series row-sum.
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 16 AS w,
+         8 + doc_id % 8 AS h
+  FROM documents WHERE doc_id < 150
+), rowsum AS (
+  SELECT d.doc_id,
+         SUM((y + d.doc_id) % 256) AS per_col_sum
+  FROM dims d, UNNEST(generate_series(0, d.h - 1)) AS t(y)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       8 AS bit_depth,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(d.w * r.per_col_sum AS BIGINT) AS pixel_sum
+FROM dims d JOIN rowsum r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_png_decode_real", oracle=PNG_DECODE_ORACLE)
+def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode over opaque binary payloads for the subset
+    PNG that needs no imaging library: 8-bit grayscale, filter type
+    0 — magic + IHDR parse, CRC-checked chunks, zlib-inflated IDAT,
+    per-scanline filter strip, pixel math from the actual bytes
+    (stdlib zlib/struct + numpy). The general-PNG path (other filter
+    types, color, interlace) stays with the declared stub
+    (multimodal_image_decode_stub) until an imaging library exists;
+    this proves the dataflow END-TO-END on genuinely encoded bytes:
+    synthesize → compress → decode → verify, with the oracle
+    predicting every field exactly because synthesis is a pure
+    function of doc_id. Payloads never shuffle; only typed metadata
+    leaves the scan stage."""
+    import io
+    import struct
+    import zlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 16, 8 + d % 8
+                raw = b"".join(
+                    b"\x00" + bytes([(y + d) % 256] * w) for y in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(raw))
+                    + _chunk(b"IEND", b"")
+                )
+                payloads.append(png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                data = bytes(data)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad magic"
+                pos, idat = 8, b""
+                width = height = bit_depth = None
+                while pos < len(data):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    tag = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack(
+                        ">I", data[pos + 8 + ln : pos + 12 + ln]
+                    )
+                    assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+                    if tag == b"IHDR":
+                        width, height, bit_depth = struct.unpack(
+                            ">IIB", body[:9]
+                        )
+                        assert body[9] == 0, "grayscale only in this tier"
+                    elif tag == b"IDAT":
+                        idat += body
+                    pos += 12 + ln
+                raw = zlib.decompress(idat)
+                stride = width + 1
+                mat = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    height, stride
+                )
+                assert (mat[:, 0] == 0).all(), "filter-0 only in this tier"
+                pixels = mat[:, 1:].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": width,
+                        "height": height,
+                        "bit_depth": bit_depth,
+                        "n_pixels": width * height,
+                        "pixel_sum": int(pixels.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    pngs = docs.mapInPandas(synth, schema="doc_id long, png binary")
+    return pngs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, bit_depth int, "
+            "n_pixels long, pixel_sum long"
+        ),
+    )
