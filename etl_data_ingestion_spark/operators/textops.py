@@ -9,7 +9,7 @@ runs the identical computation in DuckDB SQL.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.functions.text import (
@@ -513,4 +513,78 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf", 4).alias("tfidf"),
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+LANGID_CONFUSION_ORACLE = """
+-- Classifier evaluation as a first-class pipeline op: the confusion
+-- matrix + per-label precision/recall of the stopword langid
+-- heuristic against the labeled lang column — the quality audit that
+-- gates whether a heuristic tier is good enough or docs must
+-- escalate to a model scorer. Same prediction expressions as
+-- text_lang_id_heuristic's oracle.
+WITH pred AS (
+  SELECT lang AS true_lang,
+         CASE
+           WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t IN ('the','of','and'))) >= 2 THEN 'en'
+           WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t IN ('der','und','die'))) >= 2 THEN 'de'
+           WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t IN ('el','de','la'))) >= 2 THEN 'es'
+           ELSE 'unknown'
+         END AS pred_lang
+  FROM documents
+)
+SELECT true_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY true_lang), 4) AS recall_frac,
+       ROUND(COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY pred_lang), 4) AS precision_frac
+FROM pred
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register("text_langid_confusion", oracle=LANGID_CONFUSION_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix audit of the langid heuristic vs the labeled
+    lang column: (true, predicted) counts with row-normalized recall
+    and column-normalized precision — the evaluation op every
+    classifier-gated pipeline stage needs beside it. Scale shape: the
+    prediction is the same codegen'd expression as
+    text_lang_id_heuristic (map-side), one Exchange to the
+    |langs|²-sized matrix, and the normalizations are windows over
+    that tiny result."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def votes(words: list[str]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    pred = (
+        F.when(votes(["the", "of", "and"]) >= 2, "en")
+        .when(votes(["der", "und", "die"]) >= 2, "de")
+        .when(votes(["el", "de", "la"]) >= 2, "es")
+        .otherwise("unknown")
+    )
+    m = (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_true = Window.partitionBy("true_lang")
+    w_pred = Window.partitionBy("pred_lang")
+    return m.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_true), 4).alias(
+            "recall_frac"
+        ),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_pred), 4).alias(
+            "precision_frac"
+        ),
     )
