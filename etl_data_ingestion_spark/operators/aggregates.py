@@ -857,3 +857,66 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(est_inter, "exact_intersect").alias("intersect_ok"),
         within(est_diff, "exact_diff").alias("diff_ok"),
     )
+
+
+HLL_ROLLUP_ORACLE = """
+-- Materialized sketch-rollup pattern (the continuous-aggregate /
+-- hypertable-rollup analogue): daily HLL sketches are PRECOMPUTED
+-- into a rollup table once; month-level distinct-user questions are
+-- then answered by merging the STORED sketch bytes — never
+-- re-scanning the event history. Estimates are engine-specific, so
+-- the contract emits the exact per-month distincts plus a 5% bound
+-- boolean on the merged estimate (the approx_distinct pattern).
+SELECT STRFTIME(date_trunc('month', ts), '%Y-%m') AS month,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS estimate_ok
+FROM events
+GROUP BY 1
+ORDER BY month
+"""
+
+
+@register("agg_hll_rollup_table", oracle=HLL_ROLLUP_ORACLE)
+def agg_hll_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup TABLE: day-grain HLL sketches materialized to
+    parquet once (the continuous-aggregate build), month-grain
+    answers from hll_union_agg over the STORED bytes — the query
+    touches |days| sketch rows, not |events| facts.
+
+    This is the pattern that turns "distinct users last quarter" from
+    a 100 TB scan into a kilobytes-of-sketches merge: sketches are
+    associative, so any coarser grain (week/month/all-time) folds
+    from the daily tier, and a new day appends one row without
+    touching history. The exact per-month count (recomputed here only
+    to pin the contract) is what production gives up; the 5% bound
+    boolean is what it keeps."""
+    import os as _os
+
+    from etl_data_ingestion_spark.operators.sources_scan import _scratch
+
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch(sf_dir, "hll_daily_rollup")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            events.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.mode("overwrite").parquet(path)
+        )
+    rollup = spark.read.parquet(path)
+    merged = (
+        rollup.groupBy(
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = events.groupBy(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return exact.join(merged, "month").select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("estimate_ok"),
+    )
