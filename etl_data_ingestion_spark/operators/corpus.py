@@ -14,10 +14,10 @@ real C4 pass; a corpus with newlines swaps the splitter only.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
-from etl_data_ingestion_spark.functions.text import word_ngrams
+from etl_data_ingestion_spark.functions.text import BPE_ISH_PATTERN, word_ngrams
 from etl_data_ingestion_spark.plans.registry import register
 
 C4_LINE_ORACLE = """
@@ -219,4 +219,96 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size("ck").cast("long").alias("n_tokens"),
         F.length(F.array_join("ck", " ")).cast("long").alias("n_chars"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = """
+-- Sequence-packing accounting (the step between a curated corpus and
+-- a training dataloader): documents are concatenated in a canonical
+-- order and chunked into fixed 2048-token context windows
+-- (concat-and-chunk, the GPT-style packing); each doc is attributed
+-- to the window its FIRST token lands in. Pure prefix-sum math, so
+-- both engines compute identical assignments: per window, how many
+-- docs start there, how many tokens it holds, and its fill ratio
+-- (interior windows are exactly full by construction; only the tail
+-- window can be short).
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents
+), pref AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_offset
+  FROM toks
+), assigned AS (
+  SELECT doc_id, n_tokens, start_offset // 2048 AS seq_id,
+         start_offset
+  FROM pref
+), tot AS (SELECT SUM(n_tokens) AS total FROM toks)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS docs_starting,
+       CAST(LEAST((seq_id + 1) * 2048, (SELECT total FROM tot))
+            - seq_id * 2048 AS BIGINT) AS window_tokens,
+       ROUND((LEAST((seq_id + 1) * 2048, (SELECT total FROM tot))
+              - seq_id * 2048) / 2048.0, 4) AS fill_ratio
+FROM assigned
+GROUP BY seq_id
+ORDER BY seq_id
+"""
+
+
+@register("pipeline_pack_sequences", oracle=PACK_SEQUENCES_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: canonical doc order →
+    global token prefix sum → fixed 2048-token windows; docs
+    attributed to the window holding their first token. The
+    dataloader-shaping step every pretraining pipeline runs after
+    curation.
+
+    Scale note: the global prefix sum is an unpartitioned window —
+    fine for accounting output (|docs| rows through one task is the
+    yardstick tier), but at 100 TB packing runs PER SHARD: partition
+    the corpus (by hash or curriculum bucket), pack within shards
+    independently (each shard's windows are self-contained), and the
+    cross-shard remainder is at most one short window per shard —
+    the standard trade that keeps packing embarrassingly parallel.
+    The per-shard math is exactly this plan with the window
+    partitioned by shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pref = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    total = pref.groupBy().agg(
+        (F.sum("n_tokens")).alias("total")
+    )
+    assigned = pref.withColumn(
+        "seq_id", (F.col("start_offset") / 2048).cast("long")
+    )
+    win_end = F.least(
+        (F.col("seq_id") + 1) * 2048, F.col("total")
+    )
+    return (
+        assigned.groupBy("seq_id")
+        .agg(F.count(F.lit(1)).alias("docs_starting"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "seq_id",
+            "docs_starting",
+            (win_end - F.col("seq_id") * 2048).cast("long").alias(
+                "window_tokens"
+            ),
+            F.round(
+                (win_end - F.col("seq_id") * 2048) / 2048.0, 4
+            ).alias("fill_ratio"),
+        )
     )
