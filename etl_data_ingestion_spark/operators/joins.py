@@ -500,3 +500,86 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+ASOF_TOLERANCE_ORACLE = """
+-- As-of with DIRECTION + TOLERANCE (pandas merge_asof parity, the
+-- full as-of API): each purchase matched to the user's NEXT view
+-- event within 30 minutes (forward as-of) — NULL when nothing
+-- follows inside the window. Expressed as the windowed-min over
+-- forward candidates; DuckDB computes the identical semantics via a
+-- correlated min.
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT p.event_id, p.user_id,
+         (SELECT MIN(v.ts) FROM v
+          WHERE v.user_id = p.user_id AND v.ts >= p.ts
+            AND v.ts <= p.ts + INTERVAL 30 MINUTE) AS next_view_ts
+  FROM p
+)
+SELECT m.event_id, m.user_id,
+       STRFTIME(m.next_view_ts, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+       ROUND(ANY_VALUE(v.value), 3) AS next_view_value
+FROM matched m
+LEFT JOIN v ON v.user_id = m.user_id AND v.ts = m.next_view_ts
+GROUP BY m.event_id, m.user_id, m.next_view_ts
+ORDER BY m.event_id
+"""
+
+
+@register("join_asof_forward_tolerance", oracle=ASOF_TOLERANCE_ORACLE)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a 30-minute tolerance — the other half
+    of the as-of API (join_asof_purchase_view is backward/unbounded):
+    direction flips the window frame (following instead of
+    preceding), tolerance becomes a post-filter on the matched
+    timestamp. Same scale shape as the backward form: union the two
+    streams tagged, ONE shuffle on (user_id), a single ordered window
+    pass carrying the nearest candidate — no range self-join, no
+    per-row subquery (the oracle's correlated MIN is the semantics
+    statement, not the plan)."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("v_value"), F.lit(1).alias("is_p"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("value").alias("v_value"), F.lit(0).alias("is_p"),
+    )
+    # views sort BEFORE a purchase at the same ts (is_p ascending) so
+    # a simultaneous view counts as "next" (>=), matching the oracle
+    tagged = p.unionByName(v)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt_ts = F.first(
+        F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    nxt_val = F.first(
+        F.when(F.col("is_p") == 0, F.col("v_value")), ignorenulls=True
+    ).over(w)
+    # reference the materialized columns: reusing the raw window
+    # expressions after the is_p filter would re-run them over
+    # purchase-only partitions (no views left -> all NULL)
+    within = F.col("nxt_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    return (
+        tagged.withColumn("nxt_ts", nxt_ts)
+        .withColumn("nxt_val", nxt_val)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                within, F.date_format("nxt_ts", "yyyy-MM-dd HH:mm:ss")
+            ).alias("next_view_ts"),
+            F.round(F.when(within, F.col("nxt_val")), 3).alias(
+                "next_view_value"
+            ),
+        )
+    )
