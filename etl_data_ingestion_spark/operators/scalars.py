@@ -437,3 +437,53 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+URL_FUNCS_ORACLE = """
+-- URL parsing family over synthesized crawl URLs (the dedup/curation
+-- key-extraction step for web corpora): host, path, one query param,
+-- and the registered-domain heuristic. Spark uses parse_url (JVM,
+-- codegen); DuckDB mirrors with regexes — same answers.
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.crawl.example.com/docs/' ||
+         CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&page=' ||
+         CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(regexp_extract(url, '^https://([^/]+)/', 1),
+                      '([^.]+[.][^.]+)$', 1) AS registered_domain
+FROM u
+ORDER BY doc_id
+"""
+
+
+@register("scalar_url_funcs", oracle=URL_FUNCS_ORACLE)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure extraction via parse_url (HOST/PATH/QUERY with a
+    key) plus a registered-domain suffix heuristic — the
+    canonicalization primitives behind URL-keyed dedup and per-domain
+    curation stats for web crawls. URLs are synthesized
+    deterministically from the fixture (no URLs in the corpus), so
+    the oracle can mirror byte-for-byte with regexes. All codegen'd
+    expressions, map-only plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".crawl.example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+[.][^.]+)$", 1).alias(
+            "registered_domain"
+        ),
+    )

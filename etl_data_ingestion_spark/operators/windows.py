@@ -572,3 +572,47 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wnorm), 4
         ).alias("p_transition"),
     )
+
+
+MOVING_MEDIAN_ORACLE = """
+-- Moving MEDIAN (robust smoothing — the outlier-immune counterpart
+-- of window_moving_avg): 7-row centered frame over each user's
+-- event-value series. DuckDB computes MEDIAN over the frame
+-- natively; Spark has no median window function, so the plan
+-- materializes the frame as an array and takes the exact middle
+-- (odd count) or mean-of-middles (even) — exact, not approximate.
+SELECT user_id, event_id,
+       ROUND(MEDIAN(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 3) AS moving_median
+FROM events
+WHERE user_id < 40
+ORDER BY user_id, event_id
+"""
+
+
+@register("window_moving_median", oracle=MOVING_MEDIAN_ORACLE)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moving median via frame-collect + array middle: Spark
+    exposes no median window function, and percentile_approx isn't a
+    window function either — but collect_list over a BOUNDED frame is
+    cheap (7 values/row here), and array_sort + element_at give the
+    exact order statistic. Scale note: cost is frame-size-linear per
+    row, so this is the pattern for small centered frames (sensor
+    smoothing); unbounded-frame medians go through
+    window_percentile_bucket_scalable's sketch-bucket route instead."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round((mid_lo + mid_hi) / 2.0, 3).alias("moving_median"),
+    )

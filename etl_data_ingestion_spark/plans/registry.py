@@ -52,7 +52,7 @@ def register(name: str, oracle: Optional[str] = None):
 # most refactor drift since — tpch/join/agg/window/setop families).
 # The 3 deferred r1-greens (setop_union_all, setop_union_distinct,
 # window_value_functions — value-function shapes untouched since r1),
-# the 20 round-4 additions (timeseries_ewma_daily, join_bloom_pruned,
+# the 22 round-4 additions (timeseries_ewma_daily, join_bloom_pruned,
 # multimodal_cdc_chunking, window_cumulative_distinct_users,
 # events_transition_matrix, dedup_bloom_incremental,
 # similarity_pq_rerank, pipeline_dsir_weights,
@@ -61,8 +61,8 @@ def register(name: str, oracle: Optional[str] = None):
 # scalar_aes_column_protection, scan_xml_roundtrip,
 # multimodal_wav_decode_real, multimodal_png_decode_real,
 # text_langid_confusion, agg_hll_rollup_table,
-# pipeline_pack_sequences, join_asof_forward_tolerance), and
-# the 49
+# pipeline_pack_sequences, join_asof_forward_tolerance,
+# window_moving_median, scalar_url_funcs), and the 49
 # round-2 greens by age head the
 # round-5 window. Names not listed follow in registration order
 # after the listed ones.
