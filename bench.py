@@ -43,10 +43,14 @@ HEADLINE = [
     "pipeline_training_data_curation",
 ]
 
-# Round-4 operators, timed separately so the headline total stays
-# comparable round-over-round: min-of-2 each, reported under
-# "extended" with their oracle times — perf visibility without
-# moving the baseline.
+# Tier policy (written down per round-4 verdict): HEADLINE is FROZEN
+# — it is the round-over-round comparable and never grows, so
+# "value" means the same work in every BENCH_r*.json. New operators
+# enter EXTENDED in the round they land and STAY there (min-of-2
+# each, reported under "extended" with their oracle times — perf
+# visibility without moving the baseline). If a future round ever
+# needs to re-baseline (e.g. HEADLINE queries removed), it must bump
+# the metric name, not silently change the set.
 EXTENDED = [
     "similarity_pq_rerank",
     "join_bloom_pruned",
@@ -72,20 +76,35 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def time_oracles(names: list[str], sf_dir: str, cpus: int) -> dict[str, float | None]:
+def time_oracles(
+    names: list[str], sf_dir: str, cpus: int
+) -> tuple[dict[str, float | None], list[str]]:
     """Best-of-N DuckDB timings for each query's oracle SQL on the same
     parquet — the 2x perf gate is defined against these, so the artifact
     should carry them instead of each judge re-timing by hand.
 
+    Samples are INTERLEAVED across queries in passes — the SAME burst
+    protection the Spark samples get. Round 4 learned this the hard
+    way: back-to-back per-query sampling let one multi-minute host
+    contention burst poison all three DuckDB samples of every query it
+    covered, inflating the DuckDB side ~4x and making the artifact's
+    ratio_total_comparable flattering-but-wrong (2.33 reported vs 9.1
+    re-timed idle). Interleaving bounds a one-pass burst to one sample
+    per query; the adaptive tail below re-samples queries whose spread
+    says every pass was dirty.
+
     Expensive oracles (first sample >= 5s, e.g. the exact-Jaccard
     minhash ground truth: ~93s at sf0.1) get a single sample; cheap
-    ones get best-of-3. Queries with no registered oracle map to None.
+    ones get best-of-3 (+ up to 2 adaptive retries when max >= 2x min).
+    Queries with no registered oracle map to None.
 
     An oracle still running after $SPARK_GRAFT_ORACLE_TIMEOUT seconds
-    (default 180) is interrupted and reported as None: brute-force
-    ground-truth oracles are superlinear (all-pairs Jaccard is
-    O(docs²)) and stop terminating at the scale-curve sfs (sf>=0.3)
-    long before the Spark side breaks a sweat.
+    (default 180) is interrupted and reported as None AND returned in
+    the second element so the caller can list it as heavy/timed-out
+    (previously silently absent): brute-force ground-truth oracles are
+    superlinear (all-pairs Jaccard is O(docs²)) and stop terminating at
+    the scale-curve sfs (sf>=0.3) long before the Spark side breaks a
+    sweat.
     """
     import threading
 
@@ -100,30 +119,56 @@ def time_oracles(names: list[str], sf_dir: str, cpus: int) -> dict[str, float | 
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
+    timed_out: set[str] = set()
+    samples: dict[str, list[float]] = {}
+
+    def one_sample(name: str) -> None:
+        sql = registry.ORACLES.get(name)
+        if sql is None or name in timed_out:
+            return
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+        except duckdb.InterruptException:
+            timed_out.add(name)
+        finally:
+            timer.cancel()
+
+    def done(name: str) -> bool:
+        # timed out, no oracle, or heavy (first sample >= 5s -> single
+        # sample: a second 90s pass buys no precision worth its cost)
+        if name in timed_out or registry.ORACLES.get(name) is None:
+            return True
+        s = samples.get(name, [])
+        return bool(s) and s[0] >= 5.0
+
+    for _pass in range(3):
+        for name in names:
+            if _pass == 0 or not done(name):
+                one_sample(name)
+    for _retry in range(2):
+        flagged = [
+            n
+            for n in names
+            if not done(n)
+            and len(samples.get(n, [])) >= 2
+            and max(samples[n]) >= 2 * min(samples[n])
+        ]
+        if not flagged:
+            break
+        for name in flagged:
+            one_sample(name)
+
     out: dict[str, float | None] = {}
     for name in names:
-        sql = registry.ORACLES.get(name)
-        if sql is None:
+        if name in timed_out or name not in samples:
             out[name] = None
-            continue
-        samples = []
-        timed_out = False
-        for _ in range(3):
-            timer = threading.Timer(budget, con.interrupt)
-            timer.start()
-            t0 = time.perf_counter()
-            try:
-                con.execute(sql).fetchall()
-                samples.append(time.perf_counter() - t0)
-            except duckdb.InterruptException:
-                timed_out = True
-                break
-            finally:
-                timer.cancel()
-            if samples[0] >= 5.0:
-                break
-        out[name] = None if timed_out else round(min(samples), 3)
-    return out
+        else:
+            out[name] = round(min(samples[name]), 3)
+    return out, sorted(timed_out)
 
 
 def main() -> None:
@@ -208,25 +253,41 @@ def main() -> None:
             ext_samples[n].append(round(run_query(spark, n, sf_dir), 3))
     ext_timings = {n: min(s) for n, s in ext_samples.items()}
 
-    duck = time_oracles(names + ext_names, sf_dir, cpus)
+    duck, timed_out = time_oracles(names + ext_names, sf_dir, cpus)
     ratio = {
         name: (round(timings[name] / duck[name], 2) if duck[name] else None)
         for name in names
     }
     # "comparable" excludes two classes, both still reported per-query
     # under "ratio"/"duckdb":
-    # - heavy oracles (>=5s, or interrupted): ground truth computed by
-    #   a different brute-force algorithm (minhash's exact-Jaccard
-    #   all-pairs: 93s in DuckDB vs 2s Spark at sf0.1; times out
-    #   entirely at sf>=0.3). Including them would flatter the total.
+    # - heavy oracles (>=5s, or interrupted — interrupted ones carry a
+    #   None timing but ARE listed here, plus under timed_out_oracles):
+    #   ground truth computed by a different brute-force algorithm
+    #   (minhash's exact-Jaccard all-pairs: 93s in DuckDB vs 2s Spark
+    #   at sf0.1; times out entirely at sf>=0.3). Including them would
+    #   flatter the total.
     # - contract oracles: the oracle only re-states a self-check bound
     #   (constant-ish SELECT), not equivalent work — its sub-ms time
     #   makes the ratio meaningless in the other direction.
     contract = {"similarity_ivf_topk", "similarity_pq_rerank"}
-    heavy = [n for n in names if duck[n] and duck[n] >= 5.0]
+    heavy = [
+        n
+        for n in names
+        if (duck[n] and duck[n] >= 5.0)
+        or (n in timed_out and registry.ORACLES.get(n) is not None)
+    ]
     comparable = [
         n for n in names if duck[n] and n not in heavy and n not in contract
     ]
+    rtc = (
+        round(
+            sum(timings[n] for n in comparable)
+            / sum(duck[n] for n in comparable),
+            2,
+        )
+        if comparable
+        else None
+    )
     summary = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -238,6 +299,7 @@ def main() -> None:
             "duckdb": {n: duck[n] for n in names},
             "ratio": ratio,
             "heavy_oracles": heavy,
+            "timed_out_oracles": timed_out,
             "contract_oracles": sorted(contract & set(names)),
             "extended": {
                 n: {
@@ -249,23 +311,26 @@ def main() -> None:
                 }
                 for n in ext_names
             },
-            "ratio_total_comparable": (
-                round(
-                    sum(timings[n] for n in comparable)
-                    / sum(duck[n] for n in comparable),
-                    2,
-                )
-                if comparable
-                else None
-            ),
+            "ratio_total_comparable": rtc,
             "sf": sf,
         }
     )
-    # Line-initial, printed twice: round-3's artifact came back
-    # parsed:null because the driver's tail capture clipped the opening
-    # of the single summary line; a duplicate line means at least one
-    # copy survives clipping from either end.
-    sys.stdout.write("\n" + summary + "\n" + summary + "\n")
+    # The full summary line is ~2600+ chars; the driver's tail capture
+    # keeps only the final 2000, so printing it (even twice — round 4)
+    # always clips. The LAST line is therefore a short (<200 char)
+    # summary that survives any tail capture; the full artifact
+    # precedes it for humans/judges reading the whole log.
+    short = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "ratio_total_comparable": rtc,
+            "n_queries": len(names),
+            "sf": sf,
+        }
+    )
+    sys.stdout.write("\n" + summary + "\n" + short + "\n")
     sys.stdout.flush()
 
 

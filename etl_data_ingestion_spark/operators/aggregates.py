@@ -770,7 +770,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THETA_SETOPS_ORACLE = """
+THETA_SETOPS_ORACLE = r"""
 -- Theta-sketch set operations (Datasketches via Spark's
 -- theta_sketch_agg / theta_union / theta_intersection /
 -- theta_difference): unlike HLL, theta sketches estimate

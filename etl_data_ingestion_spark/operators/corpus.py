@@ -312,3 +312,116 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+PACK_SEQUENCES_SHARDED_ORACLE = """
+-- Sharded packing: the 100 TB variant pipeline_pack_sequences'
+-- docstring promises — the prefix sum is PARTITIONED by shard, so
+-- every shard packs independently (embarrassingly parallel) and the
+-- cross-shard cost is bounded: interior windows are exactly full by
+-- the least() construction, so each shard has AT MOST ONE short
+-- window (its tail). The oracle recomputes the per-shard window
+-- assignment and pins that bound.
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+  FROM documents
+), pref AS (
+  SELECT shard_id, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_offset
+  FROM toks
+), tot AS (
+  SELECT shard_id, SUM(n_tokens) AS shard_total
+  FROM toks GROUP BY shard_id
+), win AS (
+  SELECT p.shard_id, p.start_offset // 2048 AS seq_id,
+         COUNT(*) AS docs_starting,
+         LEAST((p.start_offset // 2048 + 1) * 2048, t.shard_total)
+           - (p.start_offset // 2048) * 2048 AS window_tokens
+  FROM pref p JOIN tot t USING (shard_id)
+  GROUP BY p.shard_id, p.start_offset // 2048, t.shard_total
+)
+SELECT w.shard_id,
+       CAST(SUM(w.docs_starting) AS BIGINT) AS docs,
+       CAST(MAX(t.shard_total) AS BIGINT) AS shard_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN w.window_tokens < 2048 THEN 1 ELSE 0 END)
+            AS BIGINT) AS short_windows,
+       SUM(CASE WHEN w.window_tokens < 2048 THEN 1 ELSE 0 END) <= 1
+         AS remainder_bound_ok
+FROM win w JOIN tot t USING (shard_id)
+GROUP BY w.shard_id
+ORDER BY w.shard_id
+"""
+
+
+@register("pipeline_pack_sequences_sharded", oracle=PACK_SEQUENCES_SHARDED_ORACLE)
+def pipeline_pack_sequences_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharded concat-and-chunk packing — the scale path the
+    unpartitioned yardstick (pipeline_pack_sequences) documents:
+    partition the corpus by a shard key (hash/curriculum bucket;
+    doc_id % 8 here so the oracle can reproduce it), run the token
+    prefix sum WITHIN each shard (Window.partitionBy(shard_id) — one
+    ordinary shuffle, every shard packs in parallel, no single-task
+    bottleneck), and accept the bounded cross-shard cost: interior
+    windows are exactly full by construction, so each shard carries
+    AT MOST ONE short window (its tail). The query emits per-shard
+    accounting and the remainder bound as an in-plan boolean the
+    oracle pins from its own recomputation — at 1000 shards on
+    100 TB the waste is <=1 window per shard, i.e. vanishing, while
+    packing remains embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    tot = toks.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("shard_total")
+    )
+    assigned = pref.withColumn(
+        "seq_id", (F.col("start_offset") / 2048).cast("long")
+    )
+    win_tokens = (
+        F.least((F.col("seq_id") + 1) * 2048, F.col("shard_total"))
+        - F.col("seq_id") * 2048
+    )
+    win = (
+        assigned.groupBy("shard_id", "seq_id")
+        .agg(F.count(F.lit(1)).alias("docs_starting"))
+        .join(F.broadcast(tot), "shard_id")
+        .withColumn("window_tokens", win_tokens)
+    )
+    short = F.sum((F.col("window_tokens") < 2048).cast("long"))
+    return (
+        win.groupBy("shard_id")
+        .agg(
+            F.sum("docs_starting").alias("docs"),
+            F.max("shard_total").alias("shard_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+            short.alias("short_windows"),
+        )
+        .select(
+            "shard_id",
+            "docs",
+            "shard_tokens",
+            "n_windows",
+            "short_windows",
+            (F.col("short_windows") <= 1).alias("remainder_bound_ok"),
+        )
+    )

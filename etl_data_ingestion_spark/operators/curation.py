@@ -380,10 +380,14 @@ def scalar_aes_column_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = planted.select("doc_id", "pt", ct.alias("ct"))
     rt = F.aes_decrypt(F.col("ct"), key, F.lit("GCM")).cast("string")
-    # flip the last byte: GCM authentication must reject it
-    tampered = F.concat(
-        F.substring(F.col("ct"), 1, F.octet_length(F.col("ct")) - 1),
-        F.expr("X'00'"),
+    # XOR the last byte with 0xFF: guarantees the ciphertext actually
+    # differs (overwriting with a constant would be a no-op whenever
+    # the authentic tag already ends in that constant), so GCM
+    # authentication must reject it
+    tampered = F.expr(
+        "concat(substring(ct, 1, octet_length(ct) - 1), "
+        "unhex(lpad(hex(cast(conv(hex(substring(ct, -1, 1)), 16, 10)"
+        " as int) ^ 255), 2, '0')))"
     )
     bad = F.try_aes_decrypt(tampered, key, F.lit("GCM"))
     return enc.select(

@@ -550,12 +550,13 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
         F.col("value").alias("v_value"), F.lit(0).alias("is_p"),
     )
-    # views sort BEFORE a purchase at the same ts (is_p ascending) so
-    # a simultaneous view counts as "next" (>=), matching the oracle
+    # purchases sort BEFORE a view at the same ts (is_p descending) so
+    # a simultaneous view lands INSIDE the forward frame starting at
+    # the purchase row — the oracle's match is inclusive (v.ts >= p.ts)
     tagged = p.unionByName(v)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_p")
+        .orderBy("ts", F.desc("is_p"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     nxt_ts = F.first(

@@ -2,12 +2,16 @@
 audio / video payloads as opaque BinaryType columns with typed
 metadata, decoded/transformed through Arrow-batched pandas stages.
 
-The decode itself is STUBBED (no image/audio libraries in this
-container — see _fake_decode) with a deterministic fake, but every
-piece of Spark plumbing is real and tested: binary column handling,
-metadata schema, mapInPandas batch shapes, per-partition behavior,
-frame-sampling output layout. Swapping the stub for PIL/ffmpeg changes
-one inner function, not the dataflow.
+Decode tiers: WAV audio (stdlib `wave`), grayscale filter-0 PNG, and
+general PNG (all five scanline filters, grayscale + RGB —
+multimodal_image_decode_real) are REAL decodes with pixel/sample-exact
+oracles. Only video frame-sampling and the resize/featurize embedding
+stage remain STUBBED with deterministic fakes (ffmpeg/codecs and a
+vision encoder are absent from this container); their Spark plumbing —
+binary column handling, metadata schema, mapInPandas batch shapes,
+per-partition behavior, frame-sampling output layout — is real and
+tested, so swapping the fake for the codec changes one inner
+function, not the dataflow.
 """
 
 from __future__ import annotations
@@ -47,69 +51,221 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IMAGE_DECODE_ORACLE = """
--- The stub decode is a PURE function of the content digest, so the
--- oracle recomputes it from sha256 hex: byte k of the digest is
--- hex-pair k, decoded arithmetically (strpos over the hex alphabet).
-WITH h AS (
-  SELECT doc_id, sha256(text) AS hx FROM documents
-), b AS (
+-- REAL image decode (general PNG, not a stub): pixel content is a
+-- pure function of (doc_id, y, x, c) — value = (doc_id*7 + y*3 +
+-- x*5 + c*11) % 256 — and PNG filtering is invertible, so the
+-- decoded image must equal the source REGARDLESS of which filter
+-- type each scanline was encoded with (the Spark side cycles all
+-- five). The oracle derives every field, including the exact pixel
+-- sum, from the synthesis formula; any defilter bug (Sub/Up/
+-- Average/Paeth math, stride handling, channel offset) breaks
+-- pixel_sum equality.
+WITH dims AS (
   SELECT doc_id,
-         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS h0,
-         (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS h1,
-         (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS h2
-  FROM h
+         8 + doc_id % 8 AS w,
+         4 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents WHERE doc_id < 150
+), px AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id * 7 + y.y * 3 + x.x * 5 + c.c * 11) % 256)
+           AS psum
+  FROM dims d,
+       UNNEST(generate_series(0, d.h - 1)) AS y(y),
+       UNNEST(generate_series(0, d.w - 1)) AS x(x),
+       UNNEST(generate_series(0, d.ch - 1)) AS c(c)
+  GROUP BY d.doc_id
 )
-SELECT doc_id,
-       CAST(64 + h0 * 4 AS INT) AS width,
-       CAST(64 + h1 * 4 AS INT) AS height,
-       CASE h2 % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-       CAST(3 AS INT) AS channels
-FROM b
-ORDER BY doc_id
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(d.ch AS INT) AS channels,
+       CASE WHEN d.ch = 1 THEN 'gray' ELSE 'rgb' END AS color_mode,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(p.psum AS BIGINT) AS pixel_sum
+FROM dims d JOIN px p USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
-@register("multimodal_image_decode_stub", oracle=IMAGE_DECODE_ORACLE)
-def multimodal_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode stage: binary column → (width, height, format,
-    channels) via Arrow-batched mapInPandas.
+def _png_defilter(raw: bytes, width: int, height: int, bpp: int):
+    """Invert PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over inflated IDAT bytes → flat pixel list. Pure
+    stdlib; bit depth 8 so one byte per sample and bpp = channels."""
+    stride = width * bpp
+    out = bytearray()
+    prior = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += line
+        prior = line
+    return out
 
-    STUB: container has no image codec, so dimensions derive
-    deterministically from the content digest. The Spark-side contract
-    — binary in, typed metadata out, batch-iterator shape, closure
-    self-containment — is the real thing.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+
+def _png_filter_line(line: bytes, prior: bytes, ftype: int, bpp: int) -> bytes:
+    """Apply PNG filter `ftype` to one raw scanline (encoder side)."""
+    stride = len(line)
+    enc = bytearray(stride)
+    for x in range(stride):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        enc[x] = (line[x] - pred) & 0xFF
+    return bytes(enc)
+
+
+@register("multimodal_image_decode_real", oracle=IMAGE_DECODE_ORACLE)
+def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL general-PNG decode over opaque binary payloads — the
+    image-decode family's former digest-stub retired (round 5): full
+    chunk parse (CRC-checked), zlib inflate, and scanline DEFILTERING
+    for all five filter types (None/Sub/Up/Average/Paeth) in both
+    grayscale and RGB truecolor, pure stdlib (zlib/struct). Encoding
+    cycles the filter type per scanline ((doc_id + y) % 5) so every
+    defilter branch runs on every image taller than 4 rows; pixel
+    content is a pure function of (doc_id, y, x, c), so the oracle
+    predicts the decoded pixel sum exactly — filters are invertible,
+    and a wrong Paeth predictor or stride/channel offset shows up as
+    a pixel_sum mismatch, not a silent pass.
+
+    Spark shape (same as the WAV/PNG-gray tiers): synthesis and
+    decode are both Arrow-batched mapInPandas stages; payloads live
+    only inside the scan-side batch — the plan shuffles nothing, and
+    only typed metadata leaves the stage. At 100 TB the synth stage
+    is replaced by reading a real binary column; the decode stage is
+    unchanged. JPEG/WebP remain out of scope (no codec in the
+    container — documented limitation, not a stub: there is no fake
+    path left in the image family)."""
+    import struct
+    import zlib
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 8, 4 + d % 4
+                ch = 1 if d % 2 == 0 else 3
+                prior = bytes(w * ch)
+                filtered = b""
+                for y in range(h):
+                    line = bytes(
+                        (d * 7 + y * 3 + x * 5 + c * 11) % 256
+                        for x in range(w)
+                        for c in range(ch)
+                    )
+                    ftype = (d + y) % 5
+                    filtered += bytes([ftype]) + _png_filter_line(
+                        line, prior, ftype, ch
+                    )
+                    prior = line
+                color_type = 0 if ch == 1 else 2
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(filtered))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        import pandas as _pd
-
-        def fake_decode(data: bytes) -> tuple[int, int, str, int]:
-            # STUB(no-codec): deterministic fake in place of
-            # PIL.Image.open(BytesIO(data)); replace body only.
-            h = hashlib.sha256(data).digest()
-            width = 64 + h[0] * 4
-            height = 64 + h[1] * 4
-            fmt = ["jpeg", "png", "webp"][h[2] % 3]
-            return width, height, fmt, 3
-
         for pdf in batches:
-            meta = [fake_decode(bytes(b)) for b in pdf["content"]]
-            out = _pd.DataFrame(
-                meta, columns=["width", "height", "format", "channels"]
-            )
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                data = bytes(data)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad magic"
+                pos, idat = 8, b""
+                width = height = color_type = None
+                while pos < len(data):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    tag = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack(
+                        ">I", data[pos + 8 + ln : pos + 12 + ln]
+                    )
+                    assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+                    if tag == b"IHDR":
+                        width, height, depth, color_type = struct.unpack(
+                            ">IIBB", body[:10]
+                        )
+                        assert depth == 8 and color_type in (0, 2)
+                        assert body[10:13] == b"\x00\x00\x00", "no interlace"
+                    elif tag == b"IDAT":
+                        idat += body
+                    pos += 12 + ln
+                ch = 1 if color_type == 0 else 3
+                pixels = _png_defilter(
+                    zlib.decompress(idat), width, height, ch
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": width,
+                        "height": height,
+                        "channels": ch,
+                        "color_mode": "gray" if ch == 1 else "rgb",
+                        "n_pixels": width * height,
+                        "pixel_sum": sum(pixels),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(
+    pngs = docs.mapInPandas(synth, schema="doc_id long, png binary")
+    return pngs.mapInPandas(
         decode,
-        schema="doc_id long, width int, height int, format string, channels int",
+        schema=(
+            "doc_id long, width int, height int, channels int, "
+            "color_mode string, n_pixels long, pixel_sum long"
+        ),
     )
 
 
@@ -666,10 +822,10 @@ def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG that needs no imaging library: 8-bit grayscale, filter type
     0 — magic + IHDR parse, CRC-checked chunks, zlib-inflated IDAT,
     per-scanline filter strip, pixel math from the actual bytes
-    (stdlib zlib/struct + numpy). The general-PNG path (other filter
-    types, color, interlace) stays with the declared stub
-    (multimodal_image_decode_stub) until an imaging library exists;
-    this proves the dataflow END-TO-END on genuinely encoded bytes:
+    (stdlib zlib/struct + numpy). The general-PNG path (filter types
+    1-4, RGB) is multimodal_image_decode_real; this narrower tier
+    stays as the numpy-vectorized fast path for the filter-0 subset
+    and proves the dataflow END-TO-END on genuinely encoded bytes:
     synthesize → compress → decode → verify, with the oracle
     predicting every field exactly because synthesis is a pure
     function of doc_id. Payloads never shuffle; only typed metadata

@@ -44,7 +44,9 @@ ORDER BY q_id, rnk
 """
 
 
-def _pairwise_scored(emb: DataFrame, n_queries: int = 3) -> DataFrame:
+def _pairwise_scored(
+    emb: DataFrame, n_queries: int = 3, corpus_count: int | None = None
+) -> DataFrame:
     """(q_id, vec_id, cs) for every (query, corpus) pair, path chosen
     by corpus size (round-4 A/B at fixed 3 queries):
 
@@ -70,14 +72,19 @@ def _pairwise_scored(emb: DataFrame, n_queries: int = 3) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    if emb.count() < 10_000:
+    n = corpus_count if corpus_count is not None else emb.count()
+    if n < 10_000:
         return emb.join(
             F.broadcast(queries), F.col("vec_id") != F.col("q_id")
         ).select(
             "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("cs")
         )
 
-    qrows = queries.collect()
+    # collect() order is not guaranteed to follow vec_id — sort before
+    # stacking so row i of Q is queried id qids[i], and map the
+    # posexplode index back through qids (not the raw position)
+    qrows = sorted(queries.collect(), key=lambda r: r["q_id"])
+    qids = [int(r["q_id"]) for r in qrows]
     Q = np.stack([np.array(r["q_emb"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
@@ -87,10 +94,15 @@ def _pairwise_scored(emb: DataFrame, n_queries: int = 3) -> DataFrame:
         return pd.Series(list(Xn @ Qn.T))
 
     scores = pandas_udf(_scores, "array<double>")
+    qid_map = F.array(*[F.lit(q) for q in qids])
     return (
         emb.select("vec_id", scores("embedding").alias("s"))
         .select("vec_id", F.posexplode("s").alias("qi", "cs"))
-        .select(F.col("qi").cast("long").alias("q_id"), "vec_id", "cs")
+        .select(
+            F.element_at(qid_map, F.col("qi") + 1).cast("long").alias("q_id"),
+            "vec_id",
+            "cs",
+        )
         .filter(F.col("vec_id") != F.col("q_id"))
     )
 
@@ -111,11 +123,13 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_topk(emb: DataFrame, k: int = 10) -> DataFrame:
+def _exact_topk(
+    emb: DataFrame, k: int = 10, corpus_count: int | None = None
+) -> DataFrame:
     """Ground-truth exact cosine top-k for the 3 query vectors —
     the in-plan yardstick the ANN self-checks compare against (one
     scoring pass over the corpus, see _pairwise_scored)."""
-    scored = _pairwise_scored(emb)
+    scored = _pairwise_scored(emb, corpus_count=corpus_count)
     w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -230,9 +244,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    exact = _exact_topk(raw)
+    n = raw.count()  # once: shared by the path choice and the contract row
+    exact = _exact_topk(raw, corpus_count=n)
     return _ann_selfcheck(
-        ann, exact, floor=0.8, corpus_n=raw.count(), top1_min_corpus=1000
+        ann, exact, floor=0.8, corpus_n=n, top1_min_corpus=1000
     )
 
 
@@ -364,7 +379,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id")
     )
-    return _ann_selfcheck(ann, _exact_topk(emb), floor=0.6)
+    return _ann_selfcheck(ann, _exact_topk(emb, corpus_count=emb.count()),
+                          floor=0.6)
 
 
 QUANTIZE_ORACLE = """
@@ -472,6 +488,7 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     M, K, SUB, SHORTLIST = 8, 256, 8, 400
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_n = emb.count()  # once: reused by the exact-topk path choice
     sample = np.array(
         [
             r["embedding"]
@@ -503,7 +520,13 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         books.append(C)
     books = np.stack(books)  # (M, K, SUB)
 
-    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    # sort the collected queries: collect() order is not guaranteed,
+    # and the positional ADC index must pair with the SAME vec_id the
+    # rerank join keys on
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
     Q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     n_q = len(qrows)
@@ -523,10 +546,15 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(S))
 
     adc = pandas_udf(_encode_adc, "array<double>")
+    qid_map = F.array(*[F.lit(q) for q in qids])
     approx = (
         emb.select("vec_id", adc("embedding").alias("s"))
         .select("vec_id", F.posexplode("s").alias("qi", "adc"))
-        .select(F.col("qi").cast("long").alias("q_id"), "vec_id", "adc")
+        .select(
+            F.element_at(qid_map, F.col("qi") + 1).cast("long").alias("q_id"),
+            "vec_id",
+            "adc",
+        )
         .filter(F.col("vec_id") != F.col("q_id"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
@@ -551,4 +579,5 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id")
     )
-    return _ann_selfcheck(ann, _exact_topk(emb), floor=0.6)
+    return _ann_selfcheck(ann, _exact_topk(emb, corpus_count=corpus_n),
+                          floor=0.6)

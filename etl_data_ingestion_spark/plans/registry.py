@@ -43,87 +43,74 @@ def register(name: str, oracle: Optional[str] = None):
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
-# Round 1 checked registration slots 1-50 (48 green). Round 2:
-# 49/50 green. Round 3: 50/50 green — every driver verdict ever
-# issued is now green (146/152; the other 6 registered after the
-# window filled and were judge-verified green at sf0.01). Round 4's
-# window below: the 6 never-driver-checked queries first, then 44 of
-# the 47 queries whose only verdict is from round 1 (oldest verdicts,
-# most refactor drift since — tpch/join/agg/window/setop families).
-# The 3 deferred r1-greens (setop_union_all, setop_union_distinct,
-# window_value_functions — value-function shapes untouched since r1),
-# the 22 round-4 additions (timeseries_ewma_daily, join_bloom_pruned,
-# multimodal_cdc_chunking, window_cumulative_distinct_users,
-# events_transition_matrix, dedup_bloom_incremental,
-# similarity_pq_rerank, pipeline_dsir_weights,
-# scan_partitioned_dpp, agg_bitmap_exact_distinct,
-# scalar_variant_json, agg_theta_sketch_setops,
-# scalar_aes_column_protection, scan_xml_roundtrip,
-# multimodal_wav_decode_real, multimodal_png_decode_real,
-# text_langid_confusion, agg_hll_rollup_table,
-# pipeline_pack_sequences, join_asof_forward_tolerance,
-# window_moving_median, scalar_url_funcs), and the 49
-# round-2 greens by age head the
-# round-5 window. Names not listed follow in registration order
-# after the listed ones.
+# History: round 1 checked slots 1-50 (48 green); round 2: 49/50;
+# round 3: 50/50; round 4: 50/50 (6 never-checked + 44 aging r1
+# greens). Every driver verdict ever issued is green.
+# Round-5 window below: the 3 r1 greens deferred from the round-4
+# window (their only verdict is round 1 — oldest debt), then the 22
+# round-4 additions (judge-verified green at sf0.01 in round 4 but
+# never driver-checked), then new round-5 queries, then the oldest
+# round-2 greens that fit (the rest of the 49 r2-only greens roll to
+# round 6). Names not listed follow in registration order after the
+# listed ones.
 CHECK_ORDER: list[str] = [
-    # slots 1-6: never driver-verified (registered after the round-3
-    # window filled; judge-verified green via tools/check_parity.py)
-    "funnel_view_click_purchase",
-    "retention_daily_cohorts",
-    "text_tfidf_top_terms",
-    "agg_value_histogram",
-    "multimodal_payload_dedup",
-    "agg_consistent_hash_sample",
-    # slots 7-18: TPC-H round-1 greens, re-verified post-refactor
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22_sales_opportunity",
-    # slots 19-29: all 11 join shapes (round-1 verdicts)
-    "join_broadcast_dims",
-    "join_left_semi",
-    "join_left_anti",
-    "join_theta_late_shipments",
-    "join_range_price_bands",
-    "join_full_outer_nation_counts",
-    "join_asof_purchase_view",
-    "join_sortmerge_fact_fact",
-    "join_salted_skew",
-    "join_null_safe_eq",
-    "join_shufflehash_fact",
-    # slots 30-40: aggregation round-1 greens
-    "agg_distinct_counts",
-    "agg_rollup_status_priority",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_stats_acctbal",
-    "agg_pivot_status",
-    "agg_exact_percentiles",
-    "agg_collect_sorted",
-    "agg_median_by_priority",
-    "agg_filtered_boolean",
-    "agg_salted_skew",
-    # slots 41-47: window round-1 greens
-    "window_rank_top_orders_per_customer",
-    "window_running_total",
-    "window_lag_lead_events",
-    "window_moving_avg",
-    "window_ntile_percent_rank",
-    "window_sessionize_gaps",
-    "window_range_frame_90d",
-    # slots 48-50: set ops + the one r1 scalar family
-    "setop_intersect",
-    "setop_except",
-    "scalar_string_funcs",
+    # slots 1-3: round-1 greens deferred from the round-4 window
+    "setop_union_all",
+    "setop_union_distinct",
+    "window_value_functions",
+    # slots 4-25: round-4 additions (judge-green, never driver-checked)
+    "timeseries_ewma_daily",
+    "join_bloom_pruned",
+    "multimodal_cdc_chunking",
+    "window_cumulative_distinct_users",
+    "events_transition_matrix",
+    "dedup_bloom_incremental",
+    "similarity_pq_rerank",
+    "pipeline_dsir_weights",
+    "scan_partitioned_dpp",
+    "agg_bitmap_exact_distinct",
+    "scalar_variant_json",
+    "agg_theta_sketch_setops",
+    "scalar_aes_column_protection",
+    "scan_xml_roundtrip",
+    "multimodal_wav_decode_real",
+    "multimodal_png_decode_real",
+    "text_langid_confusion",
+    "agg_hll_rollup_table",
+    "pipeline_pack_sequences",
+    "join_asof_forward_tolerance",
+    "window_moving_median",
+    "scalar_url_funcs",
+    # round-5 additions (displacing the r2 tail to round 6: new code
+    # needs a driver verdict more than a 2-round-old green needs
+    # refreshing)
+    "multimodal_image_decode_real",
+    # remaining slots: oldest round-2 greens (registration order = age)
+    "ingest_trim_empty_null",
+    "ingest_comma_int_roundtrip",
+    "ingest_strict_date_parse",
+    "ingest_validity_accounting",
+    "ingest_ctb_end_to_end",
+    "pipeline_training_data_curation",
+    "dedup_exact_documents",
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_ivf_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id_heuristic",
+    "text_bpe_token_estimate",
+    "text_rolling_fingerprint",
+    "text_lang_bigram_score",
+    "text_normalize_pipeline",
+    "scalar_date_funcs",
 ]
 
 
