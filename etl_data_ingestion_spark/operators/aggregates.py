@@ -920,3 +920,105 @@ def agg_hll_rollup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("estimate_ok"),
     )
+
+
+CORR_COVAR_ORACLE = """
+-- Bivariate statistics per group: Pearson correlation and
+-- sample/population covariance of (quantity, extendedprice), plus
+-- discount/tax correlation — the relationships a pricing model
+-- audits first. Both engines implement the ANSI corr/covar_samp/
+-- covar_pop aggregates; rounding to 6 keeps summation-order epsilon
+-- out of the hash.
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qty_price,
+       ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=CORR_COVAR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + covariance (sample and
+    population) — single-pass moment aggregates: Spark's corr/
+    covar_samp/covar_pop are partial-aggregable (each partition
+    carries (n, Σx, Σy, Σxy) co-moments; merge is exact), so the
+    plan is one map-side-combined Exchange on a 3-value key, the
+    same shape as any sum. No second pass, no join of per-group
+    means back onto the fact table — the naive two-pass formulation
+    would double-scan 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covs_qty_price"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "covp_qty_price"
+            ),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+MODE_ORACLE = """
+-- Deterministic mode (most frequent value) per group, with the
+-- tie-break STATED (count desc, then value asc) instead of left to
+-- an engine's arbitrary pick — both engines' native mode()/MODE()
+-- leave ties implementation-defined, which can never hash-match, so
+-- the operator IS the count+row_number formulation.
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM c
+)
+SELECT o_orderstatus,
+       o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS mode_count
+FROM r WHERE rk = 1
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_mode_deterministic", oracle=MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group with a pinned tie-break. Scale shape: the
+    count aggregates map-side onto a (group, value) key domain —
+    |groups|x|distinct values|, tiny — and the row_number window
+    runs on that domain-sized table, NOT the fact table; the fact
+    table is touched by exactly one partial-aggregated Exchange.
+    This is the scalable mode: collect_list-then-sort per group
+    would move every row."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )

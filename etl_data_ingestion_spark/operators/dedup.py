@@ -1115,3 +1115,89 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return misses.unionByName(hits)
+
+
+LEVENSHTEIN_BANDED_ORACLE = """
+-- Edit-distance near-dup pairs under prefix blocking: candidate
+-- pairs share a 24-char text prefix (the blocking key bounds the
+-- quadratic levenshtein work to in-bucket pairs), then the exact
+-- edit distance <= 10 filter keeps true near-dups. Planted copies:
+-- every 10th doc gets a 6-edit copy (kept) and every 15th a
+-- 40-edit copy (same prefix, rejected by distance — proving the
+-- filter discriminates, not just the blocking).
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' qq zz'
+  FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         text || ' padpadpad padpadpad padpadpad padpadpad'
+  FROM documents WHERE doc_id < 300 AND doc_id % 15 = 0
+), keyed AS (
+  SELECT doc_id, text, substr(text, 1, 24) AS block_key FROM corpus
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM keyed a JOIN keyed b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 10
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_levenshtein_banded", oracle=LEVENSHTEIN_BANDED_ORACLE)
+def dedup_levenshtein_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance near-dup detection under blocking — the
+    verification tier for fuzzy dedup when token-set measures
+    (Jaccard) are too coarse (transpositions, small in-place edits).
+    Levenshtein is O(len²) PER PAIR, so the operator's scale story
+    is entirely about never going all-pairs: a cheap blocking key (a
+    shared text prefix here; a MinHash band or SimHash prefix at
+    100 TB — same join shape) buckets the corpus, the self-join runs
+    inside buckets only, and the exact distance prunes to true
+    near-dups. Both the JVM levenshtein and the join are
+    codegen'd; planted 6-edit copies pass the <=10 gate, planted
+    40-edit copies with the SAME blocking prefix are rejected —
+    the distance filter is doing real work, not echoing the
+    blocking."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" padpadpad padpadpad padpadpad padpadpad"),
+                ).alias("text"),
+            )
+        )
+    )
+    keyed = corpus.select(
+        "doc_id", "text", F.substring("text", 1, 24).alias("block_key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast(
+                "long"
+            ).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+        .orderBy("a_id", "b_id")
+    )

@@ -165,3 +165,118 @@ def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PATH_TRIGRAMS_ORACLE = """
+-- Top event-type trigram paths: per user, events ordered by (ts,
+-- event_id) form a behavior sequence; every window of 3 consecutive
+-- events is a path. The canonical sequence-mining primitive behind
+-- "what do users do before churning/purchasing". LEAD x2 keeps it
+-- pure window math in both engines; top-10 with a full deterministic
+-- tie-break (count desc, then path asc).
+WITH seq AS (
+  SELECT user_id, event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE s3 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n_paths DESC, s1, s2, s3
+LIMIT 10
+"""
+
+
+@register("events_path_trigrams", oracle=PATH_TRIGRAMS_ORACLE)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavior paths (event-type trigrams) across all
+    users. Scale shape: ONE shuffle on user_id for the ordered
+    window (LEAD is frame-free running state, no buffering beyond 2
+    rows), then a partial-aggregated groupBy on the |event_types|³
+    path space — tiny key domain, so the second Exchange moves
+    almost nothing. TakeOrdered handles the top-10 without a global
+    sort. The same plan at 100 TB: the user_id window is the only
+    fact-sized Exchange, identical to any sessionization pass."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        seq.filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
+        .limit(10)
+    )
+
+
+STREAKS_ORACLE = """
+-- Longest consecutive-day activity streak per user (gaps-and-islands
+-- via the date-minus-row_number trick: consecutive days share the
+-- same anchor date). The engagement metric behind "7-day streak"
+-- product features; pure window + groupBy math in both engines.
+-- Top-20 users, deterministic tie-break (streak desc, user asc).
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+), isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(run_len) AS BIGINT) AS active_days
+FROM runs
+GROUP BY user_id
+ORDER BY longest_streak DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_purchase_streaks", oracle=STREAKS_ORACLE)
+def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user —
+    gaps-and-islands: distinct active days, anchor = day minus
+    row_number (consecutive days collapse to one anchor), run
+    lengths per (user, anchor), max per user. Scale shape: the
+    distinct and the window share the user_id partitioning (one
+    Exchange reused), islands aggregate map-side, and only
+    user-sized rows reach the final top-20 TakeOrdered. No self-join
+    — the naive day-to-next-day join would be a fact-sized range
+    join for the same answer."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    days = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("active_days"),
+        )
+        .orderBy(F.desc("longest_streak"), "user_id")
+        .limit(20)
+    )

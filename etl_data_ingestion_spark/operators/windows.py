@@ -616,3 +616,81 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((mid_lo + mid_hi) / 2.0, 3).alias("moving_median"),
     )
+
+
+OHLC_ORACLE = """
+-- OHLC downsampling (resample-to-bars): per (event_type, hour),
+-- open/close = value at the first/last event — tie-broken by
+-- (ts, event_id) so both engines pick the SAME row — plus
+-- high/low/volume. The time-series primitive behind any metrics or
+-- market-data rollup; pure window + groupBy math.
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type,
+       STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 3) AS open,
+       ROUND(MAX(value), 3) AS high,
+       ROUND(MIN(value), 3) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 3) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register("timeseries_resample_ohlc", oracle=OHLC_ORACLE)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream to hourly OHLC bars per event type.
+    Scale shape: both row_number windows share ONE partitioning
+    ((event_type, bucket) — Catalyst plans a single Exchange and two
+    Sorts), and the groupBy rides the same keys, so the fact table
+    shuffles once. first_value/last_value with explicit (ts,
+    event_id) tie-break, not an arbitrary-pick first(): resampling
+    must be deterministic under retries at 100 TB or two runs of the
+    same job produce different bars."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b = events.select(
+        "event_type", bucket.alias("bucket"), "value", "ts", "event_id"
+    ).select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 3
+            ).alias("open"),
+            F.round(F.max("value"), 3).alias("high"),
+            F.round(F.min("value"), 3).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 3
+            ).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -85,6 +85,13 @@ CHECK_ORDER: list[str] = [
     # needs a driver verdict more than a 2-round-old green needs
     # refreshing)
     "multimodal_image_decode_real",
+    "pipeline_pack_sequences_sharded",
+    "events_path_trigrams",
+    "events_purchase_streaks",
+    "agg_corr_covar",
+    "agg_mode_deterministic",
+    "timeseries_resample_ohlc",
+    "dedup_levenshtein_banded",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

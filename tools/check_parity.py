@@ -62,7 +62,19 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
 
-    failures, passed, rows_only = [], [], []
+    # Brute-force ground-truth oracles are superlinear (all-pairs
+    # Jaccard/cosine) and stop terminating at scale-curve sfs while
+    # the Spark side answers in seconds; an oracle still running
+    # after $SPARK_GRAFT_ORACLE_TIMEOUT sec (default 180) is
+    # interrupted and the query counted ORACLE-TIMEOUT (value parity
+    # unverifiable at this sf — NOT a failure; the Spark side must
+    # still have executed).
+    import os
+    import threading
+
+    budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "180"))
+
+    failures, passed, rows_only, oracle_timeout = [], [], [], []
     for name in registry.query_names():
         if only and name not in only:
             continue
@@ -78,12 +90,21 @@ def main() -> int:
             rows_only.append(name)
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
             continue
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
             odf = con.execute(sql).fetchdf()
+        except duckdb.InterruptException:
+            oracle_timeout.append(name)
+            print(f"ORACLE-TIMEOUT {name}: spark ran ({len(sdf)} rows), "
+                  f"oracle exceeded {budget:.0f}s")
+            continue
         except Exception as e:
             failures.append((name, f"oracle raised: {e}"))
             print(f"FAIL {name}: oracle raised: {e}")
             continue
+        finally:
+            timer.cancel()
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(
                 (name, f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
@@ -106,7 +127,8 @@ def main() -> int:
         print(f"OK   {name}: {len(sdf)} rows")
 
     print(
-        f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failures)} failed"
+        f"\n{len(passed)} ok, {len(rows_only)} rows-only, "
+        f"{len(oracle_timeout)} oracle-timeout, {len(failures)} failed"
         f" (sf_dir={sf_dir})"
     )
     return 1 if failures else 0
