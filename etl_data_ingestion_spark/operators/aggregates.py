@@ -1022,3 +1022,90 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+REGR_ORACLE = """
+-- Linear-regression aggregates (ANSI regr_* family): slope,
+-- intercept, r², n over (discount -> extendedprice) per returnflag.
+-- Like corr/covar these are single-pass co-moment aggregates in
+-- both engines — partial-aggregable, no residual second pass.
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_discount), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_discount), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_discount), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_discount) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_linear_regression", oracle=REGR_ORACLE)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI regr_* aggregates: OLS slope/intercept/r² per group in
+    ONE pass — the co-moment states (n, Σx, Σy, Σxx, Σxy, Σyy)
+    merge across partitions exactly, so the plan is a single
+    map-side-combined Exchange; the textbook two-pass formulation
+    (means first, residuals second) would scan the fact table
+    twice. The in-database feature-engineering primitive for trend
+    columns at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.regr_slope("l_extendedprice", "l_discount"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_discount"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_discount"), 6).alias(
+                "r2"
+            ),
+            F.regr_count("l_extendedprice", "l_discount")
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+UNPIVOT_ORACLE = """
+-- Unpivot / melt: wide per-segment stats to long (metric, value)
+-- rows — the wide-to-long reshape feeding any metrics store. The
+-- oracle states it as UNION ALL (the semantics both engines'
+-- unpivot sugar compiles to).
+WITH s AS (
+  SELECT c_mktsegment,
+         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+         ROUND(MIN(c_acctbal), 2) AS min_bal,
+         ROUND(MAX(c_acctbal), 2) AS max_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS value FROM s
+UNION ALL
+SELECT c_mktsegment, 'min_bal', min_bal FROM s
+UNION ALL
+SELECT c_mktsegment, 'max_bal', max_bal FROM s
+ORDER BY c_mktsegment, metric
+"""
+
+
+@register("agg_unpivot_metrics", oracle=UNPIVOT_ORACLE)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): wide aggregate columns to long
+    (metric, value) rows. Runs AFTER the aggregation, so the
+    reshape touches a |groups|x|metrics| table, never the fact
+    table — unpivot is a map-only Expand, no shuffle of its own."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return s.unpivot(
+        ["c_mktsegment"],
+        ["avg_bal", "min_bal", "max_bal"],
+        "metric",
+        "value",
+    ).orderBy("c_mktsegment", "metric")

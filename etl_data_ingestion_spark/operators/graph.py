@@ -1,0 +1,125 @@
+"""Graph analytics over relational facts: iterative algorithms
+expressed as DataFrame joins + aggregations per superstep.
+
+The pattern (shared with dedup.py::connected_components): build the
+edge list ONCE from the fact table (the only fact-sized work), then
+iterate on node/edge-domain tables — each superstep is a
+contribution join + a partial-aggregated groupBy, i.e. a sparse
+mat-vec. At 100 TB the edge build dominates; supersteps shuffle only
+|E| contribution rows keyed by destination. For long iteration
+chains, localCheckpoint() per superstep truncates lineage (see
+connected_components); the fixed-k unrolled form here keeps the plan
+pure so the oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+PAGERANK_ORACLE = """
+-- Weighted PageRank, 3 unrolled iterations, damping 0.85, over the
+-- symmetric customer--supplier graph (edge weight = number of
+-- lineitems between them; both directions, so no dangling nodes).
+-- pr0 = 1/N; pr_{k+1}(v) = (1-d)/N + d * SUM_u pr_k(u)*w(u,v)/outw(u).
+-- Every step is a join + groupBy in both engines; DuckDB unrolls the
+-- iterations as CTEs. Top-20 nodes, deterministic tie-break.
+WITH pairs AS (
+  SELECT 'C' || o.o_custkey AS src, 'S' || l.l_suppkey AS dst,
+         COUNT(*) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, CAST(w AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst, src, CAST(w AS DOUBLE) AS w FROM pairs
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), n AS (
+  SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nn FROM edges
+), pr0 AS (
+  SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr
+  FROM outw
+), pr1 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n)
+         + 0.85 * SUM(p.pr * e.w / o.ow) AS pr
+  FROM edges e
+  JOIN pr0 p ON p.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), pr2 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n)
+         + 0.85 * SUM(p.pr * e.w / o.ow) AS pr
+  FROM edges e
+  JOIN pr1 p ON p.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), pr3 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT nn FROM n)
+         + 0.85 * SUM(p.pr * e.w / o.ow) AS pr
+  FROM edges e
+  JOIN pr2 p ON p.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+)
+SELECT node, ROUND(pr * 1000, 6) AS pr_milli
+FROM pr3
+ORDER BY pr_milli DESC, node
+LIMIT 20
+"""
+
+
+@register("graph_pagerank_bipartite", oracle=PAGERANK_ORACLE)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85) over the symmetric
+    customer--supplier purchase graph. Scale shape: the ONLY
+    fact-sized work is the edge build (orders JOIN lineitem, one
+    partial-aggregated groupBy to (src,dst,w)); every superstep after
+    that is |E|-sized — contributions = edges JOIN pr (pr is
+    node-sized, broadcastable when nodes << edges) then a groupBy on
+    dst. The symmetric edge set means no dangling-mass correction
+    term, keeping each superstep a pure join+agg both engines can
+    state identically. Fixed k=3 unrolled; for convergence loops at
+    scale, add localCheckpoint() per superstep exactly as
+    dedup_cluster_components does. Emits pr*1000 rounded so float
+    summation-order epsilon stays out of the value hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    n_nodes = outw.count()  # node-domain count, one small job
+    pr = outw.select("src", (F.lit(1.0) / n_nodes).alias("pr")).withColumnRenamed(
+        "src", "node"
+    )
+    base = 0.15 / n_nodes
+    for _ in range(3):
+        contribs = (
+            edges.join(pr, edges.src == F.col("node"))
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        pr = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + 0.85 * F.col("s")).alias("pr"),
+        )
+    return (
+        pr.select("node", F.round(F.col("pr") * 1000, 6).alias("pr_milli"))
+        .orderBy(F.desc("pr_milli"), "node")
+        .limit(20)
+    )

@@ -918,3 +918,115 @@ def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pixels long, pixel_sum long"
         ),
     )
+
+
+AUDIO_FEATURES_ORACLE = """
+-- REAL frame-level audio feature extraction (RMS energy + zero-
+-- crossing rate), computed from genuinely encoded WAV bytes. The
+-- synthesized signal is a two-amplitude square wave (first half
+-- amp_a = 100 + doc_id % 900, second half amp_b = 200 + doc_id %
+-- 700, sign flips every 8 samples, 1600 samples = 10 frames of
+-- 160, the amplitude switch landing exactly on the frame-5
+-- boundary), so every feature is exactly predictable: per-frame
+-- RMS equals the segment amplitude (|sample| is constant within a
+-- segment), and per-frame ZCR is exactly 19 (sign changes at every
+-- multiple of 8 inside a 160-sample frame). The features pipeline
+-- (frame loop, int16 PCM math, sqrt energy, sign-change scan) is
+-- the real thing; only the synthesis is simplified.
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS n_frames,
+       CAST(100 + doc_id % 900 AS DOUBLE) AS rms_first_half,
+       CAST(200 + doc_id % 700 AS DOUBLE) AS rms_second_half,
+       CAST(GREATEST(100 + doc_id % 900, 200 + doc_id % 700) AS BIGINT)
+         AS peak,
+       TRUE AS zcr_per_frame_ok
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_features", oracle=AUDIO_FEATURES_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over opaque WAV payloads — the
+    feature-extraction stage an audio training pipeline runs after
+    decode: split PCM into fixed 160-sample frames (10ms at 16kHz /
+    20ms at 8kHz — the standard speech hop), per-frame RMS energy
+    (sqrt mean square over int16 samples) and zero-crossing rate
+    (sign-change count). Both are REAL DSP on genuinely encoded
+    bytes (stdlib `wave` + numpy); the synthesized two-segment
+    square wave makes every output exactly predictable so the
+    oracle pins real values, not bounds.
+
+    Spark shape: synth and featurize are Arrow-batched mapInPandas
+    stages; PCM never shuffles — one scan-side pass emits typed
+    per-payload features, the same plumbing a mel-spectrogram or
+    VAD stage would use (swap the per-frame function, keep the
+    dataflow)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    FRAME = 160
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads = []
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amp_a, amp_b = 100 + d % 900, 200 + d % 700
+                i = np.arange(1600)
+                amp = np.where(i < 800, amp_a, amp_b)
+                sign = np.where((i // 8) % 2 == 0, 1, -1)
+                pcm = (amp * sign).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["wav"]):
+                with wave_mod.open(io.BytesIO(bytes(data)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.float64)
+                n_frames = len(pcm) // FRAME
+                frames = pcm[: n_frames * FRAME].reshape(n_frames, FRAME)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                zcr = (np.diff(np.sign(frames), axis=1) != 0).sum(axis=1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": n_frames,
+                        "rms_first_half": round(
+                            float(rms[: n_frames // 2].mean()), 6
+                        ),
+                        "rms_second_half": round(
+                            float(rms[n_frames // 2 :].mean()), 6
+                        ),
+                        "peak": int(np.abs(pcm).max()),
+                        "zcr_per_frame_ok": bool((zcr == 19).all()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    wavs = docs.mapInPandas(synth, schema="doc_id long, wav binary")
+    return wavs.mapInPandas(
+        featurize,
+        schema=(
+            "doc_id long, n_frames long, rms_first_half double, "
+            "rms_second_half double, peak long, zcr_per_frame_ok boolean"
+        ),
+    )

@@ -124,3 +124,48 @@ def subquery_correlated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     averages, not a per-row subquery execution."""
     _view(spark, sf_dir, "lineitem")
     return spark.sql(CORRELATED_SCALAR_ORACLE)
+
+
+LATERAL_ORACLE = """
+-- LATERAL correlated subquery: per nation, its top-2 customers by
+-- balance — the subquery re-executes (logically) per outer row,
+-- referencing outer columns. Both engines support ANSI LATERAL;
+-- Spark plans it as a window-style per-key limit, not an actual
+-- per-row re-execution.
+SELECT n.n_name, t.c_name, t.bal
+FROM nation n,
+LATERAL (
+  SELECT c_name, ROUND(c_acctbal, 2) AS bal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.bal DESC, t.c_name
+"""
+
+
+@register("subquery_lateral_topk", oracle=LATERAL_ORACLE)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join (correlated table subquery in the FROM clause) —
+    the seventh subquery shape: per-outer-row top-k. Spark resolves
+    the correlation at plan time; the physical plan is the scalable
+    one (join + per-key ordered limit), NOT |outer| re-executions —
+    which is exactly why LATERAL is safe at 100 TB while a
+    driver-side per-key loop never is."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.bal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, ROUND(c_acctbal, 2) AS bal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.bal DESC, t.c_name
+        """
+    )

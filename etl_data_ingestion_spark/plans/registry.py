@@ -92,6 +92,11 @@ CHECK_ORDER: list[str] = [
     "agg_mode_deterministic",
     "timeseries_resample_ohlc",
     "dedup_levenshtein_banded",
+    "graph_pagerank_bipartite",
+    "multimodal_audio_features",
+    "agg_linear_regression",
+    "agg_unpivot_metrics",
+    "subquery_lateral_topk",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
@@ -153,6 +158,7 @@ def load_all() -> None:
         curation,
         corpus,
         funnel,
+        graph,
         streaming_queries,
         multimodal,
         subqueries,
