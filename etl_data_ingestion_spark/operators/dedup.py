@@ -1201,3 +1201,156 @@ def dedup_levenshtein_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .orderBy("a_id", "b_id")
     )
+
+
+END_TO_END_ORACLE = """
+-- End-to-end dedup composite: near-dup pair detection (exact 3-gram
+-- Jaccard >= 0.5 under the same frequent-gram cap as
+-- dedup_ngram_jaccard) -> connected components over the pair graph
+-- -> keep the minimum doc_id per cluster. TWO planted copies of
+-- every 10th doc make clusters of size 3, so the closure must be
+-- TRANSITIVE, not just pairwise. The oracle runs the closure as a
+-- recursive CTE; component id = min reachable node.
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' appended tail marker words'
+  FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' appended tail marker words plus'
+  FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0
+), tokenized AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
+), grams_all AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ))) AS gram
+  FROM tokenized
+  WHERE len(toks) >= 3
+), grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id,
+       MIN(dst) AS canonical,
+       src = MIN(dst) AS kept
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+@register("dedup_end_to_end_canonical", oracle=END_TO_END_ORACLE)
+def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup pipeline in one plan — the composite a
+    production corpus actually runs: candidate/verified near-dup
+    pairs (exact 3-gram Jaccard, same capped inverted-index shape as
+    dedup_ngram_jaccard), transitive duplicate clusters (the
+    convergence-checked min-label connected_components loop), and
+    canonical selection (keep min doc_id per cluster; singletons
+    keep themselves). Two planted copies per seeded doc force
+    3-clusters, so a merely pairwise "dedup" would disagree with
+    the oracle's recursive closure — transitivity is load-bearing.
+
+    Scale shape is the sum of its parts, each already audited: one
+    gram-keyed Exchange for pairs (posting-list cap bounds the
+    quadratic), O(rounds) edge-sized joins for components
+    (localCheckpoint per round), and the final keep is a map-side
+    comparison — the corpus text itself is scanned once and never
+    shuffled."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    seeded = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(
+            seeded.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" appended tail marker words")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            seeded.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" appended tail marker words plus"),
+                ).alias("text"),
+            )
+        )
+    )
+    grams_all = (
+        corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    rare = (
+        grams_all.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("gram")
+    )
+    grams = grams_all.join(rare, "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    common = (
+        a.join(
+            b,
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)  # (node, label), label = min id
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical"),
+        )
+        .withColumn("kept", F.col("doc_id") == F.col("canonical"))
+        .orderBy("doc_id")
+    )

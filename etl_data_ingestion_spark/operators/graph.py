@@ -123,3 +123,43 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_milli"), "node")
         .limit(20)
     )
+
+
+REACHABILITY_ORACLE = """
+-- Recursive-CTE reachability (WITH RECURSIVE — Spark 4 and DuckDB
+-- both run the ANSI form): BFS from 'view' over the distinct
+-- event-type transition graph, min hop-depth per reachable type,
+-- horizon 5. The SQL-API face of iterative graph traversal — the
+-- DataFrame face is graph_pagerank_bipartite / connected_components.
+WITH RECURSIVE e AS (
+  SELECT DISTINCT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+), edges AS (
+  SELECT a, b FROM e WHERE b IS NOT NULL AND a <> b
+), reach(node, depth) AS (
+  SELECT 'view', 0
+  UNION ALL
+  SELECT edges.b, r.depth + 1
+  FROM reach r JOIN edges ON edges.a = r.node
+  WHERE r.depth < 5
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("graph_reachability_recursive", oracle=REACHABILITY_ORACLE)
+def graph_reachability_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BFS reachability via ANSI WITH RECURSIVE (Spark 4 recursive
+    CTE): min transition-depth from 'view' over the event-type
+    graph. The edge build is the fact-sized step (one user_id window
+    + distinct on a |types|² domain); the recursion then iterates on
+    the tiny edge relation — Spark executes each recursive step as a
+    join, unioning to fixpoint under the depth guard, the same
+    superstep shape as the hand-rolled loops but declared in SQL."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(REACHABILITY_ORACLE)

@@ -97,6 +97,8 @@ CHECK_ORDER: list[str] = [
     "agg_linear_regression",
     "agg_unpivot_metrics",
     "subquery_lateral_topk",
+    "graph_reachability_recursive",
+    "dedup_end_to_end_canonical",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
