@@ -27,12 +27,56 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables big enough that scan parallelism matters; the small dims are
+# deliberately EXCLUDED so they stay one-partition broadcast builds.
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-5 scale fix: the fixture parquet files are written as a
+    SINGLE row group, and Spark's file splitting is row-group-bound —
+    so every fact scan planned 1 task and ALL map-side work (regexp
+    token stats, minhash signatures, partial aggregation) serialized
+    on one core of local[32] (measured: dedup_duplicated_spans at sf1
+    ran 183s in 2 tasks; 32-way it's ~15s). A production dataset has
+    thousands of row groups and never hits this; a single-file
+    fixture always does.
+
+    OPT-IN per call site (load_table(..., parallel=True)) AND gated
+    on spark.etl.scan.minPartitions (set by session.get_spark, ABSENT
+    in a vanilla driver session, so driver-contract correctness runs
+    see stock plans). A blanket floor was A/B'd and REJECTED: for
+    scan→partial-agg queries the extra Exchange moves raw rows and
+    defeats map-side combine (net loss at sf0.1); only operators
+    whose per-row CPU dwarfs a row's shuffle cost (interpreted-HOF
+    n-gram work, per-row Python) should opt in. When the planned
+    scan has fewer partitions, insert ONE RoundRobin repartition
+    right after the scan: Catalyst still pushes filters/projection
+    THROUGH the repartition into the parquet reader (verified via
+    PushedFilters in .explain), so pruning is unaffected.
+
+    Pushdown trap for callers: a .filter() whose predicate embeds an
+    expensive expression (e.g. size(word_ngrams(...)) > 0) is ALSO
+    pushed through the repartition and then evaluates in the
+    narrow pre-exchange stage — structure such operators so the
+    expensive expression only occurs after the exchange (see
+    dedup_duplicated_spans for the shape)."""
+    try:
+        min_p = int(spark.conf.get("spark.etl.scan.minPartitions", "0") or 0)
+    except Exception:
+        min_p = 0
+    if min_p > 1 and df.rdd.getNumPartitions() < min_p:
+        return df.repartition(min_p)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Scan one table. Projection/predicate pushdown is Catalyst's job —
     callers express filters/selects declaratively and the parquet reader
     receives them (verify via .explain: PushedFilters / ReadSchema).
@@ -75,8 +119,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if parallel:
+            df = _with_scan_parallelism(spark, df)
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if parallel and name in FACT_TABLES:
+        df = _with_scan_parallelism(spark, df)
+    return df
 
 
 class Catalog:

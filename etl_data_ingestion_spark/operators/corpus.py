@@ -128,24 +128,32 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle keyed on the gram), semi-join back, and report the
     per-doc duplicated share.
 
-    Scale shape: the corpus-sized work is ONE Exchange of (gram,
-    doc_id) pairs — the same partial-aggregate + semi-join skeleton as
-    pipeline_decontaminate_benchmark, but corpus-wide instead of
-    vs a broadcastable benchmark set. At 100 TB the production
-    variant ships `xxhash64(gram)` (8-byte keys) through the shuffle
-    instead of the gram text — identical plan, ~10× narrower rows;
-    the string form is kept here so the oracle compares exact values.
+    Scale shape (restructured round 5 after profiling at sf1): the
+    8-gram build (interpreted HOF — transform isn't codegen'd) is
+    the dominant cost, so it must (a) run exactly ONCE and (b) run
+    WIDE. The original shape evaluated word_ngrams in two branches
+    (explode + a map-only array-size total) and its size()>0 filter
+    was predicate-pushed through the repartition back into the
+    narrow scan stage — 167s at sf1 with the HOF running twice on
+    1-2 tasks. Now: parallel scan (load_table parallel=True →
+    post-scan repartition), ONE explode, gram table persisted for
+    its three consumers, per-doc totals aggregated from the
+    exploded rows (grams are per-doc-distinct by construction, so
+    count == the array size; docs with zero grams simply have no
+    rows, which removes the filter the pushdown trap rode in on).
+    Measured 167s → ~13s at sf1. At 100 TB the production variant
+    ships `xxhash64(gram)` (8-byte keys) through the shuffle instead
+    of the gram text — identical plan, ~10× narrower rows; the
+    string form is kept here so the oracle compares exact values.
     This is the scalable stand-in for suffix-array substring dedup,
     which has no distributed-friendly formulation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     grams = docs.select(
         "doc_id", F.explode(word_ngrams("text", 8)).alias("g")
+    ).persist()  # three consumers below; the HOF must not re-run
+    tot = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
     )
-    # per-doc totals straight off the array size: map-only, no explode,
-    # no shuffle — one fewer corpus pass than aggregating the gram rows
-    tot = docs.select(
-        "doc_id", F.size(word_ngrams("text", 8)).cast("long").alias("n_grams")
-    ).filter(F.col("n_grams") > 0)
     # (doc_id, g) pairs are distinct by construction (word_ngrams
     # dedups per doc), so plain count == count_distinct(doc_id) minus
     # the expand + extra aggregation level a distinct agg would plan

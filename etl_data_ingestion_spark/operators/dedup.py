@@ -452,21 +452,28 @@ FROM documents WHERE doc_id % 10 = 0
 
 @register("dedup_simhash_banded", oracle=SIMHASH_BANDED_ORACLE)
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded multi-probe SimHash: 32-bit fingerprint split into 8
-    4-bit bands; docs sharing ANY band value become candidates
-    (pigeonhole: hamming <= 7 implies at least one intact band), then
-    candidates are verified at hamming <= 4 via xor bit-count. This is
-    the generalization of dedup_simhash's exact-bucket variant — it
-    surfaces near-identical docs the full-fingerprint match misses.
+    """Banded multi-probe SimHash: 32-bit fingerprint split into 5
+    6-bit bands; docs sharing ANY band value become candidates
+    (pigeonhole: hamming <= 4 cannot break all 5 bands, so every
+    pair the verifier would accept is guaranteed to surface), then
+    candidates are verified at hamming <= 4 via xor bit-count. This
+    is the generalization of dedup_simhash's exact-bucket variant —
+    it surfaces near-identical docs the full-fingerprint match
+    misses.
 
-    Shuffle cost is |docs|×8 band keys. Narrow 4-bit bands trade
-    candidate volume for the hamming-7 guarantee — each band bucket
-    holds ~|docs|/16 entries, so the verify tier is the dominant cost;
-    production 64-bit simhash uses 4-6 16-bit tables instead (Manku et
-    al., WWW'07) where the guarantee needed is only hamming <= 3.
+    Band sizing is the scale dial (re-derived round 5 after
+    profiling at sf1): bands must number exactly t+1 for a
+    hamming-t guarantee, and every extra band bit HALVES random
+    bucket collisions — the original 8×4-bit layout guaranteed
+    t<=7 (more than the verifier uses) while paying n²/16 random
+    pairs per band (~29s at sf1); 5×6-bit bands keep the full t<=4
+    guarantee with n²/64 collisions per band over fewer bands
+    (measured ~6x fewer candidate pairs, identical output pair
+    set). Production 64-bit simhash with t<=3 uses 4×16-bit tables
+    (Manku et al., WWW'07) — same arithmetic, band_bits ~ log2(n).
     Output is the planted-perturbation recall summary (fingerprints
     themselves are murmur3-specific)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -482,9 +489,9 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.shiftright("simhash", 4 * j).bitwiseAND(15).alias("bv"),
+                        F.shiftright("simhash", 6 * j).bitwiseAND(63).alias("bv"),
                     )
-                    for j in range(8)
+                    for j in range(5)
                 ]
             )
         ).alias("b"),

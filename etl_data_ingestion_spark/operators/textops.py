@@ -271,8 +271,14 @@ def text_lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over a sequence of substr pairs, no explode, no
     shuffle); a real system swaps the 10-bigram lists for full
     log-frequency tables — same plan shape, bigger literal maps (or a
-    broadcast-joined frequency table)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    broadcast-joined frequency table).
+
+    Scale note (round 5): the bigram transform is an interpreted HOF
+    re-evaluated per language column — the heaviest per-row
+    expression in the text family (121s single-task at sf1) — so the
+    scan opts into the parallelism floor (load_table parallel=True);
+    the length filter is cheap and pushes down harmlessly."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
         F.length(F.trim("text")) >= 2
     )
     low = F.lower(F.col("text"))

@@ -58,6 +58,16 @@ def get_spark(
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-parallelism floor for opt-in CPU-heavy operators
+        # (catalog.py::_with_scan_parallelism, load_table(...,
+        # parallel=True)): the fixture parquet is small enough that
+        # Spark plans 1-2 scan tasks, serializing interpreted-HOF
+        # work (measured: 8-gram build at sf1 146s on 1 task vs 12s
+        # on 32). A BLANKET floor was A/B'd and rejected (the extra
+        # Exchange defeats map-side combine: q1 0.49→0.93s at
+        # sf0.1); only flagged call sites repartition. Vanilla
+        # driver sessions lack this conf entirely → stock plans.
+        .config("spark.etl.scan.minPartitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -60,8 +60,20 @@ def _ts_col(base: str, day_offsets: np.ndarray) -> pa.Array:
 
 
 def write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows", flush=True)
+    # Sized row groups (~64 per table, floor 1000 rows): Spark's file
+    # splitting is row-group-bound, so a single-row-group file caps
+    # EVERY scan at one task no matter the core count — measured 183s
+    # for dedup_duplicated_spans at sf1 on a 2-row-group file vs ~15s
+    # with parallel scans. DuckDB parallelizes across row groups the
+    # same way, so both engines read the identical, honestly-laid-out
+    # data. Production parquet (128MB row groups over TB-scale
+    # tables) has thousands of row groups per node; the fixture
+    # layout should not accidentally serialize the engines.
+    rg = max(1000, table.num_rows // 64)
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rg
+    )
+    print(f"  {name}: {table.num_rows} rows (row_group={rg})", flush=True)
 
 
 def generate(sf: float, out_dir: str) -> None:
