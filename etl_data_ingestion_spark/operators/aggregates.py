@@ -1109,3 +1109,47 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("c_mktsegment", "metric")
+
+
+MAX_BY_ORACLE = """
+-- max_by / min_by (ANSI arg-max aggregates): the value of one
+-- column at another's extremum, in one pass — keyed on the UNIQUE
+-- o_orderkey so the extremum is tie-free and both engines pick the
+-- same row deterministically.
+SELECT o_orderstatus,
+       MAX_BY(o_orderpriority, o_orderkey) AS latest_priority,
+       MIN_BY(o_orderpriority, o_orderkey) AS earliest_priority,
+       MAX_BY(ROUND(o_totalprice, 2), o_orderkey) AS latest_price,
+       CAST(MAX(o_orderkey) AS BIGINT) AS latest_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_max_by_min_by", oracle=MAX_BY_ORACLE)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: arg-max in ONE partial-aggregable pass (each
+    partition carries its own (arg, max) pair; merge keeps the
+    winner) — replacing the row_number-window-then-filter idiom when
+    only the extremum row's value is needed, which saves the sort.
+    Pinned to a unique ordering key: max_by under ties is
+    implementation-defined in both engines, so a contract on a
+    non-unique key would be a latent hash-flake."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderpriority", "o_orderkey").alias(
+                "latest_priority"
+            ),
+            F.min_by("o_orderpriority", "o_orderkey").alias(
+                "earliest_priority"
+            ),
+            F.max_by(F.round("o_totalprice", 2), F.col("o_orderkey")).alias(
+                "latest_price"
+            ),
+            F.max("o_orderkey").cast("long").alias("latest_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -280,3 +280,92 @@ def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), "user_id")
         .limit(20)
     )
+
+
+RFM_ORACLE = """
+-- RFM segmentation: per-user Recency (days since last purchase,
+-- against the global max event day as "today"), Frequency (purchase
+-- count), Monetary (total value), then quartile codes via NTILE —
+-- the classic warehouse segmentation. NTILE over deterministic
+-- tie-broken orderings so both engines assign identical quartiles.
+WITH p AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         COUNT(*) AS freq,
+         ROUND(SUM(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), today AS (
+  SELECT MAX(CAST(ts AS DATE)) AS d FROM events
+), rfm AS (
+  SELECT user_id,
+         (SELECT d FROM today) - last_day AS recency_days,
+         freq, monetary,
+         NTILE(4) OVER (ORDER BY last_day DESC, user_id) AS r_q,
+         NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM p
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(SUM(freq) AS BIGINT) AS purchases,
+       ROUND(SUM(monetary), 2) AS total_value
+FROM rfm
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@register("events_rfm_segmentation", oracle=RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation. Scale shape: ONE partial-aggregated
+    Exchange reduces the fact table to user grain; the three NTILE
+    windows then run on the user-sized table — at 100 TB that table
+    is ~millions of rows, fine for a global sort, and the quartile
+    boundaries could equally come from approx_percentile to avoid
+    it. The segment rollup at the end is a 64-key groupBy. The
+    global "today" is a broadcast scalar, not a per-row subquery."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    today = events.agg(F.max(F.to_date("ts")).alias("d"))
+    rfm = (
+        p.crossJoin(F.broadcast(today))
+        .withColumn("recency_days", F.datediff("d", "last_day"))
+        .withColumn(
+            "r_q",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("last_day"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("freq"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+            ),
+        )
+    )
+    return (
+        rfm.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("freq").alias("purchases"),
+            F.round(F.sum("monetary"), 2).alias("total_value"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

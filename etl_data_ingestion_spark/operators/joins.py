@@ -584,3 +584,126 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ASOF_NEAREST_ORACLE = """
+-- Nearest as-of join (direction='nearest', completing the
+-- backward/forward pair): each purchase matches the view closest in
+-- time on EITHER side; equidistant ties prefer backward (pandas
+-- merge_asof semantics). Fully pinned determinism: among same-ts
+-- views the backward side takes the LATEST (ts desc, event_id
+-- desc), the forward side the EARLIEST (ts asc, event_id asc). The
+-- oracle states the semantics as per-purchase candidate ranking; the
+-- Spark plan computes the same thing with two ordered windows over
+-- ONE user_id shuffle — no per-row subquery, no range self-join.
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value, event_id AS veid FROM events
+  WHERE event_type = 'view'
+), b AS (
+  SELECT * FROM (
+    SELECT p.event_id, v.ts, v.value,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.veid DESC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+  ) WHERE rn = 1
+), f AS (
+  SELECT * FROM (
+    SELECT p.event_id, v.ts, v.value,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts ASC, v.veid ASC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+            WHEN f.ts IS NULL THEN 'backward'
+            WHEN b.ts IS NULL THEN 'forward'
+            WHEN p.ts - b.ts <= f.ts - p.ts THEN 'backward'
+            ELSE 'forward' END AS direction,
+       STRFTIME(CASE WHEN f.ts IS NULL THEN b.ts
+                     WHEN b.ts IS NULL THEN f.ts
+                     WHEN p.ts - b.ts <= f.ts - p.ts THEN b.ts
+                     ELSE f.ts END, '%Y-%m-%d %H:%M:%S') AS nearest_view_ts,
+       ROUND(CASE WHEN f.ts IS NULL THEN b.value
+                  WHEN b.ts IS NULL THEN f.value
+                  WHEN p.ts - b.ts <= f.ts - p.ts THEN b.value
+                  ELSE f.value END, 3) AS nearest_view_value
+FROM p
+LEFT JOIN b ON b.event_id = p.event_id
+LEFT JOIN f ON f.event_id = p.event_id
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof_nearest", oracle=ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — direction='nearest' of the merge_asof
+    API (backward and forward live in join_asof_purchase_view /
+    join_asof_forward_tolerance). Same scale shape as both: union
+    the streams tagged, ONE shuffle on user_id, and two ordered
+    window passes (backward frame carries the latest preceding
+    view, forward frame the earliest following) — the oracle's
+    per-purchase candidate join is the semantics statement, not the
+    plan. Equidistant ties prefer backward; all orderings are fully
+    tie-broken (ts, then view event_id) so retries at 100 TB
+    reproduce byte-identical output."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("v_value"),
+        F.lit(None).cast("long").alias("v_eid"),
+        F.lit(1).alias("is_p"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("value").alias("v_value"),
+        F.col("event_id").alias("v_eid"),
+        F.lit(0).alias("is_p"),
+    )
+    tagged = p.unionByName(v)
+    view_struct = F.when(
+        F.col("is_p") == 0, F.struct("ts", "v_value")
+    )
+    # backward: views sort before the purchase at equal ts (is_p asc)
+    # and by v_eid so "latest preceding" is (ts desc, v_eid desc)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "v_eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: purchases sort before same-ts views (desc is_p), views
+    # by v_eid asc so "earliest following" is (ts asc, v_eid asc)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_p"), "v_eid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(view_struct, ignorenulls=True).over(wb)
+    nxt = F.first(view_struct, ignorenulls=True).over(wf)
+    enriched = (
+        tagged.withColumn("prev", prev)
+        .withColumn("nxt", nxt)
+        .filter(F.col("is_p") == 1)
+    )
+    d_back = F.col("ts").cast("long") - F.col("prev.ts").cast("long")
+    d_fwd = F.col("nxt.ts").cast("long") - F.col("ts").cast("long")
+    backward_wins = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(backward_wins, F.col("prev")).otherwise(F.col("nxt"))
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None)
+        )
+        .when(backward_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.date_format(chosen["ts"], "yyyy-MM-dd HH:mm:ss").alias(
+            "nearest_view_ts"
+        ),
+        F.round(chosen["v_value"], 3).alias("nearest_view_value"),
+    ).orderBy("event_id")

@@ -594,3 +594,96 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_frac"
         ),
     )
+
+
+BIGRAM_LM_ORACLE = """
+-- Bigram language-model scoring (add-one smoothed), trained on the
+-- corpus itself and applied back to every document — the perplexity
+-- tier of quality filtering (the KenLM pattern, in-engine): score =
+-- mean over the doc's bigram INSTANCES of -log2((c2(w1,w2)+1) /
+-- (c1(w1)+V)). Counts keep multiplicity (this is an LM, not a
+-- Jaccard set), V = corpus vocabulary size.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), t AS (
+  SELECT doc_id, UNNEST(ts) AS tok FROM toks
+), b AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) u(i)
+  WHERE len(ts) >= 2
+), c1 AS (
+  SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS vs FROM t
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-log2((c2.c + 1.0) / (c1.c + (SELECT vs FROM v)))), 4)
+         AS avg_neg_log2
+FROM b
+JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+JOIN c1 ON c1.tok = b.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("text_bigram_lm_perplexity", oracle=BIGRAM_LM_ORACLE)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM, applied back per document —
+    in-engine perplexity filtering (what a KenLM stage does in a
+    training-data pipeline, minus the backoff table). Scale shape:
+    the token/bigram explode is the fact-sized work (parallel scan —
+    interpreted HOF); the two count tables are VOCABULARY-sized
+    (|V| and |V|² observed, far smaller than the corpus), so at
+    100 TB they broadcast onto the bigram stream and the only
+    corpus-sized Exchange is the final per-doc aggregation. Here
+    they shuffle-join, which AQE converts to broadcast when small
+    enough — same plan either way."""
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    t = toks.select("doc_id", F.explode("ts").alias("tok"))
+    idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    b = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("w1"),
+                    F.element_at(F.col("ts"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").persist()
+    c1 = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = t.select(F.countDistinct("tok").alias("vs"))
+    scored = (
+        b.join(c2, ["w1", "w2"])
+        .join(c1, b.w1 == c1.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("vs")))
+            ).alias("nl"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nl"), 4).alias("avg_neg_log2"),
+        )
+        .orderBy("doc_id")
+    )

@@ -99,6 +99,10 @@ CHECK_ORDER: list[str] = [
     "subquery_lateral_topk",
     "graph_reachability_recursive",
     "dedup_end_to_end_canonical",
+    "events_rfm_segmentation",
+    "agg_max_by_min_by",
+    "join_asof_nearest",
+    "text_bigram_lm_perplexity",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
