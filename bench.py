@@ -52,6 +52,7 @@ HEADLINE = [
 # needs to re-baseline (e.g. HEADLINE queries removed), it must bump
 # the metric name, not silently change the set.
 EXTENDED = [
+    # round 4
     "similarity_pq_rerank",
     "join_bloom_pruned",
     "dedup_bloom_incremental",
@@ -62,6 +63,17 @@ EXTENDED = [
     "window_cumulative_distinct_users",
     "events_transition_matrix",
     "pipeline_dsir_weights",
+    # round 5
+    "graph_pagerank_bipartite",
+    "dedup_end_to_end_canonical",
+    "text_bigram_lm_perplexity",
+    "multimodal_image_decode_real",
+    "join_asof_nearest",
+    "events_rfm_segmentation",
+    "dedup_levenshtein_banded",
+    "timeseries_resample_ohlc",
+    "events_path_trigrams",
+    "pipeline_pack_sequences_sharded",
 ]
 
 

@@ -104,3 +104,79 @@ def test_ohlc_high_low_envelope(spark):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["volume"] >= 1
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    from etl_data_ingestion_spark.catalog import load_table
+
+    got = {
+        r["event_id"]: (r["direction"], r["nearest_view_ts"])
+        for r in registry.QUERIES["join_asof_nearest"](spark, SF).collect()
+    }
+    events = load_table(spark, SF, "events").collect()
+    views = sorted(
+        [e for e in events if e["event_type"] == "view"],
+        key=lambda e: (e["ts"], e["event_id"]),
+    )
+    import random
+
+    rng = random.Random(7)
+    purchases = [e for e in events if e["event_type"] == "purchase"]
+    for p in rng.sample(purchases, min(50, len(purchases))):
+        mine = [v for v in views if v["user_id"] == p["user_id"]]
+        back = [v for v in mine if v["ts"] <= p["ts"]]
+        fwd = [v for v in mine if v["ts"] >= p["ts"]]
+        b = back[-1] if back else None
+        f_ = fwd[0] if fwd else None
+        if b is None and f_ is None:
+            assert got[p["event_id"]][0] is None
+            continue
+        if f_ is None or (
+            b is not None
+            and (p["ts"] - b["ts"]) <= (f_["ts"] - p["ts"])
+        ):
+            exp_dir, exp_ts = "backward", b["ts"]
+        else:
+            exp_dir, exp_ts = "forward", f_["ts"]
+        assert got[p["event_id"]][0] == exp_dir, p["event_id"]
+        assert got[p["event_id"]][1] == exp_ts.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_end_to_end_dedup_transitive(spark):
+    rows = registry.QUERIES["dedup_end_to_end_canonical"](spark, SF).collect()
+    canon = {r["doc_id"]: r["canonical"] for r in rows}
+    # every planted copy pair maps to the SAME canonical as its base,
+    # and the canonical is the minimum member (the base doc)
+    for d, c in canon.items():
+        if d >= 1000000:
+            base = d % 1000000
+            if base in canon:
+                assert c == canon[base], (d, c, canon[base])
+    kept = [r for r in rows if r["kept"]]
+    assert all(r["doc_id"] == r["canonical"] for r in kept)
+
+
+def test_rfm_quartiles_cover(spark):
+    rows = registry.QUERIES["events_rfm_segmentation"](spark, SF).collect()
+    assert rows
+    users = sum(r["users"] for r in rows)
+    for r in rows:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+    assert users > 0
+
+
+def test_bigram_lm_scores_positive(spark):
+    rows = registry.QUERIES["text_bigram_lm_perplexity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # add-one smoothing bounds every probability in (0, 1):
+        # -log2 must be strictly positive and finite
+        assert 0 < r["avg_neg_log2"] < 64
+        assert r["n_bigrams"] >= 1
+
+
+def test_reachability_depths(spark):
+    rows = registry.QUERIES["graph_reachability_recursive"](spark, SF).collect()
+    d = {r["node"]: r["min_depth"] for r in rows}
+    assert d.get("view") == 0
+    assert all(v >= 0 for v in d.values())
