@@ -1153,3 +1153,57 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+GROUPING_ID_ORACLE = """
+-- ROLLUP with GROUPING() flags: subtotal rows are distinguishable
+-- from genuine-NULL group keys — without grouping flags a rollup
+-- over nullable keys is ambiguous. Both engines implement the ANSI
+-- GROUPING() function; the combined grouping_id is emitted as the
+-- canonical (status_flag*2 + priority_flag) encoding.
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("agg_grouping_id_rollup", oracle=GROUPING_ID_ORACLE)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() flags: the disambiguation layer every
+    rollup over nullable keys needs (a NULL group key and a subtotal
+    row are otherwise indistinguishable). Same single-shuffle Expand
+    plan as plain rollup — the flags are free metadata from the
+    grouping-set id, not extra aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    # grouping() is only resolvable INSIDE the rollup's agg list
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            (
+                F.grouping("o_orderstatus") * 2
+                + F.grouping("o_orderpriority")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "gid",
+            "orders",
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )

@@ -433,3 +433,77 @@ def pipeline_pack_sequences_sharded(
             (F.col("short_windows") <= 1).alias("remainder_bound_ok"),
         )
     )
+
+
+VOCAB_BUILD_ORACLE = """
+-- Tokenizer-vocabulary construction accounting: count BPE-ish
+-- pre-tokens over the corpus, rank by frequency (ties by token), and
+-- report the top-50 with cumulative corpus coverage — the analysis a
+-- tokenizer-training run does before choosing vocab size. Window
+-- cumulative sum over the ranked vocabulary.
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+           AS t
+  FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT SUM(c) AS n FROM counts
+), ranked AS (
+  SELECT t, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts
+)
+SELECT rk, t AS token, CAST(c AS BIGINT) AS occurrences,
+       ROUND(cum * 1.0 / (SELECT n FROM total), 6) AS cumulative_coverage
+FROM ranked WHERE rk <= 50
+ORDER BY rk
+"""
+
+
+@register("pipeline_vocab_coverage", oracle=VOCAB_BUILD_ORACLE)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage analysis for tokenizer sizing: corpus
+    pre-token counts, frequency ranking, cumulative coverage curve
+    (what fraction of all token OCCURRENCES the top-k vocabulary
+    explains). Scale shape: the token explode + count is one
+    partial-aggregated Exchange on token keys; the ranking window
+    then runs on the VOCABULARY-sized table (bounded by distinct
+    tokens, not corpus size), and the global total is a broadcast
+    scalar. The coverage curve is what decides 32k vs 64k vs 128k
+    vocab — computed in-engine instead of sampling corpora into a
+    notebook."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("c"), "t")
+    ranked = counts.select(
+        "t",
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).filter(F.col("rk") <= 50)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            F.col("t").alias("token"),
+            F.col("c").cast("long").alias("occurrences"),
+            F.round(F.col("cum") / F.col("n"), 6).alias(
+                "cumulative_coverage"
+            ),
+        )
+        .orderBy("rk")
+    )

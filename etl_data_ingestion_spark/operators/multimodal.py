@@ -1030,3 +1030,129 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rms_second_half double, peak long, zcr_per_frame_ok boolean"
         ),
     )
+
+
+TAR_SHARD_ORACLE = """
+-- WebDataset-style TAR shard scan: training corpora ship as tar
+-- shards of member files; the loader must parse ustar headers
+-- (name, octal size, checksum) straight off the byte stream. Shards
+-- are synthesized deterministically (10 docs per archive, member
+-- name = zero-padded doc_id + '.txt', content = the doc text in
+-- USTAR format), so every parsed field is exactly predictable:
+-- member count, member byte total, archive size (512B header +
+-- 512-aligned content per member + two 512B EOF blocks), and the
+-- member id range.
+WITH m AS (
+  SELECT doc_id // 10 AS archive_id,
+         doc_id,
+         octet_length(ENCODE(text)) AS nb
+  FROM documents WHERE doc_id < 200
+)
+SELECT archive_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(nb) AS BIGINT) AS member_bytes,
+       -- logical tar size: 512B header + 512-aligned content per
+       -- member + two 512B EOF blocks (the writer additionally pads
+       -- the FILE to 10240B records — checked as padded_ok, not as
+       -- part of the logical size)
+       CAST(SUM(512 + CAST(ceil(nb / 512.0) AS BIGINT) * 512) + 1024
+            AS BIGINT) AS archive_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_member_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_member_id,
+       TRUE AS checksums_ok,
+       TRUE AS padded_ok
+FROM m
+GROUP BY archive_id
+ORDER BY archive_id
+"""
+
+
+@register("multimodal_tar_shard_scan", oracle=TAR_SHARD_ORACLE)
+def multimodal_tar_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR-shard (WebDataset-layout) scanner: synthesize real USTAR
+    archives (stdlib tarfile, 10 members each), then parse them back
+    BY HAND off the raw bytes — 512-byte header blocks, NUL-padded
+    name field, octal size field, header checksum verified
+    (sum-of-bytes with the checksum field blanked to spaces), magic
+    'ustar' — advancing by 512-aligned content lengths to the
+    two-zero-block EOF. This is the decode path a training-data
+    loader runs per shard; member CONTENT is never materialized as
+    rows, only typed per-archive accounting leaves the stage.
+
+    Spark shape: member grouping is one applyInPandas over
+    (archive_id) — the only Exchange; the parse stage is mapInPandas
+    riding the archive rows. At 100 TB shards live in object
+    storage and the parse stage reads byte ranges; the plumbing here
+    (group → pack → parse → account) is identical."""
+    import io
+    import math
+    import tarfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text", (F.col("doc_id") / 10).cast("long").alias("archive_id"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for _, r in pdf.iterrows():
+                data = str(r["text"]).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(r['doc_id']):08d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0])],
+             "tar": [buf.getvalue()]}
+        )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["archive_id"], pdf["tar"]):
+                data = bytes(blob)
+                pos, names, member_bytes, sums_ok = 0, [], 0, True
+                while pos + 512 <= len(data):
+                    hdr = data[pos : pos + 512]
+                    if hdr == b"\x00" * 512:
+                        break
+                    name = hdr[:100].split(b"\x00", 1)[0].decode()
+                    size = int(hdr[124:136].split(b"\x00")[0] or b"0", 8)
+                    stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+                    calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+                    sums_ok = sums_ok and (calc == stored)
+                    sums_ok = sums_ok and hdr[257:262] == b"ustar"
+                    names.append(name)
+                    member_bytes += size
+                    pos += 512 + math.ceil(size / 512) * 512
+                ids = [int(n.split(".")[0]) for n in names]
+                logical = pos + 1024  # members + two EOF blocks
+                rows.append(
+                    {
+                        "archive_id": aid,
+                        "n_members": len(names),
+                        "member_bytes": member_bytes,
+                        "archive_bytes": logical,
+                        "min_member_id": min(ids),
+                        "max_member_id": max(ids),
+                        "checksums_ok": sums_ok,
+                        "padded_ok": len(data) % 10240 == 0
+                        and len(data) >= logical,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    shards = docs.groupBy("archive_id").applyInPandas(
+        pack, schema="archive_id long, tar binary"
+    )
+    return shards.mapInPandas(
+        parse,
+        schema=(
+            "archive_id long, n_members long, member_bytes long, "
+            "archive_bytes long, min_member_id long, max_member_id long, "
+            "checksums_ok boolean, padded_ok boolean"
+        ),
+    ).orderBy("archive_id")

@@ -103,6 +103,9 @@ CHECK_ORDER: list[str] = [
     "agg_max_by_min_by",
     "join_asof_nearest",
     "text_bigram_lm_perplexity",
+    "agg_grouping_id_rollup",
+    "pipeline_vocab_coverage",
+    "multimodal_tar_shard_scan",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
