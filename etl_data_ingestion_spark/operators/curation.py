@@ -397,3 +397,76 @@ def scalar_aes_column_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rt == F.col("pt")).alias("roundtrip_ok"),
         bad.isNull().alias("tamper_detected"),
     )
+
+
+DOMAIN_RESAMPLE_ORACLE = """
+-- Deterministic domain rebalancing: downsample each source toward a
+-- target mixture (target share of src_k proportional to k+1) with a
+-- CONSISTENT arithmetic hash on doc_id (Knuth multiplicative mod
+-- 2^32, then permille bucket) — reproducible across engines, runs,
+-- and retries, unlike rand()-based sampling. The apply step of the
+-- mixture-weights analysis (pipeline_domain_mixture_weights).
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) AS k,
+         (doc_id * 2654435761) % 4294967296 % 10000 AS bucket
+  FROM documents
+), kept AS (
+  SELECT source, k, COUNT(*) AS n_docs,
+         SUM(CASE WHEN bucket < (k + 1) * 10000 / 20 THEN 1 ELSE 0 END)
+           AS n_kept
+  FROM d GROUP BY source, k
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST((k + 1) * 10000 / 20 AS BIGINT) AS target_permille_x10,
+       ROUND(n_kept * 1.0 / n_docs, 4) AS kept_frac
+FROM kept
+ORDER BY source
+"""
+
+
+@register("pipeline_domain_resample", oracle=DOMAIN_RESAMPLE_ORACLE)
+def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a target domain mixture by deterministic per-source
+    downsampling: keep a doc iff its consistent hash bucket falls
+    under the source's target rate. Map-side Bernoulli with an
+    ARITHMETIC hash (Knuth multiplicative) instead of rand(): the
+    keep decision is a pure function of doc_id, so retries, AQE
+    re-execution, and incremental re-runs keep exactly the same
+    rows — the property rand()-sampling silently lacks. One
+    partial-aggregated Exchange for the per-source accounting; the
+    keep filter itself is map-only and composes with any downstream
+    curation gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.substring("source", 4, 10).cast("int")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10000
+    d = docs.select(
+        "doc_id",
+        "source",
+        k.alias("k"),
+        bucket.alias("bucket"),
+    )
+    return (
+        d.groupBy("source", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    F.col("bucket")
+                    < (F.col("k") + 1) * 10000 / 20
+                ).cast("long")
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            ((F.col("k") + 1) * 10000 / 20).cast("long").alias(
+                "target_permille_x10"
+            ),
+            F.round(F.col("n_kept") / F.col("n_docs"), 4).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -687,3 +687,77 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ENTITY_EXTRACT_ORACLE = """
+-- Entity extraction to a long table: regexp families (email, URL)
+-- over planted contact lines, exploded to (doc_id, kind, entity)
+-- rows — the extraction side of PII handling (text_pii_scrub is the
+-- redaction side) and the link-graph feed for crawl analysis.
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' mail a.b@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' visit https://ex.com/p' || doc_id || '?q=1' ELSE '' END
+           AS t
+  FROM documents WHERE doc_id < 400
+), emails AS (
+  SELECT doc_id, 'email' AS kind,
+         UNNEST(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS entity
+  FROM planted
+), urls AS (
+  SELECT doc_id, 'url' AS kind,
+         UNNEST(regexp_extract_all(t, 'https?://[^ ]+')) AS entity
+  FROM planted
+)
+SELECT * FROM emails
+UNION ALL
+SELECT * FROM urls
+ORDER BY doc_id, kind, entity
+"""
+
+
+@register("text_entity_extract", oracle=ENTITY_EXTRACT_ORACLE)
+def text_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp entity extraction to a long (doc_id, kind, entity)
+    table — the feed for link graphs, contact-PII inventories, and
+    domain statistics. Codegen'd regexp_extract_all per family +
+    one explode each; kinds union map-side with no shuffle (the
+    output is unaggregated). At 100 TB add `parallel=True` if more
+    expensive patterns (NER-ish gazetteers) join the family; the
+    two patterns here stay scan-bound."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" mail a.b@example.com"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" visit https://ex.com/p"),
+                F.col("doc_id"),
+                F.lit("?q=1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", t.alias("t"))
+    emails = planted.select(
+        "doc_id",
+        F.lit("email").alias("kind"),
+        F.explode(
+            F.regexp_extract_all(
+                "t", F.lit(r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"), 0
+            )
+        ).alias("entity"),
+    )
+    urls = planted.select(
+        "doc_id",
+        F.lit("url").alias("kind"),
+        F.explode(
+            F.regexp_extract_all("t", F.lit(r"https?://[^ ]+"), 0)
+        ).alias("entity"),
+    )
+    return emails.unionByName(urls).orderBy("doc_id", "kind", "entity")

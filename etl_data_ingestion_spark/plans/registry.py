@@ -106,6 +106,8 @@ CHECK_ORDER: list[str] = [
     "agg_grouping_id_rollup",
     "pipeline_vocab_coverage",
     "multimodal_tar_shard_scan",
+    "pipeline_domain_resample",
+    "text_entity_extract",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
