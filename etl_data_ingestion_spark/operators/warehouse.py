@@ -1,0 +1,187 @@
+"""Warehouse-maintenance operators: slowly-changing-dimension apply
+and data-quality expectations — the set-semantics layer over the
+physical MERGE/upsert machinery in streaming/upsert.py.
+
+Both are pure joins + unions with planted change/violation rows so
+the oracle verifies DETECTION, not just bookkeeping.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+SCD2_ORACLE = """
+-- SCD Type-2 dimension maintenance (batch apply): given the current
+-- dimension and a change batch (every 7th customer changes segment;
+-- every 11th key is brand new), emit the versioned dimension —
+-- changed keys close their old version (is_current=false) and open
+-- version 2; new keys open at version 1; untouched keys pass
+-- through. The warehouse operator behind every slowly-changing
+-- dimension; pure joins + unions, fully deterministic.
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+), changes AS (
+  SELECT c_custkey, 'CHANGED' AS new_segment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'FRESH' FROM customer
+  WHERE c_custkey % 11 = 0
+), changed AS (
+  SELECT d.c_custkey, c.new_segment
+  FROM dim d JOIN changes c USING (c_custkey)
+), new_keys AS (
+  SELECT c.c_custkey, c.new_segment FROM changes c
+  LEFT JOIN dim d USING (c_custkey) WHERE d.c_custkey IS NULL
+)
+SELECT c_custkey, c_mktsegment AS segment, 1 AS version,
+       (c_custkey % 7 <> 0) AS is_current
+FROM dim
+UNION ALL
+SELECT c_custkey, new_segment, 2, TRUE FROM changed
+UNION ALL
+SELECT c_custkey, new_segment, 1, TRUE FROM new_keys
+ORDER BY c_custkey, version
+"""
+
+
+@register("warehouse_scd2_apply", oracle=SCD2_ORACLE)
+def warehouse_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SCD Type-2 apply: change rows close the current version
+    and open a successor; unseen keys insert at version 1. Scale
+    shape: ONE equi-join of dimension vs change batch (change
+    batches are usually tiny -> broadcast; here keyed join either
+    way), then map-side unions — no window over the dimension, no
+    per-key loop. At 100 TB this runs as the MERGE inside
+    streaming/upsert.py; this operator states the set semantics the
+    MERGE must satisfy, jointly with the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select("c_custkey", "c_mktsegment")
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", F.lit("CHANGED").alias("new_segment"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("FRESH").alias("new_segment"),
+            )
+        )
+    )
+    changed = dim.join(changes, "c_custkey")
+    new_keys = changes.join(dim, "c_custkey", "left_anti")
+    current = dim.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        (F.col("c_custkey") % 7 != 0).alias("is_current"),
+    )
+    opened = changed.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    fresh = new_keys.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        current.unionByName(opened)
+        .unionByName(fresh)
+        .orderBy("c_custkey", "version")
+    )
+
+
+REF_INTEGRITY_ORACLE = """
+-- Referential-integrity audit with PLANTED orphans (a handful of
+-- orders pointing at custkey+9M and lineitems at orderkey+9M):
+-- per-relation row counts and orphan counts — the dbt-style
+-- expectations layer, one left join per relation.
+WITH orders_aug AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey + 9000000, o_custkey + 9000000 FROM orders
+  WHERE o_orderkey % 1500 = 0
+), li_aug AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  UNION ALL
+  SELECT l_orderkey + 9000000, l_partkey FROM lineitem
+  WHERE l_orderkey % 2000 = 0 AND l_linenumber = 1
+)
+SELECT * FROM (
+  SELECT 'orders->customer' AS relation,
+         CAST(COUNT(*) AS BIGINT) AS checked,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS orphans
+  FROM orders_aug o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem->orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM li_aug l LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+  UNION ALL
+  SELECT 'lineitem->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM li_aug l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+)
+ORDER BY relation
+"""
+
+
+@register("quality_referential_integrity", oracle=REF_INTEGRITY_ORACLE)
+def quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit (the expectations layer a warehouse
+    runs per load): per-FK-relation checked/orphan counts, with
+    orphans PLANTED so the detector provably detects. Each relation
+    is one left join against the parent key set — parent keys are
+    dimension-sized or pre-aggregatable, so at 100 TB each check is
+    a broadcast or one keyed Exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    orders_aug = orders.select("o_orderkey", "o_custkey").unionByName(
+        orders.filter(F.col("o_orderkey") % 1500 == 0).select(
+            (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+            (F.col("o_custkey") + 9000000).alias("o_custkey"),
+        )
+    )
+    li_aug = li.select("l_orderkey", "l_partkey").unionByName(
+        li.filter(
+            (F.col("l_orderkey") % 2000 == 0) & (F.col("l_linenumber") == 1)
+        ).select(
+            (F.col("l_orderkey") + 9000000).alias("l_orderkey"), "l_partkey"
+        )
+    )
+
+    def check(child, key, parent, pkey, name):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left")
+            .agg(
+                F.count(F.lit(1)).alias("checked"),
+                F.sum(parent[pkey].isNull().cast("long")).alias("orphans"),
+            )
+            .select(F.lit(name).alias("relation"), "checked", "orphans")
+        )
+
+    return (
+        check(orders_aug, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(
+            check(li_aug, "l_orderkey", orders, "o_orderkey",
+                  "lineitem->orders")
+        )
+        .unionByName(
+            check(li_aug, "l_partkey", part, "p_partkey", "lineitem->part")
+        )
+        .orderBy("relation")
+    )

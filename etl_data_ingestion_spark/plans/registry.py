@@ -108,6 +108,8 @@ CHECK_ORDER: list[str] = [
     "multimodal_tar_shard_scan",
     "pipeline_domain_resample",
     "text_entity_extract",
+    "warehouse_scd2_apply",
+    "quality_referential_integrity",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
@@ -175,4 +177,5 @@ def load_all() -> None:
         subqueries,
         pandas_surface,
         sources_scan,
+        warehouse,
     )
