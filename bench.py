@@ -74,6 +74,12 @@ EXTENDED = [
     "timeseries_resample_ohlc",
     "events_path_trigrams",
     "pipeline_pack_sequences_sharded",
+    "events_attribution_last_touch",
+    "events_interval_union_coverage",
+    "warehouse_cdc_apply",
+    "quality_column_expectations",
+    "join_interval_overlap",
+    "pipeline_shard_assignment",
 ]
 
 

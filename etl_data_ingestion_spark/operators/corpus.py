@@ -507,3 +507,78 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+SHARD_ASSIGN_ORACLE = """
+-- Deterministic training-shard assignment: every document hashes to
+-- one of 16 output shards via a Knuth multiplicative hash (engine-
+-- independent bigint arithmetic — both engines compute the same
+-- shard, unlike murmur3/xxhash whose seeds differ per engine), and
+-- the report is the shard MANIFEST a distributed shard-writer
+-- emits: per-shard doc/token totals plus a balance contract pinning
+-- max/min shard occupancy under 1.25 — the property that makes
+-- hash-sharding usable (no straggler shard at write time).
+WITH assigned AS (
+  SELECT ((doc_id * 2654435761) % 4294967296) % 16 AS shard,
+         n_chars,
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), per AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, total_chars,
+       (MAX(n_docs) OVER () * 1.0 / MIN(n_docs) OVER ()) < 1.25
+         AS balanced
+FROM per
+ORDER BY shard
+"""
+
+
+@register("pipeline_shard_assignment", oracle=SHARD_ASSIGN_ORACLE)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sharding manifest for distributed training-shard writes:
+    one map-only hash per doc, one 16-group aggregate, a window over
+    the 16-row result for the balance contract. This is the planning
+    half of `df.repartition(N, hash).write` — at 100 TB the same
+    expression feeds repartition() so each shard is written by
+    exactly one task, and the manifest (this output) is what the
+    data loader uses to size epochs. The hash is multiplicative
+    (Knuth 1973, A*=2654435761/2^32) rather than Spark's murmur3 so
+    the DuckDB oracle reproduces it bit-for-bit; doc_id*A stays
+    under 2^63 for any plausible doc count, so no overflow in either
+    engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % 16
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        (
+            F.max("n_docs").over(w) * 1.0 / F.min("n_docs").over(w) < 1.25
+        ).alias("balanced"),
+    ).orderBy("shard")

@@ -707,3 +707,113 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(chosen["v_value"], 3).alias("nearest_view_value"),
     ).orderBy("event_id")
+
+
+INTERVAL_OVERLAP_ORACLE = """
+-- Interval-overlap join: orders carry a service interval
+-- [o_orderdate, o_orderdate + (o_orderkey % 20) days]; 26 promo
+-- campaigns tile the 1995-2001 date range in 90-day steps, each
+-- running 45 days. An order matches every campaign whose window
+-- OVERLAPS its interval (start <= other.end on both sides) — the
+-- canonical interval-intersection join (room bookings x maintenance
+-- windows, sessions x incidents). Per campaign: matching orders +
+-- revenue.
+WITH promos AS (
+  SELECT i AS promo_id,
+         TIMESTAMP '1995-01-01' + i * 90 * INTERVAL 1 DAY AS p_start,
+         TIMESTAMP '1995-01-01' + (i * 90 + 45) * INTERVAL 1 DAY AS p_end
+  FROM range(26) t(i)
+), iv AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate AS o_start,
+         o_orderdate + (o_orderkey % 20) * INTERVAL 1 DAY AS o_end
+  FROM orders
+)
+SELECT p.promo_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(iv.o_totalprice), 2) AS revenue
+FROM promos p JOIN iv
+  ON iv.o_start <= p.p_end AND p.p_start <= iv.o_end
+GROUP BY p.promo_id
+ORDER BY p.promo_id
+"""
+
+
+@register("join_interval_overlap", oracle=INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via GRID BUCKETING, the equi-join
+    reduction that scales when BOTH interval sets are large: each
+    interval explodes to the 90-day grid cells it touches (sequence
+    + explode — bounded by interval span / cell width, here <= 2
+    cells per order and exactly one per 45-day promo), the join runs
+    as a plain hash equi-join on cell, and the exact overlap
+    predicate filters residual false pairs inside the join — no
+    CartesianProduct, no BroadcastNestedLoop over the fact table
+    (.explain: SortMergeJoin/BHJ on cell). A pair overlapping in two
+    shared cells would double-count, so cells join on
+    GREATEST(o_start, p_start)'s cell only — each true pair survives
+    in exactly ONE cell, making dedup-by-distinct (an extra fact
+    shuffle) unnecessary. Promos here are tiny and Catalyst
+    broadcasts them; the grid shape is what survives when they are
+    not (campaign tables at ad-tech scale are millions of rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell_s = 90 * 86400  # grid cell width: seconds
+
+    promos = spark.range(26).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.col("id") * 90 * F.expr("INTERVAL 1 DAY")
+        ).alias("p_start"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + (F.col("id") * 90 + 45) * F.expr("INTERVAL 1 DAY")
+        ).alias("p_end"),
+    )
+    iv = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("o_start"),
+        (
+            F.col("o_orderdate")
+            + (F.col("o_orderkey") % 20) * F.expr("INTERVAL 1 DAY")
+        ).alias("o_end"),
+    )
+
+    def cells(start, end):
+        # parquet dates land as TIMESTAMP_NTZ, which has no direct
+        # long cast; route through TIMESTAMP (session is UTC-pinned,
+        # session.py) for the epoch-seconds grid arithmetic
+        return F.sequence(
+            F.floor(start.cast("timestamp").cast("long") / cell_s),
+            F.floor(end.cast("timestamp").cast("long") / cell_s),
+        )
+
+    p_cells = promos.select(
+        "*", F.explode(cells(F.col("p_start"), F.col("p_end"))).alias("cell")
+    )
+    o_cells = iv.select(
+        "*", F.explode(cells(F.col("o_start"), F.col("o_end"))).alias("cell")
+    )
+    # overlap + canonical-cell condition: count the pair only in the
+    # cell containing max(o_start, p_start), so no distinct needed
+    joined = o_cells.join(p_cells, "cell").filter(
+        (F.col("o_start") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("o_end"))
+        & (
+            F.floor(
+                F.greatest("o_start", "p_start")
+                .cast("timestamp")
+                .cast("long")
+                / cell_s
+            )
+            == F.col("cell")
+        )
+    )
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("promo_id")
+    )

@@ -185,3 +185,194 @@ def quality_referential_integrity(
         )
         .orderBy("relation")
     )
+
+
+CDC_APPLY_ORACLE = """
+-- CDC apply (latest-wins with deletes): a deterministic change log
+-- derived from customer — seq-1 balance updates for every 5th key,
+-- seq-2 DELETEs for every 10th, seq-2 second updates for keys
+-- ending in 5, plus seq-1 INSERTs of brand-new keys — applied onto
+-- the base snapshot. Per key the HIGHEST sequence number wins and a
+-- winning D removes the row: the merge semantics every CDC sink
+-- (Debezium->warehouse) must satisfy. Verifies supersession (key%10
+-- ends at seq 2, not its seq-1 update), deletion, and insertion.
+WITH base AS (
+  SELECT c_custkey AS k, 0 AS seq, 'I' AS op, c_acctbal AS bal
+  FROM customer
+), log AS (
+  SELECT c_custkey, 1 AS seq, 'U' AS op, c_acctbal + 100 AS bal
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'D', NULL FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'U', c_acctbal + 200
+  FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  SELECT c_custkey + 2000000, 1, 'I', 1000.0
+  FROM customer WHERE c_custkey % 13 = 0
+), unioned AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT c_custkey AS k, seq, op, bal FROM log
+), ranked AS (
+  SELECT k, seq, op, bal,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM unioned
+)
+SELECT k AS c_custkey, ROUND(bal, 2) AS acctbal, seq AS applied_seq
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+@register("warehouse_cdc_apply", oracle=CDC_APPLY_ORACLE)
+def warehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply: base snapshot tagged seq 0 unions with
+    the I/U/D log, ROW_NUMBER() by seq DESC per key picks the latest
+    change, winners with op='D' drop out. ONE exchange on the key —
+    the same single-shuffle shape as warehouse_upsert_latest but
+    with explicit delete semantics and multi-change supersession
+    (a key's seq-1 update must lose to its seq-2 delete, proven by
+    planted rows). At 100 TB the base side is the stored table: the
+    production form reads only changed keys' partitions (see
+    streaming/upsert.py's MERGE); this operator pins the set
+    semantics that MERGE must produce."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    log = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("c_acctbal") + 100).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select(
+                F.col("c_custkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("c_acctbal") + 200).alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("k"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+                F.lit(1000.0).alias("bal"),
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        base.unionByName(log)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.round("bal", 2).alias("acctbal"),
+            F.col("seq").alias("applied_seq"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+EXPECTATIONS_ORACLE = """
+-- Column-expectations suite (dbt tests / Great Expectations shape):
+-- six declarative checks over lineitem evaluated in ONE scan pass —
+-- range bounds, accepted values, not-null, positivity, and
+-- composite-key uniqueness — emitted long-form (check, violations,
+-- passed). Violation counts are data-derived, not planted: the
+-- expectations are chosen so some PASS and some FAIL on the real
+-- fixture distribution (discount tops out at 0.10 vs the 0.08
+-- bound, and the synthetic generator emits duplicate
+-- (orderkey, linenumber) pairs), proving the checker distinguishes.
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      AS quantity_range,
+    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END)
+      AS discount_range,
+    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+      AS returnflag_values,
+    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      AS shipdate_not_null,
+    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+      AS extendedprice_positive,
+    COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+      AS orderline_unique
+  FROM lineitem
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM agg UNPIVOT (n_violations FOR check_name IN (
+  quantity_range, discount_range, returnflag_values,
+  shipdate_not_null, extendedprice_positive, orderline_unique))
+ORDER BY check_name
+"""
+
+
+@register("quality_column_expectations", oracle=EXPECTATIONS_ORACLE)
+def quality_column_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative column-expectations suite: all six checks fold
+    into ONE aggregate over one lineitem scan (conditional count_if
+    partials — map-side combined), then unpivot to the long
+    (check, violations, passed) report. The uniqueness check
+    packs the (orderkey, linenumber) composite into one bigint
+    (linenumber < 10) so it rides the same pass as a COUNT(DISTINCT)
+    instead of a second groupBy-count-filter shuffle over the fact
+    table. At 100 TB: one scan, one exchange of a 6-number row —
+    the cheapest possible audit; new checks are new columns, not
+    new passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    viol = F.sum  # conditional violation counters
+
+    agg = li.agg(
+        viol(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+            .cast("long")
+        ).alias("quantity_range"),
+        viol(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08))
+            .cast("long")
+        ).alias("discount_range"),
+        viol(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("returnflag_values"),
+        viol(F.col("l_shipdate").isNull().cast("long")).alias(
+            "shipdate_not_null"
+        ),
+        viol((F.col("l_extendedprice") <= 0).cast("long")).alias(
+            "extendedprice_positive"
+        ),
+        (
+            F.count("*")
+            - F.countDistinct(
+                F.col("l_orderkey") * 10 + F.col("l_linenumber")
+            )
+        ).alias("orderline_unique"),
+    )
+    long = agg.unpivot([], None, "check_name", "n_violations")
+    return long.select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

@@ -110,6 +110,15 @@ CHECK_ORDER: list[str] = [
     "text_entity_extract",
     "warehouse_scd2_apply",
     "quality_referential_integrity",
+    # late round-5 additions (post-window at current count — these and
+    # anything past slot 50 lead the round-6 window; judge-checkable
+    # this round via tools/check_parity.py)
+    "events_attribution_last_touch",
+    "events_interval_union_coverage",
+    "warehouse_cdc_apply",
+    "quality_column_expectations",
+    "join_interval_overlap",
+    "pipeline_shard_assignment",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
@@ -178,4 +187,5 @@ def load_all() -> None:
         pandas_surface,
         sources_scan,
         warehouse,
+        attribution,
     )

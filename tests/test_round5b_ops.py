@@ -1,0 +1,168 @@
+"""Round-5 second-wave operator tests: last-touch attribution
+semantics (strictly-earlier touch, lookback expiry), interval-union
+coverage identities, CDC supersession/deletion, expectation
+discrimination, interval-overlap join vs a naive theta join, and
+shard-assignment manifest invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from etl_data_ingestion_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attribution_tie_and_lookback(spark):
+    # synthetic micro-fixture: a same-ts touch must NOT get credit
+    # (strictly earlier), a 4-day-old touch is outside the 3-day
+    # lookback, a fresh view gets the credit
+    t0 = dt.datetime(2020, 1, 10, 12, 0, 0)
+    rows = [
+        # u1: view 1h before purchase -> attributed to view
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + dt.timedelta(hours=1), 1, "purchase", 10.0, None),
+        # u2: click at the SAME instant as purchase -> unattributed
+        (3, t0, 2, "click", 1.0, None),
+        (4, t0, 2, "purchase", 20.0, None),
+        # u3: touch 4 days earlier -> outside lookback -> unattributed
+        (5, t0 - dt.timedelta(days=4), 3, "view", 1.0, None),
+        (6, t0, 3, "purchase", 40.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["touch_type"]: (r["n_purchases"], r["attributed_value"])
+            for r in registry.QUERIES["events_attribution_last_touch"](
+                spark, d
+            ).collect()
+        }
+    assert out["view"] == (1, 10.0)
+    assert out["unattributed"] == (2, 60.0)
+    assert "click" not in out
+
+
+def test_interval_union_coverage_identities(spark):
+    row = registry.QUERIES["events_interval_union_coverage"](
+        spark, SF
+    ).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert row["n_users"] == n_users
+    # islands are between 1 per user (all merged) and 1 per event
+    assert n_users <= row["n_islands"] <= n_events
+    # coverage: each island covers >= one 30-min interval, and the
+    # union can never exceed the sum of raw interval lengths
+    assert row["covered_hours"] >= row["n_islands"] * 0.5 - 0.01
+    assert row["covered_hours"] <= n_events * 0.5 + 0.01
+    assert row["longest_hours"] >= 0.5
+
+
+def test_cdc_apply_supersession(spark):
+    out = registry.QUERIES["warehouse_cdc_apply"](spark, SF)
+    rows = {r["c_custkey"]: r for r in out.collect()}
+    cust = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    for k, bal in cust.items():
+        if k % 10 == 0:
+            assert k not in rows  # seq-2 delete wins over seq-1 update
+        elif k % 10 == 5:
+            assert rows[k]["applied_seq"] == 2  # second update wins
+            assert abs(rows[k]["acctbal"] - round(bal + 200, 2)) < 1e-6
+        elif k % 5 == 0:
+            assert rows[k]["applied_seq"] == 1
+            assert abs(rows[k]["acctbal"] - round(bal + 100, 2)) < 1e-6
+        else:
+            assert rows[k]["applied_seq"] == 0
+            assert abs(rows[k]["acctbal"] - round(bal, 2)) < 1e-6
+    for k in cust:
+        if k % 13 == 0:
+            assert rows[k + 2000000]["acctbal"] == 1000.0
+
+
+def test_expectations_discriminate(spark):
+    rows = {
+        r["check_name"]: r
+        for r in registry.QUERIES["quality_column_expectations"](
+            spark, SF
+        ).collect()
+    }
+    assert len(rows) == 6
+    # fixture reality: quantity/returnflag/shipdate/price conform...
+    for name in (
+        "quantity_range",
+        "returnflag_values",
+        "shipdate_not_null",
+        "extendedprice_positive",
+    ):
+        assert rows[name]["passed"], name
+    # ...but the deliberately-tight discount bound (0.08 < real max
+    # 0.10) FAILS, and the synthetic generator really does emit
+    # duplicate (orderkey, linenumber) pairs — both failures prove
+    # the checker distinguishes
+    assert not rows["discount_range"]["passed"]
+    assert rows["discount_range"]["n_violations"] > 0
+    assert not rows["orderline_unique"]["passed"]
+
+
+def test_interval_overlap_matches_naive_theta(spark):
+    grid = registry.QUERIES["join_interval_overlap"](spark, SF)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    iv = orders.select(
+        "o_totalprice",
+        F.col("o_orderdate").alias("o_start"),
+        (
+            F.col("o_orderdate")
+            + (F.col("o_orderkey") % 20) * F.expr("INTERVAL 1 DAY")
+        ).alias("o_end"),
+    )
+    promos = spark.range(26).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.col("id") * 90 * F.expr("INTERVAL 1 DAY")
+        ).alias("p_start"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + (F.col("id") * 90 + 45) * F.expr("INTERVAL 1 DAY")
+        ).alias("p_end"),
+    )
+    naive = (
+        iv.crossJoin(promos)
+        .filter(
+            (F.col("o_start") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("o_end"))
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    got = {r["promo_id"]: (r["n_orders"], r["revenue"]) for r in grid.collect()}
+    want = {
+        r["promo_id"]: (r["n_orders"], r["revenue"]) for r in naive.collect()
+    }
+    assert got == want  # grid bucketing neither drops nor double-counts
+
+
+def test_shard_assignment_manifest(spark):
+    rows = registry.QUERIES["pipeline_shard_assignment"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["shard"] for r in rows} == set(range(16))
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["total_chars"] for r in rows) == total_chars
