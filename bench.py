@@ -80,6 +80,10 @@ EXTENDED = [
     "quality_column_expectations",
     "join_interval_overlap",
     "pipeline_shard_assignment",
+    "agg_string_agg_ordered",
+    "agg_weighted_median",
+    "timeseries_anomaly_mad",
+    "events_cohort_ltv",
 ]
 
 

@@ -9,7 +9,7 @@ rows; only per-partition partial states cross the wire.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
@@ -1206,4 +1206,195 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("o_orderstatus"),
             F.asc_nulls_first("o_orderpriority"),
         )
+    )
+
+
+STRING_AGG_ORACLE = """
+-- Ordered string aggregation (LISTAGG / STRING_AGG): per region, the
+-- alphabetized pipe-joined list of its nations — the classic
+-- report-formatting aggregate. Order INSIDE the aggregate must be
+-- pinned (an unordered listagg is nondeterministic under parallel
+-- partial aggregation, so any engine that shuffles would emit a
+-- different-but-"valid" string every run).
+SELECT r.r_name AS region,
+       STRING_AGG(n.n_name, '|' ORDER BY n.n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+"""
+
+
+@register("agg_string_agg_ordered", oracle=STRING_AGG_ORACLE)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG as collect_list -> array_sort -> array_join:
+    collect_list is partial-aggregable (arrays merge across
+    partitions), and sorting AFTER collection makes the result
+    deterministic regardless of partitioning — the order-pinning
+    that naive listagg lacks under distributed partial aggregation.
+    Group cardinality bounds the array (nations per region), which
+    is the contract any scale-safe listagg needs: the aggregate
+    state is the grouped payload itself, so this is only for
+    dimension-sized groups — for fact-sized payloads you want
+    pipeline_shard_assignment's manifest pattern instead."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), "|"
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+-- Weighted median (50th weighted percentile) of supplier account
+-- balance per nation, weighted by a deterministic activity weight:
+-- the smallest balance whose cumulative weight reaches half the
+-- nation's total — computed via the cumulative-weight window, the
+-- formulation that scales (sort within key + running sum) where
+-- quantile-by-expansion (repeat each row w times) does not.
+WITH w AS (
+  SELECT n_name, s_acctbal, 1 + (s_suppkey % 5) AS wt
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), c AS (
+  SELECT n_name, s_acctbal, wt,
+         SUM(wt) OVER (PARTITION BY n_name
+                       ORDER BY s_acctbal, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_wt,
+         SUM(wt) OVER (PARTITION BY n_name) AS tot_wt
+  FROM w
+)
+SELECT n_name AS nation,
+       ROUND(MIN(CASE WHEN cum_wt * 2 >= tot_wt THEN s_acctbal END), 2)
+         AS weighted_median_bal,
+       CAST(SUM(wt) AS BIGINT) AS total_weight
+FROM c
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+@register("agg_weighted_median", oracle=WEIGHTED_MEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median via cumulative-weight crossing: one exchange
+    on the group key, a running weight sum over the value-sorted
+    partition, and the answer is MIN(value | cum_wt*2 >= tot_wt).
+    Linear in rows (vs the repeat-row-by-weight trick, which
+    multiplies data by mean weight), works for any weighted
+    quantile by changing the crossing fraction, and — unlike
+    percentile_approx — is exact. The tie-break (ORDER BY value,
+    weight) pins which equal-valued row crosses the threshold so
+    both engines agree bit-for-bit."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    w = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select(
+        "n_name",
+        "s_acctbal",
+        (1 + F.col("s_suppkey") % 5).alias("wt"),
+    )
+    cum = Window.partitionBy("n_name").orderBy("s_acctbal", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("n_name")
+    c = w.select(
+        "n_name",
+        "s_acctbal",
+        "wt",
+        F.sum("wt").over(cum).alias("cum_wt"),
+        F.sum("wt").over(tot).alias("tot_wt"),
+    )
+    return (
+        c.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum_wt") * 2 >= F.col("tot_wt"),
+                        F.col("s_acctbal"),
+                    )
+                ),
+                2,
+            ).alias("weighted_median_bal"),
+            F.sum("wt").cast("long").alias("total_weight"),
+        )
+        .orderBy("nation")
+    )
+
+
+MAD_ORACLE = """
+-- Robust outlier detection via Median Absolute Deviation: per event
+-- type, median(value) and MAD = median(|value - median|), then count
+-- events whose modified z-score 0.6745*|v-med|/MAD exceeds 3.5
+-- (Iglewicz & Hoaglin 1993). Robust where the mean/stddev z-score
+-- (timeseries_zscore_outliers) is itself dragged by the outliers it
+-- hunts. Two grouped exact medians + a broadcast back onto the scan.
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, m.med,
+         MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+       ROUND(a.med, 3) AS median_value,
+       ROUND(a.mad, 3) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * ABS(e.value - a.med) / a.mad > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN mad a USING (event_type)
+GROUP BY e.event_type, a.med, a.mad
+ORDER BY e.event_type
+"""
+
+
+@register("timeseries_anomaly_mad", oracle=MAD_ORACLE)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier accounting: two grouped exact
+    medians (each one |event_types|-sized exchange of the fact
+    table) and a broadcast of the |types|-row stats table back onto
+    the scan for the outlier count — same broadcast-stats shape as
+    the z-score op, so the fact table is never shuffled on anything
+    bigger than event_type. Exact MEDIAN (not percentile_approx):
+    a sketch error on the MAD multiplies into the 0.6745/MAD score
+    and flips borderline outliers, which is exactly what a
+    correctness-gated anomaly count can't have. At 100 TB swap the
+    exact median for percentile_approx(…, 1e-5) and the plan is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    score = 0.6745 * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum((score > 3.5).cast("long")).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 3).alias("median_value"),
+            F.round("mad", 3).alias("mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
     )

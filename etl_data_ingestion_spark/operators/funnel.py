@@ -369,3 +369,107 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+COHORT_LTV_ORACLE = """
+-- Cohort lifetime-value curve: users cohort by first-seen WEEK, and
+-- each cohort accumulates purchase revenue by week-age (weeks since
+-- cohort start). The cumulative-revenue-per-cohort-user curve is how
+-- growth teams read payback: cohort rows are (cohort_week, age) with
+-- cum_ltv_per_user monotone in age. Week grain (not day) keeps the
+-- output cohort²-ish instead of day²-ish.
+WITH first_touch AS (
+  SELECT user_id,
+         DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS n_users
+  FROM first_touch GROUP BY cohort_week
+), rev AS (
+  SELECT f.cohort_week,
+         -- DuckDB DATE_TRUNC('week', ts) yields DATE, so the
+         -- difference is integer DAYS (not an interval)
+         CAST(FLOOR((DATE_TRUNC('week', e.ts) - f.cohort_week)
+                    / 7.0) AS BIGINT) AS age_weeks,
+         SUM(e.value) AS wk_revenue
+  FROM events e JOIN first_touch f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), curve AS (
+  SELECT cohort_week, age_weeks,
+         SUM(wk_revenue) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_revenue
+  FROM rev
+)
+SELECT STRFTIME(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.age_weeks,
+       ROUND(c.cum_revenue, 2) AS cum_revenue,
+       s.n_users,
+       ROUND(c.cum_revenue / s.n_users, 4) AS cum_ltv_per_user
+FROM curve c JOIN cohort_size s USING (cohort_week)
+ORDER BY cohort_week, age_weeks
+"""
+
+
+@register("events_cohort_ltv", oracle=COHORT_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: first-touch table (one user-grain agg),
+    broadcast back onto the purchase-filtered scan, aggregate to
+    (cohort_week, age_weeks) — already tiny — then the cumulative
+    window runs on the weeks²-sized curve, not the fact table. Same
+    broadcast-anchors discipline as the funnel/retention ops: the
+    events table is never shuffled on user_id for the revenue pass,
+    and the only fact-sized exchange is the user-grain first-touch
+    aggregate. Week age is (truncated-week delta / 7 days) on both
+    sides — Spark in epoch seconds, DuckDB in DATE-difference days —
+    and both engines truncate weeks to Monday, so ages align."""
+    ev = load_table(spark, sf_dir, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_size = first_touch.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_touch), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (
+                    F.date_trunc("week", F.col("ts"))
+                    .cast("timestamp")
+                    .cast("long")
+                    - F.col("cohort_week").cast("timestamp").cast("long")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum("value").alias("wk_revenue"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = rev.withColumn(
+        "cum_revenue", F.sum("wk_revenue").over(cum)
+    )
+    return (
+        curve.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            F.round("cum_revenue", 2).alias("cum_revenue"),
+            "n_users",
+            F.round(F.col("cum_revenue") / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -119,6 +119,10 @@ CHECK_ORDER: list[str] = [
     "quality_column_expectations",
     "join_interval_overlap",
     "pipeline_shard_assignment",
+    "agg_string_agg_ordered",
+    "agg_weighted_median",
+    "timeseries_anomaly_mad",
+    "events_cohort_ltv",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

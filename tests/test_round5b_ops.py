@@ -166,3 +166,74 @@ def test_shard_assignment_manifest(spark):
     assert {r["shard"] for r in rows} == set(range(16))
     total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
     assert sum(r["total_chars"] for r in rows) == total_chars
+
+
+def test_string_agg_deterministic_under_partitioning(spark):
+    out = registry.QUERIES["agg_string_agg_ordered"](spark, SF).collect()
+    assert len(out) == 5  # five regions
+    for r in out:
+        parts = r["nations"].split("|")
+        assert parts == sorted(parts)  # in-aggregate order pinned
+        assert len(parts) == r["n_nations"]
+
+
+def test_weighted_median_crossing_property(spark):
+    rows = registry.QUERIES["agg_weighted_median"](spark, SF).collect()
+    sup = (
+        spark.read.parquet(f"{SF}/supplier.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "s_acctbal", (1 + F.col("s_suppkey") % 5).alias("wt"))
+        .collect()
+    )
+    by_nation = {}
+    for r in sup:
+        by_nation.setdefault(r["n_name"], []).append((r["s_acctbal"], r["wt"]))
+    for out in rows:
+        vals = sorted(by_nation[out["nation"]])
+        tot = sum(w for _, w in vals)
+        # median property: weight at-or-below >= half, at-or-above >= half
+        m = out["weighted_median_bal"]
+        below = sum(w for v, w in vals if v <= m)
+        above = sum(w for v, w in vals if v >= m)
+        assert below * 2 >= tot and above * 2 >= tot
+
+
+def test_mad_robust_to_planted_outlier(spark):
+    # MAD of a set with one extreme outlier stays small (robustness),
+    # while stddev would explode: verified on a micro-fixture
+    import tempfile, os, datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    vals = [10.0] * 20 + [10.5] * 20 + [9.5] * 20 + [100000.0]
+    rows = [
+        (i, t0, i, "click", v, None) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = registry.QUERIES["timeseries_anomaly_mad"](spark, d).collect()
+    r = out[0]
+    assert r["median_value"] == 10.0
+    assert r["mad"] == 0.5
+    assert r["n_outliers"] == 1  # exactly the planted extreme
+
+
+def test_cohort_ltv_monotone(spark):
+    rows = registry.QUERIES["events_cohort_ltv"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(
+            (r["age_weeks"], r["cum_revenue"], r["cum_ltv_per_user"])
+        )
+    for cohort, curve in by_cohort.items():
+        curve.sort()
+        revs = [c[1] for c in curve]
+        assert revs == sorted(revs)  # cumulative revenue monotone
+        ltvs = [c[2] for c in curve]
+        assert ltvs == sorted(ltvs)
