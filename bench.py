@@ -84,6 +84,7 @@ EXTENDED = [
     "agg_weighted_median",
     "timeseries_anomaly_mad",
     "events_cohort_ltv",
+    "multimodal_resize_real",
 ]
 
 

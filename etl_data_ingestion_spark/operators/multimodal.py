@@ -150,6 +150,73 @@ def _png_filter_line(line: bytes, prior: bytes, ftype: int, bpp: int) -> bytes:
     return bytes(enc)
 
 
+def _synth_png(d: int) -> bytes:
+    """Deterministic PNG for doc_id d: dims/channels/pixels all pure
+    functions of d (see IMAGE_DECODE_ORACLE), filter type cycling
+    (d+y)%5 so every defilter branch is exercised."""
+    import struct
+    import zlib
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h = 8 + d % 8, 4 + d % 4
+    ch = 1 if d % 2 == 0 else 3
+    prior = bytes(w * ch)
+    filtered = b""
+    for y in range(h):
+        line = bytes(
+            (d * 7 + y * 3 + x * 5 + c * 11) % 256
+            for x in range(w)
+            for c in range(ch)
+        )
+        ftype = (d + y) % 5
+        filtered += bytes([ftype]) + _png_filter_line(line, prior, ftype, ch)
+        prior = line
+    color_type = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(filtered))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(data: bytes):
+    """CRC-checked chunk walk + inflate + defilter -> (w, h, ch,
+    flat pixel bytes). Depth-8 gray/truecolor, no interlace."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad magic"
+    pos, idat = 8, b""
+    width = height = color_type = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        if tag == b"IHDR":
+            width, height, depth, color_type = struct.unpack(
+                ">IIBB", body[:10]
+            )
+            assert depth == 8 and color_type in (0, 2)
+            assert body[10:13] == b"\x00\x00\x00", "no interlace"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    ch = 1 if color_type == 0 else 3
+    pixels = _png_defilter(zlib.decompress(idat), width, height, ch)
+    return width, height, ch, pixels
+
+
 @register("multimodal_image_decode_real", oracle=IMAGE_DECODE_ORACLE)
 def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL general-PNG decode over opaque binary payloads — the
@@ -172,80 +239,24 @@ def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. JPEG/WebP remain out of scope (no codec in the
     container — documented limitation, not a stub: there is no fake
     path left in the image family)."""
-    import struct
-    import zlib
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     ).select("doc_id")
 
-    def _chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 8, 4 + d % 4
-                ch = 1 if d % 2 == 0 else 3
-                prior = bytes(w * ch)
-                filtered = b""
-                for y in range(h):
-                    line = bytes(
-                        (d * 7 + y * 3 + x * 5 + c * 11) % 256
-                        for x in range(w)
-                        for c in range(ch)
-                    )
-                    ftype = (d + y) % 5
-                    filtered += bytes([ftype]) + _png_filter_line(
-                        line, prior, ftype, ch
-                    )
-                    prior = line
-                color_type = 0 if ch == 1 else 2
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-                payloads.append(
-                    b"\x89PNG\r\n\x1a\n"
-                    + _chunk(b"IHDR", ihdr)
-                    + _chunk(b"IDAT", zlib.compress(filtered))
-                    + _chunk(b"IEND", b"")
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": payloads})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png": [_synth_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
-                data = bytes(data)
-                assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad magic"
-                pos, idat = 8, b""
-                width = height = color_type = None
-                while pos < len(data):
-                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
-                    tag = data[pos + 4 : pos + 8]
-                    body = data[pos + 8 : pos + 8 + ln]
-                    (crc,) = struct.unpack(
-                        ">I", data[pos + 8 + ln : pos + 12 + ln]
-                    )
-                    assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
-                    if tag == b"IHDR":
-                        width, height, depth, color_type = struct.unpack(
-                            ">IIBB", body[:10]
-                        )
-                        assert depth == 8 and color_type in (0, 2)
-                        assert body[10:13] == b"\x00\x00\x00", "no interlace"
-                    elif tag == b"IDAT":
-                        idat += body
-                    pos += 12 + ln
-                ch = 1 if color_type == 0 else 3
-                pixels = _png_defilter(
-                    zlib.decompress(idat), width, height, ch
-                )
+                width, height, ch, pixels = _parse_png(bytes(data))
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -348,11 +359,14 @@ def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFr
     at 100 TB the blob crosses the Python boundary once, not three
     times).
 
-    STUB(no-codec): the "thumbnail" is a deterministic byte slice in
-    place of PIL resize; the "embedding" is a fixed-dim unit vector
-    seeded from the content digest in place of a vision encoder. Real:
-    binary→binary+vector schema, single-pass chaining, batch shapes,
-    unit-norm invariant the downstream similarity ops rely on.
+    STUB(no-model): the "embedding" is a fixed-dim unit vector
+    seeded from the content digest in place of a vision encoder (no
+    model in the container), and this chained variant keeps a byte
+    slice for its "thumbnail" stage. REAL resize now exists as
+    multimodal_resize_real (pixel-exact NN resample over the decoded
+    PNG); what stays real here: binary→binary+vector schema,
+    single-pass chaining, batch shapes, unit-norm invariant the
+    downstream similarity ops rely on.
     """
     import numpy as np
 
@@ -1156,3 +1170,106 @@ def multimodal_tar_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksums_ok boolean, padded_ok boolean"
         ),
     ).orderBy("archive_id")
+
+
+RESIZE_REAL_ORACLE = """
+-- REAL nearest-neighbor resize (retires the resize half of the stub
+-- tier): every synthetic PNG decodes (full defilter path) and then
+-- resizes to a fixed 6x4 thumbnail with the standard floor mapping
+-- src = floor(dst * src_dim / dst_dim). Pixels are a pure function
+-- of (doc_id, y, x, c), so the oracle replays decode+resize entirely
+-- in SQL: any off-by-one in the coordinate mapping or a channel
+-- stride slip changes resized_sum. feature extraction (a vision
+-- encoder) remains the one stubbed stage - there is no model in the
+-- container - but resize math is now real and pixel-exact.
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 8 AS w,
+         4 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents WHERE doc_id < 150
+), rs AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id * 7
+              + CAST(FLOOR(ty.ty * d.h / 4.0) AS BIGINT) * 3
+              + CAST(FLOOR(tx.tx * d.w / 6.0) AS BIGINT) * 5
+              + c.c * 11) % 256) AS rsum
+  FROM dims d,
+       UNNEST(generate_series(0, 3)) AS ty(ty),
+       UNNEST(generate_series(0, 5)) AS tx(tx),
+       UNNEST(generate_series(0, d.ch - 1)) AS c(c)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(6 AS INT) AS thumb_w,
+       CAST(4 AS INT) AS thumb_h,
+       CAST(d.ch AS INT) AS channels,
+       CAST(r.rsum AS BIGINT) AS resized_sum
+FROM dims d JOIN rs r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_resize_real", oracle=RESIZE_REAL_ORACLE)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> REAL nearest-neighbor resize in one mapInPandas
+    pass: the PNG payload is parsed (CRC walk, inflate, all-five
+    defilter), reshaped to an (h, w, ch) numpy array, and resampled
+    to a 6x4 thumbnail via integer index maps (np.take on
+    floor(dst*src/dst) indices - the textbook NN resize, vectorized,
+    no per-pixel Python loop). Only the thumbnail's sum leaves the
+    stage, so the plan shuffles typed metadata, never blobs - the
+    same one-boundary-crossing discipline as the decode tier. The
+    oracle replays the whole decode+resize from the pixel formula,
+    so a coordinate-mapping off-by-one (the classic resize bug) is a
+    value mismatch, not a silent pass."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    TW, TH = 6, 4
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png": [_synth_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                w, h, ch, pixels = _parse_png(bytes(data))
+                img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+                    h, w, ch
+                )
+                ys = (np.arange(TH) * h) // TH
+                xs = (np.arange(TW) * w) // TW
+                thumb = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "thumb_w": TW,
+                        "thumb_h": TH,
+                        "channels": ch,
+                        "resized_sum": int(
+                            thumb.astype(np.int64).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    pngs = docs.mapInPandas(synth, schema="doc_id long, png binary")
+    return pngs.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, thumb_w int, thumb_h int, channels int, "
+            "resized_sum long"
+        ),
+    ).orderBy("doc_id")

@@ -123,6 +123,7 @@ CHECK_ORDER: list[str] = [
     "agg_weighted_median",
     "timeseries_anomaly_mad",
     "events_cohort_ltv",
+    "multimodal_resize_real",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

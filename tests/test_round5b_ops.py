@@ -237,3 +237,28 @@ def test_cohort_ltv_monotone(spark):
         assert revs == sorted(revs)  # cumulative revenue monotone
         ltvs = [c[2] for c in curve]
         assert ltvs == sorted(ltvs)
+
+
+def test_resize_real_matches_numpy_reference(spark):
+    import numpy as np
+
+    rows = registry.QUERIES["multimodal_resize_real"](spark, SF).collect()
+    assert len(rows) == 150
+    for r in rows[:20]:
+        d = r["doc_id"]
+        w, h = 8 + d % 8, 4 + d % 4
+        ch = 1 if d % 2 == 0 else 3
+        img = np.array(
+            [
+                [
+                    [(d * 7 + y * 3 + x * 5 + c * 11) % 256 for c in range(ch)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(6) * w) // 6
+        assert r["resized_sum"] == int(img[np.ix_(ys, xs)].sum())
+        assert (r["thumb_w"], r["thumb_h"], r["channels"]) == (6, 4, ch)
