@@ -85,6 +85,9 @@ EXTENDED = [
     "timeseries_anomaly_mad",
     "events_cohort_ltv",
     "multimodal_resize_real",
+    "subquery_any_all_quantified",
+    "pipeline_length_bucket_batching",
+    "warehouse_snapshot_diff",
 ]
 
 

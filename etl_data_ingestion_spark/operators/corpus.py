@@ -582,3 +582,77 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_docs").over(w) * 1.0 / F.min("n_docs").over(w) < 1.25
         ).alias("balanced"),
     ).orderBy("shard")
+
+
+LENGTH_BUCKET_ORACLE = """
+-- Length-bucketed batch planning: documents bucket by next-power-of-2
+-- token length (the standard padding-minimization strategy for
+-- sequence batching), and each bucket reports how many fixed-budget
+-- batches it yields plus its padding efficiency (real tokens /
+-- padded tokens). A single unbucketed batcher pads everything to the
+-- global max; the per-bucket efficiency column quantifies what
+-- bucketing buys.
+WITH toks AS (
+  SELECT doc_id,
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(POWER(2, CEIL(LOG2(GREATEST(n_tokens, 1)))) AS BIGINT)
+           AS bucket
+  FROM toks
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       ROUND(SUM(n_tokens) * 1.0 / (COUNT(*) * bucket), 4)
+         AS pad_efficiency,
+       CAST(CEIL(COUNT(*) * bucket / 16384.0) AS BIGINT) AS n_batches
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("pipeline_length_bucket_batching", oracle=LENGTH_BUCKET_ORACLE)
+def pipeline_length_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-minimizing batch plan: next-pow2 length bucketing is
+    one map-only expression, the manifest one ~log2(max_len)-group
+    aggregate — nothing fact-sized ever shuffles. The output drives
+    the actual batch writer: repartition by (bucket, row_number /
+    docs_per_batch) puts each fixed-token-budget batch in one task.
+    pad_efficiency >= 0.5 by construction (a doc is always > half
+    its pow2 bucket), which is the bound that makes pow2 bucketing
+    the default vs exact-length grouping (whose group count is
+    unbounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    bucket = F.pow(
+        F.lit(2), F.ceil(F.log2(F.greatest(n_tokens, F.lit(1))))
+    ).cast("long")
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            (F.count("*") * F.col("bucket")).cast("long").alias(
+                "padded_tokens"
+            ),
+            F.round(
+                F.sum("n_tokens") * 1.0 / (F.count("*") * F.first("bucket")),
+                4,
+            ).alias("pad_efficiency"),
+            F.ceil(F.count("*") * F.first("bucket") / 16384.0)
+            .cast("long")
+            .alias("n_batches"),
+        )
+        .orderBy("bucket")
+    )

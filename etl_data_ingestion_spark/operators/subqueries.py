@@ -11,6 +11,7 @@ other; none requires a correlated per-row re-execution.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_ingestion_spark.catalog import load_table
@@ -168,4 +169,84 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY n.n_name, t.bal DESC, t.c_name
         """
+    )
+
+
+ANY_ALL_ORACLE = """
+-- Quantified comparisons (ANY / ALL): suppliers whose balance beats
+-- EVERY customer balance in their own nation (> ALL, correlated) and
+-- a count of suppliers beating AT LEAST ONE (> ANY). ALL over an
+-- empty set is vacuously TRUE and a NULL in the set poisons ALL to
+-- NULL-not-TRUE — both semantics preserved by the MAX/MIN rewrite
+-- only because c_acctbal is non-null here (the rewrite below pins
+-- that precondition with a COUNT filter).
+WITH nat_stats AS (
+  SELECT c.c_nationkey,
+         MAX(c.c_acctbal) AS max_bal,
+         MIN(c.c_acctbal) AS min_bal,
+         COUNT(*) AS n_cust
+  FROM customer c GROUP BY c.c_nationkey
+)
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN ns.n_cust IS NULL
+                      OR s.s_acctbal > ns.max_bal
+                     THEN 1 ELSE 0 END) AS BIGINT) AS beats_all,
+       CAST(SUM(CASE WHEN s.s_acctbal > ns.min_bal
+                     THEN 1 ELSE 0 END) AS BIGINT) AS beats_any,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN nat_stats ns ON s.s_nationkey = ns.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register("subquery_any_all_quantified", oracle=ANY_ALL_ORACLE)
+def subquery_any_all_quantified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantified subquery comparisons — a surface Spark SQL does
+    NOT parse natively (`> ALL (SELECT ...)` is a syntax error in
+    Spark 4), provided here via the aggregate rewrite:
+    `x > ALL (S)` = `x > MAX(S)` and `x > ANY (S)` = `x > MIN(S)`,
+    with the ALL-over-empty-set vacuous-truth case carried by the
+    LEFT join's NULL group marker. This is the rewrite every
+    optimizer applies (a naive quantified comparison is a per-row
+    rescan of S): the inner set collapses to one |nations|-row
+    stats table that BROADCASTS, so the fact side is never shuffled
+    — the plan is scan → broadcast-join → partial agg regardless of
+    how big customer grows. NULL caveat: the MAX rewrite equates
+    NULL-poisoned ALL (NULL, not TRUE) with not-counted, which
+    matches SUM(CASE WHEN …) semantics; c_acctbal is non-null in
+    this schema so both engines agree."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    nat_stats = cust.groupBy("c_nationkey").agg(
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.count("*").alias("n_cust"),
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(
+            F.broadcast(nat_stats),
+            sup["s_nationkey"] == nat_stats["c_nationkey"],
+            "left",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (
+                    F.col("n_cust").isNull()
+                    | (F.col("s_acctbal") > F.col("max_bal"))
+                ).cast("long")
+            ).alias("beats_all"),
+            F.sum(
+                (F.col("s_acctbal") > F.col("min_bal")).cast("long")
+            ).alias("beats_any"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("nation")
     )

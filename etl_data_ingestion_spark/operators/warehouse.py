@@ -376,3 +376,91 @@ def quality_column_expectations(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+-- Snapshot diff: compare two versions of the customer dimension (v2
+-- derived deterministically: every 9th key's balance drifts, every
+-- 17th key is dropped, new keys appended for every 23rd) and report
+-- the change manifest — added/removed/changed/unchanged counts plus
+-- the net balance drift. The audit query behind every time-travel
+-- pair of table versions; one full-outer join on the key.
+WITH v1 AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), v2 AS (
+  SELECT c_custkey, c_acctbal + CASE WHEN c_custkey % 9 = 0
+                                     THEN 50.0 ELSE 0 END AS c_acctbal
+  FROM customer WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT c_custkey + 3000000, 500.0 FROM customer
+  WHERE c_custkey % 23 = 0
+), joined AS (
+  SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+         a.c_acctbal AS bal1, b.c_acctbal AS bal2
+  FROM v1 a FULL OUTER JOIN v2 b USING (c_custkey)
+)
+SELECT CAST(SUM(CASE WHEN bal1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS added,
+       CAST(SUM(CASE WHEN bal2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed,
+       CAST(SUM(CASE WHEN bal1 IS NOT NULL AND bal2 IS NOT NULL
+                      AND bal1 <> bal2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS changed,
+       CAST(SUM(CASE WHEN bal1 = bal2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS unchanged,
+       ROUND(SUM(COALESCE(bal2, 0) - COALESCE(bal1, 0)), 2)
+         AS net_balance_drift
+FROM joined
+"""
+
+
+@register("warehouse_snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff manifest: ONE full-outer join on the key,
+    then a map-side-combined conditional aggregate — the audit
+    behind time travel (streaming/upsert.py's state_path_at gives
+    the two versions in production; here v2 is derived so the oracle
+    can pin exact counts). At 100 TB both sides partition on the
+    join key and AQE picks SMJ; nothing is driver-side. The net
+    drift column is the reconciliation number a warehouse closes
+    its books on."""
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select("c_custkey", F.col("c_acctbal").alias("bal1"))
+    v2 = (
+        cust.filter(F.col("c_custkey") % 17 != 0)
+        .select(
+            "c_custkey",
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 9 == 0, 50.0).otherwise(0.0)
+            ).alias("bal2"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 23 == 0).select(
+                (F.col("c_custkey") + 3000000).alias("c_custkey"),
+                F.lit(500.0).alias("bal2"),
+            )
+        )
+    )
+    joined = v1.join(v2, "c_custkey", "full_outer")
+    return joined.agg(
+        F.sum(F.col("bal1").isNull().cast("long")).alias("added"),
+        F.sum(F.col("bal2").isNull().cast("long")).alias("removed"),
+        F.sum(
+            (
+                F.col("bal1").isNotNull()
+                & F.col("bal2").isNotNull()
+                & (F.col("bal1") != F.col("bal2"))
+            ).cast("long")
+        ).alias("changed"),
+        F.sum((F.col("bal1") == F.col("bal2")).cast("long")).alias(
+            "unchanged"
+        ),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("bal2"), F.lit(0.0))
+                - F.coalesce(F.col("bal1"), F.lit(0.0))
+            ),
+            2,
+        ).alias("net_balance_drift"),
+    )

@@ -124,6 +124,9 @@ CHECK_ORDER: list[str] = [
     "timeseries_anomaly_mad",
     "events_cohort_ltv",
     "multimodal_resize_real",
+    "subquery_any_all_quantified",
+    "pipeline_length_bucket_batching",
+    "warehouse_snapshot_diff",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

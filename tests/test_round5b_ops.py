@@ -262,3 +262,62 @@ def test_resize_real_matches_numpy_reference(spark):
         xs = (np.arange(6) * w) // 6
         assert r["resized_sum"] == int(img[np.ix_(ys, xs)].sum())
         assert (r["thumb_w"], r["thumb_h"], r["channels"]) == (6, 4, ch)
+
+
+def test_any_all_rewrite_matches_bruteforce(spark):
+    rows = {
+        r["nation"]: r
+        for r in registry.QUERIES["subquery_any_all_quantified"](
+            spark, SF
+        ).collect()
+    }
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    by_nat = {}
+    for c in cust:
+        by_nat.setdefault(c["c_nationkey"], []).append(c["c_acctbal"])
+    want_all, want_any = {}, {}
+    for s in sup:
+        n = nat[s["s_nationkey"]]
+        vals = by_nat.get(s["s_nationkey"], [])
+        # quantified semantics, brute force: ALL vacuous on empty set
+        if all(s["s_acctbal"] > v for v in vals):
+            want_all[n] = want_all.get(n, 0) + 1
+        if any(s["s_acctbal"] > v for v in vals):
+            want_any[n] = want_any.get(n, 0) + 1
+    for n, r in rows.items():
+        assert r["beats_all"] == want_all.get(n, 0), n
+        assert r["beats_any"] == want_any.get(n, 0), n
+
+
+def test_length_bucket_bounds(spark):
+    rows = registry.QUERIES["pipeline_length_bucket_batching"](
+        spark, SF
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        # pow2 buckets and the >= 0.5 padding-efficiency bound
+        assert r["bucket"] & (r["bucket"] - 1) == 0
+        assert r["pad_efficiency"] > 0.5
+        assert r["real_tokens"] <= r["padded_tokens"]
+        assert r["n_batches"] >= 1
+
+
+def test_snapshot_diff_reconciles(spark):
+    r = registry.QUERIES["warehouse_snapshot_diff"](spark, SF).collect()[0]
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    keys = [c["c_custkey"] for c in cust]
+    assert r["removed"] == sum(1 for k in keys if k % 17 == 0)
+    assert r["added"] == sum(1 for k in keys if k % 23 == 0)
+    assert r["changed"] == sum(
+        1 for k in keys if k % 9 == 0 and k % 17 != 0
+    )
+    assert (
+        r["added"] + r["removed"] + r["changed"] + r["unchanged"]
+        == len(keys) + r["added"]
+    )
