@@ -88,6 +88,8 @@ EXTENDED = [
     "subquery_any_all_quantified",
     "pipeline_length_bucket_batching",
     "warehouse_snapshot_diff",
+    "events_dau_wau_mau",
+    "agg_winsorized_mean",
 ]
 
 

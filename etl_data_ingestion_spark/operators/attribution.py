@@ -196,3 +196,165 @@ def events_interval_union_coverage(
         F.round(F.sum(dur_s) / 3600.0, 2).alias("covered_hours"),
         F.round(F.max(dur_s) / 3600.0, 2).alias("longest_hours"),
     )
+
+
+DAU_WAU_ORACLE = """
+-- DAU / WAU / MAU: distinct active users per day, trailing-7-day,
+-- and trailing-30-day — THE product engagement triple. Computed
+-- from the (day, user) distinct grid: each active day contributes
+-- membership to its own DAU day, 7 WAU days, and 30 MAU days; the
+-- trailing windows are therefore bounded row EXPANSION (7x/30x of
+-- the user-day grid, NOT of raw events) followed by one distinct
+-- count per (metric, day). Only days present in the data appear.
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), wau AS (
+  SELECT dy.d, COUNT(DISTINCT du.user_id) AS wau
+  FROM days dy JOIN du
+    ON du.d BETWEEN dy.d - 6 AND dy.d
+  GROUP BY dy.d
+), mau AS (
+  SELECT dy.d, COUNT(DISTINCT du.user_id) AS mau
+  FROM days dy JOIN du
+    ON du.d BETWEEN dy.d - 29 AND dy.d
+  GROUP BY dy.d
+), dau AS (
+  SELECT d, COUNT(*) AS dau FROM du GROUP BY d
+)
+SELECT STRFTIME(dau.d, '%Y-%m-%d') AS day, dau.dau, w.wau, m.mau,
+       ROUND(dau.dau * 1.0 / m.mau, 4) AS stickiness
+FROM dau JOIN wau w USING (d) JOIN mau m USING (d)
+ORDER BY day
+"""
+
+
+@register("events_dau_wau_mau", oracle=DAU_WAU_ORACLE)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives without a rolling-distinct window
+    (which Spark cannot express) and without re-scanning the fact
+    table per window length: reduce once to the DISTINCT (day, user)
+    grid — the only fact-sized exchange — then EXPLODE each user-day
+    into the trailing days it supports (1 for DAU, 7 for WAU, 30 for
+    MAU: sequence + explode, bounded expansion of the already-small
+    grid) and count distinct per day. At 100 TB the grid is
+    |users|x|days| << |events|, so the 30x expansion is cheap where
+    the naive per-day-re-aggregation (365 scans/year) or a
+    sliding-window collect_set (unbounded state) are not. Stickiness
+    = DAU/MAU, the ratio product teams steer by. Days are clamped to
+    the observed day set to match the oracle's day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+
+    def trailing(n: int, name: str) -> DataFrame:
+        contrib = du.select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), n - 1),
+                )
+            ).alias("d_to"),
+            "user_id",
+        )
+        return (
+            contrib.join(F.broadcast(days), contrib["d_to"] == days["d"])
+            .groupBy("d_to")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, dau["d"] == wau["d_to"])
+        .drop("d_to")
+        .join(mau, dau["d"] == mau["d_to"])
+        .drop("d_to")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+WINSORIZE_ORACLE = """
+-- Winsorized statistics: per event type, clip values at the exact
+-- [p05, p95] percentiles and report raw vs winsorized mean — the
+-- outlier-robust mean that analysts quote next to MAD
+-- (timeseries_anomaly_mad) when heavy tails poison averages. The
+-- percentile table is |types|-sized and broadcasts; clipping is a
+-- map-side expression, so the second pass adds no shuffle beyond
+-- the per-type aggregate.
+WITH pct AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, 0.05) AS p05,
+         QUANTILE_CONT(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(AVG(e.value), 4) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 4)
+         AS winsorized_mean,
+       ROUND(p.p05, 4) AS p05,
+       ROUND(p.p95, 4) AS p95,
+       CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e JOIN pct p USING (event_type)
+GROUP BY e.event_type, p.p05, p.p95
+ORDER BY e.event_type
+"""
+
+
+@register("agg_winsorized_mean", oracle=WINSORIZE_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping): exact per-type p05/p95
+    via one grouped percentile pass, broadcast the |types|-row
+    bounds back onto the scan, clip with LEAST/GREATEST in the map
+    stage, aggregate. Same broadcast-stats discipline as the MAD op
+    — the fact table shuffles only on event_type, twice (once per
+    percentile pass, once for the final means); at 100 TB swap
+    percentile() for approx_percentile and the plan shape is
+    unchanged. Exact interpolated percentiles here because the
+    oracle's QUANTILE_CONT is interpolated — both engines use the
+    same linear-interpolation definition."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("value"), F.col("p05")), F.col("p95")
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95"))
+                ).cast("long")
+            ).alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            "raw_mean",
+            "winsorized_mean",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            F.col("n_clipped").cast("long").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

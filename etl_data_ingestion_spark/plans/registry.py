@@ -127,6 +127,8 @@ CHECK_ORDER: list[str] = [
     "subquery_any_all_quantified",
     "pipeline_length_bucket_batching",
     "warehouse_snapshot_diff",
+    "events_dau_wau_mau",
+    "agg_winsorized_mean",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

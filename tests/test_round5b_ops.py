@@ -321,3 +321,26 @@ def test_snapshot_diff_reconciles(spark):
         r["added"] + r["removed"] + r["changed"] + r["unchanged"]
         == len(keys) + r["added"]
     )
+
+
+def test_dau_wau_mau_invariants(spark):
+    rows = registry.QUERIES["events_dau_wau_mau"](spark, SF).collect()
+    assert rows
+    by_day = {r["day"]: r for r in rows}
+    for r in rows:
+        # DAU <= WAU <= MAU, and stickiness in (0, 1]
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert 0 < r["stickiness"] <= 1
+    # WAU on a given day >= DAU of any covered prior day in the data
+    days = sorted(by_day)
+    if len(days) >= 2:
+        assert by_day[days[1]]["wau"] >= by_day[days[0]]["dau"]
+
+
+def test_winsorized_mean_damps_tail(spark):
+    rows = registry.QUERIES["agg_winsorized_mean"](spark, SF).collect()
+    for r in rows:
+        assert r["p05"] <= r["p95"]
+        # clipping can only pull the mean toward the center band
+        assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
+        assert r["n_clipped"] >= 0
