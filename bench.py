@@ -90,6 +90,7 @@ EXTENDED = [
     "warehouse_snapshot_diff",
     "events_dau_wau_mau",
     "agg_winsorized_mean",
+    "agg_quantile_histogram_rollup",
 ]
 
 

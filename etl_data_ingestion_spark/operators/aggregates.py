@@ -1398,3 +1398,131 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+QUANTILE_ROLLUP_ORACLE = """
+-- Mergeable quantile rollup (the quantile analogue of
+-- agg_hll_rollup_table): each day stores a fixed 64-bucket
+-- equi-width histogram of event values (bounded state, merges by
+-- ADDITION — the property that lets month quantiles come from the
+-- stored rollup instead of re-scanning history). Month p50/p90 are
+-- estimated by cumulative-bucket linear interpolation; the oracle
+-- replays the identical histogram estimate AND the exact quantile,
+-- pinning both the estimate and the |est-exact| <= bucket-width
+-- error contract. Domain pinned [0, 512) (events.value tops out
+-- ~500); width = 8.
+WITH daily AS (
+  SELECT DATE_TRUNC('month', ts) AS mon, CAST(ts AS DATE) AS d,
+         LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), monthly AS (
+  SELECT mon, bucket, SUM(cnt) AS cnt FROM daily GROUP BY mon, bucket
+), cum AS (
+  SELECT mon, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY mon ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY mon) AS n
+  FROM monthly
+), est AS (
+  -- crossing bucket is the UNIQUE one with cum >= t > cum - cnt;
+  -- gating on both sides matters (later buckets interpolate to
+  -- garbage negative offsets, and an ungated MIN would take them)
+  SELECT mon,
+         MIN(CASE WHEN cum >= 0.5 * n AND cum - cnt < 0.5 * n THEN
+           bucket * 8 + (0.5 * n - (cum - cnt)) / cnt * 8 END) AS est_p50,
+         MIN(CASE WHEN cum >= 0.9 * n AND cum - cnt < 0.9 * n THEN
+           bucket * 8 + (0.9 * n - (cum - cnt)) / cnt * 8 END) AS est_p90
+  FROM cum GROUP BY mon
+), exact AS (
+  SELECT DATE_TRUNC('month', ts) AS mon,
+         QUANTILE_CONT(value, 0.5) AS ex_p50,
+         QUANTILE_CONT(value, 0.9) AS ex_p90
+  FROM events GROUP BY 1
+)
+SELECT STRFTIME(e.mon, '%Y-%m') AS month,
+       ROUND(e.est_p50, 3) AS est_p50,
+       ROUND(e.est_p90, 3) AS est_p90,
+       ABS(e.est_p50 - x.ex_p50) <= 8.0 AS p50_within_bucket,
+       ABS(e.est_p90 - x.ex_p90) <= 8.0 AS p90_within_bucket
+FROM est e JOIN exact x USING (mon)
+ORDER BY month
+"""
+
+
+@register("agg_quantile_histogram_rollup", oracle=QUANTILE_ROLLUP_ORACLE)
+def agg_quantile_histogram_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-aggregate quantiles from a stored, mergeable
+    histogram: the daily 64-bucket table is the materialization a
+    warehouse persists per partition (64 longs/day — constant
+    state); month quantiles are answered by SUMMING bucket counts
+    and interpolating, never re-touching raw history. Estimate error
+    is bounded by one bucket width BY CONSTRUCTION (the true
+    quantile lies inside the crossing bucket), which the oracle pins
+    against the exact quantile. This is the poor-engine's t-digest:
+    addition-mergeable like HLL (agg_hll_rollup_table), exactly the
+    property percentile_approx's opaque in-flight sketch does not
+    give you as a STORED table. All arithmetic is JVM-side; the
+    daily->monthly->cumulative chain reuses one month-grain
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("month", "ts").alias("mon"),
+            F.col("ts").cast("date").alias("d"),
+            F.least(
+                F.floor(F.col("value") / 8).cast("long"), F.lit(63)
+            ).alias("bucket"),
+        )
+        .groupBy("mon", "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    monthly = daily.groupBy("mon", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wc = Window.partitionBy("mon").orderBy("bucket")
+    wn = Window.partitionBy("mon")
+    cum = monthly.select(
+        "mon",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def interp(q: float):
+        # the crossing bucket is unique: cum >= t > cum - cnt. Both
+        # gates are required — past the crossing, (t - cum_prev) goes
+        # negative and an ungated MIN would pick that garbage.
+        t = F.lit(q) * F.col("n")
+        return F.min(
+            F.when(
+                (F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t),
+                F.col("bucket") * 8
+                + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * 8,
+            )
+        )
+
+    est = cum.groupBy("mon").agg(
+        interp(0.5).alias("est_p50"), interp(0.9).alias("est_p90")
+    )
+    exact = ev.groupBy(F.date_trunc("month", "ts").alias("mon")).agg(
+        F.percentile("value", F.lit(0.5)).alias("ex_p50"),
+        F.percentile("value", F.lit(0.9)).alias("ex_p90"),
+    )
+    return (
+        est.join(exact, "mon")
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("month"),
+            F.round("est_p50", 3).alias("est_p50"),
+            F.round("est_p90", 3).alias("est_p90"),
+            (F.abs(F.col("est_p50") - F.col("ex_p50")) <= 8.0).alias(
+                "p50_within_bucket"
+            ),
+            (F.abs(F.col("est_p90") - F.col("ex_p90")) <= 8.0).alias(
+                "p90_within_bucket"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -129,6 +129,7 @@ CHECK_ORDER: list[str] = [
     "warehouse_snapshot_diff",
     "events_dau_wau_mau",
     "agg_winsorized_mean",
+    "agg_quantile_histogram_rollup",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

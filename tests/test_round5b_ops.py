@@ -344,3 +344,14 @@ def test_winsorized_mean_damps_tail(spark):
         # clipping can only pull the mean toward the center band
         assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
         assert r["n_clipped"] >= 0
+
+
+def test_quantile_rollup_contract_holds(spark):
+    rows = registry.QUERIES["agg_quantile_histogram_rollup"](
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        # the one-bucket-width error contract must actually hold
+        assert r["p50_within_bucket"] and r["p90_within_bucket"]
+        assert 0 <= r["est_p50"] <= r["est_p90"] <= 512
