@@ -687,8 +687,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nxt", nxt)
         .filter(F.col("is_p") == 1)
     )
-    d_back = F.col("ts").cast("long") - F.col("prev.ts").cast("long")
-    d_fwd = F.col("nxt.ts").cast("long") - F.col("ts").cast("long")
+    # compare at FULL timestamp precision: the fixtures carry
+    # sub-second components, and a cast("long") floors to seconds —
+    # at sf1 that truncation flipped near-equidistant ties against
+    # the oracle's exact interval comparison (found by the sf1
+    # parity sweep). cast("double") keeps microseconds.
+    d_back = F.col("ts").cast("double") - F.col("prev.ts").cast("double")
+    d_fwd = F.col("nxt.ts").cast("double") - F.col("ts").cast("double")
     backward_wins = F.col("nxt").isNull() | (
         F.col("prev").isNotNull() & (d_back <= d_fwd)
     )

@@ -170,9 +170,13 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # full-precision gap: fixtures carry sub-second timestamps and a
+    # long cast floors them — a 1800.5s gap would round DOWN to 1800
+    # and disagree with the oracle's exact INTERVAL comparison (bug
+    # class found by the round-5 sf1 sweep on join_asof_nearest)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 30 * 60),
         1,
     ).otherwise(0)
     return (
