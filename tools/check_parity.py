@@ -38,11 +38,16 @@ def canon_cell(v):
 
 
 def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    """Column-wise canonicalization: .map(canon_cell) per column plus
+    zip(*) transpose. The previous per-row `df.iloc[i][c]` form
+    constructed a pandas Series per row — quadratic-feeling overhead
+    that pinned one core for >15 min on multi-million-row sf1
+    results (found mid-sweep round 5); this is O(cells) flat."""
     cols = sorted(df.columns)
-    rows = [
-        tuple(canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
-    ]
-    return sorted(rows)
+    if not len(df):
+        return []
+    canoned = [df[c].map(canon_cell) for c in cols]
+    return sorted(zip(*canoned))
 
 
 def main() -> int:
