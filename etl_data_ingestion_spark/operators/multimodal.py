@@ -2,15 +2,15 @@
 audio / video payloads as opaque BinaryType columns with typed
 metadata, decoded/transformed through Arrow-batched pandas stages.
 
-Decode tiers: WAV audio (stdlib `wave`), grayscale filter-0 PNG, and
+Decode tiers: WAV audio (stdlib `wave`), grayscale filter-0 PNG,
 general PNG (all five scanline filters, grayscale + RGB —
-multimodal_image_decode_real) are REAL decodes with pixel/sample-exact
-oracles. Only video frame-sampling and the resize/featurize embedding
-stage remain STUBBED with deterministic fakes (ffmpeg/codecs and a
-vision encoder are absent from this container); their Spark plumbing —
-binary column handling, metadata schema, mapInPandas batch shapes,
-per-partition behavior, frame-sampling output layout — is real and
-tested, so swapping the fake for the codec changes one inner
+multimodal_image_decode_real), and animated GIF with real LZW
+(operators/video.py::multimodal_video_frames_real) are REAL decodes
+with pixel/sample-exact oracles. Only the vision-encoder featurize
+stage remains STUBBED with a deterministic fake (no model in this
+container); its Spark plumbing — binary column handling, metadata
+schema, mapInPandas batch shapes, per-partition behavior — is real
+and tested, so swapping the fake for an encoder changes one inner
 function, not the dataflow.
 """
 
@@ -277,65 +277,6 @@ def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, width int, height int, channels int, "
             "color_mode string, n_pixels long, pixel_sum long"
         ),
-    )
-
-
-FRAME_SAMPLE_ORACLE = """
--- The sampling policy is pure arithmetic over byte length (the stub's
--- 1 byte ≈ 1 ms duration), so the oracle recomputes every frame row.
--- All-INTEGER millisecond timestamps: ts_ms = bytes*(2i+1)/8 under
--- floor division. (A float formulation is NOT portable: Spark rounds
--- the binary double 0.05849999… down while DuckDB rounds its decimal
--- face 0.0585 up — integer math sidesteps the half-boundary.)
-SELECT doc_id,
-       doc_id || ':' || i                                AS frame_id,
-       CAST(i AS INT)                                    AS frame_idx,
-       (octet_length(ENCODE(text)) * (2 * i + 1)) // 8   AS frame_ts_ms,
-       octet_length(ENCODE(text))                        AS duration_ms
-FROM documents, UNNEST(range(0, 4)) AS t(i)
-ORDER BY doc_id, frame_idx
-"""
-
-
-@register("multimodal_frame_sample_stub", oracle=FRAME_SAMPLE_ORACLE)
-def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling stage: one row per sampled frame, exploded
-    from per-asset sample offsets — the output layout a captioning /
-    embedding stage consumes.
-
-    STUB(no-codec): frame timestamps derive from byte length at 1
-    byte ≈ 1 ms in place of ffprobe duration; the sampling policy
-    (uniform k frames at (i+½)·duration/k, explode to rows, stable
-    frame_id) is real. Integer-ms timestamps keep the arithmetic
-    engine-portable (see FRAME_SAMPLE_ORACLE).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    assets = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
-    ).select(
-        "doc_id",
-        F.length("content").cast("long").alias("duration_ms"),
-    )
-    k = 4
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.floor(
-            F.col("duration_ms") * (i.cast("long") * 2 + 1) / F.lit(2 * k)
-        ),
-    )
-    return (
-        assets.select(
-            "doc_id",
-            "duration_ms",
-            F.posexplode(offsets).alias("frame_idx", "frame_ts_ms"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")).alias("frame_id"),
-            "frame_idx",
-            "frame_ts_ms",
-            "duration_ms",
-        )
     )
 
 

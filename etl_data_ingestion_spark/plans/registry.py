@@ -199,4 +199,5 @@ def load_all() -> None:
         sources_scan,
         warehouse,
         attribution,
+        video,
     )
