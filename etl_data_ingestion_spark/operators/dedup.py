@@ -1320,7 +1320,10 @@ def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 50)
         .select("gram")
     )
-    grams = grams_all.join(rare, "gram")
+    # grams feeds THREE consumers (sizes + both sides of the pair
+    # self-join): checkpoint the small post-cap relation once instead
+    # of re-running scan->gram->distinct->df-filter per consumer.
+    grams = grams_all.join(rare, "gram").localCheckpoint()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("ga")
     b = grams.alias("gb")
