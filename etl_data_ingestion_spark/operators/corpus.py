@@ -656,3 +656,87 @@ def pipeline_length_bucket_batching(
         )
         .orderBy("bucket")
     )
+
+
+REPEATED_LINES_ORACLE = """
+-- Corpus-level repeated-line removal (the cross-document C4/Gopher
+-- boilerplate rule: a LINE occurring in >= 3 distinct documents is
+-- navigation/footer-class noise and is dropped from every document;
+-- per-document rules can't see it). 3-token pseudo-lines over the
+-- line-free fixture docs; order-preserving reassembly via
+-- ORDER BY line index inside the aggregate.
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(ts, i * 3 + 1, i * 3 + 3), ' ') AS line
+  FROM t, UNNEST(range(0, CAST(ceil(len(ts) / 3.0) AS BIGINT))) u(i)
+), cnt AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM ex GROUP BY line
+), kept AS (
+  SELECT e.doc_id, e.idx, e.line
+  FROM ex e JOIN cnt c USING (line) WHERE c.ndocs < 3
+), re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM ex GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_lines AS BIGINT)           AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(length(r.cleaned), 0) AS BIGINT) AS cleaned_len
+FROM tot t LEFT JOIN re r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("dedup_repeated_lines_corpus", oracle=REPEATED_LINES_ORACLE)
+def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line removal: drop every line that
+    occurs in >= 3 distinct documents (corpus-level boilerplate —
+    headers, footers, nav text — invisible to per-document rules).
+
+    Scale shape: posexplode lines (one line-keyed Exchange with
+    map-side-combined distinct-doc counts), join survivors, one
+    doc_id Exchange to reassemble in order via array_sort over
+    (idx, line) structs. The two Exchanges carry line KEYS and
+    per-line counts — never the document blob; the corpus text is
+    scanned once. At 100 TB the count table is vocabulary-of-lines
+    sized and the hot keys (true boilerplate) are exactly the rows
+    the filter removes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(ts) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(lines).alias("idx", "line")
+    )
+    cnt = ex.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    kept = ex.join(cnt, "line").filter(F.col("ndocs") < 3)
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    tot = docs.select("doc_id", n_lines.cast("long").alias("n_lines"))
+    return tot.join(re, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.length("cleaned"), F.lit(0))
+        .cast("long")
+        .alias("cleaned_len"),
+    )

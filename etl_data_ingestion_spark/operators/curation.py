@@ -470,3 +470,210 @@ def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PSI_DRIFT_ORACLE = """
+-- Population Stability Index between two time slices of the event
+-- stream (the drift gate a production training-data pipeline runs
+-- before accepting a new crawl/ingest window against the reference
+-- distribution). Fixed 10 equal-width value buckets, Laplace 0.5
+-- smoothing so empty buckets stay finite; psi = SUM (pa-pb)*ln(pa/pb).
+-- PSI > 0.2 is the conventional "significant drift" flag.
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half,
+         LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS bucket
+  FROM events
+), cnt AS (
+  SELECT event_type, half, bucket, COUNT(*) AS c
+  FROM base GROUP BY event_type, half, bucket
+), grid AS (
+  SELECT DISTINCT e.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM base) e,
+       UNNEST(range(0, 10)) b(bucket)
+), tot AS (
+  SELECT event_type, half, SUM(c) AS n FROM cnt GROUP BY event_type, half
+), p AS (
+  SELECT g.event_type, g.bucket,
+         (COALESCE(ca.c, 0) + 0.5) / (ta.n + 5.0) AS pa,
+         (COALESCE(cb.c, 0) + 0.5) / (tb.n + 5.0) AS pb
+  FROM grid g
+  LEFT JOIN cnt ca ON ca.event_type = g.event_type
+       AND ca.bucket = g.bucket AND ca.half = 'a'
+  LEFT JOIN cnt cb ON cb.event_type = g.event_type
+       AND cb.bucket = g.bucket AND cb.half = 'b'
+  JOIN tot ta ON ta.event_type = g.event_type AND ta.half = 'a'
+  JOIN tot tb ON tb.event_type = g.event_type AND tb.half = 'b'
+)
+SELECT event_type,
+       ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+       SUM((pa - pb) * ln(pa / pb)) > 0.2     AS drift_flag
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("quality_psi_drift", oracle=PSI_DRIFT_ORACLE)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: PSI of the value distribution per
+    event_type between the first half of the window and the rest.
+
+    Scale shape: ONE corpus-sized aggregate to (type, half, bucket)
+    counts — partial-aggregable, |types|*2*10 result — then all PSI
+    math runs on that domain-sized table (dense 10-bucket grid via a
+    tiny cross join, Laplace smoothing, ln-ratio fold). The fact
+    table is scanned once and never joined or windowed."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("half"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias(
+            "bucket"
+        ),
+    )
+    cnt = base.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    types = cnt.select("event_type").distinct()
+    grid = types.crossJoin(
+        ev.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
+    )
+    tot = cnt.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    ca = cnt.filter(F.col("half") == "a").select(
+        "event_type", "bucket", F.col("c").alias("c_a")
+    )
+    cb = cnt.filter(F.col("half") == "b").select(
+        "event_type", "bucket", F.col("c").alias("c_b")
+    )
+    ta = tot.filter(F.col("half") == "a").select(
+        "event_type", F.col("n").alias("n_a")
+    )
+    tb = tot.filter(F.col("half") == "b").select(
+        "event_type", F.col("n").alias("n_b")
+    )
+    p = (
+        grid.join(ca, ["event_type", "bucket"], "left")
+        .join(cb, ["event_type", "bucket"], "left")
+        .join(ta, "event_type")
+        .join(tb, "event_type")
+        .select(
+            "event_type",
+            (
+                (F.coalesce(F.col("c_a"), F.lit(0)) + 0.5)
+                / (F.col("n_a") + 5.0)
+            ).alias("pa"),
+            (
+                (F.coalesce(F.col("c_b"), F.lit(0)) + 0.5)
+                / (F.col("n_b") + 5.0)
+            ).alias("pb"),
+        )
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.sum(term) > 0.2).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+URL_CANONICAL_ORACLE = """
+-- Crawl-URL canonicalization dedup: the same page is crawled under
+-- tracking-parameter / www / fragment / trailing-slash variants; a
+-- URL-keyed dedup without canonicalization over-counts the corpus.
+-- URLs are synthesized as a pure function of doc_id (utm param LAST
+-- so a single strip step suffices), canonicalized by the same
+-- string-algebra steps in both engines, and grouped.
+WITH urls AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+         'site' || (doc_id % 5) || '.example.com' ||
+         CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+         '/page/' || (doc_id % 10) ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         '?id=' || (doc_id % 3) ||
+         CASE WHEN doc_id % 4 = 0
+              THEN '&utm_source=feed' || doc_id ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END
+         AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '#.*$', ''),
+                 '&utm_[a-z]+=[^&#]*', '', 'g'),
+               '://www\\.', '://'),
+             ':443/', '/'),
+           '/\\?', '?') AS curl
+  FROM urls
+)
+SELECT curl                              AS canonical_url,
+       CAST(COUNT(*) AS BIGINT)          AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT)       AS keep_doc_id
+FROM canon GROUP BY curl HAVING COUNT(*) > 1
+ORDER BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=URL_CANONICAL_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (crawl-frontier hygiene): lower-
+    case, strip fragment, strip utm_* tracking params, strip www.,
+    strip the https default port, normalize the trailing slash before
+    the query string — then group variants. Keep-min doc per
+    canonical URL.
+
+    Scale shape: canonicalization is map-side JVM regexp (whole-stage
+    codegen); the groupBy shuffles canonical-URL keys only. The same
+    canon expression is the join key for incremental frontier dedup
+    (dedup_incremental_new_docs shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 5).cast("string"), F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 10).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), (d % 3).cast("string"),
+        F.when(
+            d % 4 == 0, F.concat(F.lit("&utm_source=feed"), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.concat(F.lit("#sec"), d.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), r"#.*$", ""),
+                    r"&utm_[a-z]+=[^&#]*",
+                    "",
+                ),
+                r"://www\.",
+                "://",
+            ),
+            r":443/",
+            "/",
+        ),
+        r"/\?",
+        "?",
+    )
+    return (
+        docs.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -761,3 +761,59 @@ def text_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entity"),
     )
     return emails.unionByName(urls).orderBy("doc_id", "kind", "entity")
+
+
+ZIPF_ORACLE = """
+-- Zipf's-law fit over the corpus unigram distribution: rank terms by
+-- frequency (count desc, term asc), fit OLS on ln(freq) ~ ln(rank)
+-- over the top 30 — the slope (~-1 for natural text) is a cheap
+-- corpus-health statistic: synthetic/templated corpora flatten it,
+-- boilerplate floods steepen the head. One vocabulary-sized aggregate
+-- + a 30-row regression.
+WITH tf AS (
+  SELECT w AS term, COUNT(*) AS freq
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+  GROUP BY w
+), ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM tf
+), top AS (
+  SELECT * FROM ranked WHERE rnk <= 30
+)
+SELECT CAST(COUNT(*) AS BIGINT)                          AS n_terms,
+       CAST(SUM(freq) AS BIGINT)                         AS head_tokens,
+       ROUND(regr_slope(ln(freq), ln(rnk)), 4)           AS zipf_slope,
+       ROUND(regr_r2(ln(freq), ln(rnk)), 4)              AS fit_r2
+FROM top
+"""
+
+
+@register("text_zipf_slope", oracle=ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope corpus statistic: explode terms, count (one
+    vocabulary-keyed Exchange with map-side combine), rank the
+    vocabulary-sized count table (window over |V| rows, NOT the
+    corpus), and fit ln(freq) ~ ln(rank) with the one-pass regr_*
+    co-moment aggregates over the 30-row head. Nothing after the
+    term count touches corpus-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    ).filter(F.col("rnk") <= 30)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("freq").cast("long").alias("head_tokens"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 4).alias("fit_r2"),
+    )
