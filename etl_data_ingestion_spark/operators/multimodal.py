@@ -1214,3 +1214,78 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resized_sum long"
         ),
     ).orderBy("doc_id")
+
+
+SPECTROGRAM_ORACLE = """
+-- REAL STFT spectrogram (numpy rfft over framed PCM), with an EXACT
+-- oracle: each frame's signal is A*sin(2*pi*k*n/64) with k an integer
+-- bin (1..20), so the 64-point DFT concentrates ALL energy in bin k:
+-- dominant_bin == k exactly, peak magnitude == A*32, frame power
+-- (sum x^2) == A^2*32 — closed forms the SQL states directly. Any
+-- windowing/framing/fft-axis bug breaks bin or magnitude equality.
+WITH frames AS (
+  SELECT doc_id, f.f AS frame_idx,
+         1 + (doc_id + f.f) % 20          AS k,
+         0.5 + (doc_id % 5) / 10.0        AS amp
+  FROM documents, UNNEST(range(0, 4)) f(f)
+  WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT)            AS frame_idx,
+       CAST(k AS INT)                    AS dominant_bin,
+       ROUND(amp * 32, 4)                AS peak_mag,
+       ROUND(amp * amp * 32, 4)          AS frame_power
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_spectrogram_real", oracle=SPECTROGRAM_ORACLE)
+def multimodal_spectrogram_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio STFT stage: synthesize 4 frames x 64 samples of PCM per
+    asset (pure sinusoids at integer DFT bins, amplitude and bin pure
+    functions of doc_id), run a REAL numpy rfft per frame, and emit
+    dominant bin / peak magnitude / frame power from the actual
+    spectrum. Arrow-batched mapInPandas; the waveform never leaves
+    the scan stage. The integer-bin construction makes the DFT
+    algebraically exact, so the oracle value-checks the whole
+    frame->fft->argmax path instead of asserting it."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    nfft, nframes = 64, 4
+
+    def stft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.arange(nfft)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amp = 0.5 + (d % 5) / 10.0
+                for f in range(nframes):
+                    k = 1 + (d + f) % 20
+                    x = amp * np.sin(2 * np.pi * k * n / nfft)
+                    spec = np.abs(np.fft.rfft(x))  # |X[k]| = A*N/2 = A*32
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "frame_idx": f,
+                            "dominant_bin": int(spec.argmax()),
+                            "peak_mag": round(float(spec.max()), 4),
+                            "frame_power": round(float((x * x).sum()), 4),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        stft,
+        schema=(
+            "doc_id long, frame_idx int, dominant_bin int, "
+            "peak_mag double, frame_power double"
+        ),
+    )

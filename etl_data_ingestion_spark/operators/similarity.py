@@ -581,3 +581,70 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _ann_selfcheck(ann, _exact_topk(emb, corpus_count=corpus_n),
                           floor=0.6)
+
+
+MEAN_POOL_ORACLE = """
+-- Chunk->document embedding pooling: chunk vectors (4 consecutive
+-- vec_ids per pseudo-document, mirroring pipeline_chunk_documents'
+-- chunking) mean-pooled per position into one document vector, then
+-- L2 accounting. The oracle recomputes positionwise means by UNNEST
+-- positional list indexing. Values ROUND(...,5) in both engines so
+-- float summation-order epsilon can't flip the hash.
+WITH ex AS (
+  SELECT vec_id // 4 AS doc_id, i AS pos,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+), pooled AS (
+  SELECT doc_id, pos, AVG(v) AS m, COUNT(*) AS nv
+  FROM ex GROUP BY doc_id, pos
+)
+SELECT doc_id,
+       CAST(MAX(nv) AS INT)                       AS n_vecs,
+       ROUND(SQRT(SUM(m * m)), 5)                 AS pooled_norm,
+       ROUND(MAX(CASE WHEN pos = 1 THEN m END), 5) AS pooled_d0,
+       ROUND(MAX(CASE WHEN pos = 2 THEN m END), 5) AS pooled_d1
+FROM pooled GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("embedding_chunk_mean_pool", oracle=MEAN_POOL_ORACLE)
+def embedding_chunk_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool chunk embeddings into document embeddings (the
+    aggregation between chunk-level encoding and doc-level retrieval
+    /dedup). JVM-only: zip_with element-wise sum folded by
+    F.aggregate over the grouped chunk list, divided by the chunk
+    count — ONE doc-keyed Exchange carrying the vectors, no
+    positionwise explode (the explode form shuffles |dims| rows per
+    vector; this ships each vector once)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    grouped = (
+        emb.select(
+            (F.col("vec_id") / 4).cast("long").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.aggregate(
+                F.collect_list("e"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+        )
+    )
+    mean = F.transform(F.col("s"), lambda v: v / F.col("n_vecs"))
+    return grouped.select(
+        "doc_id",
+        "n_vecs",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    mean, F.lit(0.0), lambda acc, v: acc + v * v
+                )
+            ),
+            5,
+        ).alias("pooled_norm"),
+        F.round(mean[0], 5).alias("pooled_d0"),
+        F.round(mean[1], 5).alias("pooled_d1"),
+    )
