@@ -13,6 +13,7 @@ real C4 pass; a corpus with newlines swaps the splitter only.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -877,3 +878,84 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+FFD_PACK_ORACLE = """
+-- First-fit-decreasing bin packing of documents into fixed 2048-token
+-- training batches, per shard (the packing that minimizes padding
+-- waste; concat-and-chunk is pipeline_pack_sequences). FFD is
+-- inherently sequential so it runs per-shard inside applyInPandas;
+-- SQL pins the exact per-shard populations/token totals and the
+-- packing-theory bounds as in-plan booleans: every bin <= capacity,
+-- bins >= ceil(total/capacity) (volume lower bound), and
+-- bins <= ceil(11/9 * ceil(total/capacity)) + 1 (the FFD guarantee).
+WITH toks AS (
+  SELECT doc_id % 8 AS shard,
+         LEAST(len(regexp_split_to_array(trim(text), '\\s+')), 2048)
+           AS n_tokens
+  FROM documents
+)
+SELECT CAST(shard AS INT)                       AS shard,
+       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)            AS total_tokens,
+       CAST(CEIL(SUM(n_tokens) / 2048.0) AS BIGINT) AS lower_bound_bins,
+       TRUE                                     AS bins_within_bounds,
+       TRUE                                     AS all_bins_fit
+FROM toks GROUP BY shard ORDER BY shard
+"""
+
+
+@register("pipeline_pack_binpack_ffd", oracle=FFD_PACK_ORACLE)
+def pipeline_pack_binpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per shard: one hash-shard
+    Exchange, then FFD runs independently inside each group via
+    applyInPandas (the sequential heuristic parallelizes across
+    shards, the production layout). The plan emits the achieved bin
+    count's theoretical bounds as booleans the oracle pins TRUE:
+    volume lower bound <= bins <= FFD's 11/9*OPT + 1 guarantee, and
+    no bin over capacity."""
+    import math
+
+    import numpy as np
+
+    cap = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.least(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(cap)
+        ).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = sorted(pdf["n_tokens"], reverse=True)
+        bins: list[int] = []
+        for s in sizes:
+            for i, b in enumerate(bins):
+                if b + s <= cap:
+                    bins[i] = b + s
+                    break
+            else:
+                bins.append(s)
+        total = int(np.sum(sizes))
+        lower = math.ceil(total / cap)
+        upper = math.ceil(11 / 9 * lower) + 1
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(sizes)],
+                "total_tokens": [total],
+                "lower_bound_bins": [lower],
+                "bins_within_bounds": [lower <= len(bins) <= upper],
+                "all_bins_fit": [all(b <= cap for b in bins)],
+            }
+        )
+
+    return toks.groupBy("shard").applyInPandas(
+        pack,
+        schema=(
+            "shard int, n_docs long, total_tokens long, "
+            "lower_bound_bins long, bins_within_bounds boolean, "
+            "all_bins_fit boolean"
+        ),
+    )

@@ -11,6 +11,9 @@ bound).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -676,4 +679,83 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_variants") > 1)
+    )
+
+
+COMPRESSION_RATIO_ORACLE = """
+-- Compressibility quality signal (Gopher/CCNet-class filter: near-
+-- duplicate-heavy or templated text compresses far better than
+-- natural text). zlib isn't SQL-expressible, so this is a bound
+-- contract in the repo's standard form: exact populations/byte
+-- totals pinned by SQL, plus an in-plan boolean the Spark side must
+-- compute TRUE — repeated-content docs (text||text||text||text)
+-- MUST compress materially better than the plain originals.
+SELECT
+  CAST(COUNT(*) AS BIGINT)                        AS n_docs,
+  CAST(SUM(octet_length(ENCODE(text))) AS BIGINT) AS plain_bytes,
+  CAST(SUM(octet_length(ENCODE(text))) * 4 AS BIGINT) AS repeated_bytes,
+  TRUE                                            AS repeated_more_compressible,
+  TRUE                                            AS ratios_in_range
+FROM documents WHERE doc_id < 300
+"""
+
+
+@register("text_compression_ratio", oracle=COMPRESSION_RATIO_ORACLE)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio signal over the corpus (real compression
+    via Arrow-batched mapInPandas — the classic cheap proxy for
+    boilerplate/repetition). Self-checking contract: alongside the
+    exact byte totals the plan computes mean ratios for the plain
+    corpus vs a planted 4x-repeated variant and asserts the planted
+    population compresses materially better (>= 0.1 absolute), plus
+    all ratios in (0, 1.5] (zlib header overhead dominates short
+    docs). Payload bytes never shuffle; the corpus
+    crosses the Python boundary once."""
+    import zlib
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+
+    def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            plain = [t.encode() for t in pdf["text"]]
+            rep = [b * 4 for b in plain]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in plain],
+                    "ratio_plain": [
+                        len(zlib.compress(b, 6)) / len(b) for b in plain
+                    ],
+                    "ratio_repeated": [
+                        len(zlib.compress(b, 6)) / len(b) for b in rep
+                    ],
+                }
+            )
+
+    r = docs.mapInPandas(
+        ratios,
+        schema=(
+            "doc_id long, n_bytes long, ratio_plain double, "
+            "ratio_repeated double"
+        ),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("plain_bytes"),
+        (F.sum("n_bytes") * 4).cast("long").alias("repeated_bytes"),
+        (
+            F.avg("ratio_plain") - F.avg("ratio_repeated") >= 0.1
+        ).alias("repeated_more_compressible"),
+        (
+            (F.min("ratio_plain") > 0)
+            & (F.max("ratio_plain") <= 1.5)
+            & (F.min("ratio_repeated") > 0)
+            & (F.max("ratio_repeated") <= 1.5)
+        ).alias("ratios_in_range"),
     )

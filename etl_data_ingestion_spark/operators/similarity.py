@@ -648,3 +648,121 @@ def embedding_chunk_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean[0], 5).alias("pooled_d0"),
         F.round(mean[1], 5).alias("pooled_d1"),
     )
+
+
+KMEANS_ORACLE = """
+-- Two unrolled Lloyd iterations of k-means (k=4, deterministic
+-- seeds = vec_id 0..3), stated exactly in both engines: squared
+-- distances computed in double, ROUND(...,8) before the argmin so
+-- float summation-order epsilon can't flip an assignment, tie-break
+-- on centroid id. Emits per-cluster size, inertia, and a centroid
+-- coordinate — value-checking assignment AND centroid-update math.
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4
+), d1 AS (
+  SELECT e.vec_id, s.cid, e.v,
+         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))), 8) AS dist
+  FROM e, seeds s
+), a1 AS (
+  SELECT vec_id, cid, v
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1
+), c1 AS (
+  SELECT cid, list(m ORDER BY i) AS c
+  FROM (
+    SELECT cid, i, AVG(v[i]) AS m
+    FROM a1, UNNEST(range(1, len(v) + 1)) u(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, c1.cid,
+         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), 8) AS dist
+  FROM e, c1
+), a2 AS (
+  SELECT vec_id, cid, dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1
+)
+SELECT a2.cid                              AS cluster_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_members,
+       ROUND(SUM(a2.dist), 4)              AS inertia,
+       ROUND(MAX(c1.c[1]), 5)              AS centroid_d0
+FROM a2 JOIN c1 ON c1.cid = a2.cid
+GROUP BY a2.cid ORDER BY a2.cid
+"""
+
+
+@register("ml_kmeans_lloyd_exact", oracle=KMEANS_ORACLE)
+def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-iteration Lloyd k-means over the embedding corpus,
+    fully declarative (no MLlib, no driver loops): assignment is a
+    broadcast of the k centroids onto the vector scan (k rows — the
+    corpus never joins anything bigger), argmin via a 4-row-per-vector
+    window, centroid update via zip_with-fold positionwise sums (one
+    cid-keyed Exchange shipping each vector once). The iterative
+    structure matches dedup_semantic_clusters' k-means but here every
+    step is ALSO stated in SQL so assignments, centroids, and inertia
+    are value-checked against the oracle rather than contract-bounded.
+    At 100 TB: per-iteration cost is one broadcast-join scan + one
+    vector-sized shuffle; rounds scale linearly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def sqdist(v, c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        )
+
+    def assign(centroids):
+        d = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", "v", sqdist(F.col("v"), F.col("c")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    a1 = assign(seeds)
+    c1 = (
+        a1.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+        )
+        .select(
+            "cid",
+            F.transform(F.col("s"), lambda x: x / F.col("n")).alias("c"),
+        )
+    )
+    a2 = assign(c1)
+    return (
+        a2.join(c1, "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.sum("dist"), 4).alias("inertia"),
+            F.round(F.max(F.col("c")[0]), 5).alias("centroid_d0"),
+        )
+    )

@@ -521,3 +521,77 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+CSV_PERMISSIVE_ORACLE = """
+-- PERMISSIVE corrupt-record scan: a CSV is synthesized from customer
+-- with every 7th row deliberately malformed (non-numeric key field).
+-- The reader must load in PERMISSIVE mode, capture the bad rows in
+-- _corrupt_record instead of failing, and account both populations.
+-- Malformed-ness is a pure function of c_custkey so the oracle
+-- recomputes the split exactly.
+SELECT
+  CAST(SUM(CASE WHEN c_custkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_corrupt,
+  CAST(SUM(CASE WHEN c_custkey % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_good,
+  CAST(SUM(CASE WHEN c_custkey % 7 <> 3 THEN c_custkey END) AS BIGINT)
+    AS good_key_sum
+FROM customer WHERE c_custkey < 2000
+"""
+
+
+@register("scan_csv_permissive_corrupt", oracle=CSV_PERMISSIVE_ORACLE)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native malformed-record policy surface (the engine-level
+    complement of the T7 row-quarantine transform): write a CSV with
+    planted malformed rows (every 7th key swapped for a non-numeric
+    token), read it back in PERMISSIVE mode with a _corrupt_record
+    column, and account good vs corrupt populations plus an exact
+    checksum over the surviving keys. At scale this is the
+    don't-fail-the-job posture: corrupt rows become data (routed to
+    quarantine sinks), never exceptions."""
+    path = _scratch(sf_dir, "customer_corrupt_csv")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select("c_custkey", "c_name")
+    )
+    # plant malformation: key becomes a non-numeric token on %7==3 rows
+    lines = cust.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("c_custkey") % 7 == 3, F.lit("BADKEY")
+            ).otherwise(F.col("c_custkey").cast("string")),
+            F.col("c_name"),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # cache() before splitting on _corrupt_record: Spark documents that
+    # querying ONLY the corrupt column of a lazy CSV relation is
+    # disallowed/unreliable without materializing alongside data cols
+    back = back.cache()
+    return back.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("c_custkey"))
+        )
+        .cast("long")
+        .alias("good_key_sum"),
+    )

@@ -1,0 +1,64 @@
+"""Round-5 third-wave operator tests: PERMISSIVE corrupt-record
+accounting, compression-ratio contract discrimination, FFD packing
+bounds vs a brute-force check, and k-means assignment sanity."""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+from etl_data_ingestion_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_permissive_scan_splits_populations(spark):
+    row = registry.QUERIES["scan_csv_permissive_corrupt"](spark, SF).collect()[0]
+    assert row.n_corrupt > 0 and row.n_good > 0
+    # malformation is doc-key modular: corrupt fraction ~1/7
+    frac = row.n_corrupt / (row.n_corrupt + row.n_good)
+    assert 0.1 < frac < 0.2
+
+
+def test_compression_contract_holds_and_discriminates(spark):
+    row = registry.QUERIES["text_compression_ratio"](spark, SF).collect()[0]
+    assert row.repeated_more_compressible
+    assert row.ratios_in_range
+    # local cross-check of the planted-repetition effect
+    t = b"some natural text with words " * 5
+    assert len(zlib.compress(t * 4, 6)) / len(t * 4) < len(
+        zlib.compress(t, 6)
+    ) / len(t)
+
+
+def test_ffd_bounds_and_exact_packing_small_case(spark):
+    rows = registry.QUERIES["pipeline_pack_binpack_ffd"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.bins_within_bounds and r.all_bins_fit
+        assert r.lower_bound_bins == math.ceil(r.total_tokens / 2048)
+
+    # FFD reference on a crafted case: sizes where first-fit-decreasing
+    # is known optimal
+    def ffd(sizes, cap):
+        bins = []
+        for s in sorted(sizes, reverse=True):
+            for i, b in enumerate(bins):
+                if b + s <= cap:
+                    bins[i] = b + s
+                    break
+            else:
+                bins.append(s)
+        return bins
+
+    assert len(ffd([5, 5, 4, 3, 2, 1], 10)) == 2
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    rows = registry.QUERIES["ml_kmeans_lloyd_exact"](spark, SF).collect()
+    n_total = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == n_total
+    assert all(r.inertia >= 0 for r in rows)
+    assert len(rows) <= 4
