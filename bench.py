@@ -91,6 +91,19 @@ EXTENDED = [
     "events_dau_wau_mau",
     "agg_winsorized_mean",
     "agg_quantile_histogram_rollup",
+    # round 5, third wave
+    "multimodal_video_frames_real",
+    "dedup_repeated_lines_corpus",
+    "text_zipf_slope",
+    "quality_psi_drift",
+    "dedup_url_canonical",
+    "text_bpe_train_merges",
+    "multimodal_spectrogram_real",
+    "embedding_chunk_mean_pool",
+    "scan_csv_permissive_corrupt",
+    "text_compression_ratio",
+    "pipeline_pack_binpack_ffd",
+    "ml_kmeans_lloyd_exact",
 ]
 
 

@@ -715,9 +715,12 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
     )
+    # two consumers (count + survivor join): persist so the
+    # interpreted line-building HOF runs once (same discipline as
+    # dedup_duplicated_spans' gram table)
     ex = docs.select(
         "doc_id", F.posexplode(lines).alias("idx", "line")
-    )
+    ).persist()
     cnt = ex.groupBy("line").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
