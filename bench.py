@@ -104,6 +104,9 @@ EXTENDED = [
     "text_compression_ratio",
     "pipeline_pack_binpack_ffd",
     "ml_kmeans_lloyd_exact",
+    "multimodal_patch_embed_real",
+    "text_bpe_apply_tokenize",
+    "quality_ks_drift_test",
 ]
 
 

@@ -746,12 +746,13 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
-    """Generate the unrolled k-round BPE-training oracle: each round
-    counts adjacent symbol pairs over the word-frequency table, picks
-    the top pair (count DESC, pair ASC), and merges it into every
-    sequence by 3-pass literal space-guarded replace — the same
-    string algebra the Spark side runs, so counts match exactly."""
+def _bpe_ctes(k: int) -> tuple[str, list[str], str]:
+    """Shared unrolled-CTE body for the BPE train/apply oracles: each
+    round counts adjacent symbol pairs over the word-frequency table,
+    picks the top pair (count DESC, pair ASC), and merges it into
+    every sequence by 3-pass literal space-guarded replace — the same
+    string algebra the Spark side runs, so counts match exactly.
+    Returns (WITH-body, per-round final selects, last seq CTE name)."""
     rounds = []
     prev = "s0"
     finals = []
@@ -765,7 +766,7 @@ def _bpe_oracle(k: int) -> str:
 ), t{r} AS (
   SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
 ), s{r} AS (
-  SELECT replace(replace(replace(seq,
+  SELECT word, replace(replace(replace(seq,
            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS seq,
@@ -777,54 +778,78 @@ def _bpe_oracle(k: int) -> str:
             f" a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM t{r}"
         )
         prev = f"s{r}"
+    body = (
+        """WITH wc AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+  GROUP BY w
+), s0 AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+         freq
+  FROM wc
+), """
+        + ",\n".join(rounds)
+    )
+    return body, finals, prev
+
+
+def _bpe_oracle(k: int) -> str:
+    body, finals, _ = _bpe_ctes(k)
     return (
         """
 -- REAL byte-pair-encoding merge training (Sennrich et al. 2016) over
 -- the corpus word-frequency table: k rounds of count-adjacent-pairs /
 -- take-top / merge-into-sequences. Training runs on the |V|-sized
 -- word table (the corpus contributes ONE counting pass), exactly like
--- production BPE trainers. Merging uses 3-pass space-guarded literal
--- replace; tests/test_bpe_train.py proves that algebra equal to the
--- reference left-to-right merge on this vocabulary at every depth.
-WITH wc AS (
-  SELECT w AS word, COUNT(*) AS freq
-  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
-  GROUP BY w
-), s0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, freq
-  FROM wc
-), """
-        + ",\n".join(rounds)
+-- production BPE trainers. See _bpe_ctes for the merge algebra proof
+-- obligations (tests/test_bpe_train.py).
+"""
+        + body
         + "\n"
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY round"
     )
 
 
+def _bpe_apply_oracle(k: int) -> str:
+    body, _, last = _bpe_ctes(k)
+    return (
+        """
+-- Tokenize the corpus with the trained BPE merges (the apply half of
+-- the tokenizer loop): re-derive the k merges, then count each
+-- word's final symbols and roll up per document. Token counts are a
+-- pure function of the trained vocabulary, so every row is exact.
+"""
+        + body
+        + f""", vocab AS (
+  SELECT word,
+         len(list_filter(regexp_split_to_array(seq, ' '),
+             x -> x <> '')) AS n_tok
+  FROM {last}
+), dw AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_words,
+       CAST(SUM(length(w)) AS BIGINT)  AS n_chars,
+       CAST(SUM(v.n_tok) AS BIGINT)    AS n_bpe_tokens
+FROM dw JOIN vocab v ON v.word = dw.w
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
 BPE_TRAIN_ROUNDS = 8
 
 
-@register("text_bpe_train_merges", oracle=_bpe_oracle(BPE_TRAIN_ROUNDS))
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train k BPE merges on the corpus (the real tokenizer-training
-    loop, not an estimate): one corpus-sized word-count Exchange, then
-    every round is vocabulary-sized — explode adjacent symbol pairs,
-    weighted count, deterministic top-1 (count DESC, pair ASC),
-    broadcast the winner onto the sequence table and merge via 3-pass
-    space-guarded replace. Fully plan-side: the top-1 each round is a
-    1-row aggregate crossJoined back (no driver collect), so the whole
-    k-round training is ONE lazy plan both engines state identically.
-
-    At 100 TB the corpus pass is the only heavy stage (map-side
-    combined count); rounds iterate on the word table, which for web
-    corpora is ~10^7 rows — broadcastable statistics, exactly how
-    production BPE trainers scale."""
+def _bpe_train_plan(spark: SparkSession, sf_dir: str):
+    """Build the k-round BPE training plan. Returns (merges DataFrame,
+    final word->sequence DataFrame). One corpus-sized word-count
+    Exchange (checkpointed |V|-row result); every round iterates on
+    the checkpointed vocab table with a broadcast 1-row winner — plan
+    depth linear in rounds, no driver collect (measured 10.8s -> ~3s
+    at sf0.1 without the checkpoints)."""
     docs = load_table(spark, sf_dir, "documents")
-    # The corpus-sized counting pass runs ONCE: checkpoint the
-    # |V|-row word table so the 8 training rounds never re-touch the
-    # corpus scan; each round's merged sequence table (also |V|-sized)
-    # is checkpointed too, keeping plan depth linear in rounds
-    # (measured 10.8s -> ~2s at sf0.1 without it).
     wc = (
         docs.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
@@ -834,6 +859,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     seqs = wc.select(
+        "word",
         F.concat(
             F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
         ).alias("seq"),
@@ -874,13 +900,57 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged_seq = F.replace(merged_seq, search, repl)
         seqs = (
             seqs.crossJoin(F.broadcast(top1))
-            .select(merged_seq.alias("seq"), "freq")
+            .select("word", merged_seq.alias("seq"), "freq")
             .localCheckpoint()
         )
-    out = results[0]
+    merges = results[0]
     for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+        merges = merges.unionByName(r)
+    return merges, seqs
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle(BPE_TRAIN_ROUNDS))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train k BPE merges on the corpus (the real tokenizer-training
+    loop, not an estimate): see _bpe_train_plan for the scale shape —
+    at 100 TB the corpus pass is the only heavy stage (map-side
+    combined count); rounds iterate on the word table, which for web
+    corpora is ~10^7 rows — broadcastable statistics, exactly how
+    production BPE trainers scale."""
+    merges, _ = _bpe_train_plan(spark, sf_dir)
+    return merges
+
+
+@register("text_bpe_apply_tokenize", oracle=_bpe_apply_oracle(BPE_TRAIN_ROUNDS))
+def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus (the tokenize
+    half of the loop): the trained word->sequence table reduces to a
+    |V|-row word->token-count vocabulary, which BROADCASTS onto the
+    corpus word explosion — per-document BPE token counts with one
+    doc_id-keyed aggregate, no corpus-sized join. This is exactly how
+    production pipelines tokenize at scale: train once on statistics,
+    ship the vocabulary to every executor."""
+    _, seqs = _bpe_train_plan(spark, sf_dir)
+    vocab = seqs.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+        ).alias("n_tok"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 FFD_PACK_ORACLE = """

@@ -759,3 +759,95 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("ratio_repeated") <= 1.5)
         ).alias("ratios_in_range"),
     )
+
+
+KS_TEST_ORACLE = """
+-- Two-sample Kolmogorov-Smirnov drift test per event_type (the
+-- exact-statistic companion to quality_psi_drift's bucketed PSI):
+-- D = max |F1(v) - F2(v)| over the pooled observed values, with the
+-- 95% rejection threshold 1.358*sqrt((n1+n2)/(n1*n2)). CDFs via
+-- cumulative counts over the per-type distinct-value domain.
+WITH base AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+  FROM events
+), perval AS (
+  SELECT event_type, value,
+         SUM(in_a) AS ca, SUM(1 - in_a) AS cb
+  FROM base GROUP BY event_type, value
+), tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+  FROM perval GROUP BY event_type
+), cum AS (
+  SELECT p.event_type,
+         SUM(ca) OVER (PARTITION BY p.event_type ORDER BY value) * 1.0
+           / t.na AS fa,
+         SUM(cb) OVER (PARTITION BY p.event_type ORDER BY value) * 1.0
+           / t.nb AS fb,
+         t.na, t.nb
+  FROM perval p JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT)                       AS n_early,
+       CAST(MAX(nb) AS BIGINT)                       AS n_late,
+       ROUND(MAX(ABS(fa - fb)), 6)                   AS ks_d,
+       ROUND(1.358 * SQRT((MAX(na) + MAX(nb)) * 1.0
+             / (MAX(na) * MAX(nb))), 6)              AS crit_95,
+       MAX(ABS(fa - fb)) >
+         1.358 * SQRT((MAX(na) + MAX(nb)) * 1.0
+                      / (MAX(na) * MAX(nb)))         AS reject_95
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("quality_ks_drift_test", oracle=KS_TEST_ORACLE)
+def quality_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic per event_type between the early
+    and late halves of the window. Scale shape: the fact table reduces
+    to per-(type, value) counts in ONE partial-aggregated Exchange;
+    the CDF window runs over the per-type distinct-value domain
+    (partitioned by event_type — never an unpartitioned corpus sort),
+    and the final max is domain-sized. The groupBy collapses tied
+    values to one row per (type, value), so ROWS and RANGE cumulative
+    framing coincide — both engines accumulate identically."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    perval = base.groupBy("event_type", "value").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    tot = perval.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = perval.join(tot, "event_type").select(
+        "event_type",
+        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    d = F.max(F.abs(F.col("fa") - F.col("fb")))
+    crit = 1.358 * F.sqrt(
+        (F.max("na") + F.max("nb")) * 1.0 / (F.max("na") * F.max("nb"))
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_early"),
+            F.max("nb").cast("long").alias("n_late"),
+            F.round(d, 6).alias("ks_d"),
+            F.round(crit, 6).alias("crit_95"),
+            (d > crit).alias("reject_95"),
+        )
+        .orderBy("event_type")
+    )

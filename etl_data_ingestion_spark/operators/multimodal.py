@@ -6,12 +6,13 @@ Decode tiers: WAV audio (stdlib `wave`), grayscale filter-0 PNG,
 general PNG (all five scanline filters, grayscale + RGB —
 multimodal_image_decode_real), and animated GIF with real LZW
 (operators/video.py::multimodal_video_frames_real) are REAL decodes
-with pixel/sample-exact oracles. Only the vision-encoder featurize
-stage remains STUBBED with a deterministic fake (no model in this
-container); its Spark plumbing — binary column handling, metadata
-schema, mapInPandas batch shapes, per-partition behavior — is real
-and tested, so swapping the fake for an encoder changes one inner
-function, not the dataflow.
+with pixel/sample-exact oracles. The featurize stage is REAL too
+(multimodal_patch_embed_real: decode -> NN-resize -> L2-normalized
+patch-mean embedding, the standard model-free baseline); no fake
+path remains in the multimodal family. A LEARNED vision encoder
+swaps into the same mapInPandas inner function without touching the
+dataflow — binary column handling, metadata schema, batch shapes,
+and per-partition behavior are all exercised by the real math.
 """
 
 from __future__ import annotations
@@ -280,77 +281,103 @@ def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_FEATURIZE_ORACLE = """
--- Pinned invariants of the chained pass: thumbnail size = first 64
--- bytes (the stub slice), fixed 16-dim embedding, unit L2 norm — all
--- recomputable without the codec.
+PATCH_EMBED_ORACLE = """
+-- REAL featurize (the full decode -> resize -> embed chain, no fake
+-- stage left): 4x4 nearest-neighbor thumbnail over the decoded PNG,
+-- channel-mean gray per cell, 16-dim patch embedding L2-normalized.
+-- Pixel content is a pure function of (doc_id,y,x,c), so the oracle
+-- states every sampled gray value and two normalized components in
+-- closed form — resize indexing, channel averaging, and
+-- normalization are all value-checked.
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents WHERE doc_id < 150
+), cells AS (
+  SELECT d.doc_id, d.w, d.h, d.ch, ty.ty, tx.tx,
+         (ty.ty * d.h) // 4 AS sy, (tx.tx * d.w) // 4 AS sx
+  FROM dims d, UNNEST(range(0, 4)) ty(ty), UNNEST(range(0, 4)) tx(tx)
+), gray AS (
+  SELECT doc_id, ty, tx,
+         CASE WHEN ch = 1
+              THEN CAST((doc_id * 7 + sy * 3 + sx * 5) % 256 AS DOUBLE)
+              ELSE ((doc_id * 7 + sy * 3 + sx * 5) % 256
+                    + (doc_id * 7 + sy * 3 + sx * 5 + 11) % 256
+                    + (doc_id * 7 + sy * 3 + sx * 5 + 22) % 256) / 3.0
+         END AS g
+  FROM cells
+), agg AS (
+  SELECT doc_id, SUM(g) AS s, SUM(g * g) AS ss,
+         MAX(CASE WHEN ty = 0 AND tx = 0 THEN g END) AS g0,
+         MAX(CASE WHEN ty = 1 AND tx = 1 THEN g END) AS g5
+  FROM gray GROUP BY doc_id
+)
 SELECT doc_id,
-       CAST(LEAST(64, octet_length(ENCODE(text))) AS INT) AS thumb_bytes,
-       CAST(16 AS INT)                            AS feat_dim,
-       1.0                                        AS embedding_norm
-FROM documents
-ORDER BY doc_id
+       CAST(16 AS INT)              AS feat_dim,
+       ROUND(s, 4)                  AS thumb_sum,
+       ROUND(g0 / SQRT(ss), 6)      AS f0,
+       ROUND(g5 / SQRT(ss), 6)      AS f5
+FROM agg ORDER BY doc_id
 """
 
 
-@register("multimodal_resize_featurize_stub", oracle=RESIZE_FEATURIZE_ORACLE)
-def multimodal_resize_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize + feature-extract stages chained in ONE mapInPandas pass
-    (decode → thumbnail → embed without re-shuffling between stages —
-    at 100 TB the blob crosses the Python boundary once, not three
-    times).
-
-    STUB(no-model): the "embedding" is a fixed-dim unit vector
-    seeded from the content digest in place of a vision encoder (no
-    model in the container), and this chained variant keeps a byte
-    slice for its "thumbnail" stage. REAL resize now exists as
-    multimodal_resize_real (pixel-exact NN resample over the decoded
-    PNG); what stays real here: binary→binary+vector schema,
-    single-pass chaining, batch shapes, unit-norm invariant the
-    downstream similarity ops rely on.
-    """
+@register("multimodal_patch_embed_real", oracle=PATCH_EMBED_ORACLE)
+def multimodal_patch_embed_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize -> featurize chained in ONE mapInPandas pass
+    over genuinely encoded PNG bytes: real general-PNG decode
+    (_parse_png: CRC chunks, inflate, all five defilters), real 4x4
+    nearest-neighbor thumbnail, real model-free patch embedding
+    (per-cell channel-mean gray, L2-normalized) — the standard
+    baseline featurizer; a LEARNED vision encoder swaps into the same
+    inner function without touching the dataflow. Retires
+    multimodal_resize_featurize_stub: every multimodal stage now
+    computes real math end-to-end. The blob crosses the Python
+    boundary once and never shuffles; only doc_id + 16 floats and
+    typed accounting exit the scan stage."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
-    dim = 16
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
 
     def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        import pandas as _pd
-
-        def resize(data: bytes) -> bytes:
-            # STUB(no-codec): PIL thumbnail((64,64)) → bytes
-            return data[:64]
-
-        def featurize(thumb: bytes):
-            # STUB(no-codec): vision-encoder embedding; digest-seeded
-            h = hashlib.sha256(thumb).digest()
-            v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-            v = v.astype(np.float64)
-            v = v / np.linalg.norm(v)
-            return v.tolist()
-
+        rows = []
         for pdf in batches:
-            thumbs = [resize(bytes(b)) for b in pdf["content"]]
-            feats = [featurize(t) for t in thumbs]
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "thumb_bytes": [len(t) for t in thumbs],
-                    "embedding": feats,
-                    "embedding_norm": [round(float(np.linalg.norm(f)), 6) for f in feats],
-                }
-            )
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch, pixels = _parse_png(_synth_png(d))
+                mat = (
+                    np.asarray(pixels, dtype=np.float64)
+                    .reshape(h, w, ch)
+                )
+                gray = mat.mean(axis=2)  # channel-mean (exact for ch=1)
+                ys = (np.arange(4) * h) // 4
+                xs = (np.arange(4) * w) // 4
+                thumb = gray[np.ix_(ys, xs)]
+                feat = thumb.ravel()
+                norm = float(np.sqrt((feat * feat).sum()))
+                nf = feat / norm
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "feat_dim": feat.size,
+                        "thumb_sum": round(float(feat.sum()), 4),
+                        "f0": round(float(nf[0]), 6),
+                        "f5": round(float(nf[5]), 6),
+                    }
+                )
+        if rows:
+            yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(
+    return docs.mapInPandas(
         pipeline,
         schema=(
-            "doc_id long, thumb_bytes int, embedding array<double>, "
-            "embedding_norm double"
+            "doc_id long, feat_dim int, thumb_sum double, "
+            "f0 double, f5 double"
         ),
-    ).select("doc_id", "thumb_bytes", F.size("embedding").alias("feat_dim"), "embedding_norm")
+    )
 
 
 BYTE_ENTROPY_ORACLE = """

@@ -62,3 +62,31 @@ def test_kmeans_partitions_all_vectors(spark):
     assert sum(r.n_members for r in rows) == n_total
     assert all(r.inertia >= 0 for r in rows)
     assert len(rows) <= 4
+
+
+def test_patch_embed_replaces_stub(spark):
+    assert "multimodal_resize_featurize_stub" not in registry.QUERIES
+    rows = registry.QUERIES["multimodal_patch_embed_real"](spark, SF).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r.feat_dim == 16
+        # normalized components bounded
+        assert -1.0 <= r.f0 <= 1.0 and -1.0 <= r.f5 <= 1.0
+
+
+def test_bpe_apply_consistent_with_training(spark):
+    # every word's BPE token count is between 1 and its char count,
+    # and doc totals respect n_bpe_tokens <= n_chars, >= n_words
+    rows = registry.QUERIES["text_bpe_apply_tokenize"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+
+
+def test_ks_drift_properties(spark):
+    rows = registry.QUERIES["quality_ks_drift_test"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.crit_95 > 0
+        assert r.reject_95 == (r.ks_d > r.crit_95)
