@@ -107,6 +107,10 @@ EXTENDED = [
     "multimodal_patch_embed_real",
     "text_bpe_apply_tokenize",
     "quality_ks_drift_test",
+    "dedup_containment_quotes",
+    "pipeline_naive_bayes_spam",
+    "events_pattern_match_regex",
+    "timeseries_holt_trend",
 ]
 
 

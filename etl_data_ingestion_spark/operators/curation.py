@@ -851,3 +851,181 @@ def quality_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+NAIVE_BAYES_ORACLE = """
+-- In-engine Naive Bayes training + evaluation (the quality/spam
+-- classifier tier of a curation pipeline, trained AS a query). The
+-- fixture's lang labels are random w.r.t. text (SURVEY: synthetic
+-- English-ish for every label), so a lang target would only learn
+-- the prior; instead the corpus is doubled with a PLANTED spam class
+-- (promo-token tail appended) and the classifier must separate it —
+-- fit multinomial NB with Laplace smoothing on even doc_ids, score
+-- the odd held-out half, report per-class accuracy (the planted
+-- signal makes near-perfect separation the correct answer, and the
+-- oracle pins the exact confusion counts). Scores ROUND(...,6)
+-- before the argmax, ties break on label.
+WITH corpus AS (
+  SELECT doc_id, 'natural' AS label, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, 'spam',
+         text || ' win free click offer win free click offer'
+  FROM documents
+), train AS (
+  SELECT label, w
+  FROM corpus, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+  WHERE doc_id % 2 = 0
+), cnt AS (
+  SELECT label, w, COUNT(*) AS c FROM train GROUP BY label, w
+), vocab AS (
+  SELECT DISTINCT w FROM train
+), vsize AS (
+  SELECT COUNT(*) AS v FROM vocab
+), tot AS (
+  SELECT label, COUNT(*) AS n FROM train GROUP BY label
+), prior AS (
+  SELECT label, COUNT(*) AS nd FROM corpus
+  WHERE doc_id % 2 = 0 GROUP BY label
+), ptab AS (
+  SELECT t.label, v.w,
+         LN((COALESCE(c.c, 0) + 1.0) / (t.n + (SELECT v FROM vsize)))
+           AS lp
+  FROM tot t
+  CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.label = t.label AND c.w = v.w
+), test AS (
+  SELECT doc_id, label AS true_label, w
+  FROM corpus, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+  WHERE doc_id % 2 = 1
+), scored AS (
+  SELECT te.doc_id, te.true_label, p.label,
+         ROUND(SUM(p.lp)
+               + LN((SELECT nd FROM prior pr WHERE pr.label = p.label)
+                    * 1.0
+                    / (SELECT SUM(nd) FROM prior)), 6) AS score
+  FROM test te JOIN ptab p ON p.w = te.w
+  GROUP BY te.doc_id, te.true_label, p.label
+), pred AS (
+  SELECT doc_id, true_label, label AS pred_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, label) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT true_label                                   AS label,
+       CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+       CAST(SUM(CASE WHEN pred_label = true_label
+                     THEN 1 ELSE 0 END) AS BIGINT)  AS n_correct,
+       ROUND(SUM(CASE WHEN pred_label = true_label
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
+@register("pipeline_naive_bayes_spam", oracle=NAIVE_BAYES_ORACLE)
+def pipeline_naive_bayes_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train AND evaluate a multinomial Naive Bayes quality/spam
+    classifier inside the engine (the learned tier above the rule
+    gates in text_gopher_quality_rules): planted spam class (promo
+    tokens appended) over the doubled corpus, token-likelihood table
+    fit on the even half with Laplace smoothing over the joint
+    vocabulary, held-out odd half scored by broadcast-joining the
+    (2 x |V|)-row probability table onto the test-token explosion,
+    per-doc argmax, per-class accuracy. Near-perfect separation is
+    the correct answer (the signal is planted) and the oracle pins
+    the exact confusion counts.
+
+    This is the production shape for quality classifiers at 100 TB:
+    the model IS a small table — counts come from one corpus pass,
+    the probability table broadcasts, scoring is a map-side join +
+    one doc-keyed aggregate. A fastText-class model swaps the table
+    for vectors; the dataflow is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.lit("natural").alias("label"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.lit("spam").alias("label"),
+            F.concat(
+                F.col("text"),
+                F.lit(" win free click offer win free click offer"),
+            ).alias("text"),
+        )
+    )
+    words = corpus.select(
+        "doc_id",
+        "label",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    train = words.filter(F.col("doc_id") % 2 == 0)
+    cnt = train.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = train.select("w").distinct()
+    tot = train.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    prior = (
+        corpus.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    vsize = vocab.count()  # |V|: bounded scalar, documented collect
+    n_train_docs = prior.agg(F.sum("nd")).collect()[0][0]
+    ptab = (
+        tot.crossJoin(vocab)
+        .join(cnt, ["label", "w"], "left")
+        .select(
+            "label",
+            "w",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n") + F.lit(vsize))
+            ).alias("lp"),
+        )
+    )
+    logprior = prior.select(
+        "label", F.log(F.col("nd") * 1.0 / F.lit(n_train_docs)).alias("lpr")
+    )
+    test = words.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "label", "true_label"
+    )
+    scored = (
+        test.join(F.broadcast(ptab), "w")
+        .groupBy("doc_id", "true_label", "label")
+        .agg(F.sum("lp").alias("s"))
+        .join(F.broadcast(logprior), "label")
+        .select(
+            "doc_id",
+            "true_label",
+            "label",
+            F.round(F.col("s") + F.col("lpr"), 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("pred_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pred_label") == F.col("true_label"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -1364,3 +1364,136 @@ def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("doc_id") == F.col("canonical"))
         .orderBy("doc_id")
     )
+
+
+CONTAINMENT_ORACLE = """
+-- Asymmetric containment near-dup (quote/subset detection): Jaccard
+-- misses a small doc wholly quoted inside a big one (|A∩B|/|A∪B| is
+-- small), containment |A∩B|/|A| catches it. Planted quotes: docs
+-- doc_id%10==0 get a copy (id+3000000) carrying their full 3-gram set
+-- plus extra tail text. Same capped inverted-index shape as
+-- dedup_ngram_jaccard; pairs reported where containment of the
+-- SMALLER gram-set side >= 0.8 while Jaccard < 0.5 — the pairs the
+-- symmetric metric would drop.
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  -- quote carrier: original text + two transforms that each add
+  -- ~|A| DISTINCT grams (upper-case copy, word-reversed copy), so
+  -- containment(small side)=~1 while jaccard=~1/3 < 0.5
+  SELECT doc_id + 3000000,
+         text || ' ' || upper(text) || ' ' ||
+         array_to_string(list_reverse(
+           regexp_split_to_array(trim(text), '\\s+')), ' ')
+  FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 2), ' ') AS g
+  FROM toks, UNNEST(range(1, len(ts) - 1)) u(i)
+  WHERE len(ts) >= 3
+), df AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 50
+), kept AS (
+  SELECT gr.doc_id, gr.g FROM grams gr JOIN df USING (g)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / LEAST(sa.n, sb.n), 4)            AS containment,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4)            AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / LEAST(sa.n, sb.n) >= 0.8
+  AND c * 1.0 / (sa.n + sb.n - c) < 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_containment_quotes", oracle=CONTAINMENT_ORACLE)
+def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup detection for quote/subset pairs —
+    the asymmetric metric tier alongside Jaccard (dedup_ngram_jaccard)
+    and MinHash: containment(|A∩B| / min(|A|,|B|)) >= 0.8 with
+    Jaccard < 0.5 selects exactly the pairs where one document embeds
+    another but symmetric similarity fails. Planted quote-carrier
+    docs prove the discrimination.
+
+    Scale shape: identical to the audited inverted-index family — one
+    gram-keyed Exchange with a posting-list cap bounding the pair
+    quadratic, pair aggregation on (doc_a, doc_b), size table joins
+    broadcastable. At 100 TB the production variant keys the shuffle
+    on xxhash64(gram) exactly as dedup_duplicated_spans documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    quoted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.upper(F.col("text")),
+            F.lit(" "),
+            F.array_join(
+                F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quoted)
+    grams_all = (
+        corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .distinct()
+    )
+    rare = (
+        grams_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("g")
+    )
+    kept = grams_all.join(rare, "g").localCheckpoint()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.alias("ka")
+    b = kept.alias("kb")
+    common = (
+        a.join(
+            b,
+            (F.col("ka.g") == F.col("kb.g"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .groupBy(
+            F.col("ka.doc_id").alias("doc_a"),
+            F.col("kb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") / F.least("na", "nb")).alias("cont_raw"),
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jac_raw"
+            ),
+        )
+        .filter((F.col("cont_raw") >= 0.8) & (F.col("jac_raw") < 0.5))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round("cont_raw", 4).alias("containment"),
+        F.round("jac_raw", 4).alias("jaccard"),
+    )

@@ -473,3 +473,77 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+PATTERN_MATCH_ORACLE = """
+-- MATCH_RECOGNIZE-lite sequence-pattern matching: per user, the
+-- ordered event-type sequence is serialized to a symbol string and
+-- scanned with a regex — here the conversion pattern
+-- view (anything-but-purchase)* purchase, non-overlapping count, and
+-- the bounce pattern view followed immediately by another view.
+-- Deterministic serialization: one char per event type, ordered by
+-- (ts, event_id).
+WITH syms AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    ELSE 'e' END,
+                    '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT)                         AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+         AS n_conversions,
+       CAST(len(regexp_extract_all(seq, 'vv')) AS BIGINT)  AS n_bounces,
+       len(regexp_extract_all(seq, 'v[^p]*p')) > 0         AS converted
+FROM syms ORDER BY user_id
+"""
+
+
+@register("events_pattern_match_regex", oracle=PATTERN_MATCH_ORACLE)
+def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams (the
+    MATCH_RECOGNIZE workload, expressed portably): serialize each
+    user's ordered event types to a one-char-per-event symbol string
+    (array_sort over (ts, event_id, sym) structs -> join), then count
+    non-overlapping regex matches — conversions (view ... purchase
+    with no intervening purchase) and immediate view-view bounces.
+
+    Scale shape: ONE user_id Exchange; the regex scan is per-user
+    map-side JVM work on a string of |user events| chars. Unlike a
+    self-join formulation (events x events on user), cost is linear
+    in stream length — the sequence never leaves its group."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select(
+            "user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("s")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["sym"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    conv = F.size(F.expr("regexp_extract_all(seq, 'v[^p]*p', 0)"))
+    bounce = F.size(F.expr("regexp_extract_all(seq, 'vv', 0)"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        conv.cast("long").alias("n_conversions"),
+        bounce.cast("long").alias("n_bounces"),
+        (conv > 0).alias("converted"),
+    )

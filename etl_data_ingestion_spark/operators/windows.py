@@ -698,3 +698,112 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+HOLT_ORACLE = """
+-- Holt double-exponential smoothing (level + trend, alpha=0.5,
+-- beta=0.3) over the daily value series — the forecasting tier above
+-- the single-EWMA baseline: l_1 = x_1, b_1 = x_2 - x_1;
+-- l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1});
+-- b_i = B*(l_i - l_{i-1}) + (1-B)*b_{i-1}; forecast_i = l_i + b_i.
+-- Same bit-parity discipline as EWMA_ORACLE: fold inputs are
+-- ROUND(SUM,6), recursion applies identical literal double ops in
+-- identical order in both engines.
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         LEAD(x) OVER (ORDER BY d) AS x2
+  FROM daily
+), hw AS (
+  SELECT rn, d, x, x AS l, x2 - x AS b FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.d, i.x,
+         0.5 * i.x + 0.5 * (hw.l + hw.b),
+         0.3 * ((0.5 * i.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b
+  FROM idx i JOIN hw ON i.rn = hw.rn + 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       ROUND(x, 2) AS daily_total,
+       ROUND(l, 4) AS level,
+       ROUND(b, 4) AS trend,
+       ROUND(l + b, 4) AS forecast_next
+FROM hw ORDER BY day
+"""
+
+
+@register("timeseries_holt_trend", oracle=HOLT_ORACLE)
+def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily
+    series — recursive in TWO coupled state variables, which no
+    window frame expresses; the one-step-ahead forecast l+b is the
+    classic capacity-planning signal.
+
+    Same scale shape as timeseries_ewma_daily: |events| collapses to
+    |days| in one map-side-combined groupBy; the coupled recursion
+    folds over the sorted day array in a JVM F.aggregate carrying a
+    (level, trend) struct accumulator. Bit-parity discipline: fold
+    inputs ROUND(SUM,6); identical literal arithmetic in identical
+    order both engines (trend init b_1 = x_2 - x_1 via LEAD)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    series = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    def step(acc, e):
+        prev_l = F.element_at(acc, -1)["l"]
+        prev_b = F.element_at(acc, -1)["b"]
+        new_l = e["x"] * F.lit(0.5) + (prev_l + prev_b) * F.lit(0.5)
+        new_b = (new_l - prev_l) * F.lit(0.3) + prev_b * F.lit(0.7)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["d"].alias("d"),
+                    e["x"].alias("x"),
+                    F.when(F.size(acc) == 0, e["x"]).otherwise(new_l).alias(
+                        "l"
+                    ),
+                    F.when(F.size(acc) == 0, F.lit(0.0))
+                    .otherwise(new_b)
+                    .alias("b"),
+                )
+            ),
+        )
+
+    # First-row trend init b_1 = x_2 - x_1 needs x_2, unseen at fold
+    # step 1 — so seed the accumulator with row 1 explicitly and fold
+    # rows 2..n (the when(size==0) branches in step are then unreachable
+    # but keep it total).
+    seeded = series.select(
+        F.aggregate(
+            F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            F.array(
+                F.struct(
+                    F.element_at("s", 1)["d"].alias("d"),
+                    F.element_at("s", 1)["x"].alias("x"),
+                    F.element_at("s", 1)["x"].alias("l"),
+                    F.when(
+                        F.size("s") >= 2,
+                        F.element_at("s", 2)["x"] - F.element_at("s", 1)["x"],
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("b"),
+                )
+            ),
+            step,
+        ).alias("hw")
+    )
+    return seeded.select(F.explode("hw").alias("r")).select(
+        F.col("r.d").alias("day"),
+        F.round("r.x", 2).alias("daily_total"),
+        F.round("r.l", 4).alias("level"),
+        F.round("r.b", 4).alias("trend"),
+        F.round(F.col("r.l") + F.col("r.b"), 4).alias("forecast_next"),
+    )

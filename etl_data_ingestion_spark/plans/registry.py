@@ -53,6 +53,10 @@ def register(name: str, oracle: Optional[str] = None):
 # round-2 greens that fit (the rest of the 49 r2-only greens roll to
 # round 6). Names not listed follow in registration order after the
 # listed ones.
+# ROUND-6 RECUT (do first thing next round): lead with the r2-only
+# greens, then the round-5 second-wave + third-wave additions (all
+# parity-green at sf0.01 and sf1 in vanilla sessions during round 5
+# — see COVERAGE.md rotation section for the exact name lists).
 CHECK_ORDER: list[str] = [
     # slots 1-3: round-1 greens deferred from the round-4 window
     "setop_union_all",

@@ -90,3 +90,61 @@ def test_ks_drift_properties(spark):
         assert 0.0 <= r.ks_d <= 1.0
         assert r.crit_95 > 0
         assert r.reject_95 == (r.ks_d > r.crit_95)
+
+
+def test_containment_catches_planted_quotes(spark):
+    rows = registry.QUERIES["dedup_containment_quotes"](spark, SF).collect()
+    planted = [r for r in rows if r.doc_b >= 3000000]
+    assert planted, "no planted quote pairs surfaced"
+    for r in planted:
+        assert r.containment >= 0.8
+        assert r.jaccard < 0.5  # the pairs Jaccard-only dedup misses
+
+
+def test_naive_bayes_separates_planted_spam(spark):
+    rows = registry.QUERIES["pipeline_naive_bayes_spam"](spark, SF).collect()
+    byl = {r.label: r for r in rows}
+    assert byl["spam"].accuracy >= 0.95
+    assert byl["natural"].accuracy >= 0.95
+
+
+def test_pattern_match_counts(spark):
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["events_pattern_match_regex"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.converted == (r.n_conversions > 0)
+        assert r.n_bounces >= 0
+    # cross-check one user by hand
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") == rows[0].user_id)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    import re
+
+    seq = "".join(
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s"}.get(
+            e.event_type, "e"
+        )
+        for e in ev
+    )
+    assert len(re.findall("v[^p]*p", seq)) == rows[0].n_conversions
+
+
+def test_holt_trend_tracks_series(spark):
+    rows = registry.QUERIES["timeseries_holt_trend"](spark, SF).collect()
+    assert len(rows) >= 3
+    # recompute the recursion in python from the emitted daily totals
+    xs = [r.daily_total for r in rows]
+    l, b = xs[0], xs[1] - xs[0]
+    assert abs(rows[0].level - round(l, 4)) < 1e-6
+    for i in range(1, len(rows)):
+        nl = 0.5 * xs[i] + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+        # daily_total is rounded to 2 in the output (fold used 6), so
+        # allow small drift from recomputing off the rounded face
+        assert abs(rows[i].level - l) < 0.5
