@@ -111,6 +111,8 @@ EXTENDED = [
     "pipeline_naive_bayes_spam",
     "events_pattern_match_regex",
     "timeseries_holt_trend",
+    "warehouse_incremental_moments",
+    "join_geo_radius_grid",
 ]
 
 

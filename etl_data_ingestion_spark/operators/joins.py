@@ -822,3 +822,118 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+GEO_RADIUS_ORACLE = """
+-- Geospatial radius join (find warehouses within 5 km of each store)
+-- via the direct theta join — the ground truth the grid-bucketed
+-- Spark plan must reproduce. Coordinates are synthesized from keys
+-- inside a ~1 degree box around 40N; haversine stated identically in
+-- both engines. NO intermediate rounding: raw doubles agree to ~1e-13
+-- (libm ulp), so the single final ROUND is safe, whereas an inner
+-- ROUND(d,6) MANUFACTURES exact .xxxx50 half-boundaries that the two
+-- engines' ROUND break differently (found at sf1: 0.5025 vs 0.5024).
+WITH stores AS (
+  SELECT c_custkey AS store_id,
+         40.0 + (c_custkey % 100) / 100.0  AS lat,
+         -75.0 + (c_custkey % 137) / 137.0 AS lon
+  FROM customer WHERE c_custkey < 2000
+), wh AS (
+  SELECT s_suppkey AS wh_id,
+         40.0 + (s_suppkey % 97) / 97.0  AS lat,
+         -75.0 + (s_suppkey % 73) / 73.0 AS lon
+  FROM supplier
+), pairs AS (
+  SELECT s.store_id, w.wh_id,
+         2 * 6371.0 * ASIN(SQRT(
+           SIN(RADIANS(w.lat - s.lat) / 2) ^ 2
+           + COS(RADIANS(s.lat)) * COS(RADIANS(w.lat))
+             * SIN(RADIANS(w.lon - s.lon) / 2) ^ 2)) AS d_km
+  FROM stores s, wh w
+)
+SELECT store_id,
+       CAST(COUNT(*) AS BIGINT) AS n_within,
+       ROUND(MIN(d_km), 4)      AS nearest_km
+FROM pairs WHERE d_km <= 5.0
+GROUP BY store_id ORDER BY store_id
+"""
+
+
+@register("join_geo_radius_grid", oracle=GEO_RADIUS_ORACLE)
+def join_geo_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join via grid-cell bucketing — the spatial-join pattern
+    that replaces the O(stores x warehouses) cross product: snap
+    warehouses to one (cell_lat, cell_lon) grid cell sized >= the
+    radius in degrees (0.05 lat, 0.0625 lon — covers 5 km at all
+    latitudes in the box), explode each store to its 3x3 neighbor
+    cells, EQUI-join on the cell, then apply the exact haversine only
+    to co-located candidates. Cell coverage is a proof obligation:
+    any pair within 5 km differs by < 1 cell in each dimension, so
+    the 9-cell probe finds exactly the theta join's pairs — the
+    oracle IS that cross join, so equivalence is value-checked.
+    At 100 TB: shuffle keys are grid cells (dense integers), the
+    probe fan-out is a constant 9x on the smaller side, and skew maps
+    to geographic hot spots — salt the hot cells exactly as
+    join_salted_skew does."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 2000
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    stores = cust.select(
+        F.col("c_custkey").alias("store_id"),
+        (40.0 + (F.col("c_custkey") % 100) / 100.0).alias("lat"),
+        (-75.0 + (F.col("c_custkey") % 137) / 137.0).alias("lon"),
+    )
+    wh = supp.select(
+        F.col("s_suppkey").alias("wh_id"),
+        (40.0 + (F.col("s_suppkey") % 97) / 97.0).alias("wlat"),
+        (-75.0 + (F.col("s_suppkey") % 73) / 73.0).alias("wlon"),
+    )
+    cl, co = 0.05, 0.0625
+    wh_cells = wh.select(
+        "wh_id",
+        "wlat",
+        "wlon",
+        F.floor(F.col("wlat") / cl).alias("cell_lat"),
+        F.floor(F.col("wlon") / co).alias("cell_lon"),
+    )
+    offsets = F.expr(
+        "flatten(transform(sequence(-1,1), a -> "
+        "transform(sequence(-1,1), b -> struct(a, b))))"
+    )
+    probes = stores.select(
+        "store_id",
+        "lat",
+        "lon",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "store_id",
+        "lat",
+        "lon",
+        (F.floor(F.col("lat") / cl) + F.col("o.a")).alias("cell_lat"),
+        (F.floor(F.col("lon") / co) + F.col("o.b")).alias("cell_lon"),
+    )
+    d_km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("wlat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("wlat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("wlon") - F.col("lon")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        probes.join(wh_cells, ["cell_lat", "cell_lon"])
+        .select("store_id", "wh_id", d_km.alias("d_km"))
+        .filter(F.col("d_km") <= 5.0)
+        .groupBy("store_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within"),
+            F.round(F.min("d_km"), 4).alias("nearest_km"),
+        )
+    )

@@ -464,3 +464,126 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("net_balance_drift"),
     )
+
+
+INCR_MOMENTS_ORACLE = """
+-- Incremental statistics maintenance (the never-re-scan-history
+-- posture): a stats table over the "historical" events (first 20
+-- days) is MERGED with a new batch's stats (last days) using the
+-- parallel co-moment combination (Chan et al. 1979):
+--   n = n1+n2; mean = (n1*m1 + n2*m2)/n;
+--   M2 = M2_1 + M2_2 + (m2-m1)^2 * n1*n2/n
+-- and the result must equal a full re-scan. Both paths are computed
+-- and compared in-plan; the oracle states the identical algebra, so
+-- the merge identity is value-checked, not asserted.
+WITH hist AS (
+  SELECT event_type, COUNT(*) AS n1, AVG(value) AS m1,
+         VAR_POP(value) * COUNT(*) AS mm2_1,
+         MIN(value) AS mn1, MAX(value) AS mx1
+  FROM events WHERE ts < TIMESTAMP '2024-01-21'
+  GROUP BY event_type
+), batch AS (
+  SELECT event_type, COUNT(*) AS n2, AVG(value) AS m2,
+         VAR_POP(value) * COUNT(*) AS mm2_2,
+         MIN(value) AS mn2, MAX(value) AS mx2
+  FROM events WHERE ts >= TIMESTAMP '2024-01-21'
+  GROUP BY event_type
+), merged AS (
+  SELECT h.event_type,
+         h.n1 + b.n2 AS n,
+         (h.n1 * h.m1 + b.n2 * b.m2) / (h.n1 + b.n2) AS mean,
+         (h.mm2_1 + b.mm2_2
+          + (b.m2 - h.m1) ^ 2 * h.n1 * b.n2 / (h.n1 + b.n2))
+           / (h.n1 + b.n2) AS var,
+         LEAST(h.mn1, b.mn2) AS mn, GREATEST(h.mx1, b.mx2) AS mx
+  FROM hist h JOIN batch b USING (event_type)
+), full_scan AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS mean,
+         VAR_POP(value) AS var, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT)        AS n_events,
+       ROUND(m.mean, 6)           AS merged_mean,
+       ROUND(m.var, 4)            AS merged_var,
+       ROUND(f.mean, 6)           AS fullscan_mean,
+       ROUND(f.var, 4)            AS fullscan_var,
+       ABS(m.mean - f.mean) < 1e-6 AND ABS(m.var - f.var) < 1e-4
+         AND m.n = f.n AND m.mn = f.mn AND m.mx = f.mx
+                                  AS merge_identity_holds
+FROM merged m JOIN full_scan f USING (event_type)
+ORDER BY m.event_type
+"""
+
+
+@register("warehouse_incremental_moments", oracle=INCR_MOMENTS_ORACLE)
+def warehouse_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental warehouse statistics: merge a historical stats
+    table with a new batch's stats via the parallel co-moment
+    combination, and PROVE in-plan that the merged (n, mean, var,
+    min, max) equal a full re-scan. At 100 TB this is the difference
+    between touching one day of data and touching all of it — the
+    merge runs on two |types|-row tables; the full-scan branch exists
+    here only as the self-check (production drops it). Partial-state
+    mergeability is the same property the sketch tier (HLL/theta/
+    count-min) relies on; this pins it for exact moments."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+
+    def stats(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            (F.var_pop("value") * F.count(F.lit(1))).alias("mm2"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    hist = stats(ev.filter(F.col("ts") < cut))
+    batch = stats(ev.filter(F.col("ts") >= cut))
+    h = hist.alias("h")
+    b = batch.alias("b")
+    n = F.col("h.n") + F.col("b.n")
+    mean = (F.col("h.n") * F.col("h.m") + F.col("b.n") * F.col("b.m")) / n
+    var = (
+        F.col("h.mm2")
+        + F.col("b.mm2")
+        + F.pow(F.col("b.m") - F.col("h.m"), 2)
+        * F.col("h.n")
+        * F.col("b.n")
+        / n
+    ) / n
+    merged = h.join(b, F.col("h.event_type") == F.col("b.event_type")).select(
+        F.col("h.event_type").alias("event_type"),
+        n.alias("n"),
+        mean.alias("mean"),
+        var.alias("var"),
+        F.least("h.mn", "b.mn").alias("mn"),
+        F.greatest("h.mx", "b.mx").alias("mx"),
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("fn"),
+        F.avg("value").alias("fmean"),
+        F.var_pop("value").alias("fvar"),
+        F.min("value").alias("fmn"),
+        F.max("value").alias("fmx"),
+    )
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mean", 6).alias("merged_mean"),
+            F.round("var", 4).alias("merged_var"),
+            F.round("fmean", 6).alias("fullscan_mean"),
+            F.round("fvar", 4).alias("fullscan_var"),
+            (
+                (F.abs(F.col("mean") - F.col("fmean")) < 1e-6)
+                & (F.abs(F.col("var") - F.col("fvar")) < 1e-4)
+                & (F.col("n") == F.col("fn"))
+                & (F.col("mn") == F.col("fmn"))
+                & (F.col("mx") == F.col("fmx"))
+            ).alias("merge_identity_holds"),
+        )
+        .orderBy("event_type")
+    )

@@ -148,3 +148,54 @@ def test_holt_trend_tracks_series(spark):
         # daily_total is rounded to 2 in the output (fold used 6), so
         # allow small drift from recomputing off the rounded face
         assert abs(rows[i].level - l) < 0.5
+
+
+def test_incremental_moments_identity(spark):
+    rows = registry.QUERIES["warehouse_incremental_moments"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_identity_holds
+        assert abs(r.merged_mean - r.fullscan_mean) < 1e-5
+
+
+def test_geo_radius_grid_equals_bruteforce(spark):
+    import math
+
+    rows = {
+        r.store_id: r
+        for r in registry.QUERIES["join_geo_radius_grid"](spark, SF).collect()
+    }
+    cust = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        "c_custkey < 2000"
+    ).collect()
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").collect()
+
+    def hav(lat1, lon1, lat2, lon2):
+        la1, lo1, la2, lo2 = map(math.radians, [lat1, lon1, lat2, lon2])
+        return (
+            2
+            * 6371.0
+            * math.asin(
+                math.sqrt(
+                    math.sin((la2 - la1) / 2) ** 2
+                    + math.cos(la1)
+                    * math.cos(la2)
+                    * math.sin((lo2 - lo1) / 2) ** 2
+                )
+            )
+        )
+
+    for c in cust:
+        k = c.c_custkey
+        slat, slon = 40.0 + (k % 100) / 100.0, -75.0 + (k % 137) / 137.0
+        within = [
+            hav(slat, slon, 40.0 + (s.s_suppkey % 97) / 97.0,
+                -75.0 + (s.s_suppkey % 73) / 73.0)
+            for s in supp
+        ]
+        within = [d for d in within if d <= 5.0]
+        if within:
+            assert rows[k].n_within == len(within)
+            assert abs(rows[k].nearest_km - round(min(within), 4)) < 1e-6
+        else:
+            assert k not in rows
