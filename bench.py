@@ -113,6 +113,10 @@ EXTENDED = [
     "timeseries_holt_trend",
     "warehouse_incremental_moments",
     "join_geo_radius_grid",
+    "scan_bucketed_join_zero_exchange",
+    "pipeline_entity_resolution",
+    "quality_k_anonymity",
+    "similarity_index_persist_reuse",
 ]
 
 

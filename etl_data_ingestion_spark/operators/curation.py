@@ -1029,3 +1029,167 @@ def pipeline_naive_bayes_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+ENTITY_RESOLUTION_ORACLE = """
+-- Entity resolution (record linkage): match DIRTY customer records
+-- (synthesized perturbations — case flips, separator swaps, suffix
+-- noise — truth known by construction) back to the master table via
+-- blocking + edit-distance scoring. Similarity is computed in BASIS
+-- POINTS with integer floor division ((maxlen-lev)*10000 // maxlen)
+-- so no float rounding can flip a match across engines; argmax
+-- tie-breaks on the smaller master key.
+WITH master AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer
+  WHERE c_custkey < 1000
+), dirty AS (
+  SELECT c_custkey + 900000 AS dirty_id, c_custkey AS true_key,
+         CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+              WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '-')
+              ELSE c_name || ' jr' END AS dirty_name,
+         c_nationkey
+  FROM master
+), pairs AS (
+  SELECT d.dirty_id, d.true_key, d.dirty_name, m.c_custkey, m.c_name,
+         levenshtein(lower(d.dirty_name), lower(m.c_name)) AS lev,
+         GREATEST(length(d.dirty_name), length(m.c_name)) AS maxlen
+  FROM dirty d JOIN master m ON m.c_nationkey = d.c_nationkey
+), scored AS (
+  SELECT dirty_id, true_key, c_custkey,
+         (maxlen - lev) * 10000 // maxlen AS sim_bp
+  FROM pairs
+), best AS (
+  SELECT dirty_id, true_key, c_custkey AS matched_key, sim_bp
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                  ORDER BY sim_bp DESC, c_custkey) AS rn FROM scored)
+  WHERE rn = 1
+)
+SELECT dirty_id,
+       CAST(matched_key AS BIGINT)      AS matched_key,
+       CAST(sim_bp AS BIGINT)           AS sim_bp,
+       sim_bp >= 7000                   AS accepted,
+       matched_key = true_key           AS correct
+FROM best ORDER BY dirty_id
+"""
+
+
+@register("pipeline_entity_resolution", oracle=ENTITY_RESOLUTION_ORACLE)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: dirty records (known-truth perturbations)
+    matched to the master by blocking + Levenshtein. Scale shape:
+    blocking on the stable attribute (nation) bounds the pair
+    quadratic to within-block products — the record-linkage analogue
+    of the dedup tier's posting-list caps; scoring is JVM
+    levenshtein; the argmax is a per-dirty-record window over block-
+    sized candidates. Integer basis-point scores sidestep float
+    rounding entirely (lesson: ROUND(double,4) half-boundaries break
+    engine-portably — see join_geo_radius_grid)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 1000
+    )
+    master = cust.select("c_custkey", "c_name", "c_nationkey")
+    k = F.col("c_custkey")
+    dirty = master.select(
+        (k + 900000).alias("dirty_id"),
+        k.alias("true_key"),
+        F.when(k % 3 == 0, F.upper("c_name"))
+        .when(k % 3 == 1, F.regexp_replace("c_name", "#", "-"))
+        .otherwise(F.concat(F.col("c_name"), F.lit(" jr")))
+        .alias("dirty_name"),
+        "c_nationkey",
+    )
+    m = master.alias("m")
+    d = dirty.alias("d")
+    pairs = d.join(
+        m, F.col("m.c_nationkey") == F.col("d.c_nationkey")
+    ).select(
+        "d.dirty_id",
+        "d.true_key",
+        F.col("m.c_custkey").alias("cand_key"),
+        F.levenshtein(
+            F.lower("d.dirty_name"), F.lower("m.c_name")
+        ).alias("lev"),
+        F.greatest(
+            F.length("d.dirty_name"), F.length("m.c_name")
+        ).alias("maxlen"),
+    )
+    scored = pairs.select(
+        "dirty_id",
+        "true_key",
+        "cand_key",
+        F.floor(
+            (F.col("maxlen") - F.col("lev")) * 10000 / F.col("maxlen")
+        ).alias("sim_bp"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy(
+        F.desc("sim_bp"), "cand_key"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", "true_key", "cand_key", "sim_bp")
+    )
+    return best.select(
+        "dirty_id",
+        F.col("cand_key").cast("long").alias("matched_key"),
+        F.col("sim_bp").cast("long").alias("sim_bp"),
+        (F.col("sim_bp") >= 7000).alias("accepted"),
+        (F.col("cand_key") == F.col("true_key")).alias("correct"),
+    )
+
+
+K_ANONYMITY_ORACLE = """
+-- k-anonymity audit over quasi-identifiers (the governance gate
+-- before a table is released for training): group by the QI tuple
+-- (nation, account-balance band, market segment), flag equivalence
+-- classes smaller than k=5 — rows in those classes are
+-- re-identifiable by QI intersection. Per-nation accounting keeps
+-- the output domain-sized and stable.
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_band,
+         c_mktsegment,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, FLOOR(c_acctbal / 2000), c_mktsegment
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT)                          AS n_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT)                                   AS n_exposed_rows,
+       CAST(MIN(class_size) AS BIGINT)                   AS min_class_size,
+       MIN(class_size) >= 5                              AS k5_anonymous
+FROM qi GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register("quality_k_anonymity", oracle=K_ANONYMITY_ORACLE)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: ONE partial-aggregated pass to QI
+    equivalence classes (|nations|x|bands|x|segments| result), then
+    domain-sized violation accounting per nation — the release gate
+    that pairs with text_pii_scrub (content-level) to cover the
+    structured side of privacy review. At 100 TB the fact table is
+    touched once; suppression/generalization decisions run on the
+    class table."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    viol = F.when(F.col("class_size") < 5, 1).otherwise(0)
+    exposed = F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+    return (
+        qi.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(viol).cast("long").alias("n_violating_classes"),
+            F.sum(exposed).cast("long").alias("n_exposed_rows"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+            (F.min("class_size") >= 5).alias("k5_anonymous"),
+        )
+        .orderBy("c_nationkey")
+    )

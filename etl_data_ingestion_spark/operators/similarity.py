@@ -251,6 +251,54 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_quantizer(emb: DataFrame, k_centroids: int, n_iter: int):
+    """Deterministic coarse quantizer: bounded 2.5k sample (documented
+    driver-side collect; production IVF trains on ~100k samples
+    regardless of corpus size), first-k init, numpy Lloyd loop.
+    Returns the (k, dim) float64 centroid matrix."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.sample(fraction=0.25, seed=42).limit(2500).collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = sample[:k_centroids].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(k_centroids):
+            pts = sample[lab == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def _nearest_centroid_udf(cents):
+    """Vectorized map-side assignment UDF: numpy argmin over the Arrow
+    batch with the centroid matrix captured in the closure (=
+    broadcast). JVM higher-order lambdas would interpret k x dim ops
+    per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents_f32 = cents.astype(np.float32)
+
+    def _nearest(embs):
+        X = np.stack(embs.to_numpy())
+        d2 = (
+            (X ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ cents_f32.T)
+            + (cents_f32 ** 2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return pandas_udf(_nearest, "int")
+
+
 IVF_TOPK_ORACLE = """
 -- IVF self-check contract (deterministic quantizer: seeded sample,
 -- first-k init, fixed Lloyd rounds): 10 results per query, recall@10
@@ -298,51 +346,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered real embeddings the same k/n_probe typically lands
     ≫90%. The honest trade, quantified and now contractual.
     """
-    import numpy as np
-
     k_centroids, n_probe, n_iter = 8, 5, 10
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in emb.sample(fraction=0.25, seed=42).limit(2500).collect()
-        ],
-        dtype=np.float64,
-    )
-    # deterministic init: first k sample points; Lloyd iterations
-    cents = sample[:k_centroids].copy()
-    for _ in range(n_iter):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        lab = d2.argmin(axis=1)
-        for c in range(k_centroids):
-            pts = sample[lab == c]
-            if len(pts):
-                cents[c] = pts.mean(axis=0)
-
+    cents = _train_quantizer(emb, k_centroids, n_iter)
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid_id int, center array<double>",
     )
-    # map-side assignment: vectorized numpy argmin over the Arrow
-    # batch (centers captured in the closure = broadcast). JVM
-    # higher-order lambdas would interpret 8×64 ops per row.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    cents_f32 = cents.astype(np.float32)
-
-    def _nearest(embs):
-        # hint-free form: module uses `from __future__ import
-        # annotations`, which breaks pyspark's type-hint inference
-        X = np.stack(embs.to_numpy())  # (batch, dim) float32
-        d2 = (
-            (X ** 2).sum(axis=1, keepdims=True)
-            - 2.0 * (X @ cents_f32.T)
-            + (cents_f32 ** 2).sum(axis=1)[None, :]
-        )
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-    nearest_centroid = pandas_udf(_nearest, "int")
+    nearest_centroid = _nearest_centroid_udf(cents)
 
     # assignment feeds ONLY the probe-scoring side; query vectors come
     # straight from the corpus scan (no centroid needed), so the UDF
@@ -765,4 +776,109 @@ def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dist"), 4).alias("inertia"),
             F.round(F.max(F.col("c")[0]), 5).alias("centroid_d0"),
         )
+    )
+
+
+INDEX_PERSIST_ORACLE = """
+-- Index lifecycle contract (build -> persist -> reload -> query):
+-- the IVF index (assignments + centroids) is WRITTEN to parquet and
+-- the query path runs entirely off the RELOADED artifacts — the
+-- production mode where the index is built once per corpus version
+-- and served many times. Pins: 10 results/query, the same 0.6 recall
+-- floor as similarity_ivf_topk (identical quantizer/probe math), and
+-- index_complete: the reloaded index covers every corpus vector with
+-- exactly k=8 centroid files.
+SELECT vec_id AS q_id,
+       CAST(10 AS BIGINT) AS ann_results,
+       TRUE AS recall_floor_ok,
+       TRUE AS index_complete
+FROM embeddings WHERE vec_id < 3
+ORDER BY q_id
+"""
+
+
+@register("similarity_index_persist_reuse", oracle=INDEX_PERSIST_ORACLE)
+def similarity_index_persist_reuse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN index lifecycle: train the coarse quantizer, assign the
+    corpus, PERSIST the index to parquet (assignments keyed by
+    vec_id, centroid table), then answer queries from the RELOADED
+    artifacts — probing joins the index to the corpus scan by vec_id,
+    so the embedding blobs are fetched only for probed cells and the
+    assignment UDF never re-runs at query time. At 100 TB this is the
+    serving shape: index build amortizes over every query; refreshes
+    ride dedup_incremental_new_docs' batch pattern (assign ONLY the
+    new batch, append to the index). index_complete value-checks
+    reload coverage (every corpus vector indexed, exactly k centroid
+    rows)."""
+    import os
+
+    from etl_data_ingestion_spark.operators.sources_scan import _scratch
+
+    k_centroids, n_probe, n_iter, k = 8, 5, 10, 10
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = _train_quantizer(emb, k_centroids, n_iter)
+    nearest_centroid = _nearest_centroid_udf(cents)
+
+    idx_path = _scratch(sf_dir, "ivf_index")
+    cent_path = _scratch(sf_dir, "ivf_centers")
+    emb.select(
+        "vec_id", nearest_centroid("embedding").alias("centroid_id")
+    ).write.mode("overwrite").parquet(idx_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, center array<double>",
+    ).write.mode("overwrite").parquet(cent_path)
+
+    # ---- query path: ONLY reloaded artifacts + the corpus scan ----
+    index = spark.read.parquet(idx_path)
+    centers = spark.read.parquet(cent_path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = queries.crossJoin(F.broadcast(centers)).select(
+        "q_id",
+        "q_emb",
+        "centroid_id",
+        cosine_similarity("q_emb", "center").alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
+    probes = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= n_probe)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    # fetch vectors for probed cells only: index join prunes the corpus
+    cand = probes.join(index, "centroid_id").join(
+        emb, "vec_id"
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        cosine_similarity("q_emb", "embedding").alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    ann = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id")
+    )
+    check = _ann_selfcheck(ann, _exact_topk(emb, k), floor=0.6)
+    # index integrity, from the RELOADED artifacts
+    integrity = (
+        index.agg(F.count(F.lit(1)).alias("idx_n"))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("emb_n")))
+        .crossJoin(centers.agg(F.count(F.lit(1)).alias("cent_n")))
+        .select(
+            (
+                (F.col("idx_n") == F.col("emb_n"))
+                & (F.col("cent_n") == k_centroids)
+            ).alias("index_complete")
+        )
+    )
+    return check.crossJoin(F.broadcast(integrity)).select(
+        "q_id", "ann_results", "recall_floor_ok", "index_complete"
     )

@@ -595,3 +595,77 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("good_key_sum"),
     )
+
+
+BUCKETED_JOIN_ORACLE = """
+-- Bucketed-storage co-located join: values are the plain aggregate;
+-- zero_exchange pins the PLAN property (no shuffle in the bucketed
+-- fact-fact SortMergeJoin) that tests/test_bucketing.py proves —
+-- here surfaced as an in-plan receipt so the driver value-checks it.
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)        AS n_items,
+       ROUND(SUM(l_extendedprice), 2)  AS revenue,
+       TRUE                            AS zero_exchange
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey < 20000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("scan_bucketed_join_zero_exchange", oracle=BUCKETED_JOIN_ORACLE)
+def scan_bucketed_join_zero_exchange(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed warehouse storage joined WITHOUT a shuffle — the
+    100 TB fact-fact strategy (pay the Exchange once at write time,
+    every subsequent join is map-side): write both sides bucketed by
+    the join key (4 buckets, sorted), join the bucketed tables with a
+    merge hint, capture the formatted plan, and emit `zero_exchange`
+    = no Exchange operator present — so the claim is value-checked by
+    the driver, not just pytest-asserted. Unique external-table names
+    + scratch paths keep the vanilla session's catalog clean-ish
+    (session-scoped, files under .scratch)."""
+    import contextlib
+    import io
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 20000)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").option(
+        "path", _scratch(sf_dir, "li_bucketed")
+    ).mode("overwrite").saveAsTable(li_name)
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").option(
+        "path", _scratch(sf_dir, "ord_bucketed")
+    ).mode("overwrite").saveAsTable(ord_name)
+    lb, ob = spark.table(li_name), spark.table(ord_name)
+    joined = lb.hint("merge").join(
+        ob, lb.l_orderkey == ob.o_orderkey
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    zero_exchange = "Exchange" not in buf.getvalue()
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "revenue",
+            F.lit(zero_exchange).alias("zero_exchange"),
+        )
+    )

@@ -199,3 +199,38 @@ def test_geo_radius_grid_equals_bruteforce(spark):
             assert abs(rows[k].nearest_km - round(min(within), 4)) < 1e-6
         else:
             assert k not in rows
+
+
+def test_bucketed_join_zero_exchange_receipt(spark):
+    rows = registry.QUERIES["scan_bucketed_join_zero_exchange"](
+        spark, SF
+    ).collect()
+    assert rows
+    assert all(r.zero_exchange for r in rows)
+
+
+def test_entity_resolution_links_planted_perturbations(spark):
+    rows = registry.QUERIES["pipeline_entity_resolution"](spark, SF).collect()
+    assert rows
+    correct = sum(1 for r in rows if r.correct)
+    assert correct / len(rows) >= 0.99  # mild perturbations, truth known
+    assert all(r.accepted for r in rows if r.correct)
+
+
+def test_k_anonymity_accounting(spark):
+    rows = registry.QUERIES["quality_k_anonymity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_violating_classes <= r.n_classes
+        assert r.k5_anonymous == (r.min_class_size >= 5)
+
+
+def test_index_persist_reuse_contract(spark):
+    rows = registry.QUERIES["similarity_index_persist_reuse"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.ann_results == 10
+        assert r.recall_floor_ok
+        assert r.index_complete
