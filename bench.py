@@ -117,6 +117,8 @@ EXTENDED = [
     "pipeline_entity_resolution",
     "quality_k_anonymity",
     "similarity_index_persist_reuse",
+    "stream_static_enrichment",
+    "scalar_collation_group",
 ]
 
 

@@ -487,3 +487,67 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "registered_domain"
         ),
     )
+
+
+COLLATION_ORACLE = """
+-- Spark-4 collation surface (UTF8_LCASE): case-insensitive equality,
+-- grouping, and sorting under a declared collation rather than
+-- lower() rewrites. The oracle states the lower() equivalent, which
+-- is exactly the semantics the collation must deliver on this ASCII
+-- fixture — making the collation path value-checked against the
+-- classical rewrite.
+WITH seg AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg_mixed
+  FROM customer
+)
+SELECT lower(seg_mixed)             AS segment_ci,
+       CAST(COUNT(*) AS BIGINT)     AS n_customers,
+       CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants
+FROM seg
+GROUP BY lower(seg_mixed)
+ORDER BY segment_ci
+"""
+
+
+@register("scalar_collation_group", oracle=COLLATION_ORACLE)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated grouping (Spark 4 collation support): a mixed-case
+    segment column grouped under UTF8_LCASE collation — the engine
+    treats case variants as equal WITHOUT a lower() rewrite, so
+    downstream code keeps the original strings while comparisons,
+    DISTINCT, and GROUP BY follow the collation. The output key is
+    normalized (lower) only for cross-engine display; the grouping
+    itself runs on the collated column. n_case_variants counts the
+    distinct raw spellings collapsed into each collated group."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg_mixed = (
+        F.when(k % 3 == 0, F.upper("c_mktsegment"))
+        .when(k % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    seg = cust.select(
+        F.expr(
+            "CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment) "
+            "WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment) "
+            "ELSE c_mktsegment END COLLATE UTF8_LCASE"
+        ).alias("seg_ci"),
+        seg_mixed.alias("seg_raw"),
+    )
+    return (
+        seg.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count_distinct("seg_raw").alias("n_case_variants"),
+        )
+        .select(
+            # normalize the collated key for engine-portable display;
+            # cast back to a binary-collation string for the sort
+            F.lower(F.col("seg_ci").cast("string")).alias("segment_ci"),
+            "n_customers",
+            F.col("n_case_variants").cast("long").alias("n_case_variants"),
+        )
+    )

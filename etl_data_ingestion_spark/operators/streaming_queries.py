@@ -303,3 +303,43 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.cast("long").alias("n_late"),
         F.round(nl / n, 4).alias("late_frac"),
     )
+
+
+STATIC_ENRICH_ORACLE = """
+-- Stream-static enrichment: events joined to the static customer
+-- dimension (user_id = c_custkey), daily windowed spend per nation.
+-- The Spark transform is shared verbatim between this batch-analogue
+-- and the genuine readStream drive in tests/test_streaming.py, so
+-- the driver value-checks the same logic the stream executes.
+SELECT STRFTIME(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_nationkey,
+       COUNT(*)                  AS events,
+       ROUND(SUM(e.value), 2)    AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY day, c_nationkey
+"""
+
+
+@register("stream_static_enrichment", oracle=STATIC_ENRICH_ORACLE)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (the lookup-join every
+    streaming pipeline runs): static side broadcasts, so the stream
+    is never shuffled on the join key; windowed aggregation follows.
+    Batch-analogue of streaming/windows.py::static_enriched_spend —
+    the SAME function handles the streaming frame (watermarked) and
+    this batch frame; test_streaming.py proves incremental execution
+    matches batch."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    from etl_data_ingestion_spark.streaming.windows import (
+        static_enriched_spend,
+    )
+
+    out = static_enriched_spend(events, customer)
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "c_nationkey",
+        "events",
+        "total_value",
+    )

