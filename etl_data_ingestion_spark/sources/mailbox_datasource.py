@@ -30,8 +30,11 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -54,6 +57,12 @@ class MailboxDataSource(DataSource):
 
     def reader(self, schema) -> "MailboxReader":
         return MailboxReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "MailboxWriter":
+        return MailboxWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "MailboxStreamWriter":
+        return MailboxStreamWriter(self.options)
 
 
 class MailboxReader(DataSourceReader):
@@ -140,3 +149,146 @@ def _mailbox_stream_reader(self, schema):
 
 
 MailboxDataSource.simpleStreamReader = _mailbox_stream_reader
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """Per-task commit message: the staged file paths this task wrote.
+    Only the driver-side commit() publishes them (rename + manifest),
+    so a failed/speculated task's staging never becomes visible."""
+
+    paths: list
+
+
+def _encode_message(row) -> str:
+    """Inverse of MailboxReader.read: wrap one attachment row back
+    into the Gmail-style message JSON (S4's urlsafe base64, S5's
+    parts tree) so written output is readable by the same source."""
+    data = base64.urlsafe_b64encode(bytes(row.content)).decode("ascii")
+    return json.dumps(
+        {
+            "id": row.message_id,
+            "payload": {
+                "mimeType": "multipart/mixed",
+                "parts": [
+                    {
+                        "filename": row.filename,
+                        "mimeType": row.mime_type,
+                        "body": {"data": data},
+                    }
+                ],
+            },
+        }
+    )
+
+
+class MailboxWriter(DataSourceWriter):
+    """Batch writer with two-phase commit: tasks stage
+    ``.staged-*.json.tmp`` files (invisible to the reader, which only
+    lists ``*.json``), the driver-side commit() atomically renames
+    every staged file into place and writes ``_MANIFEST.json``;
+    abort() deletes the staging. A task that runs twice (speculation /
+    retry) stages under a fresh uuid and only the committed task's
+    message publishes — the same files-then-pointer discipline as
+    streaming/upsert.py."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mailbox sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        task_id = uuid.uuid4().hex[:12]
+        staged = []
+        for i, row in enumerate(iterator):
+            name = f".staged-{task_id}-{i:06d}.json.tmp"
+            fpath = os.path.join(self.path, name)
+            with open(fpath, "w", encoding="utf-8") as f:
+                f.write(_encode_message(row))
+            staged.append(fpath)
+        return _StagedFiles(paths=staged)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+        published = []
+        for m in messages:
+            for staged in m.paths:
+                final = os.path.join(
+                    self.path,
+                    "msg_"
+                    + os.path.basename(staged)
+                    .removeprefix(".staged-")
+                    .removesuffix(".tmp"),
+                )
+                os.replace(staged, final)
+                published.append(os.path.basename(final))
+        manifest = os.path.join(self.path, "_MANIFEST.json")
+        with open(manifest, "w", encoding="utf-8") as f:
+            json.dump({"files": sorted(published)}, f)
+
+    def abort(self, messages):
+        for m in messages:
+            for staged in m.paths:
+                try:
+                    os.remove(staged)
+                except FileNotFoundError:
+                    pass
+
+
+class MailboxStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: same staging discipline per micro-batch, with
+    the epoch id recorded in a per-batch manifest — re-delivery of a
+    replayed epoch overwrites its own manifest idempotently instead
+    of double-publishing (the sink-side half of exactly-once; the
+    source half is MailboxStreamReader's checkpointed offsets)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mailbox sink requires a path")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        task_id = uuid.uuid4().hex[:12]
+        staged = []
+        for i, row in enumerate(iterator):
+            name = f".staged-{task_id}-{i:06d}.json.tmp"
+            fpath = os.path.join(self.path, name)
+            with open(fpath, "w", encoding="utf-8") as f:
+                f.write(_encode_message(row))
+            staged.append(fpath)
+        return _StagedFiles(paths=staged)
+
+    def commit(self, messages, batchId):
+        published = []
+        for m in messages:
+            for staged in m.paths:
+                final = os.path.join(
+                    self.path,
+                    f"msg_e{batchId:06d}_"
+                    + os.path.basename(staged)
+                    .removeprefix(".staged-")
+                    .removesuffix(".tmp"),
+                )
+                os.replace(staged, final)
+                published.append(os.path.basename(final))
+        manifest = os.path.join(self.path, f"_MANIFEST-{batchId:06d}.json")
+        with open(manifest, "w", encoding="utf-8") as f:
+            json.dump({"epoch": batchId, "files": sorted(published)}, f)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            for staged in m.paths:
+                try:
+                    os.remove(staged)
+                except FileNotFoundError:
+                    pass

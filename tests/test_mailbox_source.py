@@ -203,3 +203,106 @@ def test_mailbox_datasource_streaming_exactly_once(spark, tmp_path):
     got2 = drain()
     # exactly once: the full sink now holds each message exactly once
     assert sorted(got2) == ["m-0", "m-1", "m-2"]
+
+
+def test_mailbox_writer_roundtrip_and_manifest(spark, tmp_path):
+    from etl_data_ingestion_spark.sources.mailbox_datasource import (
+        MailboxDataSource,
+    )
+
+    spark.dataSource.register(MailboxDataSource)
+    dest = str(tmp_path / "outbox")
+    rows = [
+        (f"m{i}", f"CTB_file_{i}.tsv", "text/tab-separated-values",
+         bytearray(f"payload {i}".encode()))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, filename string, mime_type string, content binary",
+    )
+    df.write.format("mailbox").option("path", dest).mode("append").save()
+    import json as _json
+    import os as _os
+
+    manifest = _json.load(open(_os.path.join(dest, "_MANIFEST.json")))
+    assert len(manifest["files"]) == 20
+    assert not [f for f in _os.listdir(dest) if f.endswith(".tmp")]
+    back = (
+        spark.read.format("mailbox")
+        .option("path", dest)
+        .option("filenamePrefix", "CTB")
+        .load()
+    )
+    got = sorted(
+        (r.message_id, r.filename, bytes(r.content)) for r in back.collect()
+    )
+    want = sorted((m, f, bytes(c)) for m, f, _t, c in rows)
+    assert got == want
+
+
+def test_mailbox_writer_abort_leaves_destination_clean(spark, tmp_path):
+    from etl_data_ingestion_spark.sources.mailbox_datasource import (
+        MailboxWriter,
+    )
+    from pyspark.sql import Row
+
+    dest = str(tmp_path / "outbox_abort")
+    w = MailboxWriter({"path": dest}, overwrite=False)
+    msg = w.write(
+        iter(
+            [
+                Row(
+                    message_id="m0",
+                    filename="CTB_x.tsv",
+                    mime_type="text/plain",
+                    content=b"data",
+                )
+            ]
+        )
+    )
+    import os as _os
+
+    assert any(f.endswith(".tmp") for f in _os.listdir(dest))
+    w.abort([msg])
+    # staging removed, nothing published, no manifest
+    assert not [f for f in _os.listdir(dest) if f.endswith(".tmp")]
+    assert not [f for f in _os.listdir(dest) if f.endswith(".json")]
+
+
+def test_mailbox_stream_writer_epochs(spark, tmp_path):
+    from etl_data_ingestion_spark.sources.mailbox_datasource import (
+        MailboxDataSource,
+    )
+
+    spark.dataSource.register(MailboxDataSource)
+    src = str(tmp_path / "stream_in")
+    dest = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (f"s{i}", f"CTB_s{i}.tsv", "text/plain", bytearray(f"p{i}".encode()))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, filename string, mime_type string, content binary",
+    )
+    df.write.parquet(src)
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.format("mailbox")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os as _os
+
+    manifests = [f for f in _os.listdir(dest) if f.startswith("_MANIFEST-")]
+    assert manifests, "no epoch manifest written"
+    back = (
+        spark.read.format("mailbox").option("path", dest).load().collect()
+    )
+    assert sorted(r.message_id for r in back) == sorted(m for m, *_ in rows)

@@ -445,3 +445,110 @@ def test_static_enrichment_stream_matches_batch(spark, events_stream, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_transform_with_state_spend_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): run the
+    per-user spend tracker over the stream in micro-batches; the LAST
+    emitted row per user must equal the one-shot batch aggregate.
+    Requires google.protobuf (the state-server protocol runtime) —
+    skipped in containers without it, exactly like the gmail tests."""
+    pytest.importorskip("google.protobuf")
+    from etl_data_ingestion_spark.streaming.spend_tracker import (
+        batch_totals,
+        track_spend,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = str(tmp_path / "spend_src")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        track_spend(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spend_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "spend_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    out = spark.table("spend_out")
+    # last emission per user = the one with the max total_events
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "total_events", "total_value", "max_value")
+    )
+    expected = batch_totals(batch)
+    got = {r.user_id: r for r in final.collect()}
+    want = {r.user_id: r for r in expected.collect()}
+    assert set(got) == set(want)
+    for uid, g in got.items():
+        wrow = want[uid]
+        assert g.total_events == wrow.total_events, uid
+        assert abs(g.total_value - wrow.total_value) < 0.05, uid
+        assert g.max_value == wrow.max_value, uid
+
+
+def test_spend_tracker_processor_logic_with_injected_state():
+    """Unit-test the StatefulProcessor against an injected state
+    handle (no protobuf needed): carried totals accumulate across
+    handleInputRows calls exactly like the batch aggregate."""
+    import pandas as pd
+
+    from etl_data_ingestion_spark.streaming.spend_tracker import SpendTracker
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    t = SpendTracker()
+    t.init(FakeHandle())
+    out1 = list(
+        t.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.5, 2.5]})]), None
+        )
+    )[0]
+    assert out1.total_events[0] == 2 and out1.total_value[0] == 4.0
+    out2 = list(
+        t.handleInputRows((7,), iter([pd.DataFrame({"value": [6.0]})]), None)
+    )[0]
+    assert out2.batch_events[0] == 1
+    assert out2.total_events[0] == 3
+    assert out2.total_value[0] == 10.0
+    assert out2.max_value[0] == 6.0
