@@ -119,6 +119,9 @@ EXTENDED = [
     "similarity_index_persist_reuse",
     "stream_static_enrichment",
     "scalar_collation_group",
+    "timeseries_lerp_fill",
+    "agg_equi_depth_histogram",
+    "timeseries_seasonal_decompose",
 ]
 
 

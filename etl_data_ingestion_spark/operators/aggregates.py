@@ -1526,3 +1526,101 @@ def agg_quantile_histogram_rollup(
         )
         .orderBy("month")
     )
+
+
+EQUI_DEPTH_ORACLE = """
+-- Equi-depth (equal-height) histogram over lineitem quantities: the
+-- complement of agg_value_histogram's equal-width bins — bin EDGES
+-- from exact deciles, one row per decile with its population and
+-- bounds. Exact percentile_disc semantics in both engines
+-- (quantile_disc in DuckDB) keep edges engine-identical; population
+-- counts then follow deterministically via half-open bucket rules
+-- (last bucket closed).
+WITH e AS (
+  SELECT MIN(l_quantity) AS q0,
+         quantile_disc(l_quantity, 0.1) AS q1,
+         quantile_disc(l_quantity, 0.2) AS q2,
+         quantile_disc(l_quantity, 0.3) AS q3,
+         quantile_disc(l_quantity, 0.4) AS q4,
+         quantile_disc(l_quantity, 0.5) AS q5,
+         quantile_disc(l_quantity, 0.6) AS q6,
+         quantile_disc(l_quantity, 0.7) AS q7,
+         quantile_disc(l_quantity, 0.8) AS q8,
+         quantile_disc(l_quantity, 0.9) AS q9,
+         quantile_disc(l_quantity, 1.0) AS q10
+  FROM lineitem
+), qlist AS (
+  SELECT [q0, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10] AS qs FROM e
+), bounds AS (
+  SELECT i, qs[CASE WHEN i = 1 THEN 1 ELSE i END] AS lo, qs[i + 1] AS hi
+  FROM qlist, UNNEST(range(1, 11)) u(i)
+), counts AS (
+  SELECT b.i, b.lo, b.hi, COUNT(*) AS n
+  FROM bounds b JOIN lineitem l
+    ON (l.l_quantity > b.lo OR (b.i = 1 AND l.l_quantity >= b.lo))
+   AND l.l_quantity <= b.hi
+  GROUP BY b.i, b.lo, b.hi
+)
+SELECT CAST(i AS INT)        AS decile,
+       CAST(lo AS BIGINT)    AS lower_bound,
+       CAST(hi AS BIGINT)    AS upper_bound,
+       CAST(n AS BIGINT)     AS n_rows
+FROM counts ORDER BY decile
+"""
+
+
+@register("agg_equi_depth_histogram", oracle=EQUI_DEPTH_ORACLE)
+def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: exact discrete deciles (percentile_disc
+    — engine-identical edges because they're order statistics, not
+    interpolations), then one broadcast range-join of the 10-row
+    bounds table back onto the fact scan for populations. Scale
+    shape: the quantile pass is one sort-based aggregate; the count
+    pass is a broadcast theta join with 10 rows on the build side —
+    the fact table is scanned twice and shuffled never (the deciles
+    themselves are the only driver-visible state, the optimizer's
+    column-stats shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10.0}) WITHIN GROUP "
+                "(ORDER BY l_quantity)"
+            ).alias(f"q{i}")
+            for i in range(1, 11)
+        ],
+        F.min("l_quantity").alias("q0"),
+    )
+    rows = edges.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.col(f"q{i - 1}" if i > 1 else "q0").alias("lo"),
+                        F.col(f"q{i}").alias("hi"),
+                    )
+                    for i in range(1, 11)
+                ]
+            )
+        ).alias("b")
+    ).select("b.i", "b.lo", "b.hi")
+    # fix bucket 1's lo to the true min (q0), others to previous decile
+    joined = li.join(
+        F.broadcast(rows),
+        (
+            (F.col("l_quantity") > F.col("lo"))
+            | ((F.col("i") == 1) & (F.col("l_quantity") >= F.col("lo")))
+        )
+        & (F.col("l_quantity") <= F.col("hi")),
+    )
+    return (
+        joined.groupBy("i", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("i").cast("int").alias("decile"),
+            F.col("lo").cast("long").alias("lower_bound"),
+            F.col("hi").cast("long").alias("upper_bound"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

@@ -807,3 +807,181 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r.b", 4).alias("trend"),
         F.round(F.col("r.l") + F.col("r.b"), 4).alias("forecast_next"),
     )
+
+
+LERP_FILL_ORACLE = """
+-- Linear-interpolation gap fill (the lerp tier above
+-- timeseries_gap_fill_hourly's forward fill): thin the daily series
+-- to every 3rd day as "observed", rebuild the dense calendar, and
+-- fill missing days by interpolating between the bracketing
+-- observations: v = prev + (next-prev) * gap_pos/gap_len. Exact
+-- arithmetic: observed values ROUND(SUM,2); interpolation uses
+-- integer day offsets, so both engines compute identical doubles.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS v,
+         ROW_NUMBER() OVER (ORDER BY date_trunc('day', ts)) AS rn
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT d, v FROM daily WHERE rn % 3 = 1
+), cal AS (
+  SELECT UNNEST(generate_series((SELECT MIN(d) FROM obs),
+                                (SELECT MAX(d) FROM obs),
+                                INTERVAL 1 DAY)) AS d
+), joined AS (
+  SELECT c.d, o.v,
+         MAX(CASE WHEN o.v IS NOT NULL THEN c.d END)
+           OVER (ORDER BY c.d ROWS UNBOUNDED PRECEDING) AS prev_d,
+         MIN(CASE WHEN o.v IS NOT NULL THEN c.d END)
+           OVER (ORDER BY c.d ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS next_d
+  FROM cal c LEFT JOIN obs o USING (d)
+), vals AS (
+  SELECT j.d, j.v, j.prev_d, j.next_d,
+         p.v AS prev_v, n.v AS next_v
+  FROM joined j
+  LEFT JOIN obs p ON p.d = j.prev_d
+  LEFT JOIN obs n ON n.d = j.next_d
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       v IS NOT NULL AS observed,
+       ROUND(COALESCE(v,
+         prev_v + (next_v - prev_v)
+           * (DATE_DIFF('day', prev_d, d) * 1.0
+              / DATE_DIFF('day', prev_d, next_d))), 4) AS filled_value
+FROM vals ORDER BY day
+"""
+
+
+@register("timeseries_lerp_fill", oracle=LERP_FILL_ORACLE)
+def timeseries_lerp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: dense calendar via sequence/
+    explode, bracketing observations found with last(ignorenulls)/
+    first(ignorenulls) frames (NOT a self-join per gap), lerp on
+    integer day offsets. Scale shape matches gap_fill_hourly: the
+    fact table collapses to the day grain first; all window work runs
+    on the |days|-sized series (per-key at scale: same frames inside
+    partitionBy(key))."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("d"))
+        )
+    )
+    obs = daily.filter(F.col("rn") % 3 == 1).select("d", "v")
+    bounds = obs.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    j = cal.join(obs, "d", "left")
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    marked = j.select(
+        "d",
+        "v",
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True
+        )
+        .over(w_prev)
+        .alias("prev_d"),
+        F.first(
+            F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True
+        )
+        .over(w_next)
+        .alias("next_d"),
+    )
+    pv = obs.select(F.col("d").alias("prev_d"), F.col("v").alias("prev_v"))
+    nv = obs.select(F.col("d").alias("next_d"), F.col("v").alias("next_v"))
+    vals = marked.join(F.broadcast(pv), "prev_d", "left").join(
+        F.broadcast(nv), "next_d", "left"
+    )
+    gap_pos = F.datediff(F.col("d"), F.col("prev_d"))
+    gap_len = F.datediff(F.col("next_d"), F.col("prev_d"))
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        gap_pos * 1.0 / gap_len
+    )
+    return vals.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(F.coalesce(F.col("v"), lerp), 4).alias("filled_value"),
+    ).orderBy("day")
+
+
+SEASONAL_ORACLE = """
+-- Seasonal-naive decomposition of the daily series: additive model
+-- value = trend(overall mean) + seasonal(dow mean - overall mean)
+-- + residual. The classical STL-lite baseline every anomaly pipeline
+-- starts from; residual z-scores flag days that deviate beyond their
+-- weekday's norm. Exact: daily totals ROUND(SUM,2); means over small
+-- counts rounded at the end only.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT AVG(v) AS overall FROM daily
+), dow AS (
+  SELECT dayofweek(d) AS dw, AVG(v) AS dow_mean
+  FROM daily GROUP BY 1
+)
+SELECT STRFTIME(d.d, '%Y-%m-%d')             AS day,
+       CAST(dayofweek(d.d) + 1 AS INT)       AS dow, -- 0-based Sunday -> Spark's 1-based face
+       d.v                                   AS daily_total,
+       ROUND(s.overall, 4)                   AS trend,
+       ROUND(w.dow_mean - s.overall, 4)      AS seasonal,
+       ROUND(d.v - w.dow_mean, 4)            AS residual
+FROM daily d
+JOIN dow w ON w.dw = dayofweek(d.d)
+CROSS JOIN stats s
+ORDER BY day
+"""
+
+
+@register("timeseries_seasonal_decompose", oracle=SEASONAL_ORACLE)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive seasonal-naive decomposition (trend = overall mean,
+    seasonal = weekday mean deviation, residual = the anomaly
+    signal). Scale shape: |events| collapses to |days| once; the
+    trend/seasonal tables are 1-row and 7-row broadcast aggregates;
+    everything after the day rollup is domain-sized. Per-key
+    decomposition at scale = the same aggregates under groupBy(key).
+
+    Weekday numbering: Spark's dayofweek is 1-based (Sunday=1),
+    DuckDB's 0-based (Sunday=0); the oracle emits dayofweek+1 so the
+    faces match. The dow-mean JOIN keys are each engine's native
+    numbering on both sides of its own join, so the shift only
+    affects the display column."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    stats = daily.agg(F.avg("v").alias("overall"))
+    dow = daily.groupBy(F.dayofweek("d").alias("dw")).agg(
+        F.avg("v").alias("dow_mean")
+    )
+    return (
+        daily.join(F.broadcast(dow), F.dayofweek("d") == F.col("dw"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("d").cast("int").alias("dow"),
+            F.col("v").alias("daily_total"),
+            F.round("overall", 4).alias("trend"),
+            F.round(F.col("dow_mean") - F.col("overall"), 4).alias(
+                "seasonal"
+            ),
+            F.round(F.col("v") - F.col("dow_mean"), 4).alias("residual"),
+        )
+        .orderBy("day")
+    )

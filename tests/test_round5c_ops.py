@@ -234,3 +234,44 @@ def test_index_persist_reuse_contract(spark):
         assert r.ann_results == 10
         assert r.recall_floor_ok
         assert r.index_complete
+
+
+def test_lerp_fill_interpolates_linearly(spark):
+    rows = registry.QUERIES["timeseries_lerp_fill"](spark, SF).collect()
+    assert rows
+    by_day = {r.day: r for r in rows}
+    obs = [r for r in rows if r.observed]
+    gaps = [r for r in rows if not r.observed]
+    assert obs and gaps
+    # every gap value strictly between (or equal to) its bracketing
+    # observations' min/max — the lerp invariant
+    days = sorted(by_day)
+    for r in gaps:
+        prev = max((d for d in days if d < r.day and by_day[d].observed),
+                   default=None)
+        nxt = min((d for d in days if d > r.day and by_day[d].observed),
+                  default=None)
+        if prev and nxt:
+            lo = min(by_day[prev].filled_value, by_day[nxt].filled_value)
+            hi = max(by_day[prev].filled_value, by_day[nxt].filled_value)
+            assert lo - 1e-6 <= r.filled_value <= hi + 1e-6
+
+
+def test_equi_depth_histogram_depth_balance(spark):
+    rows = registry.QUERIES["agg_equi_depth_histogram"](spark, SF).collect()
+    assert len(rows) == 10
+    total = sum(r.n_rows for r in rows)
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert total == n  # partition of the table
+    # equi-depth: each decile within 2x of the ideal tenth (discrete
+    # ties can unbalance small data)
+    for r in rows:
+        assert r.n_rows <= 2 * (n / 10) + 50
+
+
+def test_seasonal_decompose_identity(spark):
+    rows = registry.QUERIES["timeseries_seasonal_decompose"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # additive identity: total = trend + seasonal + residual
+        assert abs(r.daily_total - (r.trend + r.seasonal + r.residual)) < 0.01
