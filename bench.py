@@ -122,6 +122,7 @@ EXTENDED = [
     "timeseries_lerp_fill",
     "agg_equi_depth_histogram",
     "timeseries_seasonal_decompose",
+    "graph_triangle_count",
 ]
 
 

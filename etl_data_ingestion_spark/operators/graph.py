@@ -15,7 +15,7 @@ pure so the oracle can mirror it exactly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
@@ -188,3 +188,161 @@ def graph_reachability_recursive(
     superstep shape as the hand-rolled loops but declared in SQL."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(REACHABILITY_ORACLE)
+
+
+TRIANGLE_ORACLE = """
+-- Triangle counting with DEGREE-ORDERED edge orientation (the
+-- standard scalable formulation: orienting every edge from its
+-- lower-(degree,id) endpoint to the higher one makes each triangle
+-- countable exactly once and bounds every node's out-degree by
+-- O(sqrt(|E|)), so the wedge join never explodes on hubs). Graph:
+-- supplier pairs in the TOP DECILE of shared-customer counts (the
+-- p90 cut is an exact order statistic — engine-identical and
+-- scale-free, where any fixed count threshold degenerates to a
+-- complete or empty graph as sf changes).
+WITH cs0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_suppkey < 1000
+), cs AS (
+  -- posting-list cap (dedup-tier discipline): each customer
+  -- contributes pairs from its 20 SMALLEST supplier ids only —
+  -- deterministic, mirrored in both engines; bounds the per-customer
+  -- quadratic at 190 pairs so the build can't blow up at any sf
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM cs0
+  ) WHERE rn <= 20
+), allpairs AS (
+  SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+), cut AS (
+  SELECT quantile_disc(shared, 0.90) AS thr FROM allpairs
+), pairs AS (
+  SELECT u, v FROM allpairs, cut WHERE shared >= thr
+), und AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), deg AS (
+  SELECT u AS n, COUNT(*) AS d FROM und GROUP BY u
+), oriented AS (
+  SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM pairs e
+  JOIN deg da ON da.n = e.u
+  JOIN deg db ON db.n = e.v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.a = e1.b
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)    AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT)  AS n_edges,
+       CAST(COUNT(*) AS BIGINT)                      AS n_triangles
+FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the supplier co-purchase graph via
+    degree-ordered orientation: each undirected edge points from its
+    lower-(degree, id) endpoint to the higher, every triangle is
+    counted exactly once, and out-degrees are O(sqrt(|E|))-bounded so
+    the wedge self-join stays polynomial even with hub nodes — the
+    formulation that survives power-law graphs at scale. The only
+    fact-sized work is the shared-customer edge build (one distinct
+    + one count aggregate); orientation, wedges, and closure checks
+    run on the |E|-sized edge list (checkpointed once for its three
+    consumers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") < 1000)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    # posting-list cap (same discipline as the dedup inverted index):
+    # 20 smallest supplier ids per customer — deterministic, bounds
+    # the per-customer pair quadratic at C(20,2); without it sf1's
+    # ~40-supplier customers emit ~120M pair rows over a 50M-key
+    # aggregation space (OOMed local[32] in the sf1 sweep)
+    wcap = Window.partitionBy("c").orderBy("s")
+    cs = (
+        cs0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 20)
+        .select("c", "s")
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    allpairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # p90 cut: exact order statistic (engine-identical, scale-free —
+    # a fixed count threshold degenerates to complete/empty as sf
+    # moves); 1-row aggregate broadcast onto the pair table
+    cut = allpairs.agg(
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY shared)"
+        ).alias("thr")
+    )
+    pairs = (
+        allpairs.crossJoin(F.broadcast(cut))
+        .filter(F.col("shared") >= F.col("thr"))
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint()
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(counts)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

@@ -275,3 +275,45 @@ def test_seasonal_decompose_identity(spark):
     for r in rows:
         # additive identity: total = trend + seasonal + residual
         assert abs(r.daily_total - (r.trend + r.seasonal + r.residual)) < 0.01
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    row = registry.QUERIES["graph_triangle_count"](spark, SF).collect()[0]
+    # brute-force reference on the same derived graph
+    import itertools
+    from collections import Counter
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    okey_cust = {o.o_orderkey: o.o_custkey for o in orders}
+    cs = {(okey_cust[l.l_orderkey], l.l_suppkey) for l in li
+          if l.l_orderkey in okey_cust and l.l_suppkey < 1000}
+    by_cust = {}
+    for c, s in cs:
+        by_cust.setdefault(c, set()).add(s)
+    # mirror the operator's deterministic posting-list cap
+    by_cust = {c: set(sorted(ss)[:20]) for c, ss in by_cust.items()}
+    shared = Counter()
+    for c, ss in by_cust.items():
+        for u, v in itertools.combinations(sorted(ss), 2):
+            shared[(u, v)] += 1
+    if not shared:
+        assert row.n_edges == 0
+        return
+    counts = sorted(shared.values())
+    # quantile_disc(0.90): smallest value with cume_dist >= 0.90
+    import math
+
+    thr = counts[math.ceil(0.90 * len(counts)) - 1]
+    edges = {e for e, n in shared.items() if n >= thr}
+    assert row.n_edges == len(edges)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    assert row.n_triangles == tri // 3  # each triangle seen from 3 edges
+    # sanity: nodes = endpoints of kept edges
+    assert row.n_nodes == len(adj)
