@@ -123,6 +123,9 @@ EXTENDED = [
     "agg_equi_depth_histogram",
     "timeseries_seasonal_decompose",
     "graph_triangle_count",
+    "multimodal_image_ahash_dedup",
+    "graph_link_prediction",
+    "funnel_conversion_latency",
 ]
 
 

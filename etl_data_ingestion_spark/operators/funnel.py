@@ -547,3 +547,76 @@ def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("long").alias("n_bounces"),
         (conv > 0).alias("converted"),
     )
+
+
+FUNNEL_LATENCY_ORACLE = """
+-- Time-to-convert percentiles: for each user's FIRST view -> FIRST
+-- subsequent purchase, the conversion latency distribution in
+-- minutes — the product-metric companion to the windowed funnel.
+-- Exact discrete percentiles (order statistics — engine-identical);
+-- integer minutes via explicit FLOOR(epoch/60) — duckdb's // does
+-- NOT floor DOUBLE operands (epoch() returns fractional seconds).
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), first_purchase AS (
+  SELECT f.user_id, MIN(e.ts) AS p_ts
+  FROM first_view f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts > f.v_ts
+  GROUP BY f.user_id
+), lat AS (
+  SELECT FLOOR(epoch(p.p_ts) / 60) - FLOOR(epoch(f.v_ts) / 60) AS mins
+  FROM first_view f JOIN first_purchase p USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT)                        AS n_converted,
+       CAST(quantile_disc(mins, 0.50) AS BIGINT)       AS p50_minutes,
+       CAST(quantile_disc(mins, 0.90) AS BIGINT)       AS p90_minutes,
+       CAST(quantile_disc(mins, 0.99) AS BIGINT)       AS p99_minutes,
+       CAST(MAX(mins) AS BIGINT)                       AS max_minutes
+FROM lat
+"""
+
+
+@register("funnel_conversion_latency", oracle=FUNNEL_LATENCY_ORACLE)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles (first view -> first later
+    purchase per user): two filtered per-user MIN aggregates (one
+    user_id Exchange each, map-side combined), a user-sized join,
+    then exact discrete percentiles over the |converted users|-sized
+    latency column. Integer-minute latencies via epoch-second floor
+    division keep the order statistics engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        fv.join(
+            ev.filter(F.col("event_type") == "purchase"),
+            "user_id",
+        )
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        (
+            F.floor(F.unix_timestamp("p_ts") / 60)
+            - F.floor(F.unix_timestamp("v_ts") / 60)
+        ).alias("mins")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY mins)")
+        .cast("long")
+        .alias("p50_minutes"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY mins)")
+        .cast("long")
+        .alias("p90_minutes"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY mins)")
+        .cast("long")
+        .alias("p99_minutes"),
+        F.max("mins").cast("long").alias("max_minutes"),
+    )

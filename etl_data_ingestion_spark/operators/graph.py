@@ -346,3 +346,123 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+LINK_PREDICTION_ORACLE = """
+-- Common-neighbors link prediction over the supplier co-purchase
+-- graph (same bounded p90 edge build as graph_triangle_count): for
+-- supplier pairs NOT already linked, count shared neighbors; the
+-- top-scored unlinked pairs are the recommendation candidates. The
+-- wedge join (edges x edges through the common endpoint) is the same
+-- bounded shape as triangle counting; the anti-join removes existing
+-- edges. Top 10, fully tie-broken.
+WITH cs0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_suppkey < 1000
+), cs AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM cs0
+  ) WHERE rn <= 20
+), allpairs AS (
+  SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+), cut AS (
+  SELECT quantile_disc(shared, 0.90) AS thr FROM allpairs
+), pairs AS (
+  SELECT u, v FROM allpairs, cut WHERE shared >= thr
+), und AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), wedges AS (
+  SELECT e1.v AS a, e2.v AS b, COUNT(*) AS common
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY e1.v, e2.v
+), unlinked AS (
+  SELECT w.a, w.b, w.common
+  FROM wedges w LEFT JOIN pairs p ON p.u = w.a AND p.v = w.b
+  WHERE p.u IS NULL
+)
+SELECT CAST(a AS BIGINT) AS supplier_a,
+       CAST(b AS BIGINT) AS supplier_b,
+       CAST(common AS BIGINT) AS common_neighbors
+FROM unlinked
+ORDER BY common DESC, a, b
+LIMIT 10
+"""
+
+
+@register("graph_link_prediction", oracle=LINK_PREDICTION_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction: rank UNLINKED supplier pairs
+    by shared graph neighbors — the classic recommendation baseline.
+    Same bounded edge build as graph_triangle_count (posting-list
+    cap + p90 order-statistic cut), wedge aggregation through the
+    shared endpoint, anti-join against existing edges, top-10 with
+    full tie-break. All post-edge-build work is |E|-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") < 1000)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    wcap = Window.partitionBy("c").orderBy("s")
+    cs = (
+        cs0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 20)
+        .select("c", "s")
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    allpairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cut = allpairs.agg(
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY shared)"
+        ).alias("thr")
+    )
+    pairs = (
+        allpairs.crossJoin(F.broadcast(cut))
+        .filter(F.col("shared") >= F.col("thr"))
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u"))
+            & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.v").alias("wa"), F.col("e2.v").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    unlinked = wedges.join(
+        pairs,
+        (F.col("u") == F.col("wa")) & (F.col("v") == F.col("wb")),
+        "left_anti",
+    )
+    return (
+        unlinked.select(
+            F.col("wa").cast("long").alias("supplier_a"),
+            F.col("wb").cast("long").alias("supplier_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "supplier_a", "supplier_b")
+        .limit(10)
+    )

@@ -1316,3 +1316,183 @@ def multimodal_spectrogram_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_mag double, frame_power double"
         ),
     )
+
+
+AHASH_DEDUP_ORACLE = """
+-- Perceptual near-duplicate image detection via average-hash: decode
+-- -> 4x4 NN thumbnail -> threshold each cell at the thumbnail mean ->
+-- 16-bit hash -> pair images at Hamming distance <= 2. Re-encodes
+-- (doc pairs where one is the PLANTED mild brightness-shifted copy of
+-- the other) hash near-identically while distinct images differ.
+-- Pixel content is a pure function of ids, so the oracle derives
+-- every hash bit in closed form and the pair set is exact. Mean
+-- comparison uses integer cross-multiplication (16*g vs sum) — no
+-- float thresholds to break parity.
+WITH base AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+         CAST(doc_id % 97 AS INT) AS shift, 0 AS planted
+  FROM documents WHERE doc_id < 150
+), imgs AS (
+  SELECT doc_id, w, h, shift, planted FROM base
+  UNION ALL
+  -- planted near-dup: same geometry, +3 brightness (mod-free clamp
+  -- not needed: shift stays < 100, pixels < 256 by construction)
+  SELECT doc_id + 7000000, w, h, shift + 3, 1 FROM base
+  WHERE doc_id % 5 = 0
+), cells AS (
+  SELECT i.doc_id, i.w, i.h, i.shift, ty.ty, tx.tx,
+         (ty.ty * i.h) // 4 AS sy, (tx.tx * i.w) // 4 AS sx
+  FROM imgs i, UNNEST(range(0, 4)) ty(ty), UNNEST(range(0, 4)) tx(tx)
+), gray AS (
+  -- gray value: the SAME synthesis family as the patch-embed tier
+  -- ((id7 + y3 + x5) base pattern) with a per-image brightness shift;
+  -- planted copies share the base doc_id so their pattern matches
+  SELECT doc_id, ty, tx,
+         ((doc_id % 1000000) * 7 + sy * 3 + sx * 5) % 156 + shift AS g
+  FROM cells
+), hash_bits AS (
+  SELECT doc_id, ty * 4 + tx AS bit,
+         CASE WHEN 16 * g > SUM(g) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS b
+  FROM gray
+), hashes AS (
+  SELECT doc_id,
+         SUM(b * (1 << bit)) AS ahash
+  FROM hash_bits GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT)) AS hamming
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 2 AND doc_b = doc_a + 7000000
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("multimodal_image_ahash_dedup", oracle=AHASH_DEDUP_ORACLE)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: REAL decode (synthesize PNG bytes
+    incl. planted brightness-shifted re-encodes, parse via
+    _parse_png), 4x4 average-hash (cell > mean -> bit), then the
+    SIMHASH BANDING trick applied to images: split the 16-bit hash
+    into 4-bit bands — Hamming <= 2 guarantees >= 2 intact bands
+    (pigeonhole), so candidates come from band-key equi-joins, not an
+    all-pairs scan — and verify exact Hamming on candidates only.
+    Output restricted to planted-copy pairs so the result is stable
+    across engines while the banded search does the real work.
+
+    At 100 TB: hashes are 2 bytes/image; the band Exchanges carry
+    (band_key, doc_id) only; the quadratic exists solely inside
+    shared 4-bit-band buckets — the image-side twin of
+    dedup_simhash_banded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def synth_img(doc_id: int) -> bytes:
+        base = doc_id % 1000000
+        shift = (base % 97) + (3 if doc_id >= 7000000 else 0)
+        w, h = 8 + base % 8, 4 + base % 4
+        raw = b"".join(
+            b"\x00"
+            + bytes(
+                ((base * 7 + y * 3 + x * 5) % 156 + shift) & 0xFF
+                for x in range(w)
+            )
+            for y in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch, pixels = _parse_png(synth_img(d))
+                mat = np.asarray(pixels, dtype=np.int64).reshape(h, w)
+                ys = (np.arange(4) * h) // 4
+                xs = (np.arange(4) * w) // 4
+                thumb = mat[np.ix_(ys, xs)]
+                total = int(thumb.sum())
+                bits = (16 * thumb.ravel() > total).astype(np.int64)
+                ah = int((bits << np.arange(16)).sum())
+                rows.append({"doc_id": d, "ahash": ah})
+        if rows:
+            yield pd.DataFrame(rows)
+
+    ids = docs.select("doc_id").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 7000000).alias("doc_id")
+        )
+    )
+    hashes = ids.mapInPandas(
+        hash_batch, schema="doc_id long, ahash long"
+    ).localCheckpoint()
+    # banded candidate generation: 4 bands x 4 bits; hamming <= 2
+    # leaves >= 2 intact bands, so every true pair shares a band key
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("ahash", 4 * i)
+                        .bitwiseAND(F.lit(15))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.band", "b.key")
+    a = bands.alias("ba")
+    b = bands.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+            F.col("ba.ahash").alias("ha"),
+            F.col("bb.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    verified = cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= 2)
+    return verified.filter(
+        F.col("doc_b") == F.col("doc_a") + 7000000
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))

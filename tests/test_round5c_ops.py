@@ -317,3 +317,26 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_triangles == tri // 3  # each triangle seen from 3 edges
     # sanity: nodes = endpoints of kept edges
     assert row.n_nodes == len(adj)
+
+
+def test_ahash_finds_planted_brightness_copies(spark):
+    rows = registry.QUERIES["multimodal_image_ahash_dedup"](spark, SF).collect()
+    assert rows, "no planted near-dup image pairs found"
+    for r in rows:
+        assert r.doc_b == r.doc_a + 7000000
+        assert r.hamming <= 2  # brightness shift barely moves aHash
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    preds = registry.QUERIES["graph_link_prediction"](spark, SF).collect()
+    assert preds
+    assert all(p.common_neighbors >= 1 for p in preds)
+    # descending score order with deterministic tie-break
+    scores = [p.common_neighbors for p in preds]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_conversion_latency_percentile_ordering(spark):
+    r = registry.QUERIES["funnel_conversion_latency"](spark, SF).collect()[0]
+    assert r.n_converted > 0
+    assert r.p50_minutes <= r.p90_minutes <= r.p99_minutes <= r.max_minutes
