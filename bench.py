@@ -126,6 +126,10 @@ EXTENDED = [
     "multimodal_image_ahash_dedup",
     "graph_link_prediction",
     "funnel_conversion_latency",
+    "warehouse_zorder_skipping",
+    "agg_welch_ttest",
+    "multimodal_audio_vad_segments",
+    "join_scd2_temporal",
 ]
 
 

@@ -1624,3 +1624,92 @@ def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
         )
     )
+
+
+WELCH_TTEST_ORACLE = """
+-- Welch's two-sample t-test per event_type: users hash-split into
+-- deterministic A/B arms (the experimentation primitive), t statistic
+-- and Welch-Satterthwaite degrees of freedom from one-pass
+-- co-moments. Exact: variances from VAR_SAMP over identical
+-- populations; t and df ROUND(...,4) (inputs differ only by
+-- summation-order epsilon ~1e-12, far from the rounding boundary).
+-- significant_2sided pins |t| > 1.96 (the z approximation — df is in
+-- the thousands here, documented).
+WITH armed AS (
+  SELECT event_type, value,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+  FROM events
+), stats AS (
+  SELECT event_type, arm, COUNT(*) AS n, AVG(value) AS m,
+         VAR_SAMP(value) AS v
+  FROM armed GROUP BY event_type, arm
+), wide AS (
+  SELECT a.event_type,
+         a.n AS na, a.m AS ma, a.v AS va,
+         b.n AS nb, b.m AS mb, b.v AS vb
+  FROM (SELECT * FROM stats WHERE arm = 'a') a
+  JOIN (SELECT * FROM stats WHERE arm = 'b') b USING (event_type)
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma - mb, 4) AS mean_diff,
+       ROUND((ma - mb) / SQRT(va / na + vb / nb), 4) AS t_stat,
+       ROUND(POW(va / na + vb / nb, 2)
+             / (POW(va / na, 2) / (na - 1)
+                + POW(vb / nb, 2) / (nb - 1)), 2) AS welch_df,
+       ABS((ma - mb) / SQRT(va / na + vb / nb)) > 1.96
+         AS significant_2sided
+FROM wide ORDER BY event_type
+"""
+
+
+@register("agg_welch_ttest", oracle=WELCH_TTEST_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test between deterministic hash-split A/B arms, per
+    event_type — the experimentation-readout primitive. ONE
+    partial-aggregated pass to (type, arm) co-moments (count/mean/
+    var), then all test math on the |types|x2 table; the fact table
+    is never joined or windowed. Null hypothesis is TRUE by
+    construction (arms are a hash split of the same population), so
+    significance flags stay false at any scale — which the oracle
+    pins, making a spurious-significance bug (wrong df, pooled-vs-
+    Welch variance mixup) a value failure."""
+    ev = load_table(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+    )
+    stats = armed.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = stats.filter(F.col("arm") == "a").select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = stats.filter(F.col("arm") == "b").select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    w = a.join(b, "event_type")
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return w.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_2sided"),
+    ).orderBy("event_type")

@@ -1496,3 +1496,123 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(
         F.col("doc_b") == F.col("doc_a") + 7000000
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+VAD_ORACLE = """
+-- Voice-activity segmentation over REAL decoded audio: each asset is
+-- 16 frames x 64 samples of PCM WAV (stdlib `wave` roundtrip) where
+-- frame f carries a sinusoid iff (doc_id + f) % 4 != 0 (else
+-- silence). VAD = frame RMS energy > half the max frame energy, then
+-- gaps-and-islands for segment accounting. The speech mask is a pure
+-- function of doc_id, so segment counts/extents are exact.
+WITH frames AS (
+  SELECT doc_id, f.f AS fi,
+         CASE WHEN (doc_id + f.f) % 4 <> 0 THEN 1 ELSE 0 END AS sp
+  FROM documents, UNNEST(range(0, 16)) f(f)
+  WHERE doc_id < 150
+), isl AS (
+  SELECT doc_id, fi, sp,
+         fi - ROW_NUMBER() OVER (PARTITION BY doc_id, sp ORDER BY fi)
+           AS grp
+  FROM frames
+), segs AS (
+  SELECT doc_id, COUNT(*) AS seg_len
+  FROM isl WHERE sp = 1 GROUP BY doc_id, grp
+)
+SELECT f.doc_id,
+       CAST(16 AS INT)                    AS n_frames,
+       CAST(SUM(f.sp) AS BIGINT)          AS n_speech_frames,
+       CAST((SELECT COUNT(*) FROM segs s WHERE s.doc_id = f.doc_id)
+            AS BIGINT)                    AS n_segments,
+       CAST((SELECT MAX(seg_len) FROM segs s WHERE s.doc_id = f.doc_id)
+            AS BIGINT)                    AS longest_segment
+FROM frames f GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
+@register("multimodal_audio_vad_segments", oracle=VAD_ORACLE)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over genuinely encoded
+    WAV bytes: synthesize PCM (speech frames carry a sinusoid,
+    silence frames zeros), roundtrip through stdlib `wave`, compute
+    per-frame RMS energy from the DECODED int16 samples, threshold at
+    half the max frame energy, and reduce to speech segments with
+    numpy gaps-and-islands — the segmentation stage an ASR-data
+    pipeline runs before transcription. Payload bytes cross the
+    Python boundary once; only per-asset segment accounting exits."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    nfft, nframes, sr = 64, 16, 8000
+
+    def synth_wav(d: int) -> bytes:
+        n = np.arange(nfft)
+        sig = np.concatenate(
+            [
+                (
+                    (0.5 * np.sin(2 * np.pi * 4 * n / nfft)) if (d + f) % 4
+                    else np.zeros(nfft)
+                )
+                for f in range(nframes)
+            ]
+        )
+        pcm = (sig * 32767).astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                with wave.open(io.BytesIO(synth_wav(d)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    samples = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.float64)
+                frames = samples.reshape(nframes, nfft)
+                energy = np.sqrt((frames * frames).mean(axis=1))
+                mask = energy > energy.max() / 2
+                # gaps-and-islands on the boolean mask
+                idx = np.flatnonzero(mask)
+                if idx.size:
+                    breaks = np.flatnonzero(np.diff(idx) > 1)
+                    seg_lens = np.diff(
+                        np.concatenate(([0], breaks + 1, [idx.size]))
+                    )
+                    n_segments = int(seg_lens.size)
+                    longest = int(seg_lens.max())
+                else:
+                    n_segments, longest = 0, 0
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": nframes,
+                        "n_speech_frames": int(mask.sum()),
+                        "n_segments": n_segments,
+                        "longest_segment": longest,
+                    }
+                )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        vad,
+        schema=(
+            "doc_id long, n_frames int, n_speech_frames long, "
+            "n_segments long, longest_segment long"
+        ),
+    )

@@ -9,7 +9,7 @@ the oracle verifies DETECTION, not just bookkeeping.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
@@ -586,4 +586,230 @@ def warehouse_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("merge_identity_holds"),
         )
         .orderBy("event_type")
+    )
+
+
+ZORDER_ORACLE = """
+-- Z-order (Morton) layout vs single-key sort: interleave the bits of
+-- (user bucket, value bucket) into a morton key, block rows 1000 at
+-- a time in each layout, and measure DATA SKIPPING for point probes
+-- on the SECONDARY dimension: a block can be skipped when the probed
+-- user_id falls outside its [min,max]. Sorting only by value gives
+-- near-zero skipping on user probes; morton order preserves locality
+-- in BOTH dimensions. The skip fractions are exact properties of the
+-- deterministic layout, so both engines state them identically.
+WITH coded AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value / 8.0) AS BIGINT) AS vb,
+         user_id % 64 AS ub
+  FROM events
+), morton AS (
+  SELECT event_id, user_id,
+         -- interleave 6 bits of ub (odd positions) and vb (even)
+         ((ub & 1) * 2 + (ub & 2) * 4 + (ub & 4) * 8
+          + (ub & 8) * 16 + (ub & 16) * 32 + (ub & 32) * 64
+          + (vb & 1) + (vb & 2) * 2 + (vb & 4) * 4
+          + (vb & 8) * 8 + (vb & 16) * 16 + (vb & 32) * 32) AS zkey,
+         vb
+  FROM coded
+), zblocks AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1) // 1000
+           AS blk,
+         user_id
+  FROM morton
+), vblocks AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vb, event_id) - 1) // 1000
+           AS blk,
+         user_id
+  FROM morton
+), zstats AS (
+  SELECT blk, MIN(user_id) AS lo, MAX(user_id) AS hi FROM zblocks
+  GROUP BY blk
+), vstats AS (
+  SELECT blk, MIN(user_id) AS lo, MAX(user_id) AS hi FROM vblocks
+  GROUP BY blk
+), probes AS (
+  SELECT u.u AS probe FROM UNNEST(range(0, 150, 10)) u(u)
+), zskip AS (
+  SELECT p.probe, SUM(CASE WHEN p.probe < z.lo OR p.probe > z.hi
+                           THEN 1 ELSE 0 END) AS skipped,
+         COUNT(*) AS total
+  FROM probes p CROSS JOIN zstats z GROUP BY p.probe
+), vskip AS (
+  SELECT p.probe, SUM(CASE WHEN p.probe < v.lo OR p.probe > v.hi
+                           THEN 1 ELSE 0 END) AS skipped,
+         COUNT(*) AS total
+  FROM probes p CROSS JOIN vstats v GROUP BY p.probe
+)
+SELECT CAST((SELECT MAX(total) FROM zskip) AS BIGINT) AS n_blocks,
+       ROUND((SELECT SUM(skipped) * 1.0 / SUM(total) FROM zskip), 4)
+         AS zorder_skip_frac,
+       ROUND((SELECT SUM(skipped) * 1.0 / SUM(total) FROM vskip), 4)
+         AS valuesort_skip_frac,
+       (SELECT SUM(skipped) FROM zskip) >= (SELECT SUM(skipped) FROM vskip)
+         AS zorder_wins
+"""
+
+
+@register("warehouse_zorder_skipping", oracle=ZORDER_ORACLE)
+def warehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout: Morton (Z-order) interleaving of
+    (user, value) buckets vs a single-key sort, measured by the thing
+    that matters at 100 TB — min/max data skipping for probes on the
+    secondary dimension. Blocks of 1000 rows stand in for parquet
+    row groups; per-block [min,max] stats are exactly what the scan
+    planner prunes with. The morton key is pure JVM bit algebra
+    (identical expression in the oracle), the block assignment a
+    deterministic ROW_NUMBER partition, and the skip fractions exact
+    — value-checking that Z-ORDER CLUSTERING actually buys secondary-
+    dimension pruning where value-sort gives none."""
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") / 8.0).cast("long").alias("vb"),
+        (F.col("user_id") % 64).alias("ub"),
+    )
+    ub, vb = F.col("ub"), F.col("vb")
+    zkey = (
+        (ub.bitwiseAND(1) * 2) + (ub.bitwiseAND(2) * 4)
+        + (ub.bitwiseAND(4) * 8) + (ub.bitwiseAND(8) * 16)
+        + (ub.bitwiseAND(16) * 32) + (ub.bitwiseAND(32) * 64)
+        + vb.bitwiseAND(1) + (vb.bitwiseAND(2) * 2)
+        + (vb.bitwiseAND(4) * 4) + (vb.bitwiseAND(8) * 8)
+        + (vb.bitwiseAND(16) * 16) + (vb.bitwiseAND(32) * 32)
+    )
+    morton = coded.select("event_id", "user_id", zkey.alias("zkey"), "vb")
+
+    def block_stats(df, order_col):
+        w = Window.orderBy(order_col, "event_id")
+        return (
+            df.withColumn(
+                "blk", ((F.row_number().over(w) - 1) / 1000).cast("long")
+            )
+            .groupBy("blk")
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        )
+
+    zstats = block_stats(morton, F.col("zkey"))
+    vstats = block_stats(morton, F.col("vb"))
+    probes = ev.sparkSession.range(0, 150, 10).select(
+        F.col("id").alias("probe")
+    )
+
+    def skip_frac(stats):
+        j = probes.crossJoin(F.broadcast(stats))
+        return j.agg(
+            F.sum(
+                F.when(
+                    (F.col("probe") < F.col("lo"))
+                    | (F.col("probe") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("skipped"),
+            F.count(F.lit(1)).alias("total"),
+        )
+
+    z = skip_frac(zstats).select(
+        F.col("skipped").alias("zs"), F.col("total").alias("zt")
+    )
+    v = skip_frac(vstats).select(
+        F.col("skipped").alias("vs"), F.col("total").alias("vt")
+    )
+    nblk = zstats.agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        nblk.crossJoin(z)
+        .crossJoin(v)
+        .select(
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round(F.col("zs") * 1.0 / F.col("zt"), 4).alias(
+                "zorder_skip_frac"
+            ),
+            F.round(F.col("vs") * 1.0 / F.col("vt"), 4).alias(
+                "valuesort_skip_frac"
+            ),
+            (F.col("zs") >= F.col("vs")).alias("zorder_wins"),
+        )
+    )
+
+
+SCD2_TEMPORAL_ORACLE = """
+-- Temporal dimension join (fact AS OF event time against an SCD2
+-- versioned dimension): every user has three versions with
+-- effective ranges splitting January 2024 at the 11th and 21st, and
+-- a version-dependent attribute; each event joins the version whose
+-- [eff_start, eff_end) contains its timestamp. The classic
+-- point-in-time-correct enrichment (joining is_current instead
+-- LEAKS the future — the training-data bug this operator exists to
+-- prevent). Per-(version, tier) accounting.
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), versions AS (
+  SELECT u.user_id, v.v AS version,
+         CASE v.v WHEN 1 THEN TIMESTAMP '2023-01-01'
+                  WHEN 2 THEN TIMESTAMP '2024-01-11'
+                  ELSE TIMESTAMP '2024-01-21' END AS eff_start,
+         CASE v.v WHEN 1 THEN TIMESTAMP '2024-01-11'
+                  WHEN 2 THEN TIMESTAMP '2024-01-21'
+                  ELSE TIMESTAMP '2099-01-01' END AS eff_end,
+         u.user_id % 3 + v.v AS tier
+  FROM users u, UNNEST(range(1, 4)) v(v)
+)
+SELECT v.version, CAST(v.tier AS INT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2)  AS total_value
+FROM events e
+JOIN versions v
+  ON v.user_id = e.user_id
+ AND e.ts >= v.eff_start AND e.ts < v.eff_end
+GROUP BY v.version, v.tier
+ORDER BY version, tier
+"""
+
+
+@register("join_scd2_temporal", oracle=SCD2_TEMPORAL_ORACLE)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension enrichment: join each fact row
+    to the SCD2 version effective AT ITS EVENT TIME (not is_current —
+    current-version joins leak future attributes into training data).
+    Scale shape: equi-join on the user key carries the range
+    predicate as a post-join filter over the <=3 versions per key —
+    never a BNLJ; the versioned dimension broadcasts when
+    dimension-sized. Exactly-one-version coverage is guaranteed by
+    construction (half-open ranges partition time)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = users.crossJoin(
+        ev.sparkSession.range(1, 4).select(F.col("id").alias("version"))
+    ).select(
+        "user_id",
+        "version",
+        F.when(F.col("version") == 1, F.lit("2023-01-01"))
+        .when(F.col("version") == 2, F.lit("2024-01-11"))
+        .otherwise(F.lit("2024-01-21"))
+        .cast("timestamp")
+        .alias("eff_start"),
+        F.when(F.col("version") == 1, F.lit("2024-01-11"))
+        .when(F.col("version") == 2, F.lit("2024-01-21"))
+        .otherwise(F.lit("2099-01-01"))
+        .cast("timestamp")
+        .alias("eff_end"),
+        (F.col("user_id") % 3 + F.col("version")).alias("tier"),
+    )
+    joined = ev.join(F.broadcast(v), "user_id").filter(
+        (F.col("ts") >= F.col("eff_start")) & (F.col("ts") < F.col("eff_end"))
+    )
+    return (
+        joined.groupBy("version", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "version",
+            F.col("tier").cast("int").alias("tier"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("version", "tier")
     )

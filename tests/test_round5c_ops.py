@@ -340,3 +340,46 @@ def test_conversion_latency_percentile_ordering(spark):
     r = registry.QUERIES["funnel_conversion_latency"](spark, SF).collect()[0]
     assert r.n_converted > 0
     assert r.p50_minutes <= r.p90_minutes <= r.p99_minutes <= r.max_minutes
+
+
+def test_zorder_skipping_beats_single_sort(spark):
+    r = registry.QUERIES["warehouse_zorder_skipping"](spark, SF).collect()[0]
+    assert r.zorder_wins
+    assert r.zorder_skip_frac >= r.valuesort_skip_frac
+
+
+def test_welch_ttest_null_hypothesis_holds(spark):
+    rows = registry.QUERIES["agg_welch_ttest"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # arms are a hash split of the same population: no significance
+        assert not r.significant_2sided
+        assert r.welch_df > 0
+
+
+def test_vad_segments_match_mask_pattern(spark):
+    rows = registry.QUERIES["multimodal_audio_vad_segments"](spark, SF).collect()
+    assert rows
+    for r in rows[:20]:
+        d = r.doc_id
+        mask = [(d + f) % 4 != 0 for f in range(16)]
+        assert r.n_speech_frames == sum(mask)
+        segs = []
+        run = 0
+        for m in mask:
+            if m:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        if run:
+            segs.append(run)
+        assert r.n_segments == len(segs)
+        assert r.longest_segment == max(segs)
+
+
+def test_scd2_temporal_join_covers_every_event(spark):
+    rows = registry.QUERIES["join_scd2_temporal"](spark, SF).collect()
+    total = sum(r.n_events for r in rows)
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == n  # half-open ranges partition time: no leak/dup
