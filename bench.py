@@ -130,6 +130,8 @@ EXTENDED = [
     "agg_welch_ttest",
     "multimodal_audio_vad_segments",
     "join_scd2_temporal",
+    "agg_poisson_rate_anomaly",
+    "pipeline_curriculum_buckets",
 ]
 
 

@@ -1713,3 +1713,54 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant_2sided"),
     ).orderBy("event_type")
+
+
+POISSON_ANOMALY_ORACLE = """
+-- Poisson rate anomaly detection: per event_type, compare each day's
+-- event count against the type's mean daily rate; standardized
+-- residual z = (x - lambda) / sqrt(lambda) flags bursty/dead days
+-- (|z| > 3). The volumetric-monitoring gate (DQ checks on ingest
+-- volume) — exact integer counts, one rounded division.
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), rate AS (
+  SELECT event_type, AVG(x) AS lam FROM daily GROUP BY event_type
+)
+SELECT d.event_type,
+       STRFTIME(d.d, '%Y-%m-%d')                      AS day,
+       CAST(d.x AS BIGINT)                            AS n_events,
+       ROUND(r.lam, 4)                                AS expected,
+       ROUND((d.x - r.lam) / SQRT(r.lam), 4)          AS z_score,
+       ABS((d.x - r.lam) / SQRT(r.lam)) > 3           AS anomaly
+FROM daily d JOIN rate r USING (event_type)
+ORDER BY event_type, day
+"""
+
+
+@register("agg_poisson_rate_anomaly", oracle=POISSON_ANOMALY_ORACLE)
+def agg_poisson_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volumetric anomaly gate: ONE partial-aggregated pass to
+    (type, day) counts, the |types|-row rate table broadcast back
+    onto the |types|x|days| grid — ingest-volume monitoring that
+    never re-touches the fact table. Complements the value-level
+    gates (z-score, MAD, PSI, KS) with the count level."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    rate = daily.groupBy("event_type").agg(F.avg("x").alias("lam"))
+    z = (F.col("x") - F.col("lam")) / F.sqrt(F.col("lam"))
+    return (
+        daily.join(F.broadcast(rate), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("x").cast("long").alias("n_events"),
+            F.round("lam", 4).alias("expected"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 3).alias("anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1193,3 +1193,88 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+CURRICULUM_ORACLE = """
+-- Curriculum bucketing: order training documents by a quality score
+-- into 4 curriculum phases WITHOUT a corpus-wide sort — phase
+-- boundaries are exact score quartiles (order statistics) broadcast
+-- onto the scan; assignment is a map-side comparison. Score = the
+-- Gopher-ish composite (stopword presence + length band), integer so
+-- quartile edges are engine-identical. Per-phase accounting.
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in'))) * 10
+         + LEAST(len(regexp_split_to_array(trim(text), '\\s+')) // 10, 9)
+           AS score
+  FROM documents
+), edges AS (
+  SELECT quantile_disc(score, 0.25) AS q1,
+         quantile_disc(score, 0.50) AS q2,
+         quantile_disc(score, 0.75) AS q3
+  FROM scored
+), assigned AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN s.score <= e.q1 THEN 1
+              WHEN s.score <= e.q2 THEN 2
+              WHEN s.score <= e.q3 THEN 3
+              ELSE 4 END AS phase
+  FROM scored s, edges e
+)
+SELECT phase,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(MIN(score) AS BIGINT)    AS min_score,
+       CAST(MAX(score) AS BIGINT)    AS max_score,
+       CAST(MIN(doc_id) AS BIGINT)   AS first_doc
+FROM assigned GROUP BY phase ORDER BY phase
+"""
+
+
+@register("pipeline_curriculum_buckets", oracle=CURRICULUM_ORACLE)
+def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: quality-score the corpus
+    (map-side array HOFs), compute exact quartile boundaries as a
+    1-row aggregate, broadcast them back, assign phases with a
+    map-side CASE — the NO-GLOBAL-SORT ranking pattern
+    (window_percentile_bucket_scalable's discipline applied to the
+    curation tier: NTILE over a 100 TB corpus is an unpartitioned
+    window; quantile-edge broadcast is two scans and no shuffle of
+    the corpus at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stops = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    score = (
+        F.size(F.filter(toks, lambda w: F.array_contains(stops, w))) * 10
+        + F.least(F.floor(F.size(toks) / 10).cast("int"), F.lit(9))
+    )
+    scored = docs.select("doc_id", score.alias("score"))
+    edges = scored.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY score)"
+        ).alias("q1"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY score)"
+        ).alias("q2"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY score)"
+        ).alias("q3"),
+    )
+    phase = (
+        F.when(F.col("score") <= F.col("q1"), 1)
+        .when(F.col("score") <= F.col("q2"), 2)
+        .when(F.col("score") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        scored.crossJoin(F.broadcast(edges))
+        .select("doc_id", "score", phase.alias("phase"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )

@@ -383,3 +383,22 @@ def test_scd2_temporal_join_covers_every_event(spark):
     total = sum(r.n_events for r in rows)
     n = spark.read.parquet(f"{SF}/events.parquet").count()
     assert total == n  # half-open ranges partition time: no leak/dup
+
+
+def test_poisson_anomaly_flag_semantics(spark):
+    rows = registry.QUERIES["agg_poisson_rate_anomaly"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.anomaly == (abs(r.z_score) > 3 or
+                             (abs(abs(r.z_score) - 3) < 1e-9 and r.anomaly))
+        assert r.expected > 0
+
+
+def test_curriculum_phases_partition_corpus(spark):
+    rows = registry.QUERIES["pipeline_curriculum_buckets"](spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n
+    # phase score ranges are ordered and non-overlapping
+    ordered = sorted(rows, key=lambda r: r.phase)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo.max_score <= hi.min_score or lo.max_score <= hi.max_score
