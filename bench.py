@@ -132,6 +132,7 @@ EXTENDED = [
     "join_scd2_temporal",
     "agg_poisson_rate_anomaly",
     "pipeline_curriculum_buckets",
+    "agg_higher_moments",
 ]
 
 

@@ -1764,3 +1764,72 @@ def agg_poisson_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+HIGHER_MOMENTS_ORACLE = """
+-- Distribution shape per event_type: skewness and excess kurtosis
+-- computed FROM RAW MOMENTS (E[x..x^4] in one pass, central moments
+-- by algebra) rather than the engines' built-ins — Spark's
+-- skewness/kurtosis are population-form while DuckDB's are
+-- bias-corrected sample-form, so the built-ins can NEVER hash-match;
+-- stating the moment algebra explicitly makes the result
+-- engine-portable AND partial-aggregable (raw moments are sums).
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         AVG(value) AS m1, AVG(value * value) AS m2,
+         AVG(value * value * value) AS m3,
+         AVG(value * value * value * value) AS m4
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT event_type, n, m1,
+         m2 - m1 * m1                               AS c2,
+         m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1        AS c3,
+         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+            - 3 * m1 * m1 * m1 * m1                 AS c4
+  FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT)                 AS n_events,
+       ROUND(m1, 4)                      AS mean,
+       ROUND(SQRT(c2), 4)                AS stddev_pop,
+       ROUND(c3 / POW(c2, 1.5), 4)       AS skewness_pop,
+       ROUND(c4 / (c2 * c2) - 3, 4)      AS excess_kurtosis_pop
+FROM c ORDER BY event_type
+"""
+
+
+@register("agg_higher_moments", oracle=HIGHER_MOMENTS_ORACLE)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis per event_type from explicit raw
+    moments: one partial-aggregable pass (raw moments are plain sums
+    — they merge across partitions and across incremental batches
+    exactly like warehouse_incremental_moments), central moments by
+    algebra. Deliberately NOT the built-ins: Spark's skewness/
+    kurtosis use population form, DuckDB's bias-corrected sample form
+    — an engine-portability trap the explicit algebra removes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+    )
+    m1 = F.col("m1")
+    c2 = F.col("m2") - m1 * m1
+    c3 = F.col("m3") - 3 * m1 * F.col("m2") + 2 * m1 * m1 * m1
+    c4 = (
+        F.col("m4")
+        - 4 * m1 * F.col("m3")
+        + 6 * m1 * m1 * F.col("m2")
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(m1, 4).alias("mean"),
+        F.round(F.sqrt(c2), 4).alias("stddev_pop"),
+        F.round(c3 / F.pow(c2, 1.5), 4).alias("skewness_pop"),
+        F.round(c4 / (c2 * c2) - 3, 4).alias("excess_kurtosis_pop"),
+    ).orderBy("event_type")

@@ -402,3 +402,21 @@ def test_curriculum_phases_partition_corpus(spark):
     ordered = sorted(rows, key=lambda r: r.phase)
     for lo, hi in zip(ordered, ordered[1:]):
         assert lo.max_score <= hi.min_score or lo.max_score <= hi.max_score
+
+
+def test_higher_moments_match_numpy(spark):
+    import numpy as np
+
+    rows = {r.event_type: r
+            for r in registry.QUERIES["agg_higher_moments"](spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    for t, vals in by_type.items():
+        x = np.array(vals)
+        c = x - x.mean()
+        skew = (c ** 3).mean() / (c ** 2).mean() ** 1.5
+        kurt = (c ** 4).mean() / (c ** 2).mean() ** 2 - 3
+        assert abs(rows[t].skewness_pop - skew) < 1e-3
+        assert abs(rows[t].excess_kurtosis_pop - kurt) < 1e-3
