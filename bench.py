@@ -133,6 +133,8 @@ EXTENDED = [
     "agg_poisson_rate_anomaly",
     "pipeline_curriculum_buckets",
     "agg_higher_moments",
+    "agg_ratio_delta_ci",
+    "text_js_divergence_sources",
 ]
 
 

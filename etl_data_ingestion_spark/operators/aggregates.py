@@ -1833,3 +1833,74 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c3 / F.pow(c2, 1.5), 4).alias("skewness_pop"),
         F.round(c4 / (c2 * c2) - 3, 4).alias("excess_kurtosis_pop"),
     ).orderBy("event_type")
+
+
+RATIO_DELTA_CI_ORACLE = """
+-- Delta-method CI for a RATIO metric (value per event, A/B arms):
+-- ratio metrics violate the iid-unit assumption behind the plain
+-- t-test (numerator and denominator are correlated per user), so
+-- experimentation readouts use the delta method on user-level
+-- aggregates: for R = X/Y with per-user (x_i, y_i),
+-- var(R) ~ ( var(x) - 2 R cov(x,y) + R^2 var(y) ) / (n * mean(y)^2).
+-- One co-moment pass over user-level rollups; per-arm ratio, its
+-- standard error, and the 95% CI half-width, all exact algebra.
+WITH usr AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         SUM(value) AS x, COUNT(*) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, COUNT(*) AS n,
+         AVG(x) AS mx, AVG(y) AS my,
+         VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy,
+         COVAR_SAMP(x, y) AS cxy
+  FROM usr GROUP BY arm
+)
+SELECT arm,
+       CAST(n AS BIGINT)                       AS n_users,
+       ROUND(mx / my, 6)                       AS ratio,
+       ROUND(SQRT((vx - 2 * (mx / my) * cxy
+                   + (mx / my) * (mx / my) * vy)
+                  / (n * my * my)), 6)         AS ratio_se,
+       ROUND(1.96 * SQRT((vx - 2 * (mx / my) * cxy
+                          + (mx / my) * (mx / my) * vy)
+                         / (n * my * my)), 6)  AS ci95_halfwidth
+FROM m ORDER BY arm
+"""
+
+
+@register("agg_ratio_delta_ci", oracle=RATIO_DELTA_CI_ORACLE)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for ratio metrics (value/event per
+    user) — the correct experimentation readout where the naive
+    t-test is wrong because per-user numerators and denominators
+    correlate. Scale shape: one user-level rollup Exchange, then one
+    co-moment aggregate per arm; all CI math on the 2-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    usr = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x"), F.count(F.lit(1)).alias("y")
+    ).select(
+        "x",
+        "y",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+    )
+    m = usr.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    var_r = (
+        F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy")
+    ) / (F.col("n") * F.col("my") * F.col("my"))
+    se = F.sqrt(var_r)
+    return m.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("ratio_se"),
+        F.round(1.96 * se, 6).alias("ci95_halfwidth"),
+    ).orderBy("arm")

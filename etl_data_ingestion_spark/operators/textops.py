@@ -817,3 +817,102 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 4).alias("fit_r2"),
     )
+
+
+JS_DIVERGENCE_ORACLE = """
+-- Jensen-Shannon divergence between SOURCE domains' unigram
+-- distributions: the duplicate-domain / mixture-design signal (two
+-- crawls of the same site have near-zero JSD; distinct domains
+-- diverge). Distributions Laplace-smoothed over the joint
+-- vocabulary; JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M=(P+Q)/2.
+-- Bounded pair work: |sources|^2/2 pairs x |V| terms. Top-5 most
+-- SIMILAR pairs (lowest JSD), fully tie-broken.
+WITH tf AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
+  WHERE source IN ('src0','src1','src2','src3','src4','src5')
+  GROUP BY source, w
+), vocab AS (
+  SELECT DISTINCT w FROM tf
+), tot AS (
+  SELECT source, SUM(c) AS n FROM tf GROUP BY source
+), p AS (
+  SELECT t.source, v.w,
+         (COALESCE(f.c, 0) + 1.0)
+           / (t.n + (SELECT COUNT(*) FROM vocab)) AS pr
+  FROM tot t CROSS JOIN vocab v
+  LEFT JOIN tf f ON f.source = t.source AND f.w = v.w
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.w,
+         a.pr AS pa, b.pr AS pb
+  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+), jsd AS (
+  SELECT src_a, src_b,
+         SUM(0.5 * pa * ln(pa / ((pa + pb) / 2))
+             + 0.5 * pb * ln(pb / ((pa + pb) / 2))) AS d
+  FROM pairs GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, ROUND(d, 6) AS js_divergence
+-- order by the ROUNDED value (matching the Spark side) so a rounded
+-- tie at the LIMIT boundary can't pick different pairs per engine
+FROM jsd ORDER BY ROUND(d, 6), src_a, src_b LIMIT 5
+"""
+
+
+@register("text_js_divergence_sources", oracle=JS_DIVERGENCE_ORACLE)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source-domain
+    unigram LMs — the domain-dedup / mixture-design statistic. One
+    corpus pass to (source, term) counts; the smoothed probability
+    table is (|sources| x |V|)-sized and SELF-JOINS on the term (a
+    vocabulary-keyed equi-join, never a corpus operation); divergence
+    sums are partial-aggregable. Bounded to 6 sources so the oracle
+    stays cheap; production fans the same plan to all pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4", "src5")
+    )
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tf.select("w").distinct()
+    vsize = vocab.count()  # bounded scalar (31-word fixture vocab)
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = (
+        tot.crossJoin(vocab)
+        .join(tf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n") + F.lit(vsize))
+            ).alias("pr"),
+        )
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.pr").alias("pa"),
+        F.col("b.pr").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+        .orderBy("js_divergence", "src_a", "src_b")
+        .limit(5)
+    )

@@ -420,3 +420,22 @@ def test_higher_moments_match_numpy(spark):
         kurt = (c ** 4).mean() / (c ** 2).mean() ** 2 - 3
         assert abs(rows[t].skewness_pop - skew) < 1e-3
         assert abs(rows[t].excess_kurtosis_pop - kurt) < 1e-3
+
+
+def test_ratio_delta_ci_positive_se(spark):
+    rows = registry.QUERIES["agg_ratio_delta_ci"](spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.ratio > 0
+        assert r.ratio_se > 0
+        assert abs(r.ci95_halfwidth - round(1.96 * r.ratio_se, 6)) < 1e-4
+
+
+def test_js_divergence_bounds(spark):
+    import math
+
+    rows = registry.QUERIES["text_js_divergence_sources"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # JSD (nats) is bounded by ln(2)
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
