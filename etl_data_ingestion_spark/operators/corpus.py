@@ -752,6 +752,15 @@ def _bpe_ctes(k: int) -> tuple[str, list[str], str]:
     picks the top pair (count DESC, pair ASC), and merges it into
     every sequence by 3-pass literal space-guarded replace — the same
     string algebra the Spark side runs, so counts match exactly.
+
+    Equivalence contract (tests/test_property_round5.py): the replace
+    algebra equals textbook left-to-right greedy merging for words
+    with no same-symbol run of length >= 3 (hypothesis-verified);
+    on longer runs it arranges the same NUMBER of merges at different
+    positions ('eeeee' -> [ee, e, ee] vs greedy [ee, ee, e]). The
+    fixture vocabulary satisfies the precondition (asserted by test),
+    and cross-engine parity is unconditional regardless — both
+    engines execute the identical algebra.
     Returns (WITH-body, per-round final selects, last seq CTE name)."""
     rounds = []
     prev = "s0"
