@@ -135,6 +135,9 @@ EXTENDED = [
     "agg_higher_moments",
     "agg_ratio_delta_ci",
     "text_js_divergence_sources",
+    "agg_gini_coefficient",
+    "timeseries_cusum_changepoint",
+    "agg_categorical_entropy_daily",
 ]
 
 

@@ -1904,3 +1904,99 @@ def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se, 6).alias("ratio_se"),
         F.round(1.96 * se, 6).alias("ci95_halfwidth"),
     ).orderBy("arm")
+
+
+GINI_ORACLE = """
+-- Gini coefficient of per-user spend (inequality / concentration —
+-- the whale-dependence metric): exact rank formula over the sorted
+-- user rollup, G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n with ties
+-- broken by user_id for engine-identical ranks. The window runs on
+-- the USER-sized rollup, never the fact table.
+WITH usr AS (
+  SELECT user_id, ROUND(SUM(value), 2) AS x
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM usr
+)
+SELECT CAST(COUNT(*) AS BIGINT)                       AS n_users,
+       ROUND(SUM(x), 2)                               AS total_value,
+       ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6)        AS gini
+FROM ranked
+"""
+
+
+@register("agg_gini_coefficient", oracle=GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini over per-user spend: one fact Exchange to the user
+    rollup, a rank window over the |users|-sized table (per-segment
+    at scale: partition the window by segment), one aggregate. Spend
+    rounded to 2 before ranking so rank order is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    usr = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("x"))
+    ranked = usr.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", "user_id"))
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        F.round(F.sum("x"), 2).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+CATEGORICAL_ENTROPY_ORACLE = """
+-- Daily Shannon entropy of the event-type mix (category drift: a
+-- crawler/source going monocultural collapses entropy; a new
+-- category raises it). Exact: integer counts, entropy in nats
+-- rounded; the |days|x|types| table is the only post-rollup input.
+WITH cnt AS (
+  SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT d, SUM(c) AS n FROM cnt GROUP BY d
+)
+SELECT STRFTIME(c.d, '%Y-%m-%d')  AS day,
+       CAST(t.n AS BIGINT)        AS n_events,
+       CAST(COUNT(*) AS BIGINT)   AS n_types,
+       ROUND(-SUM((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6)
+                                  AS type_entropy
+FROM cnt c JOIN tot t USING (d)
+GROUP BY c.d, t.n ORDER BY day
+"""
+
+
+@register("agg_categorical_entropy_daily", oracle=CATEGORICAL_ENTROPY_ORACLE)
+def agg_categorical_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily category-mix entropy: one partial-aggregated fact pass
+    to (day, type) counts, a |days|-row totals join, entropy math on
+    the domain-sized grid — the mix-drift monitor beside the
+    volumetric (Poisson) and value (PSI/KS) gates."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("day").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "day")
+        .groupBy("day", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+        )
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "type_entropy",
+        )
+        .orderBy("day")
+    )

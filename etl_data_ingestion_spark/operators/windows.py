@@ -985,3 +985,70 @@ def timeseries_seasonal_decompose(
         )
         .orderBy("day")
     )
+
+
+CUSUM_ORACLE = """
+-- CUSUM changepoint detection on the daily value series: prefix sums
+-- of deviations from the overall mean; the argmax of |S_t| locates
+-- the most likely level shift, flagged when it exceeds 3x the
+-- series' daily standard deviation. Recursion-free (prefix sums are
+-- plain cumulative windows), exact after ROUND(SUM,2) daily inputs.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS x
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT AVG(x) AS mu, STDDEV_POP(x) AS sd, COUNT(*) AS n FROM daily
+), cusum AS (
+  SELECT d.d, d.x,
+         SUM(d.x - s.mu) OVER (ORDER BY d.d
+           ROWS UNBOUNDED PRECEDING) AS s_t,
+         s.sd
+  FROM daily d CROSS JOIN stats s
+), peak AS (
+  SELECT d, x, s_t, sd,
+         ROW_NUMBER() OVER (ORDER BY ABS(s_t) DESC, d) AS rn
+  FROM cusum
+)
+SELECT STRFTIME(d, '%Y-%m-%d')        AS changepoint_day,
+       ROUND(s_t, 2)                  AS cusum_peak,
+       ROUND(ABS(s_t) / sd, 4)        AS normalized_peak,
+       ABS(s_t) > 3 * sd              AS shift_detected
+FROM peak WHERE rn = 1
+"""
+
+
+@register("timeseries_cusum_changepoint", oracle=CUSUM_ORACLE)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location: the classic level-shift detector,
+    recursion-free — prefix sums of mean deviations via a cumulative
+    window over the |days|-sized rollup, argmax with a deterministic
+    tie-break. Per-key at scale: the same windows inside
+    partitionBy(key); the fact table contributes one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("x")
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "x",
+        F.sum(F.col("x") - F.col("mu")).over(w).alias("s_t"),
+        "sd",
+    )
+    peak = cusum.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc(F.abs(F.col("s_t"))), "d")),
+    ).filter(F.col("rn") == 1)
+    return peak.select(
+        F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
+        F.round("s_t", 2).alias("cusum_peak"),
+        F.round(F.abs(F.col("s_t")) / F.col("sd"), 4).alias(
+            "normalized_peak"
+        ),
+        (F.abs(F.col("s_t")) > 3 * F.col("sd")).alias("shift_detected"),
+    )

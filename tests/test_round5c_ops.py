@@ -439,3 +439,33 @@ def test_js_divergence_bounds(spark):
     for r in rows:
         # JSD (nats) is bounded by ln(2)
         assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+
+
+def test_gini_bounds_and_numpy_crosscheck(spark):
+    import numpy as np
+
+    r = registry.QUERIES["agg_gini_coefficient"](spark, SF).collect()[0]
+    assert 0.0 <= r.gini <= 1.0
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    spend = {}
+    for e in ev:
+        spend[e.user_id] = round(spend.get(e.user_id, 0.0) + e.value, 10)
+    x = np.sort(np.round(np.array(list(spend.values())), 2))
+    n = len(x)
+    gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert abs(r.gini - gini) < 1e-4
+
+
+def test_cusum_peak_is_argmax(spark):
+    r = registry.QUERIES["timeseries_cusum_changepoint"](spark, SF).collect()[0]
+    assert r.normalized_peak >= 0
+    assert r.shift_detected == (r.normalized_peak > 3)
+
+
+def test_entropy_bounds(spark):
+    import math
+
+    rows = registry.QUERIES["agg_categorical_entropy_daily"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.type_entropy <= math.log(r.n_types) + 1e-9
