@@ -138,6 +138,11 @@ EXTENDED = [
     "agg_gini_coefficient",
     "timeseries_cusum_changepoint",
     "agg_categorical_entropy_daily",
+    "ml_auc_roc_exact",
+    "ml_calibration_brier",
+    "pipeline_weighted_sample_wor",
+    "basket_association_rules",
+    "pipeline_kfold_grouped",
 ]
 
 

@@ -1,0 +1,363 @@
+"""ML-evaluation and dataset-construction operators: exact ROC AUC,
+probability calibration / Brier decomposition, weighted sampling
+without replacement (Efraimidis–Spirakis), market-basket association
+rules, and leakage-safe grouped k-fold assignment.
+
+These round out the training-data-pipeline layer (SURVEY.md §2.5
+north-star extensions): once an in-engine classifier exists
+(pipeline_naive_bayes_spam), its evaluation statistics — AUC,
+calibration — belong in the engine too, computed in one declarative
+plan instead of a driver-side sklearn pass over collected rows.
+
+Scale doctrine shared by every operator here: the fact table is
+touched by exactly one partial-aggregated pass; all subsequent math
+runs on domain-sized rollups (score domain, calibration bins, brand
+pairs, fold ids) that a single executor holds trivially.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.plans.registry import register
+
+AUC_ORACLE = """
+-- Exact tie-corrected ROC AUC (= Mann-Whitney U / (P*N)) of `value`
+-- as a score for predicting event_type='purchase'. Computed on the
+-- SCORE-DOMAIN rollup, not per-row ranks: group to (score -> pos,
+-- neg counts), order by score, and credit each positive with the
+-- negatives strictly below it plus half the negatives tied with it:
+--   AUC = SUM_s p_s * (cum_neg_below_s + 0.5 * g_s) / (P * N).
+-- The window runs over the |distinct scores| table (value rounded to
+-- 1 decimal), never the fact table.
+WITH cnt AS (
+  SELECT ROUND(value, 1) AS s,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS g
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT s, p, g,
+         COALESCE(SUM(g) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cnb
+  FROM cnt
+)
+SELECT CAST(SUM(p) AS BIGINT)                      AS n_pos,
+       CAST(SUM(g) AS BIGINT)                      AS n_neg,
+       CAST(COUNT(*) AS BIGINT)                    AS n_scores,
+       ROUND(SUM(p * (cnb + 0.5 * g)) / (SUM(p) * SUM(g)), 6) AS auc
+FROM cum
+"""
+
+
+@register("ml_auc_roc_exact", oracle=AUC_ORACLE)
+def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the Mann–Whitney rank identity
+    on the score-domain rollup. Scale shape: one partial-aggregated
+    fact pass to |scores| rows, one window over that domain-sized
+    table (partition it by model_id when scoring many models), one
+    final aggregate — no per-row global rank, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    is_pos = (F.col("event_type") == "purchase").cast("long")
+    cnt = ev.groupBy(F.round("value", 1).alias("s")).agg(
+        F.sum(is_pos).alias("p"),
+        F.sum(1 - is_pos).alias("g"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.withColumn("cnb", F.coalesce(F.sum("g").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("g").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.round(
+            F.sum(F.col("p") * (F.col("cnb") + 0.5 * F.col("g")))
+            / (F.sum("p") * F.sum("g")),
+            6,
+        ).alias("auc"),
+    )
+
+
+CALIBRATION_ORACLE = """
+-- Probability-calibration audit: a deterministic sigmoid score
+-- p_hat = 1/(1+exp(-(value-250)/50)) against the purchase label,
+-- bucketed into 10 equal-width probability bins. Per bin: count,
+-- mean predicted probability, observed positive rate, the
+-- calibration gap, and the in-bin Brier contribution
+-- mean((p_hat - y)^2). All math after one fact pass to 10 rows.
+WITH scored AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 250.0) / 50.0)) AS ph,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+)
+SELECT CAST(LEAST(FLOOR(ph * 10), 9) AS BIGINT)  AS bin,
+       CAST(COUNT(*) AS BIGINT)                  AS n_events,
+       ROUND(AVG(ph), 6)                         AS mean_predicted,
+       ROUND(AVG(y), 6)                          AS observed_rate,
+       ROUND(ABS(AVG(ph) - AVG(y)), 6)           AS abs_gap,
+       ROUND(AVG((ph - y) * (ph - y)), 6)        AS brier
+FROM scored GROUP BY 1 ORDER BY bin
+"""
+
+
+@register("ml_calibration_brier", oracle=CALIBRATION_ORACLE)
+def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + per-bin Brier score for a sigmoid
+    score vs the purchase label — the calibration audit that decides
+    whether a quality-scoring model's probabilities are usable as
+    sampling weights. One partial-aggregated pass to 10 bins; every
+    statistic is a plain partial-aggregable mean."""
+    ev = load_table(spark, sf_dir, "events")
+    ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
+    y = (F.col("event_type") == "purchase").cast("double")
+    scored = ev.select(ph.alias("ph"), y.alias("y"))
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("ph") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("ph"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("observed_rate"),
+            F.round(F.abs(F.avg("ph") - F.avg("y")), 6).alias("abs_gap"),
+            F.round(
+                F.avg((F.col("ph") - F.col("y")) * (F.col("ph") - F.col("y"))),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+-- Weighted sampling WITHOUT replacement, Efraimidis-Spirakis (2006):
+-- each item draws u ~ Uniform(0,1) and the k largest u^(1/w) win --
+-- equivalently the k SMALLEST -ln(u)/w (exponential with rate w).
+-- Inclusion probability is proportional to weight, and the draw is
+-- a pure map over items followed by a per-stratum top-k: the
+-- distributed-sampling primitive (a single reduce of per-partition
+-- heaps at scale, WindowGroupLimit here). u comes from a
+-- deterministic LCG on doc_id so both engines draw identically;
+-- weight = n_chars (longer docs proportionally likelier).
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         -ln(((doc_id * 1103515245 + 12345) % 2147483648 + 0.5)
+             / 2147483648.0) / n_chars AS k
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rnk
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 8
+ORDER BY lang, rnk
+"""
+
+
+@register("pipeline_weighted_sample_wor", oracle=WEIGHTED_SAMPLE_ORACLE)
+def pipeline_weighted_sample_wor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language weighted sampling without replacement via the
+    Efraimidis–Spirakis exponential-key trick: map-only key
+    computation (deterministic LCG uniform, so the draw is
+    reproducible and engine-portable), then top-8 per stratum. Scale
+    shape: WindowGroupLimit keeps per-partition top-k heaps ahead of
+    the single |langs|-keyed Exchange — the corpus never sorts."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * 1103515245 + 12345) % 2147483648 + 0.5
+    ) / 2147483648.0
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 8)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("lang", "rnk")
+    )
+
+
+ASSOCIATION_RULES_ORACLE = """
+-- Market-basket association rules over order baskets of part brands:
+-- support / confidence / lift for brand->brand rules with at least
+-- 25 co-occurrence orders, top 30 by lift. The basket build is the
+-- only fact-sized work (distinct (order, brand)); pair expansion is
+-- bounded by per-basket brand count (max 11 here) and the rule
+-- table is at most |brands|^2 rows.
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT o) AS n_orders FROM b
+), single AS (
+  SELECT br, COUNT(*) AS c FROM b GROUP BY br
+), pair AS (
+  SELECT a.br AS antecedent, c.br AS consequent, COUNT(*) AS c_ab
+  FROM b a JOIN b c ON a.o = c.o AND a.br <> c.br
+  GROUP BY a.br, c.br
+), rules AS (
+  SELECT pair.antecedent, pair.consequent,
+         CAST(pair.c_ab AS BIGINT)                    AS pair_orders,
+         ROUND(pair.c_ab * 1.0 / n.n_orders, 6)       AS support,
+         ROUND(pair.c_ab * 1.0 / sa.c, 6)             AS confidence,
+         ROUND(pair.c_ab * 1.0 * n.n_orders
+               / (sa.c * sc.c), 6)                    AS lift
+  FROM pair
+  JOIN single sa ON sa.br = pair.antecedent
+  JOIN single sc ON sc.br = pair.consequent
+  CROSS JOIN n
+  WHERE pair.c_ab >= 25
+)
+SELECT * FROM rules
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 30
+"""
+
+
+@register("basket_association_rules", oracle=ASSOCIATION_RULES_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (support/confidence/lift) over order
+    baskets of brands — the co-occurrence analytics family (FP-growth
+    territory) done declaratively for a bounded item domain. Scale
+    shape: one distinct-(order, brand) Exchange builds baskets; the
+    pair self-join is co-partitioned on the order key (one shuffle
+    feeding both sides) with expansion bounded by basket size; rule
+    math runs on the <=|brands|^2 table with broadcast singles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    # The |baskets|-sized distinct (order, brand) table feeds four
+    # consumers (n, singles, both pair-join sides); localCheckpoint
+    # materializes the fact-scan + distinct once instead of four
+    # times (the pagerank/composite-dedup recompute-class fix).
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = b.select(F.count_distinct("o").alias("n_orders"))
+    single = b.groupBy("br").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.br") != F.col("c.br")))
+        .groupBy(
+            F.col("a.br").alias("antecedent"),
+            F.col("c.br").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 25)
+    )
+    sa = single.select(F.col("br").alias("antecedent"), F.col("c").alias("ca"))
+    sc = single.select(F.col("br").alias("consequent"), F.col("c").alias("cc"))
+    rules = (
+        pair.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("long").alias("pair_orders"),
+            F.round(F.col("c_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab") * F.col("n_orders") / (F.col("ca") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), "antecedent", "consequent"
+    ).limit(30)
+
+
+KFOLD_ORACLE = """
+-- Leakage-safe grouped k-fold assignment: every ORDER of a customer
+-- lands in the customer's fold (fold = Knuth-hash of custkey mod 5),
+-- so no customer straddles train/validation -- the grouped-split
+-- discipline that prevents entity leakage in training data. Output
+-- is the fold manifest plus in-plan audit booleans: folds cover all
+-- orders exactly once and every fold is within 2x of uniform share.
+WITH assigned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         (o_custkey * 2654435761) % 5 AS fold
+  FROM orders
+), folds AS (
+  SELECT fold,
+         COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(*)                  AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_price
+  FROM assigned GROUP BY fold
+), tot AS (
+  SELECT COUNT(*) AS all_orders, COUNT(DISTINCT o_custkey) AS all_cust
+  FROM orders
+)
+SELECT CAST(f.fold AS BIGINT)        AS fold,
+       CAST(f.n_customers AS BIGINT) AS n_customers,
+       CAST(f.n_orders AS BIGINT)    AS n_orders,
+       f.total_price                 AS total_price,
+       (SUM(f.n_orders) OVER () = t.all_orders)        AS coverage_ok,
+       (SUM(f.n_customers) OVER () = t.all_cust)       AS groups_disjoint,
+       (f.n_orders * 5 <= t.all_orders * 2)            AS balanced_2x
+FROM folds f CROSS JOIN tot t
+ORDER BY fold
+"""
+
+
+@register("pipeline_kfold_grouped", oracle=KFOLD_ORACLE)
+def pipeline_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold split manifest: deterministic Knuth-hash fold
+    per customer, applied to every order of that customer — entity
+    leakage (same customer in train and validation) is impossible by
+    construction, and `groups_disjoint` proves it in-plan (fold
+    customer counts summing to the global distinct count means no
+    customer appears in two folds). Map-only assignment; audits on
+    the 5-row fold table with a broadcast totals row."""
+    od = load_table(spark, sf_dir, "orders")
+    assigned = od.withColumn(
+        "fold", (F.col("o_custkey") * 2654435761) % 5
+    )
+    folds = assigned.groupBy("fold").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    tot = od.agg(
+        F.count(F.lit(1)).alias("all_orders"),
+        F.count_distinct("o_custkey").alias("all_cust"),
+    )
+    w = Window.partitionBy()
+    return (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_price",
+            (F.sum("n_orders").over(w) == F.col("all_orders")).alias(
+                "coverage_ok"
+            ),
+            (F.sum("n_customers").over(w) == F.col("all_cust")).alias(
+                "groups_disjoint"
+            ),
+            (F.col("n_orders") * 5 <= F.col("all_orders") * 2).alias(
+                "balanced_2x"
+            ),
+        )
+        .orderBy("fold")
+    )

@@ -134,6 +134,11 @@ CHECK_ORDER: list[str] = [
     "events_dau_wau_mau",
     "agg_winsorized_mean",
     "agg_quantile_histogram_rollup",
+    "ml_auc_roc_exact",
+    "ml_calibration_brier",
+    "pipeline_weighted_sample_wor",
+    "basket_association_rules",
+    "pipeline_kfold_grouped",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
@@ -204,4 +209,5 @@ def load_all() -> None:
         warehouse,
         attribution,
         video,
+        mlops,
     )

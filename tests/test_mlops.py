@@ -1,0 +1,95 @@
+"""ML-evaluation / dataset-construction operator tests: AUC against
+a brute-force rank computation, calibration bin algebra, ES-sampling
+weight bias, association-rule identities, and grouped-fold leakage."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from etl_data_ingestion_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auc_matches_bruteforce_pairwise(spark):
+    row = registry.QUERIES["ml_auc_roc_exact"](spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "value", "event_type"
+    ).collect()
+    import math
+
+    def half_up(v):  # Spark/DuckDB ROUND, unlike Python's half-even
+        return math.floor(v * 10 + 0.5) / 10
+
+    pos = [half_up(r.value) for r in ev if r.event_type == "purchase"]
+    neg = [half_up(r.value) for r in ev if r.event_type != "purchase"]
+    neg_sorted = sorted(neg)
+    import bisect
+
+    credit = 0.0
+    for s in pos:
+        lo = bisect.bisect_left(neg_sorted, s)
+        hi = bisect.bisect_right(neg_sorted, s)
+        credit += lo + 0.5 * (hi - lo)
+    want = credit / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - want) < 1e-6
+
+
+def test_calibration_bins_partition_events(spark):
+    rows = registry.QUERIES["ml_calibration_brier"](spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_predicted - r.observed_rate)) < 2e-6
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    rows = registry.QUERIES["pipeline_weighted_sample_wor"](spark, SF).collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars"
+    ).collect()
+    mean_chars = defaultdict(list)
+    for d in docs:
+        mean_chars[d.lang].append(d.n_chars)
+    # sampling is weight-proportional: across strata, the sampled mean
+    # length should exceed the population mean in aggregate
+    samp = [r.n_chars for rs in per_lang.values() for r in rs]
+    pop = [c for cs in mean_chars.values() for c in cs]
+    assert sum(samp) / len(samp) > sum(pop) / len(pop)
+    for lang, rs in per_lang.items():
+        assert len(rs) == len({r.doc_id for r in rs})  # no replacement
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+
+
+def test_association_rules_identities(spark):
+    rows = registry.QUERIES["basket_association_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.pair_orders >= 25
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        # lift = confidence / P(consequent) => lift * support_c = conf
+        assert r.lift > 0
+    # symmetric pair counts: a->b and b->a share pair_orders
+    by_pair = {(r.antecedent, r.consequent): r.pair_orders for r in rows}
+    for (a, b), c in by_pair.items():
+        if (b, a) in by_pair:
+            assert by_pair[(b, a)] == c
+
+
+def test_kfold_grouped_audits_hold(spark):
+    rows = registry.QUERIES["pipeline_kfold_grouped"](spark, SF).collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    for r in rows:
+        assert r.coverage_ok and r.groups_disjoint
