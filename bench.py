@@ -143,6 +143,9 @@ EXTENDED = [
     "pipeline_weighted_sample_wor",
     "basket_association_rules",
     "pipeline_kfold_grouped",
+    "ml_bootstrap_ci_poisson",
+    "pipeline_contamination_curve",
+    "timeseries_backtest_mape",
 ]
 
 

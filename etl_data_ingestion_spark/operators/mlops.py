@@ -361,3 +361,254 @@ def pipeline_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+BOOTSTRAP_ORACLE = """
+-- Poisson bootstrap CI for the mean (the scalable bootstrap: instead
+-- of materializing B resamples, each row contributes to replicate r
+-- with weight ~ Poisson(1), drawn from a deterministic LCG on
+-- (event_id, r) so both engines draw identically). 50 replicates in
+-- ONE pass: the 50x row expansion carries only (r, value, w) and is
+-- map-side combined to 50 partial states per partition; the
+-- percentile CI is order statistics over the 50-row replicate table.
+WITH reps AS (
+  -- the multiplier must be LARGE relative to the modulus: with a
+  -- small per-row stride, one replicate's uniforms all land in a
+  -- narrow band and the whole replicate draws the same weight
+  -- (sum(w)=0 replicates at small n). 1103515245/2^31 ~ 0.514, so
+  -- consecutive ids wrap the modulus and decorrelate.
+  SELECT e.event_id, e.value, u.r,
+         (((e.event_id + u.r * 131071) * 1103515245 + 12345)
+          % 2147483648 + 0.5) / 2147483648.0 AS u
+  FROM events e CROSS JOIN (SELECT UNNEST(range(0, 50)) AS r) u
+), weighted AS (
+  SELECT r, value,
+         CASE WHEN u < 0.3678794412 THEN 0
+              WHEN u < 0.7357588823 THEN 1
+              WHEN u < 0.9196986029 THEN 2
+              WHEN u < 0.9810118431 THEN 3
+              WHEN u < 0.9963401532 THEN 4
+              WHEN u < 0.9994058151 THEN 5
+              WHEN u < 0.9999167589 THEN 6
+              ELSE 7 END AS w
+  FROM reps
+), means AS (
+  SELECT r, SUM(w * value) / SUM(w) AS m FROM weighted GROUP BY r
+), ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS i FROM means
+), ci AS (
+  SELECT MIN(CASE WHEN i = 2 THEN m END)  AS lo,
+         MIN(CASE WHEN i = 49 THEN m END) AS hi
+  FROM ranked
+), pt AS (
+  SELECT AVG(value) AS mean_value FROM events
+)
+SELECT 50                                   AS n_replicates,
+       ROUND(pt.mean_value, 6)              AS mean_value,
+       ROUND(ci.lo, 6)                      AS ci_lo,
+       ROUND(ci.hi, 6)                      AS ci_hi,
+       (pt.mean_value >= ci.lo AND pt.mean_value <= ci.hi)
+                                            AS ci_contains_mean
+FROM ci CROSS JOIN pt
+"""
+
+
+@register("ml_bootstrap_ci_poisson", oracle=BOOTSTRAP_ORACLE)
+def ml_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. / Kleiner-era streaming
+    bootstrap): a 95% percentile CI for the mean without ever
+    materializing resamples — each row gets a deterministic
+    Poisson(1) weight per replicate, replicate means are one
+    partial-aggregated pass over the 50x (r, value, w) expansion,
+    and the CI is order statistics on the 50-row table. The LCG
+    uniform makes the draw reproducible and engine-portable."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("r"),
+    )
+    # multiplier ~0.514 of the modulus: consecutive event_ids wrap
+    # around rather than clustering one replicate into a narrow
+    # uniform band (which would give whole replicates equal weights)
+    u = (
+        ((F.col("event_id") + F.col("r") * 131071) * 1103515245 + 12345)
+        % 2147483648
+        + 0.5
+    ) / 2147483648.0
+    w = (
+        F.when(u < 0.3678794412, 0)
+        .when(u < 0.7357588823, 1)
+        .when(u < 0.9196986029, 2)
+        .when(u < 0.9810118431, 3)
+        .when(u < 0.9963401532, 4)
+        .when(u < 0.9994058151, 5)
+        .when(u < 0.9999167589, 6)
+        .otherwise(7)
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("r")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    ranked = means.withColumn("i", F.row_number().over(Window.orderBy("m")))
+    ci = ranked.agg(
+        F.min(F.when(F.col("i") == 2, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("i") == 49, F.col("m"))).alias("hi"),
+    )
+    pt = ev.agg(F.avg("value").alias("mean_value"))
+    return ci.crossJoin(F.broadcast(pt)).select(
+        F.lit(50).alias("n_replicates"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+        (
+            (F.col("mean_value") >= F.col("lo"))
+            & (F.col("mean_value") <= F.col("hi"))
+        ).alias("ci_contains_mean"),
+    )
+
+
+CONTAMINATION_ORACLE = """
+-- Contamination-rate curve: what fraction of the benchmark's
+-- distinct word n-grams also appear in the training split, for
+-- n = 1, 2, 3 (the overlap report that accompanies a decontamination
+-- pass -- unigram overlap is expected ~100%, the n->higher decay is
+-- the signal). Benchmark = every 97th doc; train = the rest.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT n, doc_id, g FROM (
+    SELECT 1 AS n, doc_id, UNNEST(t) AS g FROM toks
+    UNION ALL
+    SELECT 2, doc_id, array_to_string(list_slice(t, i, i + 1), ' ')
+    FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2
+    UNION ALL
+    SELECT 3, doc_id, array_to_string(list_slice(t, i, i + 2), ' ')
+    FROM toks, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3
+  )
+), flags AS (
+  -- single pass: per (n, gram), does it occur in the benchmark
+  -- split, the train split, or both -- no per-side re-scan
+  SELECT n, g,
+         MAX(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS b,
+         MAX(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS t
+  FROM grams GROUP BY n, g
+)
+SELECT CAST(n AS BIGINT)                       AS n,
+       CAST(SUM(b) AS BIGINT)                  AS bench_grams,
+       CAST(SUM(b * t) AS BIGINT)              AS shared_grams,
+       ROUND(SUM(b * t) * 1.0 / SUM(b), 6)     AS contamination_rate
+FROM flags GROUP BY n ORDER BY n
+"""
+
+
+@register("pipeline_contamination_curve", oracle=CONTAMINATION_ORACLE)
+def pipeline_contamination_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N-gram contamination-rate curve (n = 1..3) between a benchmark
+    split and the training corpus — the report card printed alongside
+    pipeline_decontaminate_benchmark's doc-level scan. Scale shape:
+    ONE gram explosion (all three n in the same Generate), one
+    map-side-combined Exchange to (n, gram) presence flags, one
+    |n|-row rollup — no per-side re-scan, no join anywhere (the
+    first draft semi-joined bench against train per n, re-exploding
+    the corpus six times; the flag aggregation replaces all of it)."""
+    from etl_data_ingestion_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def tag(n):
+        # single-arg lambda on purpose: a two-arg lambda would make
+        # F.transform pass the array INDEX as the second argument
+        return F.transform(
+            word_ngrams("text", n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(tag(1), tag(2), tag(3)))).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    is_bench = (F.col("doc_id") % 97 == 0).cast("int")
+    flags = grams.groupBy("n", "g").agg(
+        F.max(is_bench).alias("b"),
+        F.max(1 - is_bench).alias("t"),
+    )
+    return (
+        flags.groupBy("n")
+        .agg(
+            F.sum("b").cast("long").alias("bench_grams"),
+            F.sum(F.col("b") * F.col("t")).cast("long").alias("shared_grams"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "bench_grams",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams") / F.col("bench_grams"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("n")
+    )
+
+
+BACKTEST_ORACLE = """
+-- Rolling forecast backtest: seasonal-naive (value a week earlier)
+-- vs naive (previous day) daily-total forecasts, scored with MAPE
+-- and MAE over every day where both references exist, plus the
+-- skill score 1 - mape_seasonal/mape_naive. The fact table reduces
+-- to the |days| rollup in one pass; lags and scoring are
+-- domain-sized.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT v,
+         LAG(v, 7) OVER (ORDER BY d) AS f_seasonal,
+         LAG(v, 1) OVER (ORDER BY d) AS f_naive
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT)                          AS n_days,
+       ROUND(AVG(ABS(v - f_seasonal) / v), 6)            AS mape_seasonal,
+       ROUND(AVG(ABS(v - f_naive) / v), 6)               AS mape_naive,
+       ROUND(AVG(ABS(v - f_seasonal)), 2)                AS mae_seasonal,
+       ROUND(AVG(ABS(v - f_naive)), 2)                   AS mae_naive,
+       ROUND(1 - AVG(ABS(v - f_seasonal) / v)
+               / AVG(ABS(v - f_naive) / v), 6)           AS skill_vs_naive
+FROM lagged WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
+"""
+
+
+@register("timeseries_backtest_mape", oracle=BACKTEST_ORACLE)
+def timeseries_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest: seasonal-naive (t-7) vs naive (t-1)
+    predictions of the daily total, scored by MAPE/MAE with the
+    seasonal model's skill over the naive baseline — the acceptance
+    gate run before any forecasting model ships. One
+    partial-aggregated fact pass to the day rollup; lag windows and
+    scoring run on the |days|-sized table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 7).over(w).alias("f_seasonal"),
+        F.lag("v", 1).over(w).alias("f_naive"),
+    ).filter(F.col("f_seasonal").isNotNull() & F.col("f_naive").isNotNull())
+    err_s = F.abs(F.col("v") - F.col("f_seasonal"))
+    err_n = F.abs(F.col("v") - F.col("f_naive"))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(err_s / F.col("v")), 6).alias("mape_seasonal"),
+        F.round(F.avg(err_n / F.col("v")), 6).alias("mape_naive"),
+        F.round(F.avg(err_s), 2).alias("mae_seasonal"),
+        F.round(F.avg(err_n), 2).alias("mae_naive"),
+        F.round(
+            1 - F.avg(err_s / F.col("v")) / F.avg(err_n / F.col("v")), 6
+        ).alias("skill_vs_naive"),
+    )

@@ -139,6 +139,9 @@ CHECK_ORDER: list[str] = [
     "pipeline_weighted_sample_wor",
     "basket_association_rules",
     "pipeline_kfold_grouped",
+    "ml_bootstrap_ci_poisson",
+    "pipeline_contamination_curve",
+    "timeseries_backtest_mape",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

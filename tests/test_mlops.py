@@ -93,3 +93,33 @@ def test_kfold_grouped_audits_hold(spark):
     assert {r.fold for r in rows} <= set(range(5))
     for r in rows:
         assert r.coverage_ok and r.groups_disjoint
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    row = registry.QUERIES["ml_bootstrap_ci_poisson"](spark, SF).collect()[0]
+    assert row.n_replicates == 50
+    assert row.ci_lo < row.ci_hi
+    assert row.ci_contains_mean
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    # CI width should be a small fraction of the mean at n~6k rows
+    assert (row.ci_hi - row.ci_lo) < 0.5 * row.mean_value
+
+
+def test_contamination_curve_decays_with_n(spark):
+    rows = registry.QUERIES["pipeline_contamination_curve"](spark, SF).collect()
+    by_n = {r.n: r for r in rows}
+    assert set(by_n) == {1, 2, 3}
+    for r in rows:
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert r.shared_grams <= r.bench_grams
+    # overlap can only decay (weakly) as n grows
+    assert by_n[1].contamination_rate >= by_n[2].contamination_rate
+    assert by_n[2].contamination_rate >= by_n[3].contamination_rate
+
+
+def test_backtest_scores_are_consistent(spark):
+    row = registry.QUERIES["timeseries_backtest_mape"](spark, SF).collect()[0]
+    assert row.n_days > 0
+    assert row.mape_seasonal > 0 and row.mape_naive > 0
+    skill = 1 - row.mape_seasonal / row.mape_naive
+    assert abs(row.skill_vs_naive - skill) < 1e-4
