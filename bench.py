@@ -146,6 +146,9 @@ EXTENDED = [
     "ml_bootstrap_ci_poisson",
     "pipeline_contamination_curve",
     "timeseries_backtest_mape",
+    "events_markov_stationary",
+    "agg_benford_first_digit",
+    "pipeline_filter_funnel_report",
 ]
 
 

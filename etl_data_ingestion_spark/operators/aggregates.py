@@ -2000,3 +2000,72 @@ def agg_categorical_entropy_daily(
         )
         .orderBy("day")
     )
+
+
+BENFORD_ORACLE = """
+-- Benford first-digit audit on order totals: observed leading-digit
+-- frequencies vs the Benford expectation log10(1 + 1/d), with the
+-- chi-square statistic as the fraud/synthetic-data tripwire (a
+-- money-amount column drifting far from Benford is a classic DQ
+-- anomaly; a chi2 this large on SYNTHETIC uniform-ish prices is
+-- itself the expected reading). One fact pass to 9 digit counts.
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice
+               / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), freq AS (
+  SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS tot FROM d GROUP BY digit
+), scored AS (
+  SELECT digit, n, tot,
+         n * 1.0 / tot                  AS observed_freq,
+         LOG10(1 + 1.0 / digit)         AS expected_freq
+  FROM freq
+)
+SELECT digit,
+       CAST(n AS BIGINT)                AS n_orders,
+       ROUND(observed_freq, 6)          AS observed_freq,
+       ROUND(expected_freq, 6)          AS expected_freq,
+       ROUND(SUM(tot * (observed_freq - expected_freq)
+                     * (observed_freq - expected_freq)
+                 / expected_freq) OVER (), 2) AS chi2_stat
+FROM scored ORDER BY digit
+"""
+
+
+@register("agg_benford_first_digit", oracle=BENFORD_ORACLE)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    financial-data plausibility gate (and, on synthetic fixtures, a
+    synthetic-data detector: uniform price generators flunk it
+    loudly). Scale shape: the leading digit is map-side arithmetic
+    (no string casts), one partial-aggregated Exchange to 9 rows;
+    the chi-square is a window over the 9-row table."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    freq = od.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.partitionBy()
+    scored = freq.select(
+        "digit",
+        "n",
+        F.sum("n").over(wall).alias("tot"),
+        (F.col("n") / F.sum("n").over(wall)).alias("observed_freq"),
+        F.log10(1 + 1.0 / F.col("digit")).alias("expected_freq"),
+    )
+    dev = F.col("observed_freq") - F.col("expected_freq")
+    return scored.select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("observed_freq", 6).alias("observed_freq"),
+        F.round("expected_freq", 6).alias("expected_freq"),
+        F.round(
+            F.sum(F.col("tot") * dev * dev / F.col("expected_freq")).over(
+                wall
+            ),
+            2,
+        ).alias("chi2_stat"),
+    ).orderBy("digit")

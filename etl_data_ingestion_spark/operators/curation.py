@@ -1278,3 +1278,96 @@ def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+FILTER_FUNNEL_ORACLE = """
+-- Quality-filter funnel report: three sequential gates (too-short,
+-- low-alpha-fraction, low-stopword-share) with FIRST-FAIL
+-- attribution -- the why-was-it-dropped accounting that accompanies
+-- any corpus filter stack (per-rule drop counts must sum with
+-- survivors to the corpus total, proven in-plan). One map-side pass
+-- computes each doc's first failing rule; the funnel is a rollup of
+-- the 4-value attribution domain.
+WITH scored AS (
+  SELECT CASE
+           WHEN n_chars < 100 THEN 1
+           WHEN LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                / LENGTH(text) < 0.6 THEN 2
+           WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x IN ('the','and','of','to','in','a','is','for')))
+                * 1.0
+                / len(regexp_split_to_array(trim(text), '\\s+')) < 0.03
+                THEN 3
+           ELSE 0
+         END AS ff
+  FROM documents
+), cnt AS (
+  SELECT ff, COUNT(*) AS n FROM scored GROUP BY ff
+), tot AS (
+  SELECT SUM(n) AS total,
+         SUM(CASE WHEN ff = 0 THEN n ELSE 0 END) AS survivors
+  FROM cnt
+)
+SELECT CAST(tot.total AS BIGINT)     AS n_total,
+       CAST(COALESCE(MAX(CASE WHEN ff = 1 THEN n END), 0) AS BIGINT)
+                                     AS drop_too_short,
+       CAST(COALESCE(MAX(CASE WHEN ff = 2 THEN n END), 0) AS BIGINT)
+                                     AS drop_low_alpha,
+       CAST(COALESCE(MAX(CASE WHEN ff = 3 THEN n END), 0) AS BIGINT)
+                                     AS drop_low_stopword,
+       CAST(tot.survivors AS BIGINT) AS n_surviving,
+       ROUND(tot.survivors * 1.0 / tot.total, 6) AS survival_rate,
+       (COALESCE(MAX(CASE WHEN ff = 1 THEN n END), 0)
+        + COALESCE(MAX(CASE WHEN ff = 2 THEN n END), 0)
+        + COALESCE(MAX(CASE WHEN ff = 3 THEN n END), 0)
+        + tot.survivors = tot.total) AS accounting_ok
+FROM cnt CROSS JOIN tot GROUP BY tot.total, tot.survivors
+"""
+
+
+@register("pipeline_filter_funnel_report", oracle=FILTER_FUNNEL_ORACLE)
+def pipeline_filter_funnel_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter-stack funnel accounting: each document is attributed to
+    its FIRST failing quality gate (too-short, low alpha fraction,
+    low stopword share) or to the survivor pool, and the report
+    proves in-plan that per-rule drops + survivors equal the corpus
+    total — the audit trail a production filter chain publishes with
+    every corpus release. Scale shape: the whole rule battery is one
+    map-side JVM expression (regexp + array HOFs, no Python row
+    path), one Exchange to the 4-row attribution rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array(
+        *[F.lit(s) for s in ("the", "and", "of", "to", "in", "a", "is", "for")]
+    )
+    stop_share = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop, x))
+    ) / F.size(toks)
+    alpha_frac = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.length("text")
+    ff = (
+        F.when(F.col("n_chars") < 100, 1)
+        .when(alpha_frac < 0.6, 2)
+        .when(stop_share < 0.03, 3)
+        .otherwise(0)
+    )
+    cnt = docs.select(ff.alias("ff")).groupBy("ff").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pick = lambda k: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("ff") == k, F.col("n"))), F.lit(0)
+    ).cast("long")
+    return cnt.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        pick(1).alias("drop_too_short"),
+        pick(2).alias("drop_low_alpha"),
+        pick(3).alias("drop_low_stopword"),
+        pick(0).alias("n_surviving"),
+        F.round(pick(0) / F.sum("n"), 6).alias("survival_rate"),
+        (
+            pick(1) + pick(2) + pick(3) + pick(0) == F.sum("n")
+        ).alias("accounting_ok"),
+    )

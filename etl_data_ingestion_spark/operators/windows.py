@@ -1052,3 +1052,93 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(F.col("s_t")) > 3 * F.col("sd")).alias("shift_detected"),
     )
+
+
+MARKOV_STATIONARY_ORACLE = """
+-- Stationary distribution of the event-type Markov chain: 4 unrolled
+-- power-iteration steps v <- vP from a uniform start, plus the L1
+-- residual of the last step as a convergence receipt. The fact table
+-- contributes the ONE user_id window Exchange the transition matrix
+-- already pays; every iteration is a join-aggregate on the
+-- |types|^2 probability table.
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT f, t, n * 1.0 / SUM(n) OVER (PARTITION BY f) AS pr FROM c
+), v0 AS (
+  SELECT f AS s, 1.0 / (SELECT COUNT(DISTINCT f) FROM p) AS pr
+  FROM (SELECT DISTINCT f FROM p)
+), v1 AS (
+  SELECT p.t AS s, SUM(v0.pr * p.pr) AS pr FROM v0 JOIN p ON v0.s = p.f GROUP BY p.t
+), v2 AS (
+  SELECT p.t AS s, SUM(v1.pr * p.pr) AS pr FROM v1 JOIN p ON v1.s = p.f GROUP BY p.t
+), v3 AS (
+  SELECT p.t AS s, SUM(v2.pr * p.pr) AS pr FROM v2 JOIN p ON v2.s = p.f GROUP BY p.t
+), v4 AS (
+  SELECT p.t AS s, SUM(v3.pr * p.pr) AS pr FROM v3 JOIN p ON v3.s = p.f GROUP BY p.t
+), res AS (
+  SELECT SUM(ABS(v4.pr - v3.pr)) AS r FROM v4 JOIN v3 ON v4.s = v3.s
+)
+SELECT v4.s                 AS event_type,
+       ROUND(v4.pr, 6)      AS stationary_prob,
+       ROUND(res.r, 6)      AS l1_residual
+FROM v4 CROSS JOIN res ORDER BY event_type
+"""
+
+
+@register("events_markov_stationary", oracle=MARKOV_STATIONARY_ORACLE)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type chain
+    (the long-run behavioral mix, and the PageRank-style score for
+    event types): power iteration v <- vP unrolled 4 steps from
+    uniform, with the step-4 L1 residual emitted as a convergence
+    receipt. Scale shape: identical fact cost to
+    events_transition_matrix (one user_id window Exchange); all
+    iteration math lives on the |types|^2 table."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("f")
+    # localCheckpoint: P feeds 4 iterations + the state count; without
+    # it each unrolled step re-runs the fact window
+    p = c.select(
+        "f", "t", (F.col("n") / F.sum("n").over(wf)).alias("pr")
+    ).localCheckpoint()
+    n_states = p.select("f").distinct().count()
+    v = p.select("f").distinct().select(
+        F.col("f").alias("s"), F.lit(1.0 / n_states).alias("pr")
+    )
+    prev = None
+    for _ in range(4):
+        prev = v
+        v = (
+            prev.alias("v")
+            .join(p.alias("p"), F.col("v.s") == F.col("p.f"))
+            .groupBy(F.col("p.t").alias("s"))
+            .agg(F.sum(F.col("v.pr") * F.col("p.pr")).alias("pr"))
+        )
+    res = (
+        v.alias("a")
+        .join(prev.alias("b"), F.col("a.s") == F.col("b.s"))
+        .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("r"))
+    )
+    return (
+        v.crossJoin(F.broadcast(res))
+        .select(
+            F.col("s").alias("event_type"),
+            F.round("pr", 6).alias("stationary_prob"),
+            F.round("r", 6).alias("l1_residual"),
+        )
+        .orderBy("event_type")
+    )

@@ -142,6 +142,9 @@ CHECK_ORDER: list[str] = [
     "ml_bootstrap_ci_poisson",
     "pipeline_contamination_curve",
     "timeseries_backtest_mape",
+    "events_markov_stationary",
+    "agg_benford_first_digit",
+    "pipeline_filter_funnel_report",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

@@ -123,3 +123,36 @@ def test_backtest_scores_are_consistent(spark):
     assert row.mape_seasonal > 0 and row.mape_naive > 0
     skill = 1 - row.mape_seasonal / row.mape_naive
     assert abs(row.skill_vs_naive - skill) < 1e-4
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    rows = registry.QUERIES["events_markov_stationary"](spark, SF).collect()
+    assert rows
+    total = sum(r.stationary_prob for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 <= r.stationary_prob <= 1.0
+    # 4 power-iteration steps on a dense small chain should converge
+    assert rows[0].l1_residual < 0.05
+
+
+def test_benford_digits_and_chi2(spark):
+    rows = registry.QUERIES["agg_benford_first_digit"](spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.expected_freq for r in rows) - 1.0) < 1e-3
+    assert all(r.chi2_stat == rows[0].chi2_stat for r in rows)
+    assert rows[0].chi2_stat >= 0
+
+
+def test_filter_funnel_accounting(spark):
+    row = registry.QUERIES["pipeline_filter_funnel_report"](spark, SF).collect()[0]
+    assert row.accounting_ok
+    assert (
+        row.drop_too_short
+        + row.drop_low_alpha
+        + row.drop_low_stopword
+        + row.n_surviving
+        == row.n_total
+    )
+    assert 0.0 <= row.survival_rate <= 1.0
