@@ -149,6 +149,8 @@ EXTENDED = [
     "events_markov_stationary",
     "agg_benford_first_digit",
     "pipeline_filter_funnel_report",
+    "text_heaps_vocab_growth",
+    "events_peak_concurrency_daily",
 ]
 
 

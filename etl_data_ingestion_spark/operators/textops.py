@@ -916,3 +916,93 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("js_divergence", "src_a", "src_b")
         .limit(5)
     )
+
+
+HEAPS_ORACLE = """
+-- Heaps'-law fit V(N) ~ K * N^beta of vocabulary growth vs corpus
+-- size -- the corpus-health curve (a sub-linear beta ~0.4-0.6 is
+-- healthy organic text; beta near 0 means a closed template
+-- vocabulary, near 1 means id-like noise tokens). The vocabulary
+-- unit is the word TRIGRAM (the fixtures' unigram vocabulary is a
+-- closed 31-term set, which makes the unigram curve flat and the
+-- log-log fit degenerate; trigram shingles grow like real text).
+-- Measured at BUCKET grain (50 docs per point) so the growth curve
+-- and its windows are |buckets|-sized, never corpus-sized: a term's
+-- first appearance collapses to MIN(bucket), token mass
+-- partial-aggregates per bucket, and the log-log OLS runs over the
+-- bucket table via one-pass regr_* co-moments.
+-- "token mass" counts DISTINCT trigrams per document (the Jaccard
+-- shingle unit word_ngrams produces), not raw occurrences.
+WITH raw AS (
+  SELECT doc_id // 50 AS b, doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT DISTINCT b, doc_id,
+         array_to_string(list_slice(t, i, i + 2), ' ') AS term
+  FROM raw, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3
+), per_bucket AS (
+  SELECT b, COUNT(*) AS toks FROM toks GROUP BY b
+), first_seen AS (
+  SELECT term, MIN(b) AS fb FROM toks GROUP BY term
+), new_terms AS (
+  SELECT fb AS b, COUNT(*) AS v FROM first_seen GROUP BY fb
+), curve AS (
+  SELECT p.b,
+         SUM(p.toks) OVER (ORDER BY p.b) AS n_cum,
+         SUM(COALESCE(n.v, 0)) OVER (ORDER BY p.b) AS v_cum
+  FROM per_bucket p LEFT JOIN new_terms n ON p.b = n.b
+)
+SELECT CAST(COUNT(*) AS BIGINT)                        AS n_points,
+       CAST(MAX(n_cum) AS BIGINT)                      AS total_tokens,
+       CAST(MAX(v_cum) AS BIGINT)                      AS vocab_size,
+       ROUND(REGR_SLOPE(ln(v_cum), ln(n_cum)), 6)      AS heaps_beta,
+       ROUND(EXP(REGR_INTERCEPT(ln(v_cum), ln(n_cum))), 6) AS heaps_k,
+       ROUND(REGR_R2(ln(v_cum), ln(n_cum)), 6)         AS fit_r2
+FROM curve
+"""
+
+
+@register("text_heaps_vocab_growth", oracle=HEAPS_ORACLE)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit at bucket grain over the
+    word-TRIGRAM vocabulary (the fixtures' unigram vocabulary is a
+    closed set, which degenerates the log-log fit): one gram
+    Exchange computes per-term first-appearance buckets and
+    per-bucket token mass; cumulative windows and the log-log
+    regr_slope/intercept/r2 fit all run on the |buckets|-sized
+    curve — the corpus-sized cumulative-distinct state never exists
+    (same first-appearance rewrite as
+    window_cumulative_distinct_users)."""
+    from etl_data_ingestion_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") / 50).cast("long").alias("b"),
+        F.explode(word_ngrams("text", 3)).alias("term"),
+    )
+    per_bucket = toks.groupBy("b").agg(F.count(F.lit(1)).alias("toks"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("b").alias("fb"))
+        .groupBy(F.col("fb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(new_terms, "b", "left")
+        .select(
+            "b",
+            F.sum("toks").over(w).alias("n_cum"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w).alias("v_cum"),
+        )
+    )
+    ln_n, ln_v = F.log(F.col("n_cum")), F.log(F.col("v_cum"))
+    return curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("n_cum").cast("long").alias("total_tokens"),
+        F.max("v_cum").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(ln_v, ln_n), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(ln_v, ln_n)), 6).alias("heaps_k"),
+        F.round(F.regr_r2(ln_v, ln_n), 6).alias("fit_r2"),
+    )

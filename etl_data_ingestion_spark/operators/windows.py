@@ -1142,3 +1142,66 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PEAK_CONCURRENCY_ORACLE = """
+-- Daily peak concurrency via the +1/-1 endpoint sweep: each event
+-- opens a 30-minute half-open activity interval [ts, ts+30m),
+-- clipped at the day boundary so the sweep partitions cleanly by
+-- day; the running endpoint sum's daily maximum is the peak number
+-- of simultaneously active sessions -- the capacity-planning
+-- statistic. Half-open semantics = ends (-1) sort before starts
+-- (+1) at the same instant.
+WITH ep AS (
+  SELECT date_trunc('day', ts) AS day, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT date_trunc('day', ts) AS day,
+         LEAST(ts + INTERVAL 30 MINUTE,
+               date_trunc('day', ts) + INTERVAL 1 DAY) AS t,
+         -1 AS delta
+  FROM events
+), sweep AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS live
+  FROM ep
+)
+SELECT STRFTIME(day, '%Y-%m-%d')      AS day,
+       CAST(MAX(live) AS BIGINT)      AS peak_concurrency
+FROM sweep GROUP BY day ORDER BY day
+"""
+
+
+@register("events_peak_concurrency_daily", oracle=PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily peak concurrent activity (30-minute activity intervals,
+    clipped at day boundaries): the classic endpoint-sweep rewrite —
+    2 endpoints per event, one day-partitioned running-sum window,
+    a daily MAX. Scale shape: the sweep window partitions by day, so
+    no global ordering exists; at 100 TB the same plan partitions by
+    (day, shard) with shard boundary counts merged, or rides a
+    time-bucketed layout where each partition sorts locally."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    starts = ev.select(day.alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        day.alias("day"),
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 30 MINUTE"),
+            day + F.expr("INTERVAL 1 DAY"),
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    ep = starts.unionByName(ends)
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    sweep = ep.select("day", F.sum("delta").over(w).alias("live"))
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("live").cast("long").alias("peak_concurrency"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrency",
+        )
+        .orderBy("day")
+    )

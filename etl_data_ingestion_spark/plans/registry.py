@@ -145,6 +145,8 @@ CHECK_ORDER: list[str] = [
     "events_markov_stationary",
     "agg_benford_first_digit",
     "pipeline_filter_funnel_report",
+    "text_heaps_vocab_growth",
+    "events_peak_concurrency_daily",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

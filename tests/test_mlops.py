@@ -156,3 +156,29 @@ def test_filter_funnel_accounting(spark):
         == row.n_total
     )
     assert 0.0 <= row.survival_rate <= 1.0
+
+
+def test_heaps_fit_is_sublinear_growth(spark):
+    row = registry.QUERIES["text_heaps_vocab_growth"](spark, SF).collect()[0]
+    assert row.vocab_size <= row.total_tokens
+    assert 0.0 < row.heaps_beta <= 1.05
+    assert row.heaps_k > 0
+    assert row.fit_r2 > 0.8  # smooth growth curve fits well
+
+
+def test_peak_concurrency_bounds(spark):
+    rows = registry.QUERIES["events_peak_concurrency_daily"](spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    import pyspark.sql.functions as F
+
+    per_day = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= per_day[r.day]
