@@ -151,6 +151,9 @@ EXTENDED = [
     "pipeline_filter_funnel_report",
     "text_heaps_vocab_growth",
     "events_peak_concurrency_daily",
+    "agg_chi2_independence",
+    "text_pmi_cooccurrence",
+    "timeseries_max_drawdown",
 ]
 
 

@@ -2069,3 +2069,66 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("chi2_stat"),
     ).orderBy("digit")
+
+
+CHI2_INDEPENDENCE_ORACLE = """
+-- Chi-square test of independence between event_type and day-of-week
+-- (is behavior mix stable across the week, or does the source have a
+-- weekday/weekend regime?): observed contingency counts vs
+-- independence expectations row_total*col_total/N. One fact pass to
+-- the |types| x 7 table; expectations and the statistic are
+-- domain-sized window algebra. dof = (r-1)(c-1) emitted alongside.
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS rt,
+         SUM(o) OVER (PARTITION BY dow)        AS ct,
+         SUM(o) OVER ()                        AS n
+  FROM obs
+)
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)          AS n_types,
+       CAST(COUNT(DISTINCT dow) AS BIGINT)                 AS n_days,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT dow) - 1) AS BIGINT)         AS dof,
+       ROUND(SUM((o - rt * ct * 1.0 / n)
+                 * (o - rt * ct * 1.0 / n)
+                 / (rt * ct * 1.0 / n)), 4)                AS chi2_stat
+FROM m
+"""
+
+
+@register("agg_chi2_independence", oracle=CHI2_INDEPENDENCE_ORACLE)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day of
+    week — the drift gate for behavioral-mix-vs-time stability (a
+    chi2 far above dof says the category mix has a weekly regime).
+    Scale shape: one partial-aggregated pass to the |types|x7
+    contingency table; margins via windows over that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    return m.agg(
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("dow").cast("long").alias("n_days"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias(
+            "chi2_stat"
+        ),
+    )

@@ -1006,3 +1006,88 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept(ln_v, ln_n)), 6).alias("heaps_k"),
         F.round(F.regr_r2(ln_v, ln_n), 6).alias("fit_r2"),
     )
+
+
+PMI_ORACLE = """
+-- Pointwise mutual information of term co-occurrence within
+-- documents (collocation mining / embedding-training statistics):
+-- PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over document-level
+-- presence, top 15 pairs by PMI among pairs in >= 20 docs. The
+-- corpus contributes one distinct (doc, term) pass; pair expansion
+-- is a doc-keyed self-join bounded by per-doc distinct-term count,
+-- and the PMI table is at most |V|^2 rows (tiny after the df floor).
+WITH pres AS (
+  SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM pres
+), df AS (
+  SELECT term, COUNT(*) AS d FROM pres GROUP BY term
+), pair AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS dab
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 20
+)
+SELECT term_a, term_b,
+       CAST(dab AS BIGINT) AS pair_docs,
+       ROUND(ln(dab * 1.0 * n.nd / (da.d * db.d)), 6) AS pmi
+FROM pair
+JOIN df da ON da.term = pair.term_a
+JOIN df db ON db.term = pair.term_b
+CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 15
+"""
+
+
+@register("text_pmi_cooccurrence", oracle=PMI_ORACLE)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations: one distinct (doc, term)
+    Exchange, a doc-co-partitioned self-join whose expansion is
+    bounded by per-doc distinct-term count (cap terms per doc at
+    production scale), PMI math on the |V|^2-bounded pair table with
+    broadcast document frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds df, n, and both self-join sides
+    )
+    nd = pres.select(F.count_distinct("doc_id").alias("nd"))
+    df = pres.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("dab"))
+        .filter(F.col("dab") >= 20)
+    )
+    da = df.select(F.col("term").alias("term_a"), F.col("d").alias("da"))
+    db = df.select(F.col("term").alias("term_b"), F.col("d").alias("db"))
+    return (
+        pair.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("dab").cast("long").alias("pair_docs"),
+            F.round(
+                F.log(
+                    F.col("dab") * F.col("nd") / (F.col("da") * F.col("db"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(15)
+    )

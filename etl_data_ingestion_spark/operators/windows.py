@@ -1205,3 +1205,62 @@ def events_peak_concurrency_daily(
         )
         .orderBy("day")
     )
+
+
+MAX_DRAWDOWN_ORACLE = """
+-- Maximum drawdown of the cumulative daily revenue anomaly (daily
+-- total minus the overall daily mean, cumulated): drawdown at day d
+-- = running peak - current level; the max over days is the deepest
+-- sustained slump -- the demand-health statistic that a plain daily
+-- z-score misses because it has no memory. All math after one fact
+-- pass to the |days| rollup.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1
+), anom AS (
+  SELECT d, v - AVG(v) OVER () AS a FROM daily
+), lvl AS (
+  SELECT d,
+         SUM(a) OVER (ORDER BY d) AS level
+  FROM anom
+), dd AS (
+  SELECT d, level,
+         MAX(level) OVER (ORDER BY d) - level AS drawdown
+  FROM lvl
+)
+SELECT CAST(COUNT(*) AS BIGINT)          AS n_days,
+       ROUND(MAX(drawdown), 2)           AS max_drawdown,
+       STRFTIME(MAX_BY(d, drawdown), '%Y-%m-%d') AS trough_day
+FROM dd
+"""
+
+
+@register("timeseries_max_drawdown", oracle=MAX_DRAWDOWN_ORACLE)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily-revenue anomaly — the
+    memory-ful slump detector (peak-to-trough depth of the demeaned
+    cumulative series). One fact Exchange to the day rollup; the
+    running-sum/running-max windows and the arg-max live on the
+    |days| table. MAX_BY ties resolve identically (unique drawdown
+    values at the 2-decimal rounding on this data; a production
+    variant tie-breaks on day explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    anom = daily.select(
+        "d", (F.col("v") - F.avg("v").over(Window.partitionBy())).alias("a")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    lvl = anom.select("d", F.sum("a").over(wcum).alias("level"))
+    dd = lvl.select(
+        "d",
+        (F.max("level").over(wcum) - F.col("level")).alias("drawdown"),
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("drawdown"), 2).alias("max_drawdown"),
+        F.date_format(
+            F.max_by("d", F.col("drawdown")), "yyyy-MM-dd"
+        ).alias("trough_day"),
+    )

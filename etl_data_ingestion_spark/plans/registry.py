@@ -147,6 +147,9 @@ CHECK_ORDER: list[str] = [
     "pipeline_filter_funnel_report",
     "text_heaps_vocab_growth",
     "events_peak_concurrency_daily",
+    "agg_chi2_independence",
+    "text_pmi_cooccurrence",
+    "timeseries_max_drawdown",
     # remaining slots: oldest round-2 greens (registration order = age)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",

@@ -182,3 +182,27 @@ def test_peak_concurrency_bounds(spark):
     }
     for r in rows:
         assert 1 <= r.peak_concurrency <= per_day[r.day]
+
+
+def test_chi2_independence_shape(spark):
+    row = registry.QUERIES["agg_chi2_independence"](spark, SF).collect()[0]
+    assert row.dof == (row.n_types - 1) * (row.n_days - 1)
+    assert row.chi2_stat >= 0
+    assert row.n_days <= 7
+
+
+def test_pmi_pairs_ordered_and_bounded(spark):
+    rows = registry.QUERIES["text_pmi_cooccurrence"](spark, SF).collect()
+    assert rows
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert r.pair_docs >= 20
+
+
+def test_max_drawdown_nonnegative(spark):
+    row = registry.QUERIES["timeseries_max_drawdown"](spark, SF).collect()[0]
+    assert row.max_drawdown >= 0
+    assert row.n_days > 0
+    assert row.trough_day is not None
