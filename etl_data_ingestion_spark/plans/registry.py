@@ -43,97 +43,94 @@ def register(name: str, oracle: Optional[str] = None):
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
-# History: round 1 checked slots 1-50 (48 green); round 2: 49/50;
-# round 3: 50/50; round 4: 50/50 (6 never-checked + 44 aging r1
-# greens). Every driver verdict ever issued is green.
-# Round-5 window below: the 3 r1 greens deferred from the round-4
-# window (their only verdict is round 1 — oldest debt), then the 22
-# round-4 additions (judge-verified green at sf0.01 in round 4 but
-# never driver-checked), then new round-5 queries, then the oldest
-# round-2 greens that fit (the rest of the 49 r2-only greens roll to
-# round 6). Names not listed follow in registration order after the
-# listed ones.
-# ROUND-6 RECUT (do first thing next round): lead with the r2-only
-# greens, then the round-5 second-wave + third-wave additions (all
-# parity-green at sf0.01 and sf1 in vanilla sessions during round 5
-# — see COVERAGE.md rotation section for the exact name lists).
+# History: r1 48/50 green; r2 49/50; r3 50/50; r4 50/50; r5 49/50
+# (the one red, pipeline_pack_sequences, was a float-rounding hash
+# edge — fixed with an integer-exact fill_ratio; it leads this
+# window to re-green). Every other driver verdict ever issued is
+# green, and every historical red was re-verified green later.
+# ROUND-6 RECUT (judge directive): burn down the never-driver-checked
+# backlog. After r5 exactly 80 registry queries had no driver verdict;
+# slots 2-50 below take the first 49 of them, the remaining 31 lead
+# the round-7 window, then the 47 r2-only greens (oldest refresh debt)
+# follow. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-3: round-1 greens deferred from the round-4 window
-    "setop_union_all",
-    "setop_union_distinct",
-    "window_value_functions",
-    # slots 4-25: round-4 additions (judge-green, never driver-checked)
-    "timeseries_ewma_daily",
-    "join_bloom_pruned",
-    "multimodal_cdc_chunking",
-    "window_cumulative_distinct_users",
-    "events_transition_matrix",
-    "dedup_bloom_incremental",
-    "similarity_pq_rerank",
-    "pipeline_dsir_weights",
-    "scan_partitioned_dpp",
-    "agg_bitmap_exact_distinct",
-    "scalar_variant_json",
-    "agg_theta_sketch_setops",
-    "scalar_aes_column_protection",
-    "scan_xml_roundtrip",
-    "multimodal_wav_decode_real",
-    "multimodal_png_decode_real",
-    "text_langid_confusion",
-    "agg_hll_rollup_table",
+    # slot 1: the round-5 red, re-greening with integer-exact fill_ratio
     "pipeline_pack_sequences",
-    "join_asof_forward_tolerance",
-    "window_moving_median",
-    "scalar_url_funcs",
-    # round-5 additions (displacing the r2 tail to round 6: new code
-    # needs a driver verdict more than a 2-round-old green needs
-    # refreshing)
-    "multimodal_image_decode_real",
-    "pipeline_pack_sequences_sharded",
-    "events_path_trigrams",
-    "events_purchase_streaks",
-    "agg_corr_covar",
-    "agg_mode_deterministic",
-    "timeseries_resample_ohlc",
-    "dedup_levenshtein_banded",
-    "graph_pagerank_bipartite",
-    "multimodal_audio_features",
-    "agg_linear_regression",
-    "agg_unpivot_metrics",
-    "subquery_lateral_topk",
-    "graph_reachability_recursive",
-    "dedup_end_to_end_canonical",
-    "events_rfm_segmentation",
-    "agg_max_by_min_by",
-    "join_asof_nearest",
-    "text_bigram_lm_perplexity",
-    "agg_grouping_id_rollup",
-    "pipeline_vocab_coverage",
-    "multimodal_tar_shard_scan",
-    "pipeline_domain_resample",
-    "text_entity_extract",
-    "warehouse_scd2_apply",
-    "quality_referential_integrity",
-    # late round-5 additions (post-window at current count — these and
-    # anything past slot 50 lead the round-6 window; judge-checkable
-    # this round via tools/check_parity.py)
-    "events_attribution_last_touch",
-    "events_interval_union_coverage",
-    "warehouse_cdc_apply",
-    "quality_column_expectations",
+    # slots 2-50: never-driver-checked backlog, part 1 of 2
     "join_interval_overlap",
-    "pipeline_shard_assignment",
+    "join_geo_radius_grid",
     "agg_string_agg_ordered",
     "agg_weighted_median",
     "timeseries_anomaly_mad",
-    "events_cohort_ltv",
-    "multimodal_resize_real",
-    "subquery_any_all_quantified",
+    "agg_quantile_histogram_rollup",
+    "agg_equi_depth_histogram",
+    "agg_welch_ttest",
+    "agg_poisson_rate_anomaly",
+    "agg_higher_moments",
+    "agg_ratio_delta_ci",
+    "agg_gini_coefficient",
+    "agg_categorical_entropy_daily",
+    "agg_benford_first_digit",
+    "agg_chi2_independence",
+    "timeseries_holt_trend",
+    "timeseries_lerp_fill",
+    "timeseries_seasonal_decompose",
+    "timeseries_cusum_changepoint",
+    "events_markov_stationary",
+    "events_peak_concurrency_daily",
+    "timeseries_max_drawdown",
+    "scalar_collation_group",
+    "dedup_containment_quotes",
+    "embedding_chunk_mean_pool",
+    "ml_kmeans_lloyd_exact",
+    "similarity_index_persist_reuse",
+    "text_zipf_slope",
+    "text_js_divergence_sources",
+    "text_heaps_vocab_growth",
+    "text_pmi_cooccurrence",
+    "quality_psi_drift",
+    "dedup_url_canonical",
+    "text_compression_ratio",
+    "quality_ks_drift_test",
+    "pipeline_naive_bayes_spam",
+    "pipeline_entity_resolution",
+    "quality_k_anonymity",
+    "pipeline_curriculum_buckets",
+    "pipeline_filter_funnel_report",
+    "pipeline_shard_assignment",
     "pipeline_length_bucket_batching",
+    "dedup_repeated_lines_corpus",
+    "text_bpe_train_merges",
+    "text_bpe_apply_tokenize",
+    "pipeline_pack_binpack_ffd",
+    "events_cohort_ltv",
+    "events_pattern_match_regex",
+    "funnel_conversion_latency",
+    "graph_triangle_count",
+    # --- round-7 window starts here ---
+    # never-driver-checked backlog, part 2 of 2 (31)
+    "graph_link_prediction",
+    "stream_static_enrichment",
+    "multimodal_patch_embed_real",
+    "multimodal_resize_real",
+    "multimodal_spectrogram_real",
+    "multimodal_image_ahash_dedup",
+    "multimodal_audio_vad_segments",
+    "subquery_any_all_quantified",
+    "scan_csv_permissive_corrupt",
+    "scan_bucketed_join_zero_exchange",
+    "quality_referential_integrity",
+    "warehouse_cdc_apply",
+    "quality_column_expectations",
     "warehouse_snapshot_diff",
+    "warehouse_incremental_moments",
+    "warehouse_zorder_skipping",
+    "join_scd2_temporal",
+    "events_attribution_last_touch",
+    "events_interval_union_coverage",
     "events_dau_wau_mau",
     "agg_winsorized_mean",
-    "agg_quantile_histogram_rollup",
+    "multimodal_video_frames_real",
     "ml_auc_roc_exact",
     "ml_calibration_brier",
     "pipeline_weighted_sample_wor",
@@ -142,29 +139,25 @@ CHECK_ORDER: list[str] = [
     "ml_bootstrap_ci_poisson",
     "pipeline_contamination_curve",
     "timeseries_backtest_mape",
-    "events_markov_stationary",
-    "agg_benford_first_digit",
-    "pipeline_filter_funnel_report",
-    "text_heaps_vocab_growth",
-    "events_peak_concurrency_daily",
-    "agg_chi2_independence",
-    "text_pmi_cooccurrence",
-    "timeseries_max_drawdown",
-    # remaining slots: oldest round-2 greens (registration order = age)
-    "ingest_trim_empty_null",
-    "ingest_comma_int_roundtrip",
-    "ingest_strict_date_parse",
-    "ingest_validity_accounting",
-    "ingest_ctb_end_to_end",
-    "pipeline_training_data_curation",
+    # r2-only greens (oldest refresh debt, registration order = age)
+    "scalar_date_funcs",
+    "scalar_conditional_funcs",
+    "scalar_json_extract",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "scalar_from_json_struct",
+    "scalar_posexplode_embedding",
+    "scalar_try_funcs",
+    "topk_orders_by_price",
+    "sort_global_nation",
     "dedup_exact_documents",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
+    "dedup_minhash_verified",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_ivf_topk",
@@ -173,9 +166,27 @@ CHECK_ORDER: list[str] = [
     "text_lang_id_heuristic",
     "text_bpe_token_estimate",
     "text_rolling_fingerprint",
+    "pipeline_training_data_curation",
     "text_lang_bigram_score",
     "text_normalize_pipeline",
-    "scalar_date_funcs",
+    "ingest_trim_empty_null",
+    "ingest_comma_int_roundtrip",
+    "ingest_strict_date_parse",
+    "ingest_validity_accounting",
+    "ingest_ctb_end_to_end",
+    "stream_tumbling_hourly",
+    "stream_dedup_first_event",
+    "subquery_scalar_above_avg",
+    "subquery_in_high_qty",
+    "subquery_exists_returned",
+    "subquery_not_exists_customers",
+    "subquery_correlated_avg_qty",
+    "pandas_scalar_net_value",
+    "pandas_grouped_weighted_avg",
+    "pandas_map_batches_tokens",
+    "mailbox_extract_pipeline",
+    "scan_partitioned_pruning",
+    "mailbox_datasource_scan",
 ]
 
 

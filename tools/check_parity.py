@@ -20,6 +20,10 @@ import pandas as pd
 
 
 def canon_cell(v):
+    # Driver-strength float canon (round-5 judge finding): full repr,
+    # NO significant-digit smoothing. A float that only matches under
+    # 6-sig-digit rounding is a latent driver hash red — this canon
+    # makes the local sweep at least as strict as the driver's hash.
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -27,7 +31,7 @@ def canon_cell(v):
             return "∅"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
