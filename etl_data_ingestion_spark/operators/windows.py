@@ -1131,7 +1131,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt[t] = nxt.get(t, 0.0) + prev.get(f, 0.0) * pr
         v = nxt
     res = sum(abs(v[s] - prev.get(s, 0.0)) for s in v)
-    out = [(s, round(v[s], 6), round(res, 6)) for s in sorted(v)]
+    # half-up to 6 decimals (floor(x*1e6+0.5)) — Python round() is
+    # banker's while the oracle's ROUND is half-away from zero
+    import math
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    out = [(s, r6(v[s]), r6(res)) for s in sorted(v)]
     return spark.createDataFrame(
         out, "event_type string, stationary_prob double, l1_residual double"
     )
