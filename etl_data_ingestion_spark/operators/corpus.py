@@ -863,11 +863,21 @@ BPE_TRAIN_ROUNDS = 8
 
 def _bpe_train_plan(spark: SparkSession, sf_dir: str):
     """Build the k-round BPE training plan. Returns (merges DataFrame,
-    final word->sequence DataFrame). One corpus-sized word-count
-    Exchange (checkpointed |V|-row result); every round iterates on
-    the checkpointed vocab table with a broadcast 1-row winner — plan
-    depth linear in rounds, no driver collect (measured 10.8s -> ~3s
-    at sf0.1 without the checkpoints)."""
+    final word->sequence DataFrame). The corpus contributes ONE
+    map-side-combined word-count Exchange; the |V|-row count table is
+    then COLLECTED and the k merge rounds run driver-side in Python —
+    exactly how production BPE trainers work (HuggingFace tokenizers,
+    SentencePiece: train on the aggregated word-frequency statistics
+    held in one process; web-corpus |V| is ~10^7 rows of short
+    strings, driver-RAM-sized at any corpus scale because vocabulary
+    grows sub-linearly — Heaps' law — while the corpus grows without
+    bound). The merge algebra is the oracle's bit-for-bit: adjacent
+    pair counts over space-separated symbol sequences, winner by
+    (count DESC, a ASC, b ASC), 3-pass space-guarded replace-all.
+    Round 6 replaced the previous all-Spark iteration (8 rounds x
+    {pair-explode job + checkpointed 1-row winner + checkpointed
+    vocab merge} = ~17 sequential tiny jobs, 3.0s of scheduling floor
+    at sf0.1) with this single-job shape."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(
@@ -875,57 +885,39 @@ def _bpe_train_plan(spark: SparkSession, sf_dir: str):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint()
     )
-    seqs = wc.select(
-        "word",
-        F.concat(
-            F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
-        ).alias("seq"),
-        "freq",
-    )
-    results = []
+    vocab = [(r["word"], r["freq"]) for r in wc.collect()]  # |V|-bounded
+    seqs = {w: " " + "".join(ch + " " for ch in w) for w, _ in vocab}
+    freqs = dict(vocab)
+    merges = []
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        pair_structs = F.expr(
-            "transform(sequence(0, size(filter(split(seq, ' '), "
-            "x -> x != '')) - 2), "
-            "i -> struct(filter(split(seq, ' '), x -> x != '')[i] as a, "
-            "filter(split(seq, ' '), x -> x != '')[i+1] as b))"
-        )
-        pairs = (
-            seqs.select(F.explode(pair_structs).alias("p"), "freq")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        # 1-row winner, checkpointed: it feeds BOTH the result union
-        # and the merge crossJoin — without this each consumer re-runs
-        # the round's pair aggregation.
-        top1 = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).localCheckpoint()
-        results.append(
-            top1.select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("merge_left"),
-                F.col("b").alias("merge_right"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").cast("long").alias("cnt"),
-            )
-        )
-        search = F.concat(
-            F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")
-        )
-        repl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
-        merged_seq = F.col("seq")
-        for _ in range(3):
-            merged_seq = F.replace(merged_seq, search, repl)
-        seqs = (
-            seqs.crossJoin(F.broadcast(top1))
-            .select("word", merged_seq.alias("seq"), "freq")
-            .localCheckpoint()
-        )
-    merges = results[0]
-    for r in results[1:]:
-        merges = merges.unionByName(r)
-    return merges, seqs
+        cnt: dict[tuple[str, str], int] = {}
+        for w, s in seqs.items():
+            sym = [x for x in s.split(" ") if x != ""]
+            f = freqs[w]
+            for i in range(len(sym) - 1):
+                k = (sym[i], sym[i + 1])
+                cnt[k] = cnt.get(k, 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, c))
+        search, repl = f" {a} {b} ", f" {a}{b} "
+        for w in seqs:
+            s = seqs[w]
+            for _ in range(3):  # same 3-pass guarded replace as the oracle
+                s = s.replace(search, repl)
+            seqs[w] = s
+    merges_df = spark.createDataFrame(
+        merges,
+        "round int, merge_left string, merge_right string, "
+        "merged string, cnt long",
+    )
+    seqs_df = spark.createDataFrame(
+        [(w, seqs[w], freqs[w]) for w in seqs],
+        "word string, seq string, freq long",
+    )
+    return merges_df, seqs_df
 
 
 @register("text_bpe_train_merges", oracle=_bpe_oracle(BPE_TRAIN_ROUNDS))
