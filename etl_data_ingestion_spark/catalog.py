@@ -9,6 +9,7 @@ inputs — ``spark.read.parquet`` takes directories just as happily.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,7 +43,14 @@ FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 # cold scans. InMemoryTableScan still prunes columns at read; the
 # cache materializes full width, which is the storage trade a
 # resident tier makes.
-_RESIDENT: dict[tuple[int, str, str, bool], DataFrame] = {}
+# Keyed by the live SparkSession via weakref (round-6 advisor
+# finding: an id(spark) key can collide after GC reuses the address,
+# handing a new session DataFrames bound to a stopped one, and dead
+# sessions' cached plans were never evicted). WeakKeyDictionary
+# evicts a session's entries when the session object is collected.
+_RESIDENT: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, bool], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _resident_enabled(spark: SparkSession) -> bool:
@@ -58,17 +66,16 @@ def rematerialize_resident(spark: SparkSession) -> int:
     """Re-persist + re-materialize this session's resident tables
     (after a catalog.clearCache()); returns how many were warmed."""
     n = 0
-    for (sid, _, _, _), df in list(_RESIDENT.items()):
-        if sid == id(spark):
-            df.persist()
-            df.count()
-            n += 1
+    for df in _RESIDENT.get(spark, {}).values():
+        df.persist()
+        df.count()
+        n += 1
     return n
 
 
 def drop_resident(spark: SparkSession) -> None:
-    for key in [k for k in _RESIDENT if k[0] == id(spark)]:
-        _RESIDENT.pop(key).unpersist()
+    for df in _RESIDENT.pop(spark, {}).values():
+        df.unpersist()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -142,9 +149,11 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     resident = _resident_enabled(spark)
-    key = (id(spark), os.path.abspath(sf_dir), name, bool(parallel))
-    if resident and key in _RESIDENT:
-        return _RESIDENT[key]
+    key = (os.path.abspath(sf_dir), name, bool(parallel))
+    if resident:
+        cached = _RESIDENT.get(spark, {}).get(key)
+        if cached is not None:
+            return cached
     if name == "events":
         import pyspark.sql.functions as F
 
@@ -170,7 +179,7 @@ def load_table(
             df = _with_scan_parallelism(spark, df)
     if resident:
         df = df.persist()
-        _RESIDENT[key] = df
+        _RESIDENT.setdefault(spark, {})[key] = df
     return df
 
 

@@ -640,8 +640,13 @@ WITH b AS (
   FROM events
 )
 SELECT bucket,
-       CASE WHEN bucket = 0 THEN NULL ELSE (bucket - 1) * 10.0 END AS lo_edge,
-       CASE WHEN bucket = 21 THEN NULL ELSE bucket * 10.0 END AS hi_edge,
+       -- CAST: BIGINT * DECIMAL literal yields DECIMAL(22,1) in DuckDB,
+       -- which pandas may not return as float64 — force DOUBLE so the
+       -- driver-side value hash sees the same dtype as Spark's double.
+       CAST(CASE WHEN bucket = 0 THEN NULL ELSE (bucket - 1) * 10.0 END
+            AS DOUBLE) AS lo_edge,
+       CAST(CASE WHEN bucket = 21 THEN NULL ELSE bucket * 10.0 END
+            AS DOUBLE) AS hi_edge,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM b GROUP BY bucket
 ORDER BY bucket

@@ -253,7 +253,12 @@ WITH toks AS (
            AS start_offset
   FROM toks
 ), assigned AS (
-  SELECT doc_id, n_tokens, start_offset // 2048 AS seq_id,
+  -- CAST: SUM() OVER returns HUGEINT in DuckDB and // propagates it;
+  -- pandas has no int128 dtype so a HUGEINT seq_id comes back as
+  -- float64 (0.0, 1.0, ...) against Spark's int64 — the r5/r6 driver
+  -- hash red. BIGINT keeps both engines emitting int64.
+  SELECT doc_id, n_tokens,
+         CAST(start_offset // 2048 AS BIGINT) AS seq_id,
          start_offset
   FROM pref
 ), tot AS (SELECT SUM(n_tokens) AS total FROM toks)
@@ -799,9 +804,16 @@ def _bpe_ctes(k: int) -> tuple[str, list[str], str]:
         prev = f"s{r}"
     body = (
         """WITH wc AS (
+  -- min-frequency floor (mirrors BPE_MIN_FREQ on the Spark side):
+  -- production BPE trainers prune hapax words (typos, URLs, code
+  -- identifiers — the unbounded tail of a web corpus) BEFORE
+  -- training so the in-process word table stays RAM-bounded; the
+  -- merge statistics are computed over the same pruned table in
+  -- both engines.
   SELECT w AS word, COUNT(*) AS freq
   FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) t(w)
   GROUP BY w
+  HAVING COUNT(*) >= 2
 ), s0 AS (
   SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
          freq
@@ -852,13 +864,29 @@ def _bpe_apply_oracle(k: int) -> str:
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT)        AS n_words,
        CAST(SUM(length(w)) AS BIGINT)  AS n_chars,
-       CAST(SUM(v.n_tok) AS BIGINT)    AS n_bpe_tokens
-FROM dw JOIN vocab v ON v.word = dw.w
+       -- OOV fallback: words pruned by the min-frequency floor
+       -- tokenize as bare characters (the byte/char-fallback every
+       -- production tokenizer ships)
+       CAST(SUM(COALESCE(v.n_tok, length(dw.w))) AS BIGINT)
+         AS n_bpe_tokens
+FROM dw LEFT JOIN vocab v ON v.word = dw.w
 GROUP BY doc_id ORDER BY doc_id"""
     )
 
 
 BPE_TRAIN_ROUNDS = 8
+# Min corpus frequency for a word to enter BPE training (mirrored in
+# the oracle's wc CTE as HAVING COUNT(*) >= 2). Hapax pruning is what
+# keeps the trainer's in-process word table RAM-bounded on a web
+# corpus, where the distinct-word tail (typos/URLs/code) grows
+# near-linearly with data while the >=2 vocabulary follows Heaps' law.
+BPE_MIN_FREQ = 2
+# Hard cap on the collected vocabulary (enforced via limit(cap+1)
+# before collect, so driver memory is bounded even on adversarial
+# corpora); ~10^7 short strings ≈ a few hundred MB — production
+# trainer territory (HF tokenizers / SentencePiece hold the same
+# table in one process).
+BPE_MAX_VOCAB = 10_000_000
 
 
 def _bpe_train_plan(spark: SparkSession, sf_dir: str):
@@ -885,8 +913,23 @@ def _bpe_train_plan(spark: SparkSession, sf_dir: str):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= BPE_MIN_FREQ)  # oracle: HAVING >= 2
     )
-    vocab = [(r["word"], r["freq"]) for r in wc.collect()]  # |V|-bounded
+    # NOTE eager-execution contract: unlike the other registry plans,
+    # this function runs the distributed word-count job NOW (the k
+    # merge rounds are driver-side Python over the pruned |V| table).
+    # limit(cap+1) bounds the collect itself — the guard fires on the
+    # (cap+1)th row instead of after an unbounded materialization.
+    rows = wc.limit(BPE_MAX_VOCAB + 1).collect()
+    if len(rows) > BPE_MAX_VOCAB:
+        raise RuntimeError(
+            f"BPE vocabulary exceeds BPE_MAX_VOCAB={BPE_MAX_VOCAB} even "
+            f"after the min-frequency floor (BPE_MIN_FREQ="
+            f"{BPE_MIN_FREQ}); raise the floor or the cap before "
+            "training — collecting an unbounded vocab would OOM the "
+            "driver."
+        )
+    vocab = [(r["word"], r["freq"]) for r in rows]
     seqs = {w: " " + "".join(ch + " " for ch in w) for w, _ in vocab}
     freqs = dict(vocab)
     merges = []
@@ -954,12 +997,16 @@ def text_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     )
     return (
-        dw.join(F.broadcast(vocab), "word")
+        dw.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum(F.length("word")).cast("long").alias("n_chars"),
-            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            # OOV (min-freq-pruned) words fall back to characters —
+            # mirrors the oracle's COALESCE(v.n_tok, length(w))
+            F.sum(F.coalesce(F.col("n_tok"), F.length("word")))
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
     )
 

@@ -77,7 +77,10 @@ STRATIFIED_ORACLE = """
 -- engine-independent bound — each engine asserts its own sampler).
 SELECT lang,
        COUNT(*) AS total_docs,
-       CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END AS keep_fraction,
+       -- CAST: the bare literal CASE is DECIMAL(3,2) in DuckDB — force
+       -- DOUBLE to match Spark's double for the driver value hash.
+       CAST(CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END AS DOUBLE)
+         AS keep_fraction,
        TRUE AS sample_within_bounds
 FROM documents
 GROUP BY lang

@@ -1126,11 +1126,20 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = v
     for _ in range(4):
         prev = v
-        nxt = {s: 0.0 for s in states}
+        # Mirror the oracle's INNER JOIN exactly (round-6 advisor
+        # finding): only sources present in the previous vector
+        # contribute, and the new vector's key set is the set of
+        # destinations that received >=1 contribution — so a state
+        # that appears only as a transition source (never as a
+        # destination) drops out after step 1 instead of surviving
+        # with prob 0.0 and diverging the row sets.
+        nxt: dict[str, float] = {}
         for (f, t), pr in p.items():
-            nxt[t] = nxt.get(t, 0.0) + prev.get(f, 0.0) * pr
+            if f in prev:
+                nxt[t] = nxt.get(t, 0.0) + prev[f] * pr
         v = nxt
-    res = sum(abs(v[s] - prev.get(s, 0.0)) for s in v)
+    # residual over v4 INNER JOIN v3, as the oracle computes it
+    res = sum(abs(v[s] - prev[s]) for s in v if s in prev)
     # half-up to 6 decimals (floor(x*1e6+0.5)) — Python round() is
     # banker's while the oracle's ROUND is half-away from zero
     import math

@@ -29,8 +29,12 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # NO integral-float smoothing (round-6 judge finding): the
+        # `v == int(v) -> str(int(v))` branch collapsed float64 0.0
+        # and int64 0 to the same token, hiding the HUGEINT/DECIMAL
+        # -> float64 oracle-dtype class the driver hash reds on
+        # (pipeline_pack_sequences r5+r6). Strict repr keeps the
+        # local gate at least as type-strict as the driver.
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
@@ -98,6 +102,33 @@ def main() -> int:
         if sql is None:
             rows_only.append(name)
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        # Oracle output-type assert (round-6 judge finding): HUGEINT
+        # (window-SUM / integer-division propagation) and DECIMAL
+        # (bare numeric literals) have no pandas dtype, so DuckDB
+        # hands them back as float64/object while Spark emits
+        # int64/double — a guaranteed driver hash red even when the
+        # values are identical. Planning the relation is enough to
+        # read types; no execution happens here.
+        try:
+            rel = con.sql(sql)
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if "HUGEINT" in str(t) or "DECIMAL" in str(t)
+            ]
+        except Exception as e:
+            failures.append((name, f"oracle plan raised: {e}"))
+            print(f"FAIL {name}: oracle plan raised: {e}")
+            continue
+        if bad:
+            failures.append(
+                (name, f"oracle emits pandas-unrepresentable types: {bad}")
+            )
+            print(
+                f"FAIL {name}: oracle output columns {bad} are "
+                f"HUGEINT/DECIMAL — CAST to BIGINT/DOUBLE in the oracle"
+            )
             continue
         timer = threading.Timer(budget, con.interrupt)
         timer.start()
