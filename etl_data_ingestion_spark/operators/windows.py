@@ -1122,6 +1122,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_tot[r["f"]] = row_tot.get(r["f"], 0.0) + r["n"]
     p = {(r["f"], r["t"]): r["n"] / row_tot[r["f"]] for r in rows}
     states = sorted(row_tot)
+    if not states:  # no transitions at all — oracle's v0 is empty too
+        return spark.createDataFrame(
+            [],
+            "event_type string, stationary_prob double, l1_residual double",
+        )
     v = {s: 1.0 / len(states) for s in states}
     prev = v
     for _ in range(4):

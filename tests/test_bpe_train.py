@@ -62,6 +62,12 @@ def test_bpe_merges_match_reference_trainer(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    # round-7: the trainer prunes hapax words (BPE_MIN_FREQ) before
+    # training — the production floor that keeps the collected vocab
+    # RAM-bounded; the reference trainer sees the same pruned table
+    from etl_data_ingestion_spark.operators.corpus import BPE_MIN_FREQ
+
+    wf = {w: c for w, c in wf.items() if c >= BPE_MIN_FREQ}
     ref = _reference_bpe(wf, 8)
     got = [(r.merge_left, r.merge_right, r.merged, r.cnt) for r in rows]
     assert got == ref
