@@ -154,6 +154,9 @@ EXTENDED = [
     "agg_chi2_independence",
     "text_pmi_cooccurrence",
     "timeseries_max_drawdown",
+    # round 7
+    "text_bm25_topk",
+    "ml_confusion_matrix_metrics",
 ]
 
 

@@ -668,3 +668,78 @@ def timeseries_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.avg(err_s / F.col("v")) / F.avg(err_n / F.col("v")), 6
         ).alias("skill_vs_naive"),
     )
+
+
+CONFUSION_ORACLE = """
+-- Classification confusion matrix + derived metrics (the acceptance
+-- report every shipped classifier carries): threshold `value` at 60
+-- to predict event_type='purchase'. ONE partial-aggregated fact pass
+-- reduces the corpus to the four integer cells; precision/recall/
+-- F1/accuracy/MCC are exact integer-ratio math on those cells, so
+-- both engines compute bit-identical doubles (fixed evaluation
+-- order, no data-dependent float summation).
+WITH cells AS (
+  SELECT
+    SUM(CASE WHEN value >= 60 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN value >= 60 AND event_type <> 'purchase'
+             THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN value < 60 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS fn,
+    SUM(CASE WHEN value < 60 AND event_type <> 'purchase'
+             THEN 1 ELSE 0 END) AS tn
+  FROM events
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(tp * 1.0 / (tp + fp), 6)             AS precision_,
+       ROUND(tp * 1.0 / (tp + fn), 6)             AS recall_,
+       ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6)  AS f1,
+       ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+       ROUND((tp * tn - fp * fn)
+             / SQRT((tp + fp) * 1.0 * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 6)  AS mcc
+FROM cells
+"""
+
+
+@register("ml_confusion_matrix_metrics", oracle=CONFUSION_ORACLE)
+def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy/MCC for the
+    threshold classifier `value >= 60 → purchase` — the evaluation
+    report that completes the in-engine classifier loop (train:
+    pipeline_naive_bayes_spam; rank quality: ml_auc_roc_exact;
+    calibration: ml_calibration_brier; hard-decision quality: here).
+
+    Scale shape: the fact table is reduced to FOUR integers by one
+    map-side-combined conditional aggregate (a single Exchange of 4
+    longs per partition); every derived metric is exact integer-ratio
+    math evaluated in a fixed order on those cells, so there is no
+    data-dependent floating summation anywhere — the cross-engine
+    hash is stable by construction. The F1 form 2tp/(2tp+fp+fn)
+    avoids the p*r/(p+r) float chain; MCC uses the direct count
+    identity."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.col("event_type") == "purchase"
+    pred = F.col("value") >= 60
+    cells = ev.agg(
+        F.sum((pred & pos).cast("long")).alias("tp"),
+        F.sum((pred & ~pos).cast("long")).alias("fp"),
+        F.sum((~pred & pos).cast("long")).alias("fn"),
+        F.sum((~pred & ~pos).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cells.select(
+        tp, fp, fn, tn,
+        F.round(tp * 1.0 / (tp + fp), 6).alias("precision_"),
+        F.round(tp * 1.0 / (tp + fn), 6).alias("recall_"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt(
+                (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)
+            ),
+            6,
+        ).alias("mcc"),
+    )

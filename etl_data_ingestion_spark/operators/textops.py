@@ -1117,3 +1117,126 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(15)
     )
+
+
+BM25_ORACLE = """
+-- BM25 retrieval scoring (Robertson/Sparck-Jones; the Lucene-default
+-- ranking function) for the fixed query {hash, join, spark}: top-10
+-- documents by summed per-term score with k1=1.2, b=0.75 and the
+-- Lucene idf smoothing ln(1 + (N - df + 0.5)/(df + 0.5)). The
+-- corpus contributes ONE tokenize pass filtered to the query terms
+-- (broadcastable set); doc length and corpus stats come from a
+-- second count-only pass; all float math runs per (doc, term) and
+-- the final sum is over a FIXED term order (conditional pivot, not
+-- data-ordered SUM) so both engines add the same doubles in the
+-- same order.
+WITH words AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM words WHERE term IN ('hash', 'join', 'spark')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), parts AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+), pivoted AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN term = 'hash'  THEN sc END), 0.0) AS s1,
+         COALESCE(MAX(CASE WHEN term = 'join'  THEN sc END), 0.0) AS s2,
+         COALESCE(MAX(CASE WHEN term = 'spark' THEN sc END), 0.0) AS s3
+  FROM parts GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(l.dl AS BIGINT) AS doc_len,
+       ROUND(p.s1 + p.s2 + p.s3, 6) AS bm25
+FROM pivoted p JOIN dl l ON l.doc_id = p.doc_id
+ORDER BY bm25 DESC, p.doc_id
+LIMIT 10
+"""
+
+
+@register("text_bm25_topk", oracle=BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query term set — the ranking
+    half of a retrieval/curation loop (TF-IDF top-terms already
+    profiles the corpus; BM25 is what actually ranks documents for a
+    query, and what quality-filters rank against a seed set).
+
+    Scale shape: the only corpus-sized work is the tokenize pass; the
+    query-term filter makes the tf table |matching docs|×|q| rows,
+    and df is |q| rows. Doc lengths are a count-only aggregate the
+    same Exchange family every profiling query pays. Float parity is
+    by construction: per-(doc,term) scores are deterministic scalar
+    math, and the final score sums a FIXED term order via a
+    conditional pivot (s_hash + s_join + s_spark), never a
+    data-ordered SUM — the same determinism device as
+    ml_confusion_matrix_metrics. Ordering rounds first, so the
+    top-10 cut is stable across engines. At 100 TB: query terms
+    broadcast, tf/df/dl are all partial-aggregated, and the top-10
+    is TakeOrderedAndProject (per-partition heaps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = ["hash", "join", "spark"]
+    tf = (
+        words.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        F.log(
+            1
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    parts = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", sc.alias("sc"))
+    )
+    piv = parts.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s{i+1}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    return (
+        piv.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            F.round(
+                F.col("s1") + F.col("s2") + F.col("s3"), 6
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

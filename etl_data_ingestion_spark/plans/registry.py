@@ -43,72 +43,27 @@ def register(name: str, oracle: Optional[str] = None):
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
-# History: r1 48/50 green; r2 49/50; r3 50/50; r4 50/50; r5 49/50
-# (the one red, pipeline_pack_sequences, was a float-rounding hash
-# edge — fixed with an integer-exact fill_ratio; it leads this
-# window to re-green). Every other driver verdict ever issued is
-# green, and every historical red was re-verified green later.
-# ROUND-6 RECUT (judge directive): burn down the never-driver-checked
-# backlog. After r5 exactly 80 registry queries had no driver verdict;
-# slots 2-50 below take the first 49 of them, the remaining 31 lead
-# the round-7 window, then the 47 r2-only greens (oldest refresh debt)
-# follow. Names not listed trail in registration order.
+# History: r1 48/50 green; r2 49/50; r3 50/50; r4 50/50; r5 49/50;
+# r6 49/50 (the one red both rounds: pipeline_pack_sequences — root
+# cause finally found by the r6 judge: the oracle's seq_id was
+# HUGEINT, returned by pandas as float64 against Spark's int64; the
+# oracle now CASTs it BIGINT and the local gate type-asserts the
+# whole registry). Every other driver verdict ever issued is green,
+# and every historical red was re-verified green later.
+# ROUND-7 RECUT: slot 1 re-greens the red; slots 2-34 finish the
+# never-driver-checked backlog (33, incl. the two round-7 query
+# additions); slots 35-40 re-verify queries whose BEHAVIOR changed
+# in round 7 (oracle type casts, BPE min-freq floor, markov keyset
+# mirror, windowed Q17 rewrite); slots 41-50 start the r2-only-green
+# refresh debt (36 remain for rounds 8+, listed trailing). Names not
+# listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slot 1: the round-5 red, re-greening with integer-exact fill_ratio
+    # slot 1: the r5/r6 red, re-greening with the BIGINT seq_id oracle fix
     "pipeline_pack_sequences",
-    # slots 2-50: never-driver-checked backlog, part 1 of 2
-    "join_interval_overlap",
-    "join_geo_radius_grid",
-    "agg_string_agg_ordered",
-    "agg_weighted_median",
-    "timeseries_anomaly_mad",
-    "agg_quantile_histogram_rollup",
-    "agg_equi_depth_histogram",
-    "agg_welch_ttest",
-    "agg_poisson_rate_anomaly",
-    "agg_higher_moments",
-    "agg_ratio_delta_ci",
-    "agg_gini_coefficient",
-    "agg_categorical_entropy_daily",
-    "agg_benford_first_digit",
-    "agg_chi2_independence",
-    "timeseries_holt_trend",
-    "timeseries_lerp_fill",
-    "timeseries_seasonal_decompose",
-    "timeseries_cusum_changepoint",
-    "events_markov_stationary",
-    "events_peak_concurrency_daily",
-    "timeseries_max_drawdown",
-    "scalar_collation_group",
-    "dedup_containment_quotes",
-    "embedding_chunk_mean_pool",
-    "ml_kmeans_lloyd_exact",
-    "similarity_index_persist_reuse",
-    "text_zipf_slope",
-    "text_js_divergence_sources",
-    "text_heaps_vocab_growth",
-    "text_pmi_cooccurrence",
-    "quality_psi_drift",
-    "dedup_url_canonical",
-    "text_compression_ratio",
-    "quality_ks_drift_test",
-    "pipeline_naive_bayes_spam",
-    "pipeline_entity_resolution",
-    "quality_k_anonymity",
-    "pipeline_curriculum_buckets",
-    "pipeline_filter_funnel_report",
-    "pipeline_shard_assignment",
-    "pipeline_length_bucket_batching",
-    "dedup_repeated_lines_corpus",
-    "text_bpe_train_merges",
-    "text_bpe_apply_tokenize",
-    "pipeline_pack_binpack_ffd",
-    "events_cohort_ltv",
-    "events_pattern_match_regex",
-    "funnel_conversion_latency",
+    # slots 2-34: never-driver-checked backlog, part 2 of 2 (33, incl.
+    # the two round-7 additions text_bm25_topk /
+    # ml_confusion_matrix_metrics)
     "graph_triangle_count",
-    # --- round-7 window starts here ---
-    # never-driver-checked backlog, part 2 of 2 (31)
     "graph_link_prediction",
     "stream_static_enrichment",
     "multimodal_patch_embed_real",
@@ -139,25 +94,33 @@ CHECK_ORDER: list[str] = [
     "ml_bootstrap_ci_poisson",
     "pipeline_contamination_curve",
     "timeseries_backtest_mape",
-    # r2-only greens (oldest refresh debt, registration order = age)
-    "scalar_date_funcs",
-    "scalar_conditional_funcs",
-    "scalar_json_extract",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "scalar_from_json_struct",
-    "scalar_posexplode_embedding",
-    "scalar_try_funcs",
-    "topk_orders_by_price",
-    "sort_global_nation",
+    "text_bm25_topk",
+    "ml_confusion_matrix_metrics",
+    # slots 35-40: behavior changed in round 7 (oracle type casts, BPE
+    # min-freq floor, markov keyset mirror, windowed Q17 rewrite) —
+    # previous greens that need a fresh verdict on the new behavior
+    "agg_value_histogram",
+    "pipeline_stratified_sample",
+    "events_markov_stationary",
+    "text_bpe_train_merges",
+    "text_bpe_apply_tokenize",
+    "subquery_correlated_avg_qty",
+    # slots 41-50: oldest refresh debt (r2-only greens, part 1 of ~4)
+    "ingest_trim_empty_null",
+    "ingest_comma_int_roundtrip",
+    "ingest_strict_date_parse",
+    "ingest_validity_accounting",
+    "ingest_ctb_end_to_end",
+    "pipeline_training_data_curation",
     "dedup_exact_documents",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # trailing r2-only greens (next rounds' refresh windows)
+    "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
-    "dedup_minhash_verified",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_ivf_topk",
@@ -166,27 +129,30 @@ CHECK_ORDER: list[str] = [
     "text_lang_id_heuristic",
     "text_bpe_token_estimate",
     "text_rolling_fingerprint",
-    "pipeline_training_data_curation",
     "text_lang_bigram_score",
     "text_normalize_pipeline",
-    "ingest_trim_empty_null",
-    "ingest_comma_int_roundtrip",
-    "ingest_strict_date_parse",
-    "ingest_validity_accounting",
-    "ingest_ctb_end_to_end",
-    "stream_tumbling_hourly",
-    "stream_dedup_first_event",
+    "scalar_date_funcs",
+    "scalar_conditional_funcs",
+    "scalar_json_extract",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "scalar_from_json_struct",
+    "scalar_posexplode_embedding",
+    "scalar_try_funcs",
     "subquery_scalar_above_avg",
     "subquery_in_high_qty",
     "subquery_exists_returned",
     "subquery_not_exists_customers",
-    "subquery_correlated_avg_qty",
     "pandas_scalar_net_value",
     "pandas_grouped_weighted_avg",
     "pandas_map_batches_tokens",
+    "topk_orders_by_price",
+    "sort_global_nation",
     "mailbox_extract_pipeline",
-    "scan_partitioned_pruning",
     "mailbox_datasource_scan",
+    "scan_partitioned_pruning",
+    "stream_tumbling_hourly",
+    "stream_dedup_first_event",
 ]
 
 
