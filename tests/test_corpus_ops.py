@@ -149,6 +149,12 @@ def _write_events(spark, path, rows):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    # writer invalidates readers' cached table registration (the
+    # round-7 scan-plan cache) — same contract as Spark's own
+    # REFRESH TABLE after an out-of-band rewrite
+    from etl_data_ingestion_spark.catalog import drop_plan_cache
+
+    drop_plan_cache(spark)
 
 
 def test_funnel_respects_order_and_window(spark, tmp_path):

@@ -22,6 +22,9 @@ def _write_events(spark, tmp_path, rows):
     df.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "events.parquet")
     )
+    from etl_data_ingestion_spark.catalog import drop_plan_cache
+
+    drop_plan_cache(spark)
 
 
 def test_markov_drops_source_only_states(spark, tmp_path):
