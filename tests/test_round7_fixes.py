@@ -119,3 +119,25 @@ def test_resident_cache_weakref_keyed(spark, sf_dir):
     finally:
         spark.conf.set("spark.etl.scan.resident", "false")
         catalog.drop_resident(spark)
+
+
+def test_plan_cache_semantics(spark, sf_dir):
+    """Scan-plan cache: same plan object per (session, table) while
+    enabled; drop_plan_cache invalidates; conf=false bypasses."""
+    from etl_data_ingestion_spark import catalog
+
+    spark.conf.set("spark.etl.scan.planCache", "true")
+    catalog.drop_plan_cache(spark)
+    a = catalog.load_table(spark, sf_dir, "region")
+    b = catalog.load_table(spark, sf_dir, "region")
+    assert a is b
+    catalog.drop_plan_cache(spark)
+    c = catalog.load_table(spark, sf_dir, "region")
+    assert c is not a
+    spark.conf.set("spark.etl.scan.planCache", "false")
+    try:
+        d = catalog.load_table(spark, sf_dir, "region")
+        e = catalog.load_table(spark, sf_dir, "region")
+        assert d is not e
+    finally:
+        spark.conf.set("spark.etl.scan.planCache", "true")
