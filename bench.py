@@ -157,6 +157,8 @@ EXTENDED = [
     # round 7
     "text_bm25_topk",
     "ml_confusion_matrix_metrics",
+    "ml_ndcg_at_k",
+    "ml_precision_recall_curve",
 ]
 
 

@@ -743,3 +743,175 @@ def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcc"),
     )
+
+
+# IDCG@k literals, k=1..10: Python-computed once and embedded
+# BIT-IDENTICALLY in both the Spark plan and the DuckDB oracle (repr
+# round-trips doubles exactly), so the ideal-DCG divisor can never
+# drift between engines regardless of either engine's summation
+# order for small float series.
+_IDCG = []
+_acc = 0.0
+for _i in range(1, 11):
+    import math as _math
+
+    _acc += 1.0 / _math.log2(_i + 1)
+    _IDCG.append(repr(_acc))
+
+_IDCG_SQL_CASE = "CASE " + " ".join(
+    f"WHEN k = {i + 1} THEN {v}" for i, v in enumerate(_IDCG)
+) + " END"
+
+NDCG_ORACLE = f"""
+-- NDCG@10 per day for `value` as a relevance ranker of purchase
+-- events (the ranking-quality metric that complements AUC: AUC
+-- scores the full ordering, NDCG@k scores the head, which is what a
+-- curation pipeline that keeps the top-k actually ships). rel=1 for
+-- purchases; rank within day by (value DESC, event_id) — a total
+-- order, so both engines rank identically. IDCG uses shared
+-- Python-computed literals (see _IDCG) — zero cross-engine float
+-- drift in the divisor; the DCG sum is <=10 bounded terms under
+-- ROUND(,6).
+WITH ranked AS (
+  SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('day', ts)
+           ORDER BY value DESC, event_id) AS pos
+  FROM events
+), daily AS (
+  SELECT day,
+         SUM(CASE WHEN pos <= 10 THEN rel ELSE 0 END) AS pos_in_top10,
+         SUM(CASE WHEN pos <= 10
+                  THEN rel / log2(pos + 1.0) ELSE 0 END) AS dcg,
+         LEAST(SUM(rel), 10) AS k
+  FROM ranked GROUP BY day
+)
+SELECT day,
+       CAST(pos_in_top10 AS BIGINT) AS pos_in_top10,
+       ROUND(dcg, 6) AS dcg_at_10,
+       ROUND(CASE WHEN k = 0 THEN 0.0
+                  ELSE dcg / ({_IDCG_SQL_CASE}) END, 6) AS ndcg_at_10
+FROM daily
+ORDER BY day
+"""
+
+
+@register("ml_ndcg_at_k", oracle=NDCG_ORACLE)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NDCG@10 of `value` as a purchase ranker — the head-of-
+    ranking quality metric (AUC judges the whole ordering; NDCG@k
+    judges the top-k a pipeline actually keeps).
+
+    Scale shape: one Exchange on the day key for the ranking window,
+    then |days|-sized math. The IDCG divisor is a lookup of
+    Python-computed literals shared verbatim with the oracle, so the
+    only cross-engine float surface is the <=10-term DCG sum under
+    ROUND(,6). At 100 TB the window partitions by (day, ...) keys
+    the same way any sessionization does — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    day_t = F.date_trunc("day", "ts")
+    w = Window.partitionBy(day_t).orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        F.date_format(day_t, "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("rel"),
+        F.row_number().over(w).alias("pos"),
+    )
+    in10 = F.col("pos") <= 10
+    daily = ranked.groupBy("day").agg(
+        F.sum(F.when(in10, F.col("rel")).otherwise(0)).alias("pos_in_top10"),
+        F.sum(
+            F.when(in10, F.col("rel") / F.log2(F.col("pos") + 1.0)).otherwise(
+                0.0
+            )
+        ).alias("dcg"),
+        F.least(F.sum("rel"), F.lit(10)).alias("k"),
+    )
+    idcg = F.lit(None).cast("double")
+    expr = None
+    for i, v in enumerate(_IDCG):
+        cond = F.when(F.col("k") == i + 1, F.lit(float(v)))
+        expr = cond if expr is None else expr.when(
+            F.col("k") == i + 1, F.lit(float(v))
+        )
+    idcg = expr
+    return daily.select(
+        "day",
+        F.col("pos_in_top10").cast("long").alias("pos_in_top10"),
+        F.round(F.col("dcg"), 6).alias("dcg_at_10"),
+        F.round(
+            F.when(F.col("k") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg") / idcg
+            ),
+            6,
+        ).alias("ndcg_at_10"),
+    ).orderBy("day")
+
+
+PR_CURVE_ORACLE = """
+-- Precision/recall operating curve at fixed thresholds (the
+-- threshold-sweep companion to the single-point confusion matrix):
+-- one conditional-aggregate pass reduces the fact table to per-
+-- threshold integer cells; every metric is exact integer-ratio math
+-- in fixed evaluation order — zero data-ordered float summation.
+WITH t AS (
+  -- CAST: bare VALUES literals are DECIMAL(4,1) in DuckDB — force
+  -- DOUBLE to match Spark (caught by check_parity's type assert)
+  SELECT CAST(v AS DOUBLE) AS thr
+  FROM (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) s(v)
+),
+cells AS (
+  SELECT t.thr,
+         SUM(CASE WHEN e.value >= t.thr
+                  AND e.event_type = 'purchase' THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN e.value >= t.thr
+                  AND e.event_type <> 'purchase' THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN e.value < t.thr
+                  AND e.event_type = 'purchase' THEN 1 ELSE 0 END) AS fn
+  FROM events e CROSS JOIN t
+  GROUP BY t.thr
+)
+SELECT thr,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(tp * 1.0 / (tp + fp), 6) AS precision_,
+       ROUND(tp * 1.0 / (tp + fn), 6) AS recall_,
+       ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+FROM cells
+ORDER BY thr
+"""
+
+
+@register("ml_precision_recall_curve", oracle=PR_CURVE_ORACLE)
+def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-threshold precision/recall/F1 sweep for the `value >= t
+    → purchase` classifier family — the operating curve a deployment
+    picks its threshold from.
+
+    Scale shape: the |thresholds|-row table broadcasts onto the fact
+    scan (one pass, one cross join against 5 rows, map-side combined
+    into 5×3 integers); metrics are exact integer-ratio math. The
+    same plan at 100 TB is still one corpus pass — threshold count,
+    not data size, bounds the multiplier."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = spark.createDataFrame([(t,) for t in (20.0, 40.0, 60.0, 80.0, 100.0)], "thr double")
+    pos = F.col("event_type") == "purchase"
+    pred = F.col("value") >= F.col("thr")
+    cells = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum((pred & pos).cast("long")).alias("tp"),
+            F.sum((pred & ~pos).cast("long")).alias("fp"),
+            F.sum((~pred & pos).cast("long")).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        "thr", tp, fp, fn,
+        F.round(tp * 1.0 / (tp + fp), 6).alias("precision_"),
+        F.round(tp * 1.0 / (tp + fn), 6).alias("recall_"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+    ).orderBy("thr")
