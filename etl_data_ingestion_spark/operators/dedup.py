@@ -269,7 +269,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ≤100 boilerplate-bucket guard is the standard web-dedup
     move), and pairs are expanded IN-BUCKET with nested array
     transforms — at most C(100,2) pairs per bucket, bounded memory
-    regardless of corpus size. Round-3 bisect note: the previous
+    regardless of corpus size.
+
+    100 TB byte-math caveat (honest trade, round 7): this shape
+    carries the FULL signature in every band row, so the Exchange
+    ships sig_bytes×b per doc (32×4B×8 = 1 KB/doc ≈ 10 TB at 10^10
+    docs). The alternative — exchange only (band, bh, doc_id)
+    [~200 GB], bucket to id-pairs, then TWO hash joins back against
+    the |docs|-row signature table to fetch sig_a/sig_b (~2×2.5 TB)
+    — is ~4× cheaper in shuffle bytes at the cost of two extra
+    stages and materializing the signature table. Below ~10^9 docs
+    the single-Exchange shape wins on stage count and simplicity
+    (and is what we bench); above it, switch to the pair-join shape
+    — the cutover is sig_bytes×b vs 2×sig_bytes + join overhead,
+    a config decision, not a redesign. Round-3 bisect note: the previous
     window-count + persist + self-join shape and this one measure
     within noise of each other at sf0.1 (1.4-1.7s interleaved
     min-of-3; the 6.4s in BENCH_r02 was host contention under

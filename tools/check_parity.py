@@ -115,7 +115,10 @@ def main() -> int:
             bad = [
                 f"{c}:{t}"
                 for c, t in zip(rel.columns, map(str, rel.types))
-                if "HUGEINT" in str(t) or "DECIMAL" in str(t)
+                if any(
+                    k in str(t)
+                    for k in ("HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER")
+                )
             ]
         except Exception as e:
             failures.append((name, f"oracle plan raised: {e}"))
