@@ -141,3 +141,56 @@ def test_plan_cache_semantics(spark, sf_dir):
         assert d is not e
     finally:
         spark.conf.set("spark.etl.scan.planCache", "true")
+
+
+def test_pack_sequences_boundary_parity(spark, tmp_path):
+    """pipeline_pack_sequences engine-vs-oracle on a crafted corpus
+    that straddles window boundaries: docs of exactly 2048 tokens,
+    docs spanning several windows, a 1-token doc landing at an exact
+    boundary, and an empty doc. Guards the r5-r7 HUGEINT/seq_id fix
+    with values the fixture corpus never produces."""
+    import duckdb
+
+    sizes = [2048, 1, 4096, 0, 2047, 3, 2048, 10]
+    rows = [
+        (i, " ".join(["tok"] * n), "en", "synthetic", 3 * n)
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from etl_data_ingestion_spark.catalog import drop_plan_cache
+
+    drop_plan_cache(spark)
+    got = (
+        registry.QUERIES["pipeline_pack_sequences"](spark, str(tmp_path))
+        .orderBy("seq_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        registry.ORACLES["pipeline_pack_sequences"]
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.seq_id, g.docs_starting, g.window_tokens) == (
+            int(w[0]), int(w[1]), int(w[2])
+        )
+        assert g.fill_ratio == pytest.approx(float(w[3]), abs=0)
+    # structural invariants: interior windows exactly full, only the
+    # tail may be short; the last emitted window ends at the corpus
+    # token total. (Windows no doc STARTS in — the interior of a
+    # multi-window doc — are absent from the output by design, so
+    # sum(window_tokens) over emitted rows is NOT the token total.)
+    for g in got[:-1]:
+        assert g.window_tokens == 2048 and g.fill_ratio == 1.0
+    last = got[-1]
+    assert last.seq_id * 2048 + last.window_tokens == sum(sizes)
+    assert all(g.docs_starting >= 1 for g in got)
