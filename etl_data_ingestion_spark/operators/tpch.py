@@ -90,6 +90,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast to orders; orders⋈lineitem is the one real shuffle, both
     sides pre-filtered by their date predicates (pushed to parquet).
     orderBy+limit plans as TakeOrderedAndProject — no global sort.
+
+    Join-strategy note (round-7 A/B): without a hint, Catalyst's
+    size stats pick a BROADCAST of the filtered LINEITEM side — the
+    LARGER fact — whose driver-side build dominates (0.63s at sf0.1,
+    0.69s at sf1). `hint("shuffle_hash")` on the orders⋈customer side
+    measured best at BOTH scales (0.39s sf0.1, 0.61s sf1 min-of-3
+    interleaved, vs sort-merge 0.44/0.71 and broadcast-orders
+    0.30/0.70): SHJ shuffles both pre-filtered facts on orderkey and
+    hashes the smaller (orders) side per partition — no sort, no
+    driver broadcast build, spillable since Spark 3.2, and the
+    standard fact-fact strategy at cluster scale when no downstream
+    sort order is needed. AQE skew splitting still applies to SHJ.
     """
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -108,6 +120,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .hint("shuffle_hash")
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "l_orderkey",
