@@ -159,6 +159,7 @@ EXTENDED = [
     "ml_confusion_matrix_metrics",
     "ml_ndcg_at_k",
     "ml_precision_recall_curve",
+    "pipeline_tokenizer_fertility",
 ]
 
 

@@ -1090,3 +1090,80 @@ def pipeline_pack_binpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_bins_fit boolean"
         ),
     )
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    body, _, last = _bpe_ctes(k)
+    return (
+        """
+-- Tokenizer fertility per language (tokens per word, the multilingual
+-- vocab-sizing report every production tokenizer card carries: a lang
+-- with fertility >> 1 is under-served by the merge vocabulary and
+-- needs more merges or its own): re-derive the k trained merges, count
+-- per-word BPE tokens, roll up per LANGUAGE. Fertility is a division
+-- of exact integer sums — zero float-summation surface.
+"""
+        + body
+        + f""", vocab AS (
+  SELECT word,
+         len(list_filter(regexp_split_to_array(seq, ' '),
+             x -> x <> '')) AS n_tok
+  FROM {last}
+), dw AS (
+  SELECT d.lang, w
+  FROM documents d, UNNEST(regexp_split_to_array(trim(d.text), '\\s+')) t(w)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)        AS n_words,
+       CAST(SUM(COALESCE(v.n_tok, length(dw.w))) AS BIGINT)
+         AS n_bpe_tokens,
+       ROUND(SUM(COALESCE(v.n_tok, length(dw.w))) * 1.0 / COUNT(*), 6)
+         AS fertility
+FROM dw LEFT JOIN vocab v ON v.word = dw.w
+GROUP BY lang ORDER BY lang"""
+    )
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    oracle=_bpe_fertility_oracle(BPE_TRAIN_ROUNDS),
+)
+def pipeline_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens per word) for the
+    corpus-trained merge vocabulary — the metric a multilingual
+    pipeline uses to decide which languages need more merges or a
+    dedicated vocabulary (fertility >> 1 = over-fragmented).
+
+    Scale shape: identical to text_bpe_apply_tokenize — train once on
+    pruned word statistics (driver-side over the RAM-bounded vocab,
+    see _bpe_train_plan), BROADCAST the |V|-row word→token-count
+    table onto one corpus word explosion, aggregate to |languages|
+    rows. Fertility is a ratio of exact integer sums. OOV words
+    (min-freq-pruned) count as characters in both engines."""
+    _, seqs = _bpe_train_plan(spark, sf_dir)
+    vocab = seqs.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+        ).alias("n_tok"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    tok = F.coalesce(F.col("n_tok"), F.length("word"))
+    return (
+        dw.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(tok).cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(tok) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
