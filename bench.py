@@ -160,6 +160,7 @@ EXTENDED = [
     "ml_ndcg_at_k",
     "ml_precision_recall_curve",
     "pipeline_tokenizer_fertility",
+    "similarity_range_search",
 ]
 
 

@@ -882,3 +882,86 @@ def similarity_index_persist_reuse(
     return check.crossJoin(F.broadcast(integrity)).select(
         "q_id", "ann_results", "recall_floor_ok", "index_complete"
     )
+
+
+RANGE_SEARCH_ORACLE = """
+-- Radius/range similarity search (the dedup-threshold query: ALL
+-- corpus vectors within cosine >= tau of each query, not top-k — what
+-- a near-dup pass actually asks). Cosine is computed as the IDENTICAL
+-- left fold in both engines (dot and norms via list_reduce over the
+-- same element order; Spark side uses F.aggregate — bit-identical
+-- doubles), so the threshold predicate can never flip a boundary row
+-- between engines.
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+), n AS (
+  SELECT vec_id, emb,
+         sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb, v -> v * v)), (a, b) -> a + b)) AS nrm
+  FROM e
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+  FROM n WHERE vec_id < 3
+), scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_reduce(list_prepend(0.0,
+             list_transform(list_zip(q.q_emb, n.emb),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (a, b) -> a + b) / (q.q_nrm * n.nrm) AS cs
+  FROM q CROSS JOIN n
+  WHERE n.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, ROUND(cs, 6) AS cos_sim
+FROM scored
+WHERE cs >= 0.2
+ORDER BY q_id, vec_id
+"""
+
+
+@register("similarity_range_search", oracle=RANGE_SEARCH_ORACLE)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: every corpus vector within
+    cosine >= 0.2 of each query vector — the query shape a
+    near-duplicate pass actually runs (top-k bounds the ANSWER size;
+    a dedup threshold bounds the SIMILARITY, and the answer size is
+    data-dependent).
+
+    Plan: norms precomputed once per side, queries broadcast onto one
+    corpus pass (3 queries here; a query BATCH broadcasts the same
+    way), dot as a JVM zip-fold — no Python, no shuffle except the
+    final sort of |answers| rows. Float parity by construction: both
+    engines fold the same element order, so the >= tau predicate sees
+    bit-identical doubles and boundary rows cannot diverge. At
+    100 TB: brute force is one corpus pass per query batch — the
+    honest baseline; the LSH/IVF paths (similarity_topk_lsh /
+    similarity_ivf_topk) are the candidate generators that cut the
+    scanned fraction, with range-verification exactly this fold on
+    the candidates."""
+    from etl_data_ingestion_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    n = emb.select("vec_id", "emb", l2_norm("emb").alias("nrm"))
+    q = n.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = dot / (F.col("q_nrm") * F.col("nrm"))
+    return (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cs.alias("cs"))
+        .filter(F.col("cs") >= 0.2)
+        .select("q_id", "vec_id", F.round("cs", 6).alias("cos_sim"))
+        .orderBy("q_id", "vec_id")
+    )

@@ -50,20 +50,21 @@ def register(name: str, oracle: Optional[str] = None):
 # oracle now CASTs it BIGINT and the local gate type-asserts the
 # whole registry). Every other driver verdict ever issued is green,
 # and every historical red was re-verified green later.
-# ROUND-7 RECUT: slot 1 re-greens the red; slots 2-36 finish the
-# never-driver-checked backlog (36, incl. the five round-7 query
-# additions); slots 38-43 re-verify queries whose BEHAVIOR changed
+# ROUND-7 RECUT: slot 1 re-greens the red; slots 2-38 finish the
+# never-driver-checked backlog (37, incl. the six round-7 query
+# additions); slots 39-44 re-verify queries whose BEHAVIOR changed
 # in round 7 (oracle type casts, BPE min-freq floor, markov keyset
-# mirror, windowed Q17 rewrite); slots 44-50 start the r2-only-green
-# refresh debt (39 remain for rounds 8+, listed trailing). Names not
+# mirror, windowed Q17 rewrite); slots 45-50 start the r2-only-green
+# refresh debt (40 remain for rounds 8+, listed trailing). Names not
 # listed trail in registration order.
 CHECK_ORDER: list[str] = [
     # slot 1: the r5/r6 red, re-greening with the BIGINT seq_id oracle fix
     "pipeline_pack_sequences",
-    # slots 2-37: never-driver-checked backlog, part 2 of 2 (36, incl.
-    # the five round-7 additions text_bm25_topk /
+    # slots 2-38: never-driver-checked backlog, part 2 of 2 (37, incl.
+    # the six round-7 additions text_bm25_topk /
     # ml_confusion_matrix_metrics / ml_ndcg_at_k /
-    # ml_precision_recall_curve / pipeline_tokenizer_fertility)
+    # ml_precision_recall_curve / pipeline_tokenizer_fertility /
+    # similarity_range_search)
     "graph_triangle_count",
     "graph_link_prediction",
     "stream_static_enrichment",
@@ -100,7 +101,8 @@ CHECK_ORDER: list[str] = [
     "ml_ndcg_at_k",
     "ml_precision_recall_curve",
     "pipeline_tokenizer_fertility",
-    # slots 38-43: behavior changed in round 7 (oracle type casts, BPE
+    "similarity_range_search",
+    # slots 39-44: behavior changed in round 7 (oracle type casts, BPE
     # min-freq floor, markov keyset mirror, windowed Q17 rewrite) —
     # previous greens that need a fresh verdict on the new behavior
     "agg_value_histogram",
@@ -109,15 +111,15 @@ CHECK_ORDER: list[str] = [
     "text_bpe_train_merges",
     "text_bpe_apply_tokenize",
     "subquery_correlated_avg_qty",
-    # slots 44-50: oldest refresh debt (r2-only greens, part 1 of ~6)
+    # slots 45-50: oldest refresh debt (r2-only greens, part 1 of ~7)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
     "ingest_strict_date_parse",
     "ingest_validity_accounting",
     "ingest_ctb_end_to_end",
     "pipeline_training_data_curation",
-    "dedup_exact_documents",
     # trailing r2-only greens (next rounds' refresh windows)
+    "dedup_exact_documents",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
