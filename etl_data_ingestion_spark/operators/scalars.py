@@ -163,11 +163,15 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ARRAY_ORACLE = """
+-- `+ 0.0` after every ROUND: IEEE addition maps -0.0 to +0.0 and is
+-- the identity elsewhere. ROUND of a tiny negative (e.g. -4e-6 at
+-- scale 4) yields -0.0 in DuckDB but +0.0 in Spark — caught by the
+-- round-7 sf0.1 strict-repr sweep as a value-hash diff.
 SELECT vec_id,
        LEN(embedding)                                       AS dim,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4)               AS first_component,
-       ROUND(CAST(list_sum(embedding) AS DOUBLE), 3)        AS component_sum,
-       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)        AS component_max
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0         AS first_component,
+       ROUND(CAST(list_sum(embedding) AS DOUBLE), 3) + 0.0  AS component_sum,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0  AS component_max
 FROM embeddings
 ORDER BY vec_id
 """
@@ -184,11 +188,14 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias(
+        # + 0.0 normalizes IEEE negative zero (see oracle comment)
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias(
             "first_component"
         ),
-        F.round(comp_sum, 3).alias("component_sum"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("component_max"),
+        (F.round(comp_sum, 3) + 0.0).alias("component_sum"),
+        (F.round(F.array_max("embedding").cast("double"), 4) + 0.0).alias(
+            "component_max"
+        ),
     )
 
 
