@@ -270,8 +270,11 @@ WITH words AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
+       -- + 0.0: IEEE negative-zero normalization — ROUND of a tiny
+       -- negative sum yields -0.0 in DuckDB vs +0.0 in Spark (caught
+       -- by the round-7 full-registry sf1 strict sweep)
        ROUND(SUM(LN((tc + 1.0) / t_total) - LN((cc + 1.0) / c_total)),
-             4) AS importance_weight
+             4) + 0.0 AS importance_weight
 FROM words
 JOIN tf USING (w) JOIN cf USING (w) CROSS JOIN tot
 GROUP BY doc_id
@@ -326,7 +329,8 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.sum(term), 4).alias("importance_weight"),
+        # + 0.0 normalizes IEEE negative zero (see oracle comment)
+        (F.round(F.sum(term), 4) + 0.0).alias("importance_weight"),
     )
 
 
