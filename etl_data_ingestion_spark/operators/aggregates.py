@@ -315,10 +315,33 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MEDIAN_ORACLE = """
+-- Median via explicit middle-element selection, NOT the engines'
+-- MEDIAN builtins: for even group counts the builtins interpolate
+-- (a+b)/2 with engine-specific arithmetic whose last bit can differ,
+-- and at a ROUND(,2) half-cent boundary that flips the printed value
+-- (caught by the round-7 sf0.3 sweep: 250394.85 vs .86). Selecting
+-- the two middle DATA values and averaging them with the identical
+-- SUM/COUNT expression makes both engines perform the same single
+-- IEEE operation on the same exact inputs.
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+-- FLOOR(x*100 + 0.5)/100 instead of ROUND: the interpolated median
+-- can land on an exact half-cent (…8549999…), where DuckDB's fuzzy
+-- double ROUND says .86 while Spark/Python say .85 (round-7 sf0.3
+-- sweep). The floor form is pure double arithmetic — bit-identical
+-- in both engines by construction.
 SELECT o_orderpriority,
-       ROUND(MEDIAN(o_totalprice), 2) AS median_price,
-       ROUND(AVG(o_totalprice), 2)    AS mean_price
-FROM orders
+       FLOOR(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                      THEN o_totalprice END)
+             / SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                        THEN 1 END) * 100 + 0.5) / 100 AS median_price,
+       FLOOR(AVG(o_totalprice) * 100 + 0.5) / 100 AS mean_price
+FROM r
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -326,16 +349,45 @@ ORDER BY o_orderpriority
 
 @register("agg_median_by_priority", oracle=MEDIAN_ORACLE)
 def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median per group (interpolated, ≡ percentile 0.5) next to
-    the mean — the skew diagnostic pair. Same per-group sort cost note
-    as agg_exact_percentiles."""
+    """Exact median per group next to the mean — the skew diagnostic
+    pair. Median computed by explicit middle-element selection (rank
+    the group, average the one or two middle DATA values) rather than
+    F.median: the builtins' even-count interpolation arithmetic
+    differs in the last bit between engines, which flips ROUND at a
+    half-cent boundary (see MEDIAN_ORACLE). Cost shape is the same
+    one Exchange on the group key; the rank window replaces the
+    builtin's internal per-group sort."""
     orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wc = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    is_mid = (F.col("rn") == ((F.col("n") + 1) / 2).cast("long")) | (
+        F.col("rn") == ((F.col("n") + 2) / 2).cast("long")
+    )
     return (
-        orders.groupBy("o_orderpriority")
+        r.groupBy("o_orderpriority")
         .agg(
-            F.round(F.median("o_totalprice"), 2).alias("median_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+            # floor(x*100+0.5)/100: deterministic half-up on the same
+            # doubles in both engines (see MEDIAN_ORACLE comment)
+            (
+                F.floor(
+                    F.sum(F.when(is_mid, F.col("o_totalprice")))
+                    / F.sum(F.when(is_mid, F.lit(1)))
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("median_price"),
+            (F.floor(F.avg("o_totalprice") * 100 + 0.5) / 100).alias(
+                "mean_price"
+            ),
         )
+        .orderBy("o_orderpriority")
     )
 
 

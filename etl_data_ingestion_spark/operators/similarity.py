@@ -612,8 +612,11 @@ WITH ex AS (
 SELECT doc_id,
        CAST(MAX(nv) AS INT)                       AS n_vecs,
        ROUND(SQRT(SUM(m * m)), 5)                 AS pooled_norm,
-       ROUND(MAX(CASE WHEN pos = 1 THEN m END), 5) AS pooled_d0,
-       ROUND(MAX(CASE WHEN pos = 2 THEN m END), 5) AS pooled_d1
+       -- + 0.0 after ROUND: IEEE negative-zero normalization (a mean
+       -- like -4e-7 rounds to -0.0 in DuckDB vs +0.0 in Spark;
+       -- caught by the round-7 sf0.3 strict sweep)
+       ROUND(MAX(CASE WHEN pos = 1 THEN m END), 5) + 0.0 AS pooled_d0,
+       ROUND(MAX(CASE WHEN pos = 2 THEN m END), 5) + 0.0 AS pooled_d1
 FROM pooled GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -656,8 +659,9 @@ def embedding_chunk_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             5,
         ).alias("pooled_norm"),
-        F.round(mean[0], 5).alias("pooled_d0"),
-        F.round(mean[1], 5).alias("pooled_d1"),
+        # + 0.0 normalizes IEEE negative zero (see oracle comment)
+        (F.round(mean[0], 5) + 0.0).alias("pooled_d0"),
+        (F.round(mean[1], 5) + 0.0).alias("pooled_d1"),
     )
 
 

@@ -717,11 +717,18 @@ WITH RECURSIVE daily AS (
          LEAD(x) OVER (ORDER BY d) AS x2
   FROM daily
 ), hw AS (
-  SELECT rn, d, x, x AS l, x2 - x AS b FROM idx WHERE rn = 1
+  -- state ROUNDed to 6dp each step (both engines): compiler-level
+  -- FP contraction (fma) can shift a*x+b by 1 ulp per step in one
+  -- engine; over 30 steps that lands on ROUND(,4) boundaries
+  -- (round-7 sf0.3 sweep: level .6382 vs .6383). Snapping the
+  -- (l, b) state to the same decimal grid every step makes the two
+  -- recursions bit-identical by construction.
+  SELECT rn, d, x, x AS l, ROUND(x2 - x, 6) AS b FROM idx WHERE rn = 1
   UNION ALL
   SELECT i.rn, i.d, i.x,
-         0.5 * i.x + 0.5 * (hw.l + hw.b),
-         0.3 * ((0.5 * i.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b
+         ROUND(0.5 * i.x + 0.5 * (hw.l + hw.b), 6),
+         ROUND(0.3 * (ROUND(0.5 * i.x + 0.5 * (hw.l + hw.b), 6) - hw.l)
+               + 0.7 * hw.b, 6)
   FROM idx i JOIN hw ON i.rn = hw.rn + 1
 )
 SELECT STRFTIME(d, '%Y-%m-%d') AS day,
@@ -759,8 +766,13 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     def step(acc, e):
         prev_l = F.element_at(acc, -1)["l"]
         prev_b = F.element_at(acc, -1)["b"]
-        new_l = e["x"] * F.lit(0.5) + (prev_l + prev_b) * F.lit(0.5)
-        new_b = (new_l - prev_l) * F.lit(0.3) + prev_b * F.lit(0.7)
+        # 6dp state snap each step — see HOLT_ORACLE comment
+        new_l = F.round(
+            e["x"] * F.lit(0.5) + (prev_l + prev_b) * F.lit(0.5), 6
+        )
+        new_b = F.round(
+            (new_l - prev_l) * F.lit(0.3) + prev_b * F.lit(0.7), 6
+        )
         return F.concat(
             acc,
             F.array(
@@ -791,7 +803,11 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at("s", 1)["x"].alias("l"),
                     F.when(
                         F.size("s") >= 2,
-                        F.element_at("s", 2)["x"] - F.element_at("s", 1)["x"],
+                        F.round(
+                            F.element_at("s", 2)["x"]
+                            - F.element_at("s", 1)["x"],
+                            6,
+                        ),
                     )
                     .otherwise(F.lit(0.0))
                     .alias("b"),
