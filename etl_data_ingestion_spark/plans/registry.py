@@ -54,8 +54,8 @@ def register(name: str, oracle: Optional[str] = None):
 # never-driver-checked backlog (37, incl. the six round-7 query
 # additions); slots 39-44 re-verify queries whose BEHAVIOR changed
 # in round 7 (oracle type casts, BPE min-freq floor, markov keyset
-# mirror, windowed Q17 rewrite); slots 45-50 start the r2-only-green
-# refresh debt (40 remain for rounds 8+, listed trailing). Names not
+# mirror, windowed Q17 rewrite); slots 45-50 re-verify the sf0.3/sf1
+# sweep fixes (46 r2-only refreshes remain for rounds 8+, trailing). Names not
 # listed trail in registration order.
 CHECK_ORDER: list[str] = [
     # slot 1: the r5/r6 red, re-greening with the BIGINT seq_id oracle fix
@@ -111,14 +111,22 @@ CHECK_ORDER: list[str] = [
     "text_bpe_train_merges",
     "text_bpe_apply_tokenize",
     "subquery_correlated_avg_qty",
-    # slots 45-50: oldest refresh debt (r2-only greens, part 1 of ~7)
+    # slots 45-50: behavior changed by the round-7 sf0.3/sf1 sweep
+    # fixes (fuzzy-ROUND median, -0.0 normalizations, Holt state
+    # snap, simhash floor recalibration) — fresh verdicts needed
+    "agg_median_by_priority",
+    "timeseries_holt_trend",
+    "embedding_chunk_mean_pool",
+    "pipeline_dsir_weights",
+    "scalar_array_funcs",
+    "dedup_simhash_banded",
+    # trailing r2-only greens (next rounds' refresh windows)
     "ingest_trim_empty_null",
     "ingest_comma_int_roundtrip",
     "ingest_strict_date_parse",
     "ingest_validity_accounting",
     "ingest_ctb_end_to_end",
     "pipeline_training_data_curation",
-    # trailing r2-only greens (next rounds' refresh windows)
     "dedup_exact_documents",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
@@ -140,7 +148,6 @@ CHECK_ORDER: list[str] = [
     "scalar_date_funcs",
     "scalar_conditional_funcs",
     "scalar_json_extract",
-    "scalar_array_funcs",
     "scalar_map_funcs",
     "scalar_from_json_struct",
     "scalar_posexplode_embedding",
