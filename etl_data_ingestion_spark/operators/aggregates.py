@@ -335,12 +335,21 @@ WITH r AS (
 -- double ROUND says .86 while Spark/Python say .85 (round-7 sf0.3
 -- sweep). The floor form is pure double arithmetic — bit-identical
 -- in both engines by construction.
+-- mean_price from EXACT integer cents (round 8): AVG(double) is a
+-- data-order-dependent float sum whose last bit can differ between
+-- engines, and a 1-ulp difference at a half-cent boundary flips the
+-- FLOOR device just like the median bug. Prices are 2dp decimals
+-- stored as double, so FLOOR(p*100+0.5) recovers the exact cent
+-- losslessly; SUM over integers is exact and order-independent in
+-- both engines, and the final division is one IEEE op on identical
+-- inputs (sums < 2^53 through sf1000).
 SELECT o_orderpriority,
        FLOOR(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
                       THEN o_totalprice END)
              / SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
                         THEN 1 END) * 100 + 0.5) / 100 AS median_price,
-       FLOOR(AVG(o_totalprice) * 100 + 0.5) / 100 AS mean_price
+       FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) * 1.0
+             / COUNT(*) + 0.5) / 100 AS mean_price
 FROM r
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -383,9 +392,23 @@ def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 100
             ).alias("median_price"),
-            (F.floor(F.avg("o_totalprice") * 100 + 0.5) / 100).alias(
-                "mean_price"
-            ),
+            # exact-integer-cents mean (see MEDIAN_ORACLE comment):
+            # per-row cent recovery is lossless on 2dp prices, the
+            # integer SUM is order-independent, and the one final
+            # division is the same IEEE op in both engines
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast(
+                            "long"
+                        )
+                    )
+                    * 1.0
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 100
+            ).alias("mean_price"),
         )
         .orderBy("o_orderpriority")
     )

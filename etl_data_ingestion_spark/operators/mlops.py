@@ -696,9 +696,18 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        ROUND(tp * 1.0 / (tp + fn), 6)             AS recall_,
        ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6)  AS f1,
        ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
-       ROUND((tp * tn - fp * fn)
-             / SQRT((tp + fp) * 1.0 * (tp + fn)
-                    * (tn + fp) * (tn + fn)), 6)  AS mcc
+       -- MCC numerator in DOUBLE in both engines (round 8): exact
+       -- HUGEINT tp*tn here vs wrapping int64 in non-ANSI Spark
+       -- would silently diverge once cells reach ~3e9; tp*1.0*tn
+       -- is the same ordered double chain both sides. Zero margins
+       -- (tp+fp=0 etc.) are guarded to NULL explicitly — Spark's
+       -- x/0.0 yields NULL while DuckDB IEEE doubles yield NaN/Inf.
+       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+            THEN NULL
+            ELSE ROUND((tp * 1.0 * tn - fp * 1.0 * fn)
+                       / SQRT((tp + fp) * 1.0 * (tp + fn)
+                              * (tn + fp) * (tn + fn)), 6)
+       END AS mcc
 FROM cells
 """
 
@@ -717,8 +726,11 @@ def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     math evaluated in a fixed order on those cells, so there is no
     data-dependent floating summation anywhere — the cross-engine
     hash is stable by construction. The F1 form 2tp/(2tp+fp+fn)
-    avoids the p*r/(p+r) float chain; MCC uses the direct count
-    identity."""
+    avoids the p*r/(p+r) float chain; the MCC numerator is the
+    direct count identity computed in DOUBLE in both engines
+    (tp*1.0*tn — exact through ~9e15 and identical beyond, where
+    int64 would wrap silently Spark-side), with zero margins
+    guarded to NULL."""
     ev = load_table(spark, sf_dir, "events")
     pos = F.col("event_type") == "purchase"
     pred = F.col("value") >= 60
@@ -735,13 +747,26 @@ def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / (tp + fn), 6).alias("recall_"),
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
         F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6).alias("accuracy"),
-        F.round(
-            (tp * tn - fp * fn)
-            / F.sqrt(
-                (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)
-            ),
-            6,
-        ).alias("mcc"),
+        # double numerator + explicit zero-margin guard, mirroring
+        # the oracle (see CONFUSION_ORACLE comment): exact int64
+        # tp*tn would wrap silently at ~3e9 cells in non-ANSI Spark
+        F.when(
+            ((tp + fp) == 0)
+            | ((tp + fn) == 0)
+            | ((tn + fp) == 0)
+            | ((tn + fn) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (tp * 1.0 * tn - fp * 1.0 * fn)
+                / F.sqrt(
+                    (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)
+                ),
+                6,
+            )
+        )
+        .alias("mcc"),
     )
 
 

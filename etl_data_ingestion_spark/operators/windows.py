@@ -706,38 +706,59 @@ HOLT_ORACLE = """
 -- the single-EWMA baseline: l_1 = x_1, b_1 = x_2 - x_1;
 -- l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1});
 -- b_i = B*(l_i - l_{i-1}) + (1-B)*b_{i-1}; forecast_i = l_i + b_i.
--- Same bit-parity discipline as EWMA_ORACLE: fold inputs are
--- ROUND(SUM,6), recursion applies identical literal double ops in
--- identical order in both engines.
+-- Same bit-parity discipline as EWMA_ORACLE: fold inputs snapped to
+-- a 6dp grid, recursion applies identical literal double ops in
+-- identical order in both engines. Every snap uses the deterministic
+-- floor device FLOOR(x*1e6 + 0.5)/1e6 instead of ROUND (round-8,
+-- same device as the median fix): DuckDB's fuzzy double ROUND and
+-- Spark's HALF_UP can disagree on the SAME input double at a
+-- decimal-half boundary, and the (l, b) state recursion compounds
+-- any such flip — the floor device is pure IEEE multiply/add/floor,
+-- bit-identical across engines by construction. (For negative trend
+-- values this snaps halves toward +inf rather than away-from-zero;
+-- that IS the published contract, applied identically both sides.)
 WITH RECURSIVE daily AS (
-  SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 6) AS x
+  SELECT date_trunc('day', ts) AS d,
+         FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS x
   FROM events GROUP BY 1
 ), idx AS (
   SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS rn,
          LEAD(x) OVER (ORDER BY d) AS x2
   FROM daily
 ), hw AS (
-  -- state ROUNDed to 6dp each step (both engines): compiler-level
-  -- FP contraction (fma) can shift a*x+b by 1 ulp per step in one
-  -- engine; over 30 steps that lands on ROUND(,4) boundaries
-  -- (round-7 sf0.3 sweep: level .6382 vs .6383). Snapping the
-  -- (l, b) state to the same decimal grid every step makes the two
-  -- recursions bit-identical by construction.
-  SELECT rn, d, x, x AS l, ROUND(x2 - x, 6) AS b FROM idx WHERE rn = 1
+  -- (l, b) state snapped to the 6dp grid each step (both engines):
+  -- compiler-level FP contraction (fma) can shift a*x+b by 1 ulp per
+  -- step in one engine; over 30 steps that lands on output-grid
+  -- boundaries (round-7 sf0.3 sweep: level .6382 vs .6383).
+  SELECT rn, d, x, x AS l,
+         FLOOR((x2 - x) * 1000000 + 0.5) / 1000000 AS b
+  FROM idx WHERE rn = 1
   UNION ALL
   SELECT i.rn, i.d, i.x,
-         ROUND(0.5 * i.x + 0.5 * (hw.l + hw.b), 6),
-         ROUND(0.3 * (ROUND(0.5 * i.x + 0.5 * (hw.l + hw.b), 6) - hw.l)
-               + 0.7 * hw.b, 6)
+         FLOOR((0.5 * i.x + 0.5 * (hw.l + hw.b)) * 1000000 + 0.5) / 1000000,
+         FLOOR((0.3 * (FLOOR((0.5 * i.x + 0.5 * (hw.l + hw.b)) * 1000000 + 0.5) / 1000000 - hw.l)
+                + 0.7 * hw.b) * 1000000 + 0.5) / 1000000
   FROM idx i JOIN hw ON i.rn = hw.rn + 1
 )
 SELECT STRFTIME(d, '%Y-%m-%d') AS day,
-       ROUND(x, 2) AS daily_total,
-       ROUND(l, 4) AS level,
-       ROUND(b, 4) AS trend,
-       ROUND(l + b, 4) AS forecast_next
+       FLOOR(x * 100 + 0.5) / 100 AS daily_total,
+       FLOOR(l * 10000 + 0.5) / 10000 AS level,
+       FLOOR(b * 10000 + 0.5) / 10000 AS trend,
+       FLOOR((l + b) * 10000 + 0.5) / 10000 AS forecast_next
 FROM hw ORDER BY day
 """
+
+
+def _snap(col, decimals: int):
+    """Deterministic half-up decimal snap: FLOOR(x*10^d + 0.5)/10^d.
+
+    Pure IEEE multiply/add/floor — bit-identical between Spark and
+    DuckDB on the same input double, unlike ROUND (DuckDB's fuzzy
+    double ROUND vs Spark's HALF_UP can flip at half boundaries).
+    Halves of negative values snap toward +inf; applied identically
+    in both engines so the published quantity is well-defined."""
+    scale = float(10 ** decimals)
+    return F.floor(col * scale + F.lit(0.5)) / scale
 
 
 @register("timeseries_holt_trend", oracle=HOLT_ORACLE)
@@ -751,14 +772,16 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days| in one map-side-combined groupBy; the coupled recursion
     folds over the sorted day array in a JVM F.aggregate carrying a
     (level, trend) struct accumulator. Bit-parity discipline: fold
-    inputs ROUND(SUM,6); identical literal arithmetic in identical
-    order both engines (trend init b_1 = x_2 - x_1 via LEAD)."""
+    inputs and (l, b) state snapped to the 6dp grid via _snap's
+    floor device (NOT ROUND — see HOLT_ORACLE header); identical
+    literal arithmetic in identical order both engines (trend init
+    b_1 = x_2 - x_1 via LEAD)."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
         )
-        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .agg(_snap(F.sum("value"), 6).alias("x"))
     )
     series = daily.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
@@ -766,12 +789,12 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     def step(acc, e):
         prev_l = F.element_at(acc, -1)["l"]
         prev_b = F.element_at(acc, -1)["b"]
-        # 6dp state snap each step — see HOLT_ORACLE comment
-        new_l = F.round(
-            e["x"] * F.lit(0.5) + (prev_l + prev_b) * F.lit(0.5), 6
+        # 6dp floor-device state snap each step — see HOLT_ORACLE
+        new_l = _snap(
+            F.lit(0.5) * e["x"] + F.lit(0.5) * (prev_l + prev_b), 6
         )
-        new_b = F.round(
-            (new_l - prev_l) * F.lit(0.3) + prev_b * F.lit(0.7), 6
+        new_b = _snap(
+            F.lit(0.3) * (new_l - prev_l) + F.lit(0.7) * prev_b, 6
         )
         return F.concat(
             acc,
@@ -803,7 +826,7 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at("s", 1)["x"].alias("l"),
                     F.when(
                         F.size("s") >= 2,
-                        F.round(
+                        _snap(
                             F.element_at("s", 2)["x"]
                             - F.element_at("s", 1)["x"],
                             6,
@@ -818,10 +841,10 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seeded.select(F.explode("hw").alias("r")).select(
         F.col("r.d").alias("day"),
-        F.round("r.x", 2).alias("daily_total"),
-        F.round("r.l", 4).alias("level"),
-        F.round("r.b", 4).alias("trend"),
-        F.round(F.col("r.l") + F.col("r.b"), 4).alias("forecast_next"),
+        _snap(F.col("r.x"), 2).alias("daily_total"),
+        _snap(F.col("r.l"), 4).alias("level"),
+        _snap(F.col("r.b"), 4).alias("trend"),
+        _snap(F.col("r.l") + F.col("r.b"), 4).alias("forecast_next"),
     )
 
 

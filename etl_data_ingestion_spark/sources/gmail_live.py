@@ -164,3 +164,156 @@ class GmailLiveSource:
             body["data"] = base64.urlsafe_b64encode(raw).decode("ascii")
         for child in part.get("parts", []) or []:
             self._inline_attachments(msg_id, child)
+
+
+# ---------------------------------------------------------------- S1b
+# Web-application OAuth variant (reference main.py:53-93,123-135):
+# the reference does NOT use the installed-app console flow above —
+# it prints an authorization URL, opens a browser, and runs a
+# one-shot localhost HTTP server whose /callback handler exchanges
+# the returned ?code= for credentials and persists the token. The
+# handler/exchange logic below is transport-free (pure function over
+# the request path + a duck-typed flow), so it is unit-testable
+# without google libs or a network; only the real Flow construction
+# and the real socket server live behind the import guard.
+
+CALLBACK_PATH = "/callback"
+
+
+def handle_oauth_callback(
+    path: str, flow: Any, token_path: str
+) -> tuple[int, bytes, Optional[Any]]:
+    """One GET against the callback server → (status, body, creds).
+
+    Mirrors the reference CallbackHandler.do_GET state machine
+    (main.py:53-93): non-/callback paths → 404; missing ?code= →
+    400; token-exchange failure → 500; success → fetch_token(code),
+    persist flow.credentials.to_json() to token_path, 200. `flow`
+    is duck-typed (real google_auth_oauthlib Flow or a test fake
+    with fetch_token/credentials)."""
+    from urllib.parse import parse_qs, urlparse
+
+    parsed = urlparse(path)
+    if parsed.path != CALLBACK_PATH:
+        return 404, b"Not found.", None
+    code = parse_qs(parsed.query).get("code", [None])[0]
+    if not code:
+        return 400, b"Authorization code not received.", None
+    try:
+        flow.fetch_token(code=code)
+        creds = flow.credentials
+        with open(token_path, "w") as f:
+            f.write(creds.to_json())
+        return (
+            200,
+            b"Authentication successful! You can close this window.",
+            creds,
+        )
+    except Exception as e:  # mirror reference: report, keep serving side up
+        return 500, f"Authentication failed: {e}".encode(), None
+
+
+def _make_callback_handler(flow: Any, token_path: str, result_box: dict):
+    """BaseHTTPRequestHandler subclass delegating to
+    handle_oauth_callback; the exchanged credentials land in
+    result_box['creds'] for the caller that owns the server."""
+    from http.server import BaseHTTPRequestHandler
+
+    class CallbackHandler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            status, body, creds = handle_oauth_callback(
+                self.path, flow, token_path
+            )
+            if creds is not None:
+                result_box["creds"] = creds
+            self.send_response(status)
+            self.send_header("Content-type", "text/html")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet one-shot server
+            pass
+
+    return CallbackHandler
+
+
+def _serve_one_callback(flow: Any, token_path: str, redirect_uri: str):
+    """Run the one-shot localhost callback server the reference uses
+    (main.py:131-135): bind the redirect-URI port, handle exactly one
+    request, return the exchanged credentials (or None)."""
+    from http.server import HTTPServer
+    from urllib.parse import urlparse
+
+    loc = urlparse(redirect_uri)
+    box: dict = {}
+    httpd = HTTPServer((loc.hostname or "localhost", loc.port or 8080),
+                       _make_callback_handler(flow, token_path, box))
+    try:
+        httpd.handle_request()
+    finally:
+        httpd.server_close()
+    return box.get("creds")
+
+
+def build_gmail_service_web(
+    client_secret_path: str,
+    token_path: str,
+    redirect_uri: str = "http://localhost:8080/callback",
+    *,
+    _flow_factory=None,
+    _serve_callback=None,
+    _browser_open=None,
+    _service_builder=None,
+    _token_loader=None,
+):
+    """S1, web-application flow (reference main.py:96-155 via the
+    callback server at main.py:53-93): cached-token-first like the
+    installed-app variant, but the interactive leg prints/opens an
+    authorization URL and blocks on ONE localhost callback request
+    instead of run_local_server's console flow.
+
+    The underscore-keyword seams inject duck-typed fakes in tests
+    (no google libs, no network); left at None they resolve to the
+    real guarded google implementations."""
+    if None in (_flow_factory, _serve_callback, _browser_open,
+                _service_builder, _token_loader):
+        Request, Credentials, _, build = _require_google_libs()
+        from google_auth_oauthlib.flow import Flow
+
+        _flow_factory = _flow_factory or (
+            lambda secret, uri: Flow.from_client_secrets_file(
+                secret, scopes=list(GMAIL_SCOPES), redirect_uri=uri
+            )
+        )
+        _serve_callback = _serve_callback or _serve_one_callback
+        _browser_open = _browser_open or __import__("webbrowser").open
+        _service_builder = _service_builder or (
+            lambda creds: build(
+                "gmail", "v1", credentials=creds, cache_discovery=False
+            )
+        )
+        _token_loader = _token_loader or (
+            lambda p: Credentials.from_authorized_user_file(
+                p, list(GMAIL_SCOPES)
+            )
+        )
+        _refresh = lambda c: c.refresh(Request())  # noqa: E731
+    else:
+        _refresh = lambda c: c.refresh(None)  # noqa: E731 (fakes self-refresh)
+
+    creds = None
+    if os.path.exists(token_path):
+        creds = _token_loader(token_path)
+    if not creds or not creds.valid:
+        if creds and creds.expired and creds.refresh_token:
+            _refresh(creds)
+            with open(token_path, "w") as f:
+                f.write(creds.to_json())
+        else:
+            flow = _flow_factory(client_secret_path, redirect_uri)
+            auth_url, _ = flow.authorization_url(prompt="consent")
+            _browser_open(auth_url)
+            creds = _serve_callback(flow, token_path, redirect_uri)
+    if creds is None:
+        raise RuntimeError("Authentication failed or was not completed.")
+    return _service_builder(creds)

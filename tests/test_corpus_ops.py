@@ -10,6 +10,7 @@ import re
 
 import numpy as np
 
+from etl_data_ingestion_spark.catalog import drop_plan_cache
 from etl_data_ingestion_spark.plans import registry
 
 registry.load_all()
@@ -56,6 +57,10 @@ def test_duplicated_spans_full_dup_on_planted_copy(spark, sf_dir):
         "doc_id long, text string",
     )
     docs.write.mode("overwrite").parquet("/tmp/span_docs/documents.parquet")
+    # fixed path rewritten in place: invalidate any scan-plan cache
+    # entry from a prior registration (the overwrite deletes the old
+    # part files a stale cached file index would still point at)
+    drop_plan_cache(spark)
     out = {
         r.doc_id: r
         for r in q("dedup_duplicated_spans", spark, "/tmp/span_docs").collect()

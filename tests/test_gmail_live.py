@@ -162,3 +162,150 @@ def test_missing_google_libs_raise_clear_error():
 
     with pytest.raises(ImportError, match="google-api-python-client"):
         gmail_live.build_gmail_service("credentials.json", "token.json")
+
+
+# ------------------------------------------------- S1b web-app flow
+
+
+class FakeCreds:
+    def __init__(self, valid=True, expired=False, refresh_token=None):
+        self.valid = valid
+        self.expired = expired
+        self.refresh_token = refresh_token
+        self.refreshed = False
+
+    def refresh(self, request):
+        self.refreshed = True
+        self.valid = True
+        self.expired = False
+
+    def to_json(self):
+        return json.dumps({"token": "fake", "valid": self.valid})
+
+
+class FakeFlow:
+    def __init__(self, fail=False):
+        self.fail = fail
+        self.fetched_code = None
+        self.credentials = None
+
+    def authorization_url(self, prompt):
+        assert prompt == "consent"
+        return "https://example.test/auth?x=1", "state"
+
+    def fetch_token(self, code):
+        if self.fail:
+            raise RuntimeError("exchange refused")
+        self.fetched_code = code
+        self.credentials = FakeCreds()
+
+
+def test_oauth_callback_state_machine(tmp_path):
+    """handle_oauth_callback mirrors the reference CallbackHandler
+    (main.py:53-93): 404 off-path, 400 without ?code=, 500 on
+    exchange failure, 200 + persisted token on success."""
+    from etl_data_ingestion_spark.sources.gmail_live import (
+        handle_oauth_callback,
+    )
+
+    token = str(tmp_path / "token_web.json")
+    flow = FakeFlow()
+    assert handle_oauth_callback("/other", flow, token)[0] == 404
+    assert handle_oauth_callback("/callback", flow, token)[0] == 400
+    status, body, creds = handle_oauth_callback(
+        "/callback?code=abc123&scope=x", flow, token
+    )
+    assert status == 200 and creds is flow.credentials
+    assert flow.fetched_code == "abc123"
+    assert json.load(open(token))["token"] == "fake"
+    status, _, creds = handle_oauth_callback(
+        "/callback?code=zzz", FakeFlow(fail=True), token
+    )
+    assert status == 500 and creds is None
+
+
+def test_callback_handler_class_writes_http_response(tmp_path):
+    """The BaseHTTPRequestHandler subclass wires handle_oauth_callback
+    to the HTTP surface — driven with an injected request (no socket,
+    no network): instantiate without __init__, stub the send_* /
+    wfile plumbing, call do_GET."""
+    import io
+
+    from etl_data_ingestion_spark.sources.gmail_live import (
+        _make_callback_handler,
+    )
+
+    token = str(tmp_path / "token_web.json")
+    flow = FakeFlow()
+    box: dict = {}
+    cls = _make_callback_handler(flow, token, box)
+    h = object.__new__(cls)
+    h.path = "/callback?code=inj"
+    h.wfile = io.BytesIO()
+    sent = []
+    h.send_response = lambda s: sent.append(s)
+    h.send_header = lambda *a: None
+    h.end_headers = lambda: None
+    h.do_GET()
+    assert sent == [200]
+    assert b"successful" in h.wfile.getvalue()
+    assert box["creds"] is flow.credentials
+
+
+def test_build_gmail_service_web_interactive_leg(tmp_path):
+    """No cached token → authorization URL opened in the browser,
+    one-shot callback server consulted, service built from the
+    exchanged credentials (all seams injected; google libs and
+    network never touched)."""
+    from etl_data_ingestion_spark.sources.gmail_live import (
+        build_gmail_service_web,
+        handle_oauth_callback,
+    )
+
+    token = str(tmp_path / "token_web.json")
+    opened = []
+    flow = FakeFlow()
+
+    def serve(fl, token_path, redirect_uri):
+        assert fl is flow and redirect_uri.endswith("/callback")
+        return handle_oauth_callback(
+            "/callback?code=served", fl, token_path
+        )[2]
+
+    svc = build_gmail_service_web(
+        "secret.json",
+        token,
+        _flow_factory=lambda secret, uri: flow,
+        _serve_callback=serve,
+        _browser_open=opened.append,
+        _service_builder=lambda creds: ("service", creds),
+        _token_loader=lambda p: None,
+    )
+    assert opened == ["https://example.test/auth?x=1"]
+    assert svc == ("service", flow.credentials)
+    assert json.load(open(token))["token"] == "fake"
+
+
+def test_build_gmail_service_web_refresh_leg(tmp_path):
+    """Cached expired token with a refresh_token → refreshed and
+    re-persisted without running the interactive flow (reference
+    main.py:109-121)."""
+    from etl_data_ingestion_spark.sources.gmail_live import (
+        build_gmail_service_web,
+    )
+
+    token = tmp_path / "token_web.json"
+    token.write_text("{}")
+    creds = FakeCreds(valid=False, expired=True, refresh_token="r")
+
+    svc = build_gmail_service_web(
+        "secret.json",
+        str(token),
+        _flow_factory=lambda *a: pytest.fail("interactive flow reached"),
+        _serve_callback=lambda *a: pytest.fail("server reached"),
+        _browser_open=lambda *a: pytest.fail("browser reached"),
+        _service_builder=lambda c: ("service", c),
+        _token_loader=lambda p: creds,
+    )
+    assert creds.refreshed and svc == ("service", creds)
+    assert json.loads(token.read_text())["valid"] is True
