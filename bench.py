@@ -161,6 +161,16 @@ EXTENDED = [
     "ml_precision_recall_curve",
     "pipeline_tokenizer_fertility",
     "similarity_range_search",
+    # round 8
+    "ml_cohen_kappa",
+    "ml_gain_lift_deciles",
+    "agg_ab_test_ztest",
+    "timeseries_acf_lags",
+    "timeseries_theil_sen",
+    "agg_spearman_rank_corr",
+    "events_session_gap_histogram",
+    "text_hapax_legomena",
+    "events_survival_curve",
 ]
 
 
@@ -503,6 +513,51 @@ def main() -> None:
                 "n_queries": len(comparable),
             }
 
+    # Bucketed-storage tier (round-8, capacity-model item 2): tpch_q3
+    # re-timed with lineitem/orders stored bucketed+sorted on orderkey
+    # (enable_bucketed_facts) — the documented 100 TB default layout
+    # where the fact-fact shuffle is paid once at write time. The
+    # bucket WRITE is untimed (reported separately); the frozen cold
+    # "value"/"queries" above never see bucketed scans. NAMESPACED:
+    # these numbers live only under "bucketed_q3".
+    bucketed_q3: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "1":
+        from etl_data_ingestion_spark.catalog import (
+            disable_bucketed_facts,
+            enable_bucketed_facts,
+        )
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        bkt_dirs = [(str(sf), sf_dir)]
+        sf1_dir = os.path.join(here, ".scaledata/sf1")
+        if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != os.path.abspath(sf1_dir):
+            bkt_dirs.append(("1", sf1_dir))
+        qname = "tpch_q3_shipping_priority"
+        for label, bdir in bkt_dirs:
+            try:
+                t0 = time.perf_counter()
+                enable_bucketed_facts(spark, bdir, 32)
+                write_sec = round(time.perf_counter() - t0, 3)
+                run_query(spark, qname, bdir)  # warm, untimed
+                b_samples = [
+                    round(run_query(spark, qname, bdir), 3)
+                    for _ in range(3)
+                ]
+                disable_bucketed_facts(spark)
+                run_query(spark, qname, bdir)  # warm stock path, untimed
+                s_samples = [
+                    round(run_query(spark, qname, bdir), 3)
+                    for _ in range(3)
+                ]
+                bucketed_q3[label] = {
+                    "stock": min(s_samples),
+                    "bucketed": min(b_samples),
+                    "n_buckets": 32,
+                    "write_sec_untimed": write_sec,
+                }
+            finally:
+                disable_bucketed_facts(spark)
+
     summary = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -531,6 +586,7 @@ def main() -> None:
             "queries_resident": res_timings,
             "ratio_total_comparable_resident": rtc_resident,
             "scale_curve": scale_curve,
+            "bucketed_q3": bucketed_q3,
             "sf": sf,
         }
     )

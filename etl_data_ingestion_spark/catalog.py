@@ -89,6 +89,81 @@ def drop_plan_cache(spark: SparkSession) -> None:
     _PLAN_CACHE.pop(spark, None)
 
 
+# Bucketed-storage tier (round-8, capacity-model item 2): the q3-class
+# fact-fact shuffle disappears entirely when both facts are stored
+# bucketed on the join key — pay the Exchange ONCE at write time,
+# every subsequent orderkey join/agg is map-side. This is the
+# documented 100 TB default layout; locally it is OPT-IN
+# (enable_bucketed_facts) so vanilla driver sessions, correctness
+# runs, and the frozen cold headline all keep stock parquet scans.
+# The bucketed copies live under .scratch/<sf>/bucketed_* as
+# session-catalog external tables; the write is idempotent per
+# (session, sf_dir) and contains exactly the source rows (same
+# schema, full width), so every oracle contract is unchanged.
+BUCKETED_FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+_BUCKETED: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def enable_bucketed_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> dict[str, str]:
+    """Write lineitem/orders bucketed+sorted by orderkey (one file per
+    bucket) and route subsequent load_table calls for them to the
+    bucketed tables. Returns {table: catalog_name}. Idempotent per
+    (session, sf_dir): re-enabling reuses the already-written tables.
+
+    At 100 TB this is the metastore DDL step (CREATE TABLE ...
+    CLUSTERED BY (orderkey) INTO n BUCKETS + one INSERT OVERWRITE);
+    n_buckets scales with data (buckets ≈ fact_bytes / 1 GB), and the
+    repartition-to-bucket-count before the write keeps one file per
+    bucket so the bucketed SortMergeJoin needs neither Exchange nor
+    re-Sort."""
+    key_dir = os.path.abspath(sf_dir)
+    reg = _BUCKETED.setdefault(spark, {})
+    out: dict[str, str] = {}
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    for name, bucket_key in BUCKETED_FACTS.items():
+        k = (key_dir, name)
+        if k in reg:
+            out[name] = reg[k]
+            continue
+        tbl = f"{name}_bucketed_{tag}"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch",
+            os.path.basename(os.path.normpath(sf_dir)),
+            f"bucketed_{name}",
+        )
+        src = spark.read.parquet(table_path(sf_dir, name))
+        # one file per bucket: repartition on the bucket key into
+        # exactly n_buckets tasks, so each task writes one file into
+        # each bucket it owns — and owning exactly one bucket per
+        # task keeps the per-bucket file count at 1, which is what
+        # lets the scan report sorted output and skip the re-Sort
+        from pyspark.sql.functions import col
+
+        (
+            src.repartition(n_buckets, col(bucket_key))
+            .write.bucketBy(n_buckets, bucket_key)
+            .sortBy(bucket_key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        reg[k] = tbl
+        out[name] = tbl
+    return out
+
+
+def disable_bucketed_facts(spark: SparkSession) -> None:
+    """Stop routing load_table to bucketed tables (the written tables
+    and files stay for re-enable)."""
+    _BUCKETED.pop(spark, None)
+
+
 def _resident_enabled(spark: SparkSession) -> bool:
     try:
         return (
@@ -184,6 +259,12 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    bucketed = _BUCKETED.get(spark, {}).get((os.path.abspath(sf_dir), name))
+    if bucketed is not None:
+        # opt-in bucketed tier: the catalog table IS the registered
+        # plan (metastore-resident schema + bucket spec); parallel
+        # floors don't apply — bucket count fixes the scan tasks
+        return spark.table(bucketed)
     resident = _resident_enabled(spark)
     key = (os.path.abspath(sf_dir), name, bool(parallel))
     if resident:

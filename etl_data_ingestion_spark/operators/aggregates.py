@@ -2234,3 +2234,91 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_stat"
         ),
     )
+
+
+# ------------------------------------------------- Spearman rank corr
+
+SPEARMAN_ORACLE = """
+-- Spearman rank correlation between order price and order date —
+-- "is revenue drifting over time, monotonically?" Robust to the
+-- price distribution's heavy tail where Pearson (agg_corr_covar)
+-- is not. Ties use standard fractional ranks, carried as EXACT
+-- integers via the doubled-rank trick R = 2*rank + ties - 1
+-- (Spearman is affine-invariant, so scaling ranks by 2 leaves r
+-- unchanged while keeping every rank integral). The Pearson form on
+-- (Rx, Ry) uses sums of integer products; per-term products are
+-- exact doubles, and the final r is snapped at 4dp — the residual
+-- cross-engine risk (sum order at >2^53 magnitudes, sf>=1) moves r
+-- by ~1e-16 relative, invisible at the 4dp grid for a statistic
+-- that is not boundary-structured (documented residual, unlike the
+-- money half-cent classes).
+WITH ranked AS (
+  SELECT
+    2 * RANK() OVER (ORDER BY o_totalprice)
+      + COUNT(*) OVER (PARTITION BY o_totalprice) - 1 AS rx,
+    2 * RANK() OVER (ORDER BY CAST(o_orderdate AS DATE))
+      + COUNT(*) OVER (PARTITION BY CAST(o_orderdate AS DATE)) - 1 AS ry
+  FROM orders
+), s AS (
+  -- CAST AS DOUBLE, not * 1.0: DuckDB types the literal 1.0 as
+  -- DECIMAL, and SUM(DECIMAL)^2 overflows DECIMAL(38) at sf0.1;
+  -- the double casts mirror Spark's long*1.0 promotion exactly
+  SELECT COUNT(*) AS n,
+         SUM(CAST(rx AS DOUBLE)) AS sx, SUM(CAST(ry AS DOUBLE)) AS sy,
+         SUM(CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE)) AS sxx,
+         SUM(CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE)) AS syy,
+         SUM(CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE)) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       FLOOR((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 10000 + 0.5) / 10000 AS spearman_rho
+FROM s
+"""
+
+
+@register("agg_spearman_rank_corr", oracle=SPEARMAN_ORACLE)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (price vs order date) — the
+    monotonic-drift detector that complements Pearson
+    (agg_corr_covar) on heavy-tailed money columns.
+
+    Scale shape: two rank windows over the fact table (each one
+    Exchange on its ordering; at 100 TB the global ranks would move
+    to the two-pass histogram-bucket equivalent exactly like
+    window_percentile_bucket_scalable — same fractional ranks,
+    because tie counts are exact either way), then one partial
+    aggregate to six sufficient statistics and a fixed scalar chain.
+    Fractional ranks are exact integers via the doubled-rank trick
+    (see SPEARMAN_ORACLE)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    orders = load_table(spark, sf_dir, "orders")
+    wx = Window.orderBy("o_totalprice")
+    wxp = Window.partitionBy("o_totalprice")
+    dt = F.col("o_orderdate").cast("date")
+    wy = Window.orderBy(dt)
+    wyp = Window.partitionBy(dt)
+    ranked = orders.select(
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxp) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyp) - 1).alias("ry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * 1.0).alias("sx"),
+        F.sum(F.col("ry") * 1.0).alias("sy"),
+        F.sum(F.col("rx") * 1.0 * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * 1.0 * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * 1.0 * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        n.cast("long").alias("n_orders"),
+        snap(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("spearman_rho"),
+    )

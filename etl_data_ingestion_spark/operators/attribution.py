@@ -358,3 +358,86 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- session-gap histogram
+
+SESSION_GAP_ORACLE = """
+-- Log2-bucketed histogram of per-user inter-event gaps — the
+-- empirical basis for choosing a session timeout (the 30-minute
+-- constant every sessionizer hardcodes should come FROM this
+-- distribution). Gaps are exact integer seconds (epoch diff);
+-- bucket = FLOOR(LOG2(gap + 0.5)) — the +0.5 keeps the argument
+-- strictly between powers of two (a half-integer can never equal
+-- 2^k), so a 1-ulp libm difference between engines can never flip
+-- the FLOOR: the bucket function is total and engine-stable on
+-- integer gaps. Simultaneous events (gap 0) get bucket -1.
+WITH gaps AS (
+  SELECT (EPOCH_US(ts)
+          - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)))
+         // 1000000 AS gap
+  FROM events
+), bucketed AS (
+  SELECT CASE WHEN gap <= 0 THEN -1
+              ELSE CAST(FLOOR(LOG2(gap + 0.5)) AS BIGINT) END AS bucket
+  FROM gaps WHERE gap IS NOT NULL
+)
+SELECT bucket,
+       CAST(POWER(2, GREATEST(bucket, 0)) AS BIGINT) AS gap_from_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       FLOOR(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM bucketed)
+             * 10000 + 0.5) / 10000 AS frac
+FROM bucketed GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("events_session_gap_histogram", oracle=SESSION_GAP_ORACLE)
+def events_session_gap_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution of per-user inter-event gaps in log2 buckets —
+    the data that justifies (or indicts) the 30-minute session
+    timeout used by events_sessionize/stream_session_window.
+
+    Scale shape: ONE Exchange on user_id for the lag window (same
+    partitioning every per-user operator shares), then a
+    map-side-combined groupBy onto ~40 buckets. The bucket function
+    FLOOR(LOG2(gap + 0.5)) is engine-stable on integer gaps (the
+    half-integer argument can never sit on a power of two, so libm
+    ulp differences cannot flip the floor — see oracle header)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag(F.col("ts")).over(w))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull()).select(
+        F.expr("gap_us div 1000000").alias("gap")
+    )
+    bucketed = gaps.select(
+        F.when(F.col("gap") <= 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(F.col("gap") + 0.5)))
+        .cast("long")
+        .alias("bucket")
+    )
+    wa = Window.partitionBy()
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.greatest(F.col("bucket"), F.lit(0)))
+            .cast("long")
+            .alias("gap_from_sec"),
+            F.col("n_gaps").cast("long"),
+            snap(
+                F.col("n_gaps") * 1.0 / F.sum("n_gaps").over(wa), 4
+            ).alias("frac"),
+        )
+        .orderBy("bucket")
+    )

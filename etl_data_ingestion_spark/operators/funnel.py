@@ -620,3 +620,63 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_minutes"),
         F.max("mins").cast("long").alias("max_minutes"),
     )
+
+
+# ------------------------------------------------- survival curve
+
+SURVIVAL_ORACLE = """
+-- User-lifetime survival curve S(t) = fraction of users whose
+-- observed lifetime (days between first and last event) is >= t,
+-- for t = 0..14 — the retention complement of
+-- retention_daily_cohorts: cohorts ask "did they come back on day
+-- t", survival asks "how long do they last at all". Exact integer
+-- counting; fractions under the floor device.
+WITH lifetimes AS (
+  SELECT user_id,
+         DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS lt
+  FROM events GROUP BY user_id
+), spine AS (
+  SELECT UNNEST(GENERATE_SERIES(0, 14)) AS t
+)
+SELECT t,
+       CAST(SUM(CASE WHEN lt >= t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       FLOOR(SUM(CASE WHEN lt >= t THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000 + 0.5) / 10000 AS survival_frac
+FROM spine CROSS JOIN lifetimes
+GROUP BY t ORDER BY t
+"""
+
+
+@register("events_survival_curve", oracle=SURVIVAL_ORACLE)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S(t) for user lifetimes at t = 0..14 days — how long users
+    last, the decay curve product teams read next to the cohort
+    retention grid.
+
+    Scale shape: one map-side-combined groupBy to |users| lifetimes
+    (the only fact-sized pass), then a broadcast 15-row spine join
+    and a rollup to 15 rows. The cross join is |users|×15 of 8-byte
+    ints — bounded expansion of the already-reduced grid, the
+    events_dau_wau_mau doctrine."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events")
+    lifetimes = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lt")
+    )
+    spine = spark.range(0, 15).select(F.col("id").cast("int").alias("t"))
+    surv = (F.col("lt") >= F.col("t")).cast("long")
+    return (
+        lifetimes.crossJoin(F.broadcast(spine))
+        .groupBy("t")
+        .agg(
+            F.sum(surv).cast("long").alias("n_surviving"),
+            snap(F.sum(surv) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "survival_frac"
+            ),
+        )
+        .orderBy("t")
+    )

@@ -940,3 +940,250 @@ def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / (tp + fn), 6).alias("recall_"),
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
     ).orderBy("thr")
+
+
+# ------------------------------------------------- Cohen's kappa
+
+COHEN_KAPPA_ORACLE = """
+-- Cohen's kappa between two weak labelers of document quality
+-- (labeler A: n_chars >= 300; labeler B: whitespace token count
+-- >= 50) — THE agreement statistic for weak-supervision label
+-- audits: raw agreement p_o corrected by chance agreement p_e from
+-- the raters' marginals. All four cells are exact integers from one
+-- aggregate; every derived value is a fixed-order scalar expression
+-- on them (multiplied in DOUBLE in both engines — the MCC
+-- discipline), so there is no data-dependent float summation.
+WITH cells AS (
+  SELECT
+    SUM(CASE WHEN n_chars >= 300 AND tok >= 50 THEN 1 ELSE 0 END) AS yy,
+    SUM(CASE WHEN n_chars >= 300 AND tok <  50 THEN 1 ELSE 0 END) AS yn,
+    SUM(CASE WHEN n_chars <  300 AND tok >= 50 THEN 1 ELSE 0 END) AS ny,
+    SUM(CASE WHEN n_chars <  300 AND tok <  50 THEN 1 ELSE 0 END) AS nn
+  FROM (
+    SELECT n_chars,
+           LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS tok
+    FROM documents
+  )
+)
+SELECT CAST(yy AS BIGINT) AS both_pos, CAST(yn AS BIGINT) AS a_only,
+       CAST(ny AS BIGINT) AS b_only, CAST(nn AS BIGINT) AS both_neg,
+       FLOOR(((yy + nn) * 1.0 / (yy + yn + ny + nn)) * 1000000 + 0.5)
+         / 1000000 AS p_observed,
+       FLOOR((((yy + yn) * 1.0 * (yy + ny)
+               + (ny + nn) * 1.0 * (yn + nn))
+              / ((yy + yn + ny + nn) * 1.0 * (yy + yn + ny + nn)))
+             * 1000000 + 0.5) / 1000000 AS p_expected,
+       FLOOR((((yy + nn) * 1.0 / (yy + yn + ny + nn))
+              - (((yy + yn) * 1.0 * (yy + ny)
+                  + (ny + nn) * 1.0 * (yn + nn))
+                 / ((yy + yn + ny + nn) * 1.0 * (yy + yn + ny + nn))))
+             / (1.0 - (((yy + yn) * 1.0 * (yy + ny)
+                        + (ny + nn) * 1.0 * (yn + nn))
+                       / ((yy + yn + ny + nn) * 1.0
+                          * (yy + yn + ny + nn))))
+             * 1000000 + 0.5) / 1000000 AS kappa
+FROM cells
+"""
+
+
+@register("ml_cohen_kappa", oracle=COHEN_KAPPA_ORACLE)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two weak document-quality labelers
+    (length-based vs token-count-based) — the agreement statistic a
+    weak-supervision curation pipeline uses to decide whether two
+    cheap labelers are redundant or complementary.
+
+    Scale shape: the corpus reduces to FOUR integers in one
+    map-side-combined conditional aggregate (the confusion-matrix
+    shape: one Exchange of 4 longs per partition); kappa / p_o / p_e
+    are fixed-order scalar math on those cells, products in DOUBLE
+    (exact through ~9e15, identical beyond — the
+    ml_confusion_matrix_metrics discipline), outputs snapped with
+    the floor device."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    a = F.col("n_chars") >= 300
+    b = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 50
+    cells = docs.agg(
+        F.sum((a & b).cast("long")).alias("yy"),
+        F.sum((a & ~b).cast("long")).alias("yn"),
+        F.sum((~a & b).cast("long")).alias("ny"),
+        F.sum((~a & ~b).cast("long")).alias("nn"),
+    )
+    yy, yn, ny, nn = (F.col(c) for c in ("yy", "yn", "ny", "nn"))
+    n = yy + yn + ny + nn
+    po = (yy + nn) * 1.0 / n
+    pe = ((yy + yn) * 1.0 * (yy + ny) + (ny + nn) * 1.0 * (yn + nn)) / (
+        n * 1.0 * n
+    )
+    return cells.select(
+        yy.alias("both_pos"),
+        yn.alias("a_only"),
+        ny.alias("b_only"),
+        nn.alias("both_neg"),
+        snap(po, 6).alias("p_observed"),
+        snap(pe, 6).alias("p_expected"),
+        snap((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+# ------------------------------------------------- gain / lift deciles
+
+GAIN_LIFT_ORACLE = """
+-- Cumulative gain / lift table for `value` as a purchase ranker —
+-- the campaign-targeting report (NDCG scores the head; gain/lift
+-- says how many times better each ranked decile is than random).
+-- Decile assignment is EXACT integer math on a total order
+-- (value DESC, event_id), so both engines bucket identically;
+-- every metric is an integer ratio under the floor device.
+WITH ranked AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+), by_decile AS (
+  -- FLOOR, not a bare CAST: DuckDB CASTs double->BIGINT by
+  -- ROUNDING while Spark truncates; FLOOR is identical in both
+  SELECT CAST(FLOOR((rn - 1) * 10.0 / n) AS BIGINT) AS decile,
+         COUNT(*) AS n_rows, SUM(pos) AS n_pos
+  FROM ranked GROUP BY 1
+), cum AS (
+  SELECT decile, n_rows, n_pos,
+         SUM(n_rows) OVER (ORDER BY decile) AS cum_rows,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         SUM(n_rows) OVER () AS tot_rows,
+         SUM(n_pos) OVER () AS tot_pos
+  FROM by_decile
+)
+SELECT decile,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       FLOOR((cum_pos * 1.0 / tot_pos) * 10000 + 0.5) / 10000 AS cum_gain,
+       FLOOR(((cum_pos * 1.0 / tot_pos) / (cum_rows * 1.0 / tot_rows))
+             * 10000 + 0.5) / 10000 AS cum_lift
+FROM cum ORDER BY decile
+"""
+
+
+@register("ml_gain_lift_deciles", oracle=GAIN_LIFT_ORACLE)
+def ml_gain_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain/lift per score decile for the value-ranker —
+    completes the ranking-evaluation suite (AUC = full ordering,
+    NDCG = head, gain/lift = business-facing decile table).
+
+    Scale shape: decile assignment needs a global rank — at 100 TB
+    the single-ordering window would serialize, so production uses
+    the two-pass equivalent (global value-histogram → decile
+    boundaries → broadcast bucket join, the
+    window_percentile_bucket_scalable pattern, same outputs because
+    decile edges are exact integer row counts). At fixture scale the
+    direct window IS the right plan (one Exchange); the decile
+    reduction leaves 10 rows, and gain/lift are integer ratios under
+    the floor device — no data-dependent float summation anywhere."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    by_dec = (
+        ranked.groupBy(
+            F.floor((F.col("rn") - 1) * 10.0 / F.col("n"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("pos").alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cum = by_dec.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wc).alias("cum_rows"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_rows").over(wa).alias("tot_rows"),
+        F.sum("n_pos").over(wa).alias("tot_pos"),
+    )
+    gain = F.col("cum_pos") * 1.0 / F.col("tot_pos")
+    lift = gain / (F.col("cum_rows") * 1.0 / F.col("tot_rows"))
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        snap(gain, 4).alias("cum_gain"),
+        snap(lift, 4).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+# ------------------------------------------------- two-proportion z-test
+
+AB_ZTEST_ORACLE = """
+-- Two-proportion z-test between deterministic user cohorts (A:
+-- even user_id, B: odd) on purchase rate — the A/B-test readout.
+-- Cohort counts are exact integers from one aggregate; p_a/p_b,
+-- the pooled proportion, the standard error, and z are one
+-- fixed-order scalar chain on identical doubles (single IEEE ops,
+-- no data-dependent summation), outputs under the floor device.
+WITH cells AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS x_a,
+    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS x_b
+  FROM events
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       FLOOR((x_a * 1.0 / n_a) * 1000000 + 0.5) / 1000000 AS p_a,
+       FLOOR((x_b * 1.0 / n_b) * 1000000 + 0.5) / 1000000 AS p_b,
+       FLOOR(((x_a * 1.0 / n_a) - (x_b * 1.0 / n_b))
+             / SQRT(((x_a + x_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))
+             * 10000 + 0.5) / 10000 AS z_score
+FROM cells
+"""
+
+
+@register("agg_ab_test_ztest", oracle=AB_ZTEST_ORACLE)
+def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase rate between deterministic
+    even/odd user cohorts — the experimentation readout every
+    product analytics stack ships.
+
+    Scale shape: the fact table reduces to FOUR integers in one
+    map-side-combined conditional aggregate; everything after is a
+    fixed-order scalar chain (the confusion-matrix discipline), so
+    the result is bit-stable across engines and scales."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    pos = F.col("event_type") == "purchase"
+    cells = ev.agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum((a & pos).cast("long")).alias("x_a"),
+        F.sum((~a).cast("long")).alias("n_b"),
+        F.sum((~a & pos).cast("long")).alias("x_b"),
+    )
+    n_a, x_a, n_b, x_b = (F.col(c) for c in ("n_a", "x_a", "n_b", "x_b"))
+    p_a = x_a * 1.0 / n_a
+    p_b = x_b * 1.0 / n_b
+    pool = (x_a + x_b) * 1.0 / (n_a + n_b)
+    z = (p_a - p_b) / F.sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+    return cells.select(
+        n_a, x_a, n_b, x_b,
+        snap(p_a, 6).alias("p_a"),
+        snap(p_b, 6).alias("p_b"),
+        snap(z, 4).alias("z_score"),
+    )

@@ -1240,3 +1240,66 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------- hapax legomena
+
+HAPAX_ORACLE = """
+-- Hapax legomena (once-occurring tokens) per source — the
+-- vocabulary-freshness diagnostic that complements Heaps' law
+-- growth (text_heaps_vocab_growth): a high hapax share means the
+-- source keeps minting new types (good for training diversity, bad
+-- for tokenizer coverage). Exact integer counting end to end; the
+-- ratio is one integer division under the floor device.
+WITH toks AS (
+  SELECT source, LOWER(tok) AS tok
+  FROM documents,
+       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS t(tok)
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       FLOOR(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000 + 0.5) / 10000 AS hapax_type_ratio
+FROM counts GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_hapax_legomena", oracle=HAPAX_ORACLE)
+def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share of each source's vocabulary — the
+    per-source vocabulary-freshness report.
+
+    Scale shape: one Exchange on (source, token) for the count
+    groupBy (map-side combined, so the shuffle carries partial
+    counts, not raw tokens), then a map-side-combined rollup to
+    |sources| rows. At 100 TB the (source, token) key space is the
+    vocabulary (~10⁷ rows/source), not the corpus; shuffling hashed
+    tokens instead of strings (the contamination-curve trick) is
+    the documented width optimization if token strings dominate."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).select("source", F.lower("tok").alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+            snap(
+                F.sum((F.col("c") == 1).cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("hapax_type_ratio"),
+        )
+        .orderBy("source")
+    )

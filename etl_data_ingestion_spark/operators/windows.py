@@ -1340,3 +1340,237 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("d", F.col("drawdown")), "yyyy-MM-dd"
         ).alias("trough_day"),
     )
+
+
+# ----------------------------------------------------- autocorrelation
+
+ACF_ORACLE = """
+-- Autocorrelation function of the daily-revenue series at lags 1-7
+-- (the weekly-seasonality diagnostic that tells a forecaster which
+-- AR terms matter). Bit-parity discipline: the daily series is
+-- EXACT integer cents (CAST(FLOOR(SUM*100+0.5) AS BIGINT)), so all
+-- sufficient statistics (s, q, per-lag p/a/b) are exact integer
+-- sums — order-independent in both engines — and the ACF estimator
+-- r_k = (p_k - ybar*(a_k+b_k) + (n-k)*ybar^2) / (q - n*ybar^2)
+-- is one fixed-order scalar chain on those integers (the exact
+-- integers convert to double identically; every subsequent op is
+-- the same single IEEE op both sides), snapped with the floor
+-- device.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), led AS (
+  SELECT y,
+         LEAD(y, 1) OVER (ORDER BY d) AS y1,
+         LEAD(y, 2) OVER (ORDER BY d) AS y2,
+         LEAD(y, 3) OVER (ORDER BY d) AS y3,
+         LEAD(y, 4) OVER (ORDER BY d) AS y4,
+         LEAD(y, 5) OVER (ORDER BY d) AS y5,
+         LEAD(y, 6) OVER (ORDER BY d) AS y6,
+         LEAD(y, 7) OVER (ORDER BY d) AS y7
+  FROM daily
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS q,
+         SUM(y * y1) AS p1, SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1, SUM(y1) AS b1,
+         SUM(y * y2) AS p2, SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2, SUM(y2) AS b2,
+         SUM(y * y3) AS p3, SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS a3, SUM(y3) AS b3,
+         SUM(y * y4) AS p4, SUM(CASE WHEN y4 IS NOT NULL THEN y END) AS a4, SUM(y4) AS b4,
+         SUM(y * y5) AS p5, SUM(CASE WHEN y5 IS NOT NULL THEN y END) AS a5, SUM(y5) AS b5,
+         SUM(y * y6) AS p6, SUM(CASE WHEN y6 IS NOT NULL THEN y END) AS a6, SUM(y6) AS b6,
+         SUM(y * y7) AS p7, SUM(CASE WHEN y7 IS NOT NULL THEN y END) AS a7, SUM(y7) AS b7
+  FROM led
+), lags(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7))
+SELECT k AS lag,
+       CAST(n - k AS BIGINT) AS n_pairs,
+       FLOOR(((CASE k WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+                      WHEN 4 THEN p4 WHEN 5 THEN p5 WHEN 6 THEN p6
+                      ELSE p7 END) * 1.0
+              - (s * 1.0 / n)
+                * ((CASE k WHEN 1 THEN a1 WHEN 2 THEN a2 WHEN 3 THEN a3
+                           WHEN 4 THEN a4 WHEN 5 THEN a5 WHEN 6 THEN a6
+                           ELSE a7 END
+                    + CASE k WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3
+                             WHEN 4 THEN b4 WHEN 5 THEN b5 WHEN 6 THEN b6
+                             ELSE b7 END) * 1.0)
+              + (n - k) * (s * 1.0 / n) * (s * 1.0 / n))
+             / (q * 1.0 - n * (s * 1.0 / n) * (s * 1.0 / n))
+             * 1000000 + 0.5) / 1000000 AS acf
+FROM agg CROSS JOIN lags
+ORDER BY lag
+"""
+
+
+@register("timeseries_acf_lags", oracle=ACF_ORACLE)
+def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1-7 of the daily-revenue series — the weekly
+    seasonality diagnostic (which AR lags matter) that sits under
+    timeseries_seasonal_decompose and the Holt forecaster.
+
+    Scale shape: |events| collapses to |days| in one map-side
+    combined groupBy; the 7 LEAD columns share ONE window sort of
+    the |days| table, and the sufficient statistics reduce it to one
+    row — the ACF math never touches anything fact-sized. All sums
+    are exact integer cents (see ACF_ORACLE) so the estimator is a
+    fixed-order scalar chain, floor-device snapped."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    led = daily.select(
+        "y", *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 8)]
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    ]
+    for k in range(1, 8):
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum(F.col("y") * yk).alias(f"p{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y"))).alias(f"a{k}"),
+            F.sum(yk).alias(f"b{k}"),
+        ]
+    a = led.agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    ybar = s * 1.0 / n
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                (n - k).cast("long").alias("n_pairs"),
+                snap(
+                    (
+                        F.col(f"p{k}") * 1.0
+                        - ybar * ((F.col(f"a{k}") + F.col(f"b{k}")) * 1.0)
+                        + (n - k) * ybar * ybar
+                    )
+                    / (q * 1.0 - n * ybar * ybar),
+                    6,
+                ).alias("acf"),
+            )
+            for k in range(1, 8)
+        ]
+    )
+    return (
+        a.select(F.explode(rows).alias("r"))
+        .select("r.lag", "r.n_pairs", "r.acf")
+        .orderBy("lag")
+    )
+
+
+# ----------------------------------------------------- Theil-Sen trend
+
+THEIL_SEN_ORACLE = """
+-- Theil-Sen robust trend of the daily-revenue series: the MEDIAN of
+-- all pairwise slopes (y_j - y_i)/(d_j - d_i) — immune to the
+-- outlier days that wreck least-squares. Exact arithmetic: y is
+-- integer cents, day offsets are integers, each slope is ONE IEEE
+-- division of exact integers (identical both engines), and the
+-- median uses the explicit middle-element device from
+-- agg_median_by_priority (total order: slope, i, j). |days|² pairs
+-- is ~400 rows — domain-sized, never fact-sized.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i,
+         DATEDIFF('day', MIN(d) OVER (), d) AS dd
+  FROM daily
+), slopes AS (
+  SELECT a.i AS ia, b.i AS ib,
+         (b.y - a.y) * 1.0 / (b.dd - a.dd) AS slope
+  FROM idx a JOIN idx b ON a.i < b.i
+), ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, ia, ib) AS rn,
+         COUNT(*) OVER () AS m
+  FROM slopes
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       FLOOR(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                      THEN slope END)
+             / SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                        THEN 1 END) / 100.0 * 1000000 + 0.5)
+         / 1000000 AS slope_dollars_per_day
+FROM ranked
+"""
+
+
+@register("timeseries_theil_sen", oracle=THEIL_SEN_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend (median of all pairwise
+    slopes) — the outlier-immune alternative to the OLS slope in
+    agg_linear_regression.
+
+    Scale shape: the only fact-sized work is the one groupBy to
+    |days|; the pairwise self-join is |days|²/2 ≈ 400 rows (a
+    calendar is domain-sized — at 10 years it is 6.7M pairs, still
+    one executor's lunch). Slopes are single IEEE divisions of
+    exact integer cents/day-offsets; the median uses the explicit
+    middle-element selection device, floor-device snapped."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "y",
+        F.row_number().over(w).alias("i"),
+        F.datediff(F.col("d"), F.min("d").over(Window.partitionBy())).alias(
+            "dd"
+        ),
+    )
+    a = idx.select(
+        F.col("i").alias("ia"), F.col("y").alias("ya"), F.col("dd").alias("da")
+    )
+    b = idx.select(
+        F.col("i").alias("ib"), F.col("y").alias("yb"), F.col("dd").alias("db")
+    )
+    slopes = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            ((F.col("yb") - F.col("ya")) * 1.0 / (F.col("db") - F.col("da"))).alias(
+                "slope"
+            ),
+        )
+    )
+    wr = Window.orderBy("slope", "ia", "ib")
+    ranked = slopes.select(
+        "slope",
+        "ib",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    is_mid = (F.col("rn") == ((F.col("m") + 1) / 2).cast("long")) | (
+        F.col("rn") == ((F.col("m") + 2) / 2).cast("long")
+    )
+    return ranked.agg(
+        # n_days = the largest day index seen as a pair's right end
+        # (every day but the first is some pair's b) — keeps the
+        # plan single-pass instead of a second count() scan
+        F.max("ib").cast("long").alias("n_days"),
+        F.max("m").cast("long").alias("n_pairs"),
+        snap(
+            F.sum(F.when(is_mid, F.col("slope")))
+            / F.sum(F.when(is_mid, F.lit(1)))
+            / 100.0,
+            6,
+        ).alias("slope_dollars_per_day"),
+    )

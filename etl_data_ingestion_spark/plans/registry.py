@@ -43,130 +43,132 @@ def register(name: str, oracle: Optional[str] = None):
 # Driver-check rotation (COVERAGE.md "verification rotation"): the
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
-# History: r1 48/50 green; r2 49/50; r3 50/50; r4 50/50; r5 49/50;
-# r6 49/50 (the one red both rounds: pipeline_pack_sequences — root
-# cause finally found by the r6 judge: the oracle's seq_id was
-# HUGEINT, returned by pandas as float64 against Spark's int64; the
-# oracle now CASTs it BIGINT and the local gate type-asserts the
-# whole registry). Every other driver verdict ever issued is green,
-# and every historical red was re-verified green later.
-# ROUND-7 RECUT: slot 1 re-greens the red; slots 2-38 finish the
-# never-driver-checked backlog (37, incl. the six round-7 query
-# additions); slots 39-44 re-verify queries whose BEHAVIOR changed
-# in round 7 (oracle type casts, BPE min-freq floor, markov keyset
-# mirror, windowed Q17 rewrite); slots 45-50 re-verify the sf0.3/sf1
-# sweep fixes (46 r2-only refreshes remain for rounds 8+, trailing). Names not
-# listed trail in registration order.
+# History: r1 48/50; r2 49/50; r3-r4 50/50; r5 49/50; r6 49/50; r7
+# 50/50 (the one repeat red, pipeline_pack_sequences, root-caused and
+# re-greened in r7; every historical red has since re-verified green).
+# After r7 all 282 then-registered queries had a green latest verdict.
+# ROUND-8 RECUT: slots 1-9 the nine round-8 additions (never
+# driver-checked); slots 10-14 queries whose BEHAVIOR changed in
+# round 8 (Holt floor-device state snap, exact-cents mean, MCC
+# double+guard, 64-bit SimHash with the 97% floor restored); slots
+# 15-50 the oldest refresh debt (36 of the 47 r2-only verdicts —
+# strict-canon-era re-verification). The 11 remaining r2 verdicts
+# (10 trivial scalar_*/subquery_* + dedup_simhash now re-slotted)
+# lead the trailing list, then the 45-strong r3 cohort queues for
+# round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slot 1: the r5/r6 red, re-greening with the BIGINT seq_id oracle fix
-    "pipeline_pack_sequences",
-    # slots 2-38: never-driver-checked backlog, part 2 of 2 (37, incl.
-    # the six round-7 additions text_bm25_topk /
-    # ml_confusion_matrix_metrics / ml_ndcg_at_k /
-    # ml_precision_recall_curve / pipeline_tokenizer_fertility /
-    # similarity_range_search)
-    "graph_triangle_count",
-    "graph_link_prediction",
-    "stream_static_enrichment",
-    "multimodal_patch_embed_real",
-    "multimodal_resize_real",
-    "multimodal_spectrogram_real",
-    "multimodal_image_ahash_dedup",
-    "multimodal_audio_vad_segments",
-    "subquery_any_all_quantified",
-    "scan_csv_permissive_corrupt",
-    "scan_bucketed_join_zero_exchange",
-    "quality_referential_integrity",
-    "warehouse_cdc_apply",
-    "quality_column_expectations",
-    "warehouse_snapshot_diff",
-    "warehouse_incremental_moments",
-    "warehouse_zorder_skipping",
-    "join_scd2_temporal",
-    "events_attribution_last_touch",
-    "events_interval_union_coverage",
-    "events_dau_wau_mau",
-    "agg_winsorized_mean",
-    "multimodal_video_frames_real",
-    "ml_auc_roc_exact",
-    "ml_calibration_brier",
-    "pipeline_weighted_sample_wor",
-    "basket_association_rules",
-    "pipeline_kfold_grouped",
-    "ml_bootstrap_ci_poisson",
-    "pipeline_contamination_curve",
-    "timeseries_backtest_mape",
-    "text_bm25_topk",
-    "ml_confusion_matrix_metrics",
-    "ml_ndcg_at_k",
-    "ml_precision_recall_curve",
-    "pipeline_tokenizer_fertility",
-    "similarity_range_search",
-    # slots 39-44: behavior changed in round 7 (oracle type casts, BPE
-    # min-freq floor, markov keyset mirror, windowed Q17 rewrite) —
-    # previous greens that need a fresh verdict on the new behavior
-    "agg_value_histogram",
-    "pipeline_stratified_sample",
-    "events_markov_stationary",
-    "text_bpe_train_merges",
-    "text_bpe_apply_tokenize",
-    "subquery_correlated_avg_qty",
-    # slots 45-50: behavior changed by the round-7 sf0.3/sf1 sweep
-    # fixes (fuzzy-ROUND median, -0.0 normalizations, Holt state
-    # snap, simhash floor recalibration) — fresh verdicts needed
-    "agg_median_by_priority",
+    # slots 1-9: round-8 additions
+    "ml_cohen_kappa",
+    "ml_gain_lift_deciles",
+    "agg_ab_test_ztest",
+    "timeseries_acf_lags",
+    "timeseries_theil_sen",
+    "agg_spearman_rank_corr",
+    "events_session_gap_histogram",
+    "text_hapax_legomena",
+    "events_survival_curve",
+    # slots 10-14: round-8 behavior changes
     "timeseries_holt_trend",
-    "embedding_chunk_mean_pool",
-    "pipeline_dsir_weights",
-    "scalar_array_funcs",
+    "agg_median_by_priority",
+    "ml_confusion_matrix_metrics",
     "dedup_simhash_banded",
-    # trailing r2-only greens (next rounds' refresh windows)
-    "ingest_trim_empty_null",
-    "ingest_comma_int_roundtrip",
-    "ingest_strict_date_parse",
-    "ingest_validity_accounting",
-    "ingest_ctb_end_to_end",
-    "pipeline_training_data_curation",
+    "dedup_simhash",
+    # slots 15-50: r2-era verdicts refreshed under the strict canon
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
     "dedup_exact_documents",
     "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_ivf_topk",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id_heuristic",
-    "text_bpe_token_estimate",
-    "text_rolling_fingerprint",
-    "text_lang_bigram_score",
-    "text_normalize_pipeline",
-    "scalar_date_funcs",
-    "scalar_conditional_funcs",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "scalar_from_json_struct",
-    "scalar_posexplode_embedding",
-    "scalar_try_funcs",
-    "subquery_scalar_above_avg",
-    "subquery_in_high_qty",
-    "subquery_exists_returned",
-    "subquery_not_exists_customers",
-    "pandas_scalar_net_value",
+    "dedup_ngram_jaccard",
+    "ingest_comma_int_roundtrip",
+    "ingest_ctb_end_to_end",
+    "ingest_strict_date_parse",
+    "ingest_trim_empty_null",
+    "ingest_validity_accounting",
+    "mailbox_datasource_scan",
+    "mailbox_extract_pipeline",
     "pandas_grouped_weighted_avg",
     "pandas_map_batches_tokens",
-    "topk_orders_by_price",
-    "sort_global_nation",
-    "mailbox_extract_pipeline",
-    "mailbox_datasource_scan",
+    "pandas_scalar_net_value",
+    "pipeline_training_data_curation",
     "scan_partitioned_pruning",
-    "stream_tumbling_hourly",
+    "similarity_ivf_topk",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "sort_global_nation",
     "stream_dedup_first_event",
+    "stream_tumbling_hourly",
+    "subquery_scalar_above_avg",
+    "text_bpe_token_estimate",
+    "text_lang_bigram_score",
+    "text_lang_id_heuristic",
+    "text_normalize_pipeline",
+    "text_quality_score",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "topk_orders_by_price",
+    # trailing: deferred r2 (next round's first slots), then the r3 cohort
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_from_json_struct",
+    "scalar_json_extract",
+    "scalar_map_funcs",
+    "scalar_posexplode_embedding",
+    "scalar_try_funcs",
+    "subquery_exists_returned",
+    "subquery_in_high_qty",
+    "subquery_not_exists_customers",
+    "agg_heavy_hitters_countmin",
+    "agg_hll_partitioned_union",
+    "dedup_duplicated_spans",
+    "dedup_incremental_new_docs",
+    "dedup_semantic_clusters",
+    "embedding_l2_quantize",
+    "multimodal_binary_metadata",
+    "multimodal_byte_entropy",
+    "pipeline_chunk_documents",
+    "pipeline_decontaminate_benchmark",
+    "pipeline_domain_mixture_weights",
+    "profile_table_stats",
+    "scalar_math_funcs",
+    "scan_binary_files",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_parquet_schema_evolution",
+    "scan_text_lines",
+    "setop_except_all",
+    "setop_intersect_all",
+    "stream_interval_join",
+    "stream_late_data_accounting",
+    "stream_session_window_30m",
+    "stream_sliding_hourly_30m",
+    "stream_stateful_sessions",
+    "text_c4_line_filter",
+    "text_gopher_quality_rules",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "timeseries_gap_fill_hourly",
+    "timeseries_zscore_outliers",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_product_type_profit",
+    "udtf_sentence_split",
+    "warehouse_upsert_latest",
+    "window_percentile_bucket_scalable",
 ]
+
+
 
 
 def check_ordered_names() -> list[str]:

@@ -106,3 +106,39 @@ def test_partitioned_scan_prunes(spark, sf_dir):
     assert all("1-URGENT" not in l for l in pushed)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("1-URGENT" in l for l in part_lines)
+
+
+def test_bucketed_facts_catalog_mode(spark, sf_dir):
+    """enable_bucketed_facts routes load_table to the bucketed
+    tables, the registered q3 plan loses every shuffle Exchange
+    (only the customer BroadcastExchange remains), results match the
+    stock plan exactly, and disable restores stock scans."""
+    from etl_data_ingestion_spark.catalog import (
+        disable_bucketed_facts,
+        enable_bucketed_facts,
+        load_table,
+    )
+    from etl_data_ingestion_spark.plans import registry
+
+    registry.load_all()
+    q3 = registry.QUERIES["tpch_q3_shipping_priority"]
+    stock_rows = [tuple(r) for r in q3(spark, sf_dir).collect()]
+
+    tables = enable_bucketed_facts(spark, sf_dir, n_buckets=4)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        # routed to the catalog table, not the raw parquet path
+        assert tables["lineitem"] in _plan(li)
+        plan = _plan(q3(spark, sf_dir))
+        shuffles = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln
+        ]
+        assert shuffles == [], f"unexpected shuffle Exchanges: {shuffles}"
+        assert [tuple(r) for r in q3(spark, sf_dir).collect()] == stock_rows
+    finally:
+        disable_bucketed_facts(spark)
+    assert tables["lineitem"] not in _plan(
+        load_table(spark, sf_dir, "lineitem")
+    )
