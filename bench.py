@@ -171,6 +171,10 @@ EXTENDED = [
     "events_session_gap_histogram",
     "text_hapax_legomena",
     "events_survival_curve",
+    "events_markov_entropy_rate",
+    "ml_brier_decomposition",
+    "text_ngram_novelty",
+    "text_source_vocab_jaccard",
 ]
 
 

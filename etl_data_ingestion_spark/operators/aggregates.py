@@ -211,51 +211,122 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXACT_PCTL_ORACLE = """
+# Explicit-selection exact percentile (round 8): the builtins
+# (Spark `percentile`, DuckDB quantile_cont) agree on the definition
+# pos = q*(n-1) but not on the ARITHMETIC ORDER of the interpolation
+# (1-h)*a + h*b — a last-bit difference that flips ROUND at a
+# half-cent (the agg_median_by_priority class; sf0.001 sweep caught
+# p50 52724.245 printing .24 vs .25). Device: rank the group, select
+# the two bracketing DATA values by exact integer position, and
+# interpolate with the IDENTICAL literal formula v_lo + frac*(v_hi -
+# v_lo) in both engines — q ∈ {.25,.5,.75} and (n-1) make q*(n-1)
+# and frac exact quarter-multiples, so every op is the same single
+# IEEE op on identical inputs; output under the floor device.
+def _pctl_sql(q: str) -> str:
+    # n is constant per group: the selection CASEs use the per-ROW n
+    # (aggregates cannot nest), the scalar frac term uses MAX(n)
+    lo_row = f"CAST(FLOOR({q} * (n - 1)) AS BIGINT) + 1"
+    frac = f"({q} * (MAX(n) - 1) - FLOOR({q} * (MAX(n) - 1)))"
+    vlo = f"SUM(CASE WHEN rn = {lo_row} THEN v END)"
+    vhi = f"SUM(CASE WHEN rn = LEAST({lo_row} + 1, n) THEN v END)"
+    return f"FLOOR(({vlo} + {frac} * ({vhi} - {vlo})) * 100 + 0.5) / 100"
+
+
+EXACT_PCTL_ORACLE = f"""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
-FROM lineitem
+       {_pctl_sql('0.25')} AS p25,
+       {_pctl_sql('0.50')} AS p50,
+       {_pctl_sql('0.75')} AS p75
+FROM r
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
 
+def _pctl_col(q: float):
+    """Spark mirror of _pctl_sql on columns rn, v, n (post-groupBy):
+    per-row n inside the selection CASEs, MAX(n) in the scalar frac."""
+    lo_row = (F.floor(F.lit(q) * (F.col("n") - 1))).cast("long") + 1
+    frac = F.lit(q) * (F.max("n") - 1) - F.floor(
+        F.lit(q) * (F.max("n") - 1)
+    )
+    vlo = F.sum(F.when(F.col("rn") == lo_row, F.col("v")))
+    vhi = F.sum(
+        F.when(F.col("rn") == F.least(lo_row + 1, F.col("n")), F.col("v"))
+    )
+    return F.floor((vlo + frac * (vhi - vlo)) * 100 + 0.5) / 100
+
+
 @register("agg_exact_percentiles", oracle=EXACT_PCTL_ORACLE)
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ≡
-    DuckDB quantile_cont). Exact percentile sorts within the aggregate
-    buffer — fine per-group; for 100 TB single-group quantiles use
-    approx_percentile (t-digest sketch, mergeable map-side)."""
+    """Exact interpolated percentiles per group by explicit rank
+    selection — NOT the builtins, whose interpolation arithmetic
+    differs in the last bit between engines (see _pctl_sql). Cost
+    shape: one Exchange on the group key for the rank window, then a
+    map-side-combined conditional aggregate; for 100 TB single-group
+    quantiles use approx_percentile (t-digest sketch, mergeable
+    map-side)."""
     li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
     return (
-        li.groupBy("l_returnflag")
+        r.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+            _pctl_col(0.25).alias("p25"),
+            _pctl_col(0.50).alias("p50"),
+            _pctl_col(0.75).alias("p75"),
         )
+        .orderBy("l_returnflag")
     )
 
 
-APPROX_PCTL_ORACLE = """
+APPROX_PCTL_ORACLE = f"""
 -- Sketch parity contract: scalar exact percentiles + a within-1%
 -- bound on each engine's OWN approximate-quantile sketch. Scalar
 -- columns only (the round-1 array output crashed the driver's
--- row canonicalizer).
-SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS exact_p25,
-       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS exact_p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS exact_p75,
-       ABS(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
-         <= 0.01 * quantile_cont(l_extendedprice, 0.25) AS p25_within_1pct,
-       ABS(approx_quantile(l_extendedprice, 0.50) - quantile_cont(l_extendedprice, 0.50))
-         <= 0.01 * quantile_cont(l_extendedprice, 0.50) AS p50_within_1pct,
-       ABS(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75))
-         <= 0.01 * quantile_cont(l_extendedprice, 0.75) AS p75_within_1pct
-FROM lineitem
-GROUP BY l_returnflag
+-- row canonicalizer). The PRINTED exact columns use the explicit
+-- rank-selection device (round 8, see agg_exact_percentiles — the
+-- builtins' interpolation order flips ROUND at half-cents); the
+-- bound booleans keep each engine's builtin exact internally since
+-- each engine only checks its OWN sketch against its own exact.
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), ex AS (
+  SELECT l_returnflag,
+         {_pctl_sql('0.25')} AS exact_p25,
+         {_pctl_sql('0.50')} AS exact_p50,
+         {_pctl_sql('0.75')} AS exact_p75
+  FROM r GROUP BY l_returnflag
+), b AS (
+  SELECT l_returnflag,
+         ABS(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
+           <= 0.01 * quantile_cont(l_extendedprice, 0.25) AS p25_within_1pct,
+         ABS(approx_quantile(l_extendedprice, 0.50) - quantile_cont(l_extendedprice, 0.50))
+           <= 0.01 * quantile_cont(l_extendedprice, 0.50) AS p50_within_1pct,
+         ABS(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75))
+           <= 0.01 * quantile_cont(l_extendedprice, 0.75) AS p75_within_1pct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, exact_p25, exact_p50, exact_p75,
+       p25_within_1pct, p50_within_1pct, p75_within_1pct
+FROM ex JOIN b USING (l_returnflag)
 """
 
 
@@ -280,14 +351,35 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def bound(i: int, e: str) -> F.Column:
         return F.abs(F.element_at("ap", i) - F.col(e)) <= 0.01 * F.col(e)
-    return agg.select(
+    bounds = agg.select(
         "l_returnflag",
-        F.round("e25", 2).alias("exact_p25"),
-        F.round("e50", 2).alias("exact_p50"),
-        F.round("e75", 2).alias("exact_p75"),
         bound(1, "e25").alias("p25_within_1pct"),
         bound(2, "e50").alias("p50_within_1pct"),
         bound(3, "e75").alias("p75_within_1pct"),
+    )
+    # printed exact columns via the explicit rank-selection device
+    # (cross-engine-stable; see agg_exact_percentiles/_pctl_col)
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    exact = r.groupBy("l_returnflag").agg(
+        _pctl_col(0.25).alias("exact_p25"),
+        _pctl_col(0.50).alias("exact_p50"),
+        _pctl_col(0.75).alias("exact_p75"),
+    )
+    return exact.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "exact_p25",
+        "exact_p50",
+        "exact_p75",
+        "p25_within_1pct",
+        "p50_within_1pct",
+        "p75_within_1pct",
     )
 
 

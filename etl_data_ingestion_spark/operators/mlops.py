@@ -1187,3 +1187,122 @@ def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap(p_b, 6).alias("p_b"),
         snap(z, 4).alias("z_score"),
     )
+
+
+# ------------------------------------------- Brier decomposition
+
+BRIER_DECOMP_ORACLE = """
+-- Murphy decomposition of the Brier score over the 10 calibration
+-- bins of ml_calibration_brier: REL - RES + UNC, where
+--   UNC = ybar*(1-ybar)                     (irreducible base rate)
+--   REL = sum_k n_k*(phat_k - ybar_k)^2 / N (calibration error)
+--   RES = sum_k n_k*(ybar_k - ybar)^2 / N   (discrimination gained)
+-- plus the directly-computed Brier and the binning gap
+-- brier - (rel - res + unc) = WithinVar(p) - 2*WithinCov(p, y):
+-- zero only if forecasts are constant inside bins, NEGATIVE when
+-- the score still discriminates within bins (positive within-bin
+-- covariance — the usual case for a real score) — emitting the gap
+-- keeps the identity honest instead of pretending binned REL/RES
+-- reconstruct the Brier exactly. One fact pass to 10 bins;
+-- bin stats are float means over identical inputs (the
+-- ml_calibration_brier residual-risk class), outputs snapped.
+WITH scored AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 250.0) / 50.0)) AS ph,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), bins AS (
+  SELECT LEAST(FLOOR(ph * 10), 9) AS bin, COUNT(*) AS n,
+         AVG(ph) AS phat, AVG(y) AS ybar_k,
+         AVG((ph - y) * (ph - y)) AS brier_k
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(n * ybar_k) / SUM(n) AS ybar,
+         SUM(n * brier_k) / SUM(n) AS brier
+  FROM bins
+)
+SELECT CAST(tot.nn AS BIGINT) AS n_events,
+       FLOOR(tot.brier * 1000000 + 0.5) / 1000000 AS brier,
+       FLOOR((SELECT SUM(n * (phat - ybar_k) * (phat - ybar_k)) FROM bins)
+             / tot.nn * 1000000 + 0.5) / 1000000 AS reliability,
+       FLOOR((SELECT SUM(n * (ybar_k - tot.ybar) * (ybar_k - tot.ybar))
+              FROM bins)
+             / tot.nn * 1000000 + 0.5) / 1000000 AS resolution,
+       FLOOR(tot.ybar * (1.0 - tot.ybar) * 1000000 + 0.5) / 1000000
+         AS uncertainty,
+       FLOOR((tot.brier
+              - ((SELECT SUM(n * (phat - ybar_k) * (phat - ybar_k))
+                  FROM bins) / tot.nn
+                 - (SELECT SUM(n * (ybar_k - tot.ybar)
+                               * (ybar_k - tot.ybar)) FROM bins) / tot.nn
+                 + tot.ybar * (1.0 - tot.ybar)))
+             * 1000000 + 0.5) / 1000000 AS within_bin_gap
+FROM tot
+"""
+
+
+@register("ml_brier_decomposition", oracle=BRIER_DECOMP_ORACLE)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability −
+    resolution + uncertainty) over the standard 10 calibration bins,
+    with the binning gap (WithinVar(p) − 2·WithinCov(p,y),
+    sign-indefinite) emitted so the binned identity is reported
+    honestly rather than forced.
+
+    Scale shape: one map-side-combined fact pass to 10 bin rows;
+    the decomposition is fixed scalar math on those rows. The bin
+    means are float averages over identical inputs (same residual
+    class as ml_calibration_brier, accepted there since round 5)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events")
+    ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
+    y = (F.col("event_type") == "purchase").cast("double")
+    scored = ev.select(ph.alias("ph"), y.alias("y"))
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("ph") * 10), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("ph").alias("phat"),
+        F.avg("y").alias("ybar_k"),
+        F.avg((F.col("ph") - F.col("y")) * (F.col("ph") - F.col("y"))).alias(
+            "brier_k"
+        ),
+    )
+    n, phat, ybar_k, brier_k = (
+        F.col("n"),
+        F.col("phat"),
+        F.col("ybar_k"),
+        F.col("brier_k"),
+    )
+    agg = bins.agg(
+        F.sum(n).alias("nn"),
+        (F.sum(n * ybar_k) / F.sum(n)).alias("ybar"),
+        (F.sum(n * brier_k) / F.sum(n)).alias("brier"),
+        F.sum(n * (phat - ybar_k) * (phat - ybar_k)).alias("rel_num"),
+        # sort_array on (bin, ...) structs: deterministic fold order
+        # run-to-run (collect_list order is not)
+        F.sort_array(F.collect_list(F.struct("bin", "n", "ybar_k"))).alias(
+            "bin_rows"
+        ),
+    )
+    # resolution needs ybar (a cross-bin scalar) inside a per-bin sum:
+    # re-expand the 10 collected bin rows with a higher-order fold —
+    # domain-sized array math, no second fact pass
+    res_num = F.aggregate(
+        F.col("bin_rows"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + r["n"] * (r["ybar_k"] - F.col("ybar")) * (r["ybar_k"] - F.col("ybar")),
+    )
+    rel = F.col("rel_num") / F.col("nn")
+    unc = F.col("ybar") * (1.0 - F.col("ybar"))
+    return agg.select(
+        F.col("nn").cast("long").alias("n_events"),
+        snap(F.col("brier"), 6).alias("brier"),
+        snap(rel, 6).alias("reliability"),
+        snap(res_num / F.col("nn"), 6).alias("resolution"),
+        snap(unc, 6).alias("uncertainty"),
+        snap(
+            F.col("brier") - (rel - res_num / F.col("nn") + unc), 6
+        ).alias("within_bin_gap"),
+    )

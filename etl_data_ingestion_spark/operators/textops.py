@@ -1303,3 +1303,163 @@ def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- n-gram novelty
+
+NGRAM_NOVELTY_ORACLE = """
+-- Per-document 8-gram novelty in doc_id order: the fraction of a
+-- document's DISTINCT 8-grams not seen in any earlier document —
+-- the curriculum/ordering diagnostic (a corpus whose late documents
+-- have near-zero novelty is recycling itself; feeding order matters
+-- for LLM training). Exact integer counting end to end: grams
+-- compare by their token STRING (both engines), first appearance =
+-- MIN(doc_id) per gram, novelty = grams this doc introduced.
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS a
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(a[i:i+7], ' ') AS g
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(a) - 7, 0))) AS t(i)
+), first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       FLOOR(SUM(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 10000 + 0.5) / 10000 AS novelty_frac
+FROM grams JOIN first_seen USING (g)
+GROUP BY grams.doc_id
+ORDER BY grams.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=NGRAM_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram novelty per document in doc_id order — how much of
+    each document the corpus has never seen before (the feeding-
+    order diagnostic for curriculum construction, and the streaming
+    view of what dedup_duplicated_spans measures statically).
+
+    Scale shape: distinct (doc, gram) → one Exchange on the gram key
+    for MIN(doc_id), one join back on the same key (same
+    partitioning, AQE-coalesced), one groupBy doc_id. Grams join by
+    token string here for oracle parity; at 100 TB the key narrows
+    to xxhash64(gram) (the contamination-curve width trick — 8 bytes
+    vs ~50), identical results modulo 2^-64 collisions."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("a") - 7, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("a", i, 8), " "),
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            snap(F.sum(novel) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "novelty_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------- source vocab Jaccard
+
+SOURCE_JACCARD_ORACLE = """
+-- Pairwise source-vocabulary Jaccard similarity — which sources are
+-- lexically redundant (merge candidates for mixture weighting) and
+-- which add genuinely new vocabulary. Exact integer set math:
+-- per-source distinct token sets, intersections by token self-join,
+-- union by inclusion-exclusion.
+WITH su AS (
+  SELECT DISTINCT source, LOWER(tok) AS tok
+  FROM documents,
+       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS t(tok)
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM su GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM su a JOIN su b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       FLOOR(n_inter * 1.0 / (sa.n + sb.n - n_inter) * 10000 + 0.5)
+         / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("text_source_vocab_jaccard", oracle=SOURCE_JACCARD_ORACLE)
+def text_source_vocab_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jaccard similarity of source vocabularies — the
+    source-redundancy matrix a mixture-weighting pass reads before
+    deciding which sources genuinely diversify the corpus.
+
+    Scale shape: the corpus reduces once to the distinct (source,
+    token) grid (one Exchange, map-side distinct); the pairwise
+    intersection is a self-join ON THE TOKEN KEY, so per-token cost
+    is bounded by |sources|² (≤400 here) — never corpus-quadratic;
+    sizes broadcast back onto the |sources|² result. The 100 TB
+    width trick (hash the token key) applies as in
+    text_ngram_novelty."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    su = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .select("source", F.lower("tok").alias("tok"))
+        .distinct()
+    )
+    sizes = su.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = su.select(F.col("source").alias("src_a"), "tok")
+    b = su.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("long"),
+            uni.cast("long").alias("n_union"),
+            snap(F.col("n_inter") * 1.0 / uni, 4).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

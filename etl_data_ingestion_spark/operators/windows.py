@@ -1574,3 +1574,115 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_dollars_per_day"),
     )
+
+
+# ------------------------------------------- Markov entropy rate
+
+MARKOV_ENTROPY_ORACLE = """
+-- Entropy rate of the event-type Markov chain: H = sum_i pi_i *
+-- H_i where H_i = -sum_j P_ij log2 P_ij and pi is the stationary
+-- distribution (same 4-step unrolled power iteration as
+-- events_markov_stationary) — the predictability ceiling of user
+-- behavior (H -> 0: deterministic sessions; H -> log2|types|:
+-- uniform noise). Fact cost identical to the transition matrix (one
+-- user_id window Exchange); all iteration/entropy math runs on the
+-- |types|^2 probability table.
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT f, t, n * 1.0 / SUM(n) OVER (PARTITION BY f) AS pr FROM c
+), v0 AS (
+  SELECT f AS s, 1.0 / (SELECT COUNT(DISTINCT f) FROM p) AS pr
+  FROM (SELECT DISTINCT f FROM p)
+), v1 AS (
+  SELECT p.t AS s, SUM(v0.pr * p.pr) AS pr FROM v0 JOIN p ON v0.s = p.f GROUP BY p.t
+), v2 AS (
+  SELECT p.t AS s, SUM(v1.pr * p.pr) AS pr FROM v1 JOIN p ON v1.s = p.f GROUP BY p.t
+), v3 AS (
+  SELECT p.t AS s, SUM(v2.pr * p.pr) AS pr FROM v2 JOIN p ON v2.s = p.f GROUP BY p.t
+), v4 AS (
+  SELECT p.t AS s, SUM(v3.pr * p.pr) AS pr FROM v3 JOIN p ON v3.s = p.f GROUP BY p.t
+), rowh AS (
+  SELECT f AS s, -SUM(pr * LOG2(pr)) AS h FROM p GROUP BY f
+), tot AS (
+  SELECT SUM(v4.pr * rowh.h) AS hr
+  FROM v4 JOIN rowh ON v4.s = rowh.s
+)
+SELECT v4.s AS event_type,
+       ROUND(v4.pr, 6) AS stationary_prob,
+       ROUND(rowh.h, 6) AS row_entropy_bits,
+       ROUND(tot.hr, 6) AS entropy_rate_bits
+FROM v4 JOIN rowh ON v4.s = rowh.s CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+@register("events_markov_entropy_rate", oracle=MARKOV_ENTROPY_ORACLE)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the first-order event-type chain — the
+    predictability ceiling of user behavior, next to
+    events_markov_stationary's long-run mix.
+
+    Scale shape: the fact table pays the ONE user_id window Exchange
+    the transition matrix already pays, reduced to |types|² counts;
+    the power iteration and entropy math run driver-side on the
+    bounded collected matrix (event-type domains are tens of values
+    at any data scale — 100 TB changes the fact pass, not the
+    matrix), the events_markov_stationary pattern with its
+    INNER-JOIN keyset discipline."""
+    import math
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rows = c.collect()  # bounded: |event types|^2
+    row_tot: dict[str, float] = {}
+    for r in rows:
+        row_tot[r["f"]] = row_tot.get(r["f"], 0.0) + r["n"]
+    p = {(r["f"], r["t"]): r["n"] / row_tot[r["f"]] for r in rows}
+    states = sorted(row_tot)
+    if not states:
+        return spark.createDataFrame(
+            [],
+            "event_type string, stationary_prob double, "
+            "row_entropy_bits double, entropy_rate_bits double",
+        )
+    v = {s: 1.0 / len(states) for s in states}
+    # sorted iteration: run-to-run deterministic fold order (the
+    # collect order is not); the oracle's SUM order is still the
+    # engines' own — a ~1e-16 residual under the 6dp snap, the
+    # events_markov_stationary precedent
+    items = sorted(p.items())
+    for _ in range(4):
+        nxt: dict[str, float] = {}
+        for (f, t), pr in items:
+            if f in v:
+                nxt[t] = nxt.get(t, 0.0) + v[f] * pr
+        v = nxt
+    rowh = {
+        f: -sum(pr * math.log2(pr) for (ff, _), pr in items if ff == f)
+        for f in row_tot
+    }
+    hr = sum(v[s] * rowh[s] for s in sorted(v) if s in rowh)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    out = [
+        (s, r6(v[s]), r6(rowh[s]), r6(hr)) for s in sorted(v) if s in rowh
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, stationary_prob double, "
+        "row_entropy_bits double, entropy_rate_bits double",
+    )

@@ -47,17 +47,17 @@ def register(name: str, oracle: Optional[str] = None):
 # 50/50 (the one repeat red, pipeline_pack_sequences, root-caused and
 # re-greened in r7; every historical red has since re-verified green).
 # After r7 all 282 then-registered queries had a green latest verdict.
-# ROUND-8 RECUT: slots 1-9 the nine round-8 additions (never
+# ROUND-8 RECUT: slots 1-13 the thirteen round-8 additions (never
 # driver-checked); slots 10-14 queries whose BEHAVIOR changed in
 # round 8 (Holt floor-device state snap, exact-cents mean, MCC
 # double+guard, 64-bit SimHash with the 97% floor restored); slots
-# 15-50 the oldest refresh debt (36 of the 47 r2-only verdicts —
+# 19-50 the oldest refresh debt (32 of the 47 r2-only verdicts —
 # strict-canon-era re-verification). The 11 remaining r2 verdicts
-# (10 trivial scalar_*/subquery_* + dedup_simhash now re-slotted)
+# (14 trivial scalar_*/subquery_*/sort/topk + dedup_simhash re-slotted)
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-9: round-8 additions
+    # slots 1-13: round-8 additions
     "ml_cohen_kappa",
     "ml_gain_lift_deciles",
     "agg_ab_test_ztest",
@@ -67,15 +67,22 @@ CHECK_ORDER: list[str] = [
     "events_session_gap_histogram",
     "text_hapax_legomena",
     "events_survival_curve",
-    # slots 10-14: round-8 behavior changes
+    "events_markov_entropy_rate",
+    "ml_brier_decomposition",
+    "text_ngram_novelty",
+    "text_source_vocab_jaccard",
+    # slots 14-20: round-8 behavior changes (incl. the explicit
+    # rank-selection percentile rewrite the round-8 sf0.001 sweep
+    # forced — agg_approx_percentile doubles as an r2 refresh)
+    "agg_exact_percentiles",
+    "agg_approx_percentile",
     "timeseries_holt_trend",
     "agg_median_by_priority",
     "ml_confusion_matrix_metrics",
     "dedup_simhash_banded",
     "dedup_simhash",
-    # slots 15-50: r2-era verdicts refreshed under the strict canon
+    # slots 19-50: r2-era verdicts refreshed under the strict canon
     "agg_approx_distinct",
-    "agg_approx_percentile",
     "dedup_cluster_components",
     "dedup_embedding_cosine",
     "dedup_exact_documents",
@@ -83,7 +90,6 @@ CHECK_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_ngram_jaccard",
-    "ingest_comma_int_roundtrip",
     "ingest_ctb_end_to_end",
     "ingest_strict_date_parse",
     "ingest_trim_empty_null",
@@ -98,19 +104,20 @@ CHECK_ORDER: list[str] = [
     "similarity_ivf_topk",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
-    "sort_global_nation",
     "stream_dedup_first_event",
     "stream_tumbling_hourly",
-    "subquery_scalar_above_avg",
-    "text_bpe_token_estimate",
     "text_lang_bigram_score",
     "text_lang_id_heuristic",
     "text_normalize_pipeline",
     "text_quality_score",
     "text_rolling_fingerprint",
     "text_token_stats",
-    "topk_orders_by_price",
     # trailing: deferred r2 (next round's first slots), then the r3 cohort
+    "ingest_comma_int_roundtrip",
+    "sort_global_nation",
+    "topk_orders_by_price",
+    "subquery_scalar_above_avg",
+    "text_bpe_token_estimate",
     "scalar_conditional_funcs",
     "scalar_date_funcs",
     "scalar_from_json_struct",

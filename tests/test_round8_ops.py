@@ -196,3 +196,103 @@ def test_session_gap_counts_match_python(spark, sf_dir):
         for r in q("events_session_gap_histogram", spark, sf_dir).collect()
     }
     assert got == dict(counts)
+
+
+def test_markov_entropy_rate_recompute(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    row_tot = Counter()
+    for (f, _), n in trans.items():
+        row_tot[f] += n
+    p = {(f, t): n / row_tot[f] for (f, t), n in trans.items()}
+    states = sorted(row_tot)
+    v = {s: 1 / len(states) for s in states}
+    for _ in range(4):
+        nxt: dict = {}
+        for (f, t), pr in sorted(p.items()):
+            if f in v:
+                nxt[t] = nxt.get(t, 0.0) + v[f] * pr
+        v = nxt
+    rowh = {
+        f: -sum(pr * math.log2(pr) for (ff, _), pr in p.items() if ff == f)
+        for f in row_tot
+    }
+    hr = sum(v[s] * rowh[s] for s in sorted(v))
+    got = {
+        r.event_type: r
+        for r in q("events_markov_entropy_rate", spark, sf_dir).collect()
+    }
+    assert set(got) == set(v)
+    for s_, r in got.items():
+        assert abs(r.stationary_prob - v[s_]) < 5e-6
+        assert abs(r.row_entropy_bits - rowh[s_]) < 5e-6
+        assert abs(r.entropy_rate_bits - hr) < 5e-6
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """brier == reliability - resolution + uncertainty + within_bin_gap
+    by construction; REL/RES are non-negative sums of squares; UNC is
+    ybar(1-ybar) <= 1/4; the gap (WithinVar(p) - 2*WithinCov(p,y)) is
+    sign-indefinite but bounded by the bin width scale."""
+    r = q("ml_brier_decomposition", spark, sf_dir).collect()[0]
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0 <= r.uncertainty <= 0.25 + 1e-9
+    assert abs(r.within_bin_gap) < 0.05  # within-bin terms ~ (bin width)^2
+    lhs = r.brier
+    rhs = r.reliability - r.resolution + r.uncertainty + r.within_bin_gap
+    assert abs(lhs - rhs) < 5e-6
+
+
+def test_ngram_novelty_planted(spark, sf_dir, tmp_path):
+    """First doc: all grams novel (frac 1.0); exact copy later: zero
+    novel; doc sharing nothing: fully novel."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+            (3, "q r s t u v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "nv")
+    docs.write.parquet(f"{p}/documents.parquet")
+    out = {r.doc_id: r for r in q("text_ngram_novelty", spark, p).collect()}
+    assert out[1].novelty_frac == 1.0 and out[1].n_grams == 3
+    assert out[2].n_novel == 0 and out[2].novelty_frac == 0.0
+    assert out[3].novelty_frac == 1.0
+
+
+def test_source_jaccard_recompute(spark, sf_dir):
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = defaultdict(set)
+    for r in docs:
+        vocab[r.source].update(
+            t.lower() for t in re.split(r"\s+", r.text.strip())
+        )
+    got = {
+        (r.src_a, r.src_b): r
+        for r in q("text_source_vocab_jaccard", spark, sf_dir).collect()
+    }
+    expect_pairs = {
+        (a, b) for a, b in combinations(sorted(vocab), 2)
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert (r.n_inter, r.n_union) == (inter, union)
+        assert abs(r.jaccard - inter / union) < 1e-3
