@@ -175,6 +175,15 @@ EXTENDED = [
     "ml_brier_decomposition",
     "text_ngram_novelty",
     "text_source_vocab_jaccard",
+    # round 8 wave 3
+    "ml_mcnemar_test",
+    "ml_log_loss",
+    "ml_kendall_tau_daily",
+    "agg_mutual_information",
+    "text_readability_flesch",
+    "text_rake_keywords",
+    "timeseries_sax_symbols",
+    "graph_degree_distribution",
 ]
 
 

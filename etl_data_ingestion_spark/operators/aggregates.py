@@ -2414,3 +2414,118 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spearman_rho"),
     )
+
+
+MUTUAL_INFO_ORACLE = """
+-- Mutual information (nats) between order priority and order
+-- status, plus the normalized variant MI/min(H(X),H(Y)) — the
+-- dependence screen for categorical feature pairs (chi2 tests
+-- significance; MI measures STRENGTH on an information scale).
+-- Device: each of the <=15 cell terms p*ln(p/(px*py)) is a
+-- fixed-order scalar on exact integer counts, snapped to 1e-8
+-- NANO-units and summed as exact BIGINTs — no data-order-dependent
+-- float summation anywhere (the ml_log_loss discipline applied to
+-- a domain-sized sum). Entropies use the same device.
+WITH n AS (
+  SELECT COUNT(*) AS n FROM orders
+), joint AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+), mx AS (
+  SELECT x, SUM(c) AS cx FROM joint GROUP BY x
+), my AS (
+  SELECT y, SUM(c) AS cy FROM joint GROUP BY y
+), mi_terms AS (
+  SELECT CAST(FLOOR((j.c * 1.0 / n.n)
+                    * LN((j.c * 1.0 * n.n) / (mx.cx * 1.0 * my.cy))
+                    * 100000000 + 0.5) AS BIGINT) AS t
+  FROM joint j, n, mx, my WHERE j.x = mx.x AND j.y = my.y
+), hx_terms AS (
+  SELECT CAST(FLOOR(-(cx * 1.0 / n.n) * LN(cx * 1.0 / n.n)
+                    * 100000000 + 0.5) AS BIGINT) AS t
+  FROM mx, n
+), hy_terms AS (
+  SELECT CAST(FLOOR(-(cy * 1.0 / n.n) * LN(cy * 1.0 / n.n)
+                    * 100000000 + 0.5) AS BIGINT) AS t
+  FROM my, n
+), s AS (
+  SELECT (SELECT SUM(t) FROM mi_terms) AS mi_n,
+         (SELECT SUM(t) FROM hx_terms) AS hx_n,
+         (SELECT SUM(t) FROM hy_terms) AS hy_n,
+         (SELECT COUNT(*) FROM joint)  AS n_cells
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       FLOOR((mi_n / 100000000.0) * 1000000 + 0.5) / 1000000 AS mutual_info_nats,
+       FLOOR((hx_n / 100000000.0) * 1000000 + 0.5) / 1000000 AS entropy_priority,
+       FLOOR((hy_n / 100000000.0) * 1000000 + 0.5) / 1000000 AS entropy_status,
+       FLOOR((mi_n * 1.0 / LEAST(hx_n, hy_n)) * 1000000 + 0.5) / 1000000
+         AS normalized_mi
+FROM s
+"""
+
+
+@register("agg_mutual_information", oracle=MUTUAL_INFO_ORACLE)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status — the
+    categorical-dependence strength screen (complement to
+    agg_chi2_independence, which only tests significance).
+
+    Scale shape: one partial-aggregated fact pass to the |X|x|Y|
+    joint table (<=15 cells); marginals and every ln() term are
+    domain-sized fixed-order scalars. Each term is snapped to exact
+    integer nano-units BEFORE the final sums, so no float summation
+    depends on execution order — cross-engine parity holds by
+    construction, not by tolerance."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    n_df = orders.agg(F.count(F.lit(1)).alias("n"))
+    joint = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n_df))
+    )
+    nano = 100000000
+    mi_t = F.floor(
+        (F.col("c") * 1.0 / F.col("n"))
+        * F.log((F.col("c") * 1.0 * F.col("n")) / (F.col("cx") * 1.0 * F.col("cy")))
+        * nano
+        + F.lit(0.5)
+    ).cast("long")
+    mi_sum = terms.agg(
+        F.sum(mi_t).alias("mi_n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    hx_sum = mx.crossJoin(F.broadcast(n_df)).agg(
+        F.sum(
+            F.floor(
+                -(F.col("cx") * 1.0 / F.col("n"))
+                * F.log(F.col("cx") * 1.0 / F.col("n"))
+                * nano
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("hx_n")
+    )
+    hy_sum = my.crossJoin(F.broadcast(n_df)).agg(
+        F.sum(
+            F.floor(
+                -(F.col("cy") * 1.0 / F.col("n"))
+                * F.log(F.col("cy") * 1.0 / F.col("n"))
+                * nano
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("hy_n")
+    )
+    s = mi_sum.crossJoin(hx_sum).crossJoin(hy_sum)
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "n_cells",
+        snap6(F.col("mi_n") / float(nano)).alias("mutual_info_nats"),
+        snap6(F.col("hx_n") / float(nano)).alias("entropy_priority"),
+        snap6(F.col("hy_n") / float(nano)).alias("entropy_status"),
+        snap6(F.col("mi_n") * 1.0 / F.least(F.col("hx_n"), F.col("hy_n"))).alias(
+            "normalized_mi"
+        ),
+    )

@@ -466,3 +466,52 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "supplier_a", "supplier_b")
         .limit(10)
     )
+
+
+DEGREE_DIST_ORACLE = """
+-- Degree distribution of the customer--supplier trade graph: per
+-- customer, the number of DISTINCT suppliers its lineitems touch;
+-- then the histogram of customers per degree. The canonical first
+-- diagnostic on any large graph (scale-free tail? skew hot spots
+-- that will break a per-node join?). Exact integer counts only.
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT c, COUNT(*) AS degree FROM edges GROUP BY c
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("graph_degree_distribution", oracle=DEGREE_DIST_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer--supplier graph — the skew
+    diagnostic run before any per-node graph algorithm (a power-law
+    tail here predicts hot keys in the contribution joins).
+
+    Scale shape: the fact join is the only corpus-sized work (orders
+    side projected to two ints); DISTINCT dedupes edges with
+    partial aggregation before the shuffle; the degree table is
+    node-domain-sized and its histogram is domain-of-degrees-sized.
+    At 100 TB the edge dedup is the bottleneck by construction —
+    exactly the shuffle the algorithm needs and no more."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("degree")
+    )

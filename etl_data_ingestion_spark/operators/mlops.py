@@ -1306,3 +1306,233 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brier") - (rel - res_num / F.col("nn") + unc), 6
         ).alias("within_bin_gap"),
     )
+
+
+# ------------------------------------------------- McNemar paired test
+
+MCNEMAR_ORACLE = """
+-- McNemar's test (continuity-corrected) comparing two deterministic
+-- purchase classifiers on the same events: A = value >= 50, B =
+-- hour(ts) >= 12 — the paired-classifier significance test a model
+-- swap decision uses (marginal accuracy deltas mean nothing if the
+-- discordant cells are balanced). The corpus reduces to four exact
+-- integer cells in one conditional aggregate; the statistic
+-- (|b-c|-1)^2/(b+c) is fixed-order double math on them.
+WITH lab AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN value >= 50 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN date_part('hour', ts) >= 12 THEN 1 ELSE 0 END AS pb
+  FROM events
+), cells AS (
+  SELECT
+    SUM(CASE WHEN pa = y AND pb = y  THEN 1 ELSE 0 END) AS both_ok,
+    SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS a_only_ok,
+    SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS b_only_ok,
+    SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS both_wrong
+  FROM lab
+)
+SELECT CAST(both_ok AS BIGINT)    AS both_ok,
+       CAST(a_only_ok AS BIGINT)  AS a_only_ok,
+       CAST(b_only_ok AS BIGINT)  AS b_only_ok,
+       CAST(both_wrong AS BIGINT) AS both_wrong,
+       FLOOR(((ABS(a_only_ok * 1.0 - b_only_ok) - 1.0)
+              * (ABS(a_only_ok * 1.0 - b_only_ok) - 1.0)
+              / (a_only_ok * 1.0 + b_only_ok)) * 1000000 + 0.5)
+         / 1000000 AS mcnemar_chi2
+FROM cells
+"""
+
+
+@register("ml_mcnemar_test", oracle=MCNEMAR_ORACLE)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuity-corrected McNemar test between two deterministic
+    purchase classifiers (value threshold vs time-of-day) — the
+    paired significance test for "is model B actually better than
+    model A on the SAME examples".
+
+    Scale shape: one map-side-combined conditional aggregate reduces
+    the fact scan to four longs (one Exchange of 4 longs per
+    partition); the chi-square statistic is fixed-order double math
+    on exact integers snapped with the floor device — identical in
+    both engines by construction. The same plan at 100 TB is still
+    one corpus pass."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    y = (F.col("event_type") == "purchase").cast("int")
+    pa = (F.col("value") >= 50).cast("int")
+    pb = (F.hour("ts") >= 12).cast("int")
+    lab = ev.select(y.alias("y"), pa.alias("pa"), pb.alias("pb"))
+    cells = lab.agg(
+        F.sum(((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast("long")).alias("both_ok"),
+        F.sum(((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast("long")).alias("a_only_ok"),
+        F.sum(((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast("long")).alias("b_only_ok"),
+        F.sum(((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y"))).cast("long")).alias("both_wrong"),
+    )
+    b, c = F.col("a_only_ok"), F.col("b_only_ok")
+    diff = F.abs(b * 1.0 - c) - 1.0
+    return cells.select(
+        "both_ok", "a_only_ok", "b_only_ok", "both_wrong",
+        snap(diff * diff / (b * 1.0 + c), 6).alias("mcnemar_chi2"),
+    )
+
+
+# ------------------------------------------------- log loss (exact-integer mean)
+
+LOG_LOSS_ORACLE = """
+-- Mean binary cross-entropy (log loss) of the deterministic score
+-- p = value / (value + 50) against event_type='purchase'. The
+-- per-row loss is a fixed-order scalar (identical IEEE expression
+-- tree in both engines), snapped to integer MICRO-UNITS per row and
+-- summed as exact BIGINTs — so the mean has NO data-order-dependent
+-- float summation (the exact-cents discipline from
+-- agg_median_by_priority applied to a float metric).
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         value / (value + 50.0) AS p
+  FROM events WHERE value IS NOT NULL AND value >= 0
+), per_row AS (
+  SELECT y,
+         CAST(FLOOR((CASE WHEN y = 1
+                          THEN -LN(GREATEST(p, 0.000001))
+                          ELSE -LN(GREATEST(1.0 - p, 0.000001)) END)
+                    * 1000000 + 0.5) AS BIGINT) AS loss_micro
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       FLOOR((SUM(loss_micro) * 1.0 / COUNT(*) / 1000000)
+             * 1000000 + 0.5) / 1000000 AS mean_log_loss
+FROM per_row
+"""
+
+
+@register("ml_log_loss", oracle=LOG_LOSS_ORACLE)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean binary cross-entropy of the value-derived score — the
+    training-objective-aligned metric next to AUC (rank quality) and
+    Brier (calibration) in the eval suite.
+
+    Scale shape: one corpus pass; the per-row loss is snapped to
+    integer micro-units BEFORE summation so the global mean is an
+    exact BIGINT sum (order-independent — a float AVG over 10^11 rows
+    would differ between engines by summation order; this cannot).
+    Loss <= ~13.8 micro-snapped => per-row <= 1.4e7; 1e11 rows sum to
+    ~1.4e18, inside int64. The clamp at 1e-6 bounds the loss exactly
+    like the oracle's GREATEST."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True).filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    y = (F.col("event_type") == "purchase").cast("int")
+    p = F.col("value") / (F.col("value") + 50.0)
+    loss = F.when(
+        F.col("y") == 1, -F.log(F.greatest(F.col("p"), F.lit(0.000001)))
+    ).otherwise(-F.log(F.greatest(1.0 - F.col("p"), F.lit(0.000001))))
+    per_row = ev.select(y.alias("y"), p.alias("p")).select(
+        "y",
+        F.floor(loss * 1000000 + F.lit(0.5)).cast("long").alias("loss_micro"),
+    )
+    agg = per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("y") == 1).cast("long")).alias("n_pos"),
+        F.sum("loss_micro").alias("loss_sum"),
+    )
+    return agg.select(
+        "n_rows", "n_pos",
+        snap(F.col("loss_sum") * 1.0 / F.col("n_rows") / 1000000.0, 6).alias(
+            "mean_log_loss"
+        ),
+    )
+
+
+# ------------------------------------------------- Kendall tau-b (daily)
+
+KENDALL_ORACLE = """
+-- Kendall tau-b rank correlation between daily order COUNT and
+-- daily revenue (exact integer cents) — the outlier-robust
+-- complement to agg_spearman_rank_corr: tau counts concordant vs
+-- discordant PAIRS, so a single wild day cannot dominate the
+-- statistic. The fact table reduces to one row per order date
+-- (date-domain-sized, ~2.4k rows regardless of SF); the pair
+-- enumeration is date-domain^2 (~3M integer comparisons), NOT
+-- corpus-sized, and every cell is an exact integer.
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_orderdate
+), pairs AS (
+  SELECT CASE WHEN (a.n_orders - b.n_orders) * (a.rev_cents - b.rev_cents) > 0
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.n_orders - b.n_orders) * (a.rev_cents - b.rev_cents) < 0
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.rev_cents = b.rev_cents THEN 1 ELSE 0 END AS tie_y
+  FROM daily a JOIN daily b ON a.d < b.d
+), cells AS (
+  SELECT SUM(conc) AS c, SUM(disc) AS d,
+         SUM(tie_x) AS tx, SUM(tie_y) AS ty, COUNT(*) AS n0
+  FROM pairs
+)
+SELECT CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CAST(tx AS BIGINT) AS ties_x,
+       CAST(ty AS BIGINT) AS ties_y,
+       FLOOR(((c * 1.0 - d) / SQRT((n0 * 1.0 - tx) * (n0 * 1.0 - ty)))
+             * 1000000 + 0.5) / 1000000 AS kendall_tau_b
+FROM cells
+"""
+
+
+@register("ml_kendall_tau_daily", oracle=KENDALL_ORACLE)
+def ml_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order volume and daily revenue —
+    pair-concordance rank correlation (robust where Pearson/Spearman
+    are not, and the standard check that a volume proxy actually
+    tracks revenue).
+
+    Scale shape: the only fact-sized work is the one groupBy to the
+    date domain (~2.4k rows at ANY scale factor — the date domain
+    does not grow with data volume). The O(domain^2) pair join (~3M
+    integer comparisons) runs on that rollup via a broadcast
+    self-join, and revenue is exact integer cents so every
+    concordance test is integer math. tau-b itself is fixed-order
+    double math on five exact integers, snapped."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dx = F.col("a.n_orders") - F.col("b.n_orders")
+    dy = F.col("a.rev_cents") - F.col("b.rev_cents")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        ((dx * dy) > 0).cast("long").alias("conc"),
+        ((dx * dy) < 0).cast("long").alias("disc"),
+        (dx == 0).cast("long").alias("tie_x"),
+        (dy == 0).cast("long").alias("tie_y"),
+    )
+    cells = pairs.agg(
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.sum("tie_x").alias("tx"),
+        F.sum("tie_y").alias("ty"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    c, d0, tx, ty, n0 = (F.col(x) for x in ("c", "d", "tx", "ty", "n0"))
+    return cells.select(
+        c.alias("concordant"),
+        d0.alias("discordant"),
+        tx.alias("ties_x"),
+        ty.alias("ties_y"),
+        snap(
+            (c * 1.0 - d0) / F.sqrt((n0 * 1.0 - tx) * (n0 * 1.0 - ty)), 6
+        ).alias("kendall_tau_b"),
+    )

@@ -558,3 +558,41 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_case_variants").cast("long").alias("n_case_variants"),
         )
     )
+
+
+BITWISE_ORACLE = """
+-- Bitwise scalar surface: AND/OR/XOR masks, shifts, and popcount
+-- over order keys — the primitives bitmap indexes, bloom filters,
+-- and hash-partitioner diagnostics are built from. Pure integer
+-- math: bit-identical across engines by construction.
+SELECT o_orderkey,
+       o_orderkey & 255                          AS low_byte,
+       o_orderkey | 4096                         AS with_flag,
+       xor(o_orderkey, o_custkey)                AS key_xor,
+       (o_orderkey & 15) << 2                    AS shifted_left,
+       o_orderkey >> 3                           AS shifted_right,
+       bit_count(o_orderkey)                     AS popcount,
+       CAST(o_orderkey & (o_orderkey - 1) AS BIGINT) AS clear_lowest
+FROM orders
+WHERE o_orderkey <= 2048
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_bitwise_funcs", oracle=BITWISE_ORACLE)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (masks, shifts, xor, popcount) —
+    exact integer ops that stay inside whole-stage codegen; the
+    o_orderkey <= 2048 predicate pushes to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2048)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(4096).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k.bitwiseAND(15), 2).cast("long").alias("shifted_left"),
+        F.shiftright(k, 3).cast("long").alias("shifted_right"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        k.bitwiseAND(k - 1).alias("clear_lowest"),
+    ).orderBy("o_orderkey")

@@ -1463,3 +1463,196 @@ def text_source_vocab_jaccard(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+FLESCH_ORACLE = """
+-- Flesch reading-ease per source: 206.835 - 1.015*(words/sentences)
+-- - 84.6*(syllables/words), with deterministic proxies (sentences =
+-- [.!?]+ runs clamped to >=1, syllables = vowel-group runs) — the
+-- readability tier of corpus quality profiling (Gopher/C4 filter on
+-- structure; this scores *linguistic density* per source). All
+-- inputs are exact integer counts summed per source; the score is
+-- fixed-order double math snapped at 4dp.
+WITH per_doc AS (
+  SELECT source,
+         LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS words,
+         GREATEST(LENGTH(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1) AS sents,
+         LENGTH(REGEXP_EXTRACT_ALL(lower(text), '[aeiouy]+')) AS sylls
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)    AS n_docs,
+       CAST(SUM(words) AS BIGINT)  AS total_words,
+       CAST(SUM(sylls) AS BIGINT)  AS total_syllables,
+       FLOOR((206.835
+              - 1.015 * (SUM(words) * 1.0 / SUM(sents))
+              - 84.6 * (SUM(sylls) * 1.0 / SUM(words)))
+             * 10000 + 0.5) / 10000 AS flesch_reading_ease
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("text_readability_flesch", oracle=FLESCH_ORACLE)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source with deterministic sentence /
+    syllable proxies — the readability lens a curation pipeline adds
+    next to Gopher (structure) and perplexity (fluency) filters.
+
+    Scale shape: one corpus pass; the three per-doc counts are
+    codegen'd regexp ops (no Python), partially aggregated to the
+    |sources| domain; the formula is fixed-order math on exact
+    integer sums, snapped. 100 TB cost = one scan, one
+    domain-sized Exchange."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
+        F.length(F.trim("text")) > 0
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).alias("sents"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        ).alias("sylls"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("sents").alias("ts"),
+        F.sum("sylls").alias("total_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (F.col("total_words") * 1.0 / F.col("ts"))
+        - 84.6 * (F.col("total_syllables") * 1.0 / F.col("total_words"))
+    )
+    return agg.select(
+        "source", "n_docs", "total_words", "total_syllables",
+        snap(score, 4).alias("flesch_reading_ease"),
+    ).orderBy("source")
+
+
+RAKE_ORACLE = """
+-- RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+-- maximal runs between stopwords; word score = degree/freq where
+-- degree sums the lengths of phrases containing the word; phrase
+-- score sums its word scores. The unsupervised keyword stage of a
+-- corpus indexing pipeline (TF-IDF ranks TERMS; RAKE ranks
+-- PHRASES). Device: word scores are snapped to exact integer
+-- micro-units (FLOOR(degree*1e6/freq)) so phrase scores are exact
+-- BIGINT sums — no float summation order anywhere. Top 15 phrases,
+-- full deterministic tie-break.
+WITH marked AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(lower(text), '[^a-z]+', ' ', 'g'),
+           '\\b(the|a|of|and|to|in|is|it|for|on|with|as|by|at|or|be|this|that|are|was)\\b',
+           '|', 'g') AS s
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), occ AS (
+  SELECT doc_id, TRIM(p) AS phrase
+  FROM marked, UNNEST(REGEXP_SPLIT_TO_ARRAY(s, '\\|')) u(p)
+  WHERE LENGTH(TRIM(p)) > 0
+    AND LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(p), ' +')) BETWEEN 1 AND 3
+), occ_words AS (
+  SELECT phrase,
+         LENGTH(REGEXP_SPLIT_TO_ARRAY(phrase, ' +')) AS plen,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(phrase, ' +')) AS word
+  FROM occ
+), word_stats AS (
+  SELECT word, COUNT(*) AS freq, SUM(plen) AS degree
+  FROM occ_words GROUP BY word
+), word_score AS (
+  SELECT word, CAST(FLOOR(degree * 1000000.0 / freq) AS BIGINT) AS score_micro
+  FROM word_stats
+), phrase_occ AS (
+  SELECT phrase, COUNT(*) AS n_occ FROM occ GROUP BY phrase
+), distinct_phrase_words AS (
+  SELECT p.phrase, p.n_occ,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(p.phrase, ' +')) AS word
+  FROM phrase_occ p
+), phrase_score AS (
+  SELECT d.phrase, MIN(d.n_occ) AS n_occ,
+         SUM(ws.score_micro) AS score_micro
+  FROM distinct_phrase_words d JOIN word_score ws ON d.word = ws.word
+  GROUP BY d.phrase
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM phrase_score
+ORDER BY score_micro DESC, n_occ DESC, phrase
+LIMIT 15
+"""
+
+
+@register("text_rake_keywords", oracle=RAKE_ORACLE)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction — stopword-delimited candidate
+    phrases scored by summed word degree/frequency ratios; the
+    classic unsupervised phrase-ranking stage (TF-IDF's phrase-level
+    sibling) for corpus indexing and topic labeling.
+
+    Scale shape: the phrase explode is the corpus-sized work (one
+    pass, codegen'd regexps); word stats and phrase scores live on
+    the VOCABULARY/PHRASE domain (<< corpus, Zipf-bounded), so both
+    joins broadcast at any realistic scale (AQE picks this up from
+    size estimates; the phrase table here is a few hundred rows).
+    Word scores snap to integer micro-units before the phrase-level
+    sum, so ranking is exact integer math — cross-engine identical
+    by construction. Top-15 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
+        F.length(F.trim("text")) > 0
+    )
+    stop = (
+        "the|a|of|and|to|in|is|it|for|on|with|as|by|at|or|be|this|that|are|was"
+    )
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+        rf"\b({stop})\b",
+        "|",
+    )
+    occ = (
+        docs.select("doc_id", s.alias("s"))
+        .select("doc_id", F.explode(F.split(F.col("s"), r"\|")).alias("p"))
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .filter(
+            (F.length("phrase") > 0)
+            & F.size(F.split(F.col("phrase"), " +")).between(1, 3)
+        )
+    )
+    occ_words = occ.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " +")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " +")).alias("word"),
+    )
+    word_score = (
+        occ_words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+        .select(
+            "word",
+            F.floor(F.col("degree") * 1000000.0 / F.col("freq"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    phrase_occ = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    dpw = phrase_occ.select(
+        "phrase", "n_occ", F.explode(F.split(F.col("phrase"), " +")).alias("word")
+    )
+    phrase_score = (
+        dpw.join(F.broadcast(word_score), "word")
+        .groupBy("phrase")
+        .agg(
+            F.min("n_occ").alias("n_occ"),
+            F.sum("score_micro").alias("score_micro"),
+        )
+    )
+    return (
+        phrase_score.select("phrase", "n_occ", "score_micro")
+        .orderBy(F.desc("score_micro"), F.desc("n_occ"), "phrase")
+        .limit(15)
+    )

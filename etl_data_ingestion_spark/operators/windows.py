@@ -1686,3 +1686,109 @@ def events_markov_entropy_rate(
         "event_type string, stationary_prob double, "
         "row_entropy_bits double, entropy_rate_bits double",
     )
+
+
+SAX_ORACLE = """
+-- SAX symbolization (Lin et al. 2003) of the 1996 daily
+-- average-order-price series: PAA over 7-day segments, z-normalize
+-- across segments, quantize into a 4-letter alphabet at the
+-- standard Gaussian breakpoints (-0.6745, 0, 0.6745) — the discrete
+-- sketch that makes time-series motif search and similarity
+-- indexable. Device: day and segment values reduce to exact
+-- integers (FLOOR(x+0.5) of ratios of exact cent sums), the
+-- normalization moments are exact integer sums over the 53-segment
+-- domain, and z/symbol are fixed-order scalar math on them — no
+-- data-order-dependent float summation anywhere.
+WITH daily AS (
+  SELECT date_part('doy', o_orderdate) AS doy,
+         CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) * 1.0
+                    / COUNT(*) + 0.5) AS BIGINT) AS day_cents
+  FROM orders WHERE date_part('year', o_orderdate) = 1996
+  GROUP BY 1
+), seg AS (
+  SELECT CAST(FLOOR((doy - 1) / 7) AS BIGINT) AS segment,
+         COUNT(*) AS n_days,
+         CAST(FLOOR(SUM(day_cents) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS v
+  FROM daily GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS sv2
+  FROM seg
+), z AS (
+  SELECT s.segment, s.n_days, s.v,
+         (s.v - st.sv * 1.0 / st.n)
+           / SQRT(st.sv2 * 1.0 / st.n
+                  - (st.sv * 1.0 / st.n) * (st.sv * 1.0 / st.n)) AS zval
+  FROM seg s, stats st
+)
+SELECT segment, CAST(n_days AS BIGINT) AS n_days, v AS seg_avg_cents,
+       FLOOR(zval * 10000 + 0.5) / 10000 AS z_score,
+       CASE WHEN zval < -0.6745 THEN 'a'
+            WHEN zval < 0.0     THEN 'b'
+            WHEN zval < 0.6745  THEN 'c'
+            ELSE 'd' END AS sax_symbol
+FROM z ORDER BY segment
+"""
+
+
+@register("timeseries_sax_symbols", oracle=SAX_ORACLE)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the 1996 daily
+    average-order-price series: 7-day PAA segments, z-normalized,
+    quantized to a 4-letter alphabet at Gaussian breakpoints — the
+    discretization that turns similarity/motif search over raw
+    series into string algorithms.
+
+    Scale shape: one fact pass partial-aggregates to the day domain
+    (<=366 rows at ANY scale factor), PAA to 53 segments, and the
+    normalization moments are exact BIGINT sums over that fixed
+    domain broadcast back onto it. Day/segment values are snapped to
+    exact integers before any cross-row sum, so both engines
+    symbolize identically; z at a breakpoint boundary is a
+    deterministic fixed-order comparison, not a float-sum race."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True).filter(
+        F.year("o_orderdate") == 1996
+    )
+    daily = orders.groupBy(F.dayofyear("o_orderdate").alias("doy")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("day_cents")
+    )
+    seg = daily.groupBy(
+        F.floor((F.col("doy") - 1) / 7).cast("long").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(F.sum("day_cents") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    stats = seg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+    )
+    mean = F.col("sv") * 1.0 / F.col("n")
+    sd = F.sqrt(F.col("sv2") * 1.0 / F.col("n") - mean * mean)
+    z = (F.col("v") - mean) / sd
+    return (
+        seg.crossJoin(F.broadcast(stats))
+        .select(
+            "segment",
+            "n_days",
+            F.col("v").alias("seg_avg_cents"),
+            snap(z, 4).alias("z_score"),
+            F.when(z < -0.6745, "a")
+            .when(z < 0.0, "b")
+            .when(z < 0.6745, "c")
+            .otherwise("d")
+            .alias("sax_symbol"),
+        )
+        .orderBy("segment")
+    )

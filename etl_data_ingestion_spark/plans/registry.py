@@ -57,7 +57,19 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-13: round-8 additions
+    # slots 1-9: round-8 WAVE-3 additions (newest, never
+    # driver-checked — these pre-empt the tail of the r2-refresh
+    # block below, which re-queues for round 9)
+    "ml_mcnemar_test",
+    "ml_log_loss",
+    "ml_kendall_tau_daily",
+    "agg_mutual_information",
+    "text_readability_flesch",
+    "text_rake_keywords",
+    "timeseries_sax_symbols",
+    "scalar_bitwise_funcs",
+    "graph_degree_distribution",
+    # round-8 wave-1/2 additions
     "ml_cohen_kappa",
     "ml_gain_lift_deciles",
     "agg_ab_test_ztest",
