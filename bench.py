@@ -184,6 +184,13 @@ EXTENDED = [
     "text_rake_keywords",
     "timeseries_sax_symbols",
     "graph_degree_distribution",
+    # round 8 wave 4
+    "text_kneser_ney_bigram",
+    "timeseries_bollinger_bands",
+    "agg_abc_classification",
+    "pipeline_source_cap_sample",
+    "graph_kcore_peel",
+    "ml_expected_calibration_error",
 ]
 
 

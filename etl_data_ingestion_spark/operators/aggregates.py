@@ -2529,3 +2529,86 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized_mi"
         ),
     )
+
+
+ABC_ORACLE = """
+-- ABC (Pareto) classification of brands by net revenue: sort brands
+-- by exact-cents revenue, classify by cumulative share (A <= 70%,
+-- B <= 90%, C the tail) — the inventory-prioritization rollup every
+-- warehouse runs (the actionable sibling of agg_gini_coefficient's
+-- single inequality number). Per-row net cents snap to exact
+-- integers before the brand sums, the cumulative share is a ratio
+-- of exact BIGINTs, and the class thresholds compare identical
+-- doubles — deterministic end to end.
+WITH brand_rev AS (
+  SELECT p.p_brand AS brand,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+), ranked AS (
+  SELECT brand, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, brand) AS cum_cents,
+         SUM(rev_cents) OVER () AS tot_cents
+  FROM brand_rev
+)
+SELECT brand,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       FLOOR((cum_cents * 1.0 / tot_cents) * 1000000 + 0.5) / 1000000
+         AS cum_share,
+       CASE WHEN cum_cents * 1.0 / tot_cents <= 0.70 THEN 'A'
+            WHEN cum_cents * 1.0 / tot_cents <= 0.90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked ORDER BY rev_cents DESC, brand
+"""
+
+
+@register("agg_abc_classification", oracle=ABC_ORACLE)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of brands by net revenue share —
+    the 80/20 prioritization rollup (which brands are the A-class
+    head that deserves per-item attention, which are the C tail).
+
+    Scale shape: the lineitem-part join is the corpus-sized work
+    (part side is dimension-sized → broadcast); per-row net revenue
+    snaps to exact integer cents BEFORE the brand aggregation, so
+    brand sums and the running share are exact integer math; the
+    |brands| rollup (~25 rows) runs its cumulative window on one
+    executor trivially."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("net_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("net_cents").alias("rev_cents"))
+    )
+    w = Window.orderBy(F.desc("rev_cents"), "brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = brand_rev.select(
+        "brand",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.sum("rev_cents")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("tot_cents"),
+    )
+    share = F.col("cum_cents") * 1.0 / F.col("tot_cents")
+    return ranked.select(
+        "brand",
+        "rev_cents",
+        snap(share, 6).alias("cum_share"),
+        F.when(share <= 0.70, "A").when(share <= 0.90, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    ).orderBy(F.desc("rev_cents"), "brand")

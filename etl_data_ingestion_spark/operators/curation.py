@@ -1378,3 +1378,81 @@ def pipeline_filter_funnel_report(
             pick(1) + pick(2) + pick(3) + pick(0) == F.sum("n")
         ).alias("accounting_ok"),
     )
+
+
+SOURCE_CAP_ORACLE = """
+-- Per-source quota sampling: cap any single source at 5% of the
+-- corpus (cap = ceil(0.05 * N) as exact integer math), keeping the
+-- highest-quality documents first (n_chars DESC, doc_id tiebreak) —
+-- the anti-domination guard every mixture pipeline applies before
+-- training (one crawl dump must not swamp the mix; the selection
+-- complement of pipeline_domain_resample's rate-based approach).
+-- Reports per-source kept counts and the selection boundary.
+WITH tot AS (
+  SELECT COUNT(*) AS n FROM documents
+), ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+), capped AS (
+  SELECT r.source, r.n_chars,
+         CAST(FLOOR((t.n + 19) / 20.0) AS BIGINT) AS cap,
+         CASE WHEN r.rn <= FLOOR((t.n + 19) / 20.0) THEN 1 ELSE 0 END AS kept
+  FROM ranked r CROSS JOIN tot t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(cap) AS cap,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN kept = 1 THEN n_chars END) AS BIGINT)
+         AS min_kept_chars,
+       FLOOR((SUM(kept) * 1.0 / COUNT(*)) * 10000 + 0.5) / 10000
+         AS kept_share
+FROM capped GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_source_cap_sample", oracle=SOURCE_CAP_ORACLE)
+def pipeline_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (no source exceeds 5% of documents),
+    keeping highest-quality docs first — the anti-domination guard
+    applied before mixture weighting so one crawl dump cannot swamp
+    the training mix.
+
+    Scale shape: one shuffle by source for the per-source
+    ROW_NUMBER (the partitioned window is embarrassingly parallel —
+    no global sort), the corpus count broadcasts as one long, and
+    the report aggregation reuses the same source partitioning. Cap
+    arithmetic is exact integer math (ceil via (n+19)/20 under
+    FLOOR) so the kept set is identical across engines."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "source", "n_chars", "doc_id"
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    ).crossJoin(F.broadcast(tot))
+    cap = F.floor((F.col("n") + 19) / 20.0).cast("long")
+    capped = ranked.select(
+        "source",
+        "n_chars",
+        cap.alias("cap"),
+        (F.col("rn") <= cap).cast("int").alias("kept"),
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("cap").alias("cap"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.min(F.when(F.col("kept") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("min_kept_chars"),
+            snap(F.sum("kept") * 1.0 / F.count(F.lit(1)), 4).alias("kept_share"),
+        )
+        .orderBy("source")
+    )

@@ -515,3 +515,109 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("degree")
     )
+
+
+KCORE_ORACLE = """
+-- k-core peeling (k=3, three unrolled rounds) on the bipartite
+-- customer--supplier trade graph: repeatedly delete nodes with
+-- degree < k and the edges that die with them, reporting the
+-- surviving node/edge counts per round — THE graph-sparsification
+-- preprocessing (community detection and dense-subgraph mining run
+-- on the core, not the raw graph). Suppliers are namespaced as
+-- negative node ids so both partitions share one node domain.
+-- Exact integer counts only; fixed unroll keeps the plan pure so
+-- the oracle mirrors it CTE-for-superstep.
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS u, -l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), d1 AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0
+  ) GROUP BY n
+), a1 AS (SELECT n FROM d1 WHERE deg >= 3),
+e1 AS (
+  SELECT e.u, e.v FROM e0 e
+  JOIN a1 x ON e.u = x.n JOIN a1 y ON e.v = y.n
+), d2 AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1
+  ) GROUP BY n
+), a2 AS (SELECT n FROM d2 WHERE deg >= 3),
+e2 AS (
+  SELECT e.u, e.v FROM e1 e
+  JOIN a2 x ON e.u = x.n JOIN a2 y ON e.v = y.n
+), d3 AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2
+  ) GROUP BY n
+), a3 AS (SELECT n FROM d3 WHERE deg >= 3),
+e3 AS (
+  SELECT e.u, e.v FROM e2 e
+  JOIN a3 x ON e.u = x.n JOIN a3 y ON e.v = y.n
+)
+SELECT * FROM (
+  SELECT 0 AS iteration,
+         (SELECT COUNT(*) FROM d1) AS n_nodes,
+         (SELECT COUNT(*) FROM e0) AS n_edges
+  UNION ALL SELECT 1, (SELECT COUNT(*) FROM a1), (SELECT COUNT(*) FROM e1)
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2), (SELECT COUNT(*) FROM e2)
+  UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3), (SELECT COUNT(*) FROM e3)
+) ORDER BY iteration
+"""
+
+
+@register("graph_kcore_peel", oracle=KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 3 rounds) on the customer--supplier
+    graph — iterative degree-threshold deletion converging to the
+    3-core, the standard densification step before community/dense-
+    subgraph algorithms.
+
+    Scale shape: the edge build is the only corpus-sized work
+    (DISTINCT dedup with partial aggregation); every peel round is
+    a node-domain groupBy plus two semi-joins of the shrinking edge
+    set against the shrinking active set — the same
+    contribution-join shape as connected components, with
+    monotonically DECREASING data per round. Fixed unroll keeps the
+    lineage short (an open-ended peel would localCheckpoint per
+    round, as dedup.connected_components does)."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), (-F.col("l_suppkey")).alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        nodes = e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+
+    rows = []
+    e = edges
+    d = degrees(e)
+    rows.append((0, d.count(), e.count()))
+    for it in (1, 2, 3):
+        active = d.filter(F.col("deg") >= 3).select("n")
+        e = (
+            e.join(active.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(active.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        n_active = active.count()
+        n_edges = e.count()
+        rows.append((it, n_active, n_edges))
+        d = degrees(e)
+    return spark.createDataFrame(
+        rows, "iteration int, n_nodes long, n_edges long"
+    ).orderBy("iteration")

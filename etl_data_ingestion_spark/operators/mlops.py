@@ -1536,3 +1536,87 @@ def ml_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (c * 1.0 - d0) / F.sqrt((n0 * 1.0 - tx) * (n0 * 1.0 - ty)), 6
         ).alias("kendall_tau_b"),
     )
+
+
+# ------------------------------------------------- expected calibration error
+
+ECE_ORACLE = """
+-- Expected Calibration Error of the sigmoid purchase score over 10
+-- equal-width probability bins: ECE = sum_b (n_b/N)*|conf_b - acc_b|
+-- — the single-number calibration summary next to the per-bin
+-- reliability table (ml_calibration_brier). Device: per-row
+-- probabilities snap to integer micro-units, so per-bin confidence
+-- is an exact BIGINT sum; each bin's weighted gap snaps to NANO
+-- units before the final sum — no float summation order anywhere.
+WITH scored AS (
+  SELECT CAST(FLOOR((1.0 / (1.0 + EXP(-(value - 250.0) / 50.0)))
+                    * 1000000 + 0.5) AS BIGINT) AS p_micro,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(p_micro / 100000.0) AS BIGINT), 9) AS bin,
+         COUNT(*) AS n, CAST(SUM(p_micro) AS BIGINT) AS sp,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM scored GROUP BY 1
+), terms AS (
+  SELECT bin, n, sp, sy, (SELECT SUM(n) FROM binned) AS nn,
+         CAST(FLOOR((n * 1.0 / (SELECT SUM(n) FROM binned))
+                    * ABS(sp * 1.0 / n / 1000000 - sy * 1.0 / n)
+                    * 1000000000 + 0.5) AS BIGINT) AS t_nano,
+         CAST(FLOOR(ABS(sp * 1.0 / n / 1000000 - sy * 1.0 / n)
+                    * 1000000 + 0.5) AS BIGINT) AS gap_micro
+  FROM binned
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       FLOOR((SUM(t_nano) / 1000000000.0) * 1000000 + 0.5) / 1000000
+         AS ece,
+       FLOOR((MAX(gap_micro) / 1000000.0) * 1000000 + 0.5) / 1000000
+         AS max_bin_gap
+FROM terms
+"""
+
+
+@register("ml_expected_calibration_error", oracle=ECE_ORACLE)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (10 equal-width bins) plus the
+    worst-bin gap — the one-number calibration verdict reported
+    beside AUC; ml_calibration_brier is the per-bin diagnostic this
+    summarizes.
+
+    Scale shape: one corpus pass partial-aggregated to <=10 bins;
+    per-row probability snaps to integer micro-units BEFORE the bin
+    sums and each bin's weighted gap snaps to nano-units before the
+    cross-bin sum, so the metric has zero order-dependent float
+    summation at any scale."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
+    scored = ev.select(
+        F.floor(ph * 1000000 + F.lit(0.5)).cast("long").alias("p_micro"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p_micro") / 100000.0).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_micro").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    nn = binned.agg(F.sum("n").alias("nn"))
+    gap = F.abs(
+        F.col("sp") * 1.0 / F.col("n") / 1000000 - F.col("sy") * 1.0 / F.col("n")
+    )
+    terms = binned.crossJoin(F.broadcast(nn)).select(
+        F.floor((F.col("n") * 1.0 / F.col("nn")) * gap * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("t_nano"),
+        F.floor(gap * 1000000 + F.lit(0.5)).cast("long").alias("gap_micro"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins_used"),
+        snap(F.sum("t_nano") / 1000000000.0, 6).alias("ece"),
+        snap(F.max("gap_micro") / 1000000.0, 6).alias("max_bin_gap"),
+    )

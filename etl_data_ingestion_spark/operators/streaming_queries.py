@@ -343,3 +343,40 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events",
         "total_value",
     )
+
+
+WINDOWED_TOPK_ORACLE = """
+-- Top-3 event types per tumbling hour by count, deterministic
+-- tie-break — the leaderboard pattern every ops dashboard streams.
+-- In streaming mode the per-(window,type) aggregate is the
+-- watermark-bounded state (domain-sized per window) and the rank
+-- runs on finalized windows; this batch registration checks the
+-- identical end-to-end composition.
+WITH counts AS (
+  SELECT STRFTIME(TIME_BUCKET(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, COUNT(*) AS events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT window_start, event_type, events, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY window_start, rnk
+"""
+
+
+@register("stream_windowed_topk", oracle=WINDOWED_TOPK_ORACLE)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-3 event-type leaderboard: streaming tumbling
+    counts (bounded state: |event types| rows per open window)
+    composed with a finalized-window rank — batch-registered here so
+    the oracle checks the same composition the streaming test drives
+    incrementally (tests/test_streaming.py::test_windowed_topk)."""
+    from etl_data_ingestion_spark.streaming import windowed_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_topk(ev, k=3).orderBy("window_start", "rnk")

@@ -1656,3 +1656,117 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.desc("n_occ"), "phrase")
         .limit(15)
     )
+
+
+KNESER_NEY_ORACLE = """
+-- Interpolated Kneser-Ney bigram LM (absolute discount D=0.75)
+-- trained on the corpus and applied back per document — the
+-- production smoothing family for count-based LM quality filtering
+-- (add-one, text_bigram_lm_perplexity, over-penalizes unseen
+-- continuations; KN backs off to CONTINUATION counts: "how many
+-- contexts does w2 complete?"). P(w2|w1) = max(c12-D,0)/c1 +
+-- (D*T1/c1) * (T2/B) with T1 = distinct followers of w1, T2 =
+-- distinct predecessors of w2, B = distinct bigram types. Per-
+-- instance -log2 P snaps to integer micro-units; the per-doc mean
+-- is an exact BIGINT sum (no float summation order anywhere).
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) u(i)
+  WHERE len(ts) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS t1 FROM c2 GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS t2 FROM c2 GROUP BY w2
+), bt AS (
+  SELECT COUNT(*) AS bb FROM c2
+), scored AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(-log2(
+             GREATEST(c2.c12 - 0.75, 0.0) / c1.c1
+             + (0.75 * c1.t1 / c1.c1) * (cont.t2 * 1.0 / bt.bb)
+           ) * 1000000 + 0.5) AS BIGINT) AS nl_micro
+  FROM b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  JOIN cont ON cont.w2 = b.w2
+  CROSS JOIN bt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR((SUM(nl_micro) * 1.0 / COUNT(*) / 1000000)
+             * 1000000 + 0.5) / 1000000 AS avg_neg_log2_kn
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_kneser_ney_bigram", oracle=KNESER_NEY_ORACLE)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring per document — the
+    production LM smoothing (Chen & Goodman 1999) next to the
+    add-one baseline: discounted bigram mass backs off to
+    continuation counts, so novel-but-plausible word pairs are not
+    over-penalized the way add-one does.
+
+    Scale shape: identical to text_bigram_lm_perplexity — the
+    bigram explode is the corpus-sized pass; c2/c1/continuation
+    tables are vocabulary-sized (Zipf-bounded, broadcast-eligible
+    under AQE); the per-instance -log2 snaps to integer micro-units
+    so per-doc means are exact BIGINT sums, order-independent."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    b = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("w1"),
+                    F.element_at(F.col("ts"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").persist()
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("t2"))
+    bt = c2.agg(F.count(F.lit(1)).alias("bb"))
+    p = (
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 * F.col("t1") / F.col("c1"))
+        * (F.col("t2") * 1.0 / F.col("bb"))
+    )
+    scored = (
+        b.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "doc_id",
+            F.floor(-F.log2(p) * 1000000 + F.lit(0.5)).cast("long").alias("nl_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            snap(
+                F.sum("nl_micro") * 1.0 / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("avg_neg_log2_kn"),
+        )
+        .orderBy("doc_id")
+    )

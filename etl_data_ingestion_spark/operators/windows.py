@@ -1792,3 +1792,97 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+BOLLINGER_ORACLE = """
+-- Bollinger bands over the daily average-order-price series: 21-day
+-- rolling mean +/- 2 rolling stddevs, with a band-position flag —
+-- the volatility-envelope monitor (rolling siblings of the GLOBAL
+-- zscore outliers in timeseries_zscore_outliers). Device: the day
+-- value is an exact integer (cents, FLOOR(x+0.5) of a ratio of
+-- exact sums), the rolling moments are exact BIGINT window sums
+-- (Σv ~ 1e9, Σv² ~ 5e16 at any sf — the value is an AVERAGE price,
+-- so int64-safe), and mean/sd/bands are fixed-order double math on
+-- them — so the band comparison cannot diverge across engines.
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) * 1.0
+                    / COUNT(*) + 0.5) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1
+), rolled AS (
+  SELECT d, day_cents,
+         COUNT(*) OVER w AS cnt,
+         CAST(SUM(day_cents) OVER w AS BIGINT) AS sv,
+         CAST(SUM(day_cents * day_cents) OVER w AS BIGINT) AS sv2
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       day_cents,
+       FLOOR((sv * 1.0 / 21) * 100 + 0.5) / 100 AS mid,
+       FLOOR((sv * 1.0 / 21
+              + 2 * SQRT(sv2 * 1.0 / 21 - (sv * 1.0 / 21) * (sv * 1.0 / 21)))
+             * 100 + 0.5) / 100 AS upper_band,
+       FLOOR((sv * 1.0 / 21
+              - 2 * SQRT(sv2 * 1.0 / 21 - (sv * 1.0 / 21) * (sv * 1.0 / 21)))
+             * 100 + 0.5) / 100 AS lower_band,
+       CASE WHEN day_cents * 1.0 > sv * 1.0 / 21
+                 + 2 * SQRT(sv2 * 1.0 / 21 - (sv * 1.0 / 21) * (sv * 1.0 / 21))
+            THEN 'above'
+            WHEN day_cents * 1.0 < sv * 1.0 / 21
+                 - 2 * SQRT(sv2 * 1.0 / 21 - (sv * 1.0 / 21) * (sv * 1.0 / 21))
+            THEN 'below' ELSE 'inside' END AS band
+FROM rolled WHERE cnt = 21 ORDER BY day
+"""
+
+
+@register("timeseries_bollinger_bands", oracle=BOLLINGER_ORACLE)
+def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """21-day Bollinger bands (rolling mean ± 2σ) on the daily
+    average-order-price series, with an above/inside/below position
+    flag — the rolling volatility envelope used for regime and
+    anomaly monitoring (complements the global z-score and MAD
+    outlier ops with a LOCAL baseline).
+
+    Scale shape: one fact pass partial-aggregates to the date
+    domain (~2.4k rows at any sf); the rolling moments are exact
+    BIGINT window sums over that domain in a single WindowExec (one
+    partition is fine — the series IS driver-small by construction;
+    a per-entity variant would partition by the entity key). All
+    band math is fixed-order scalar on exact integers, so the
+    above/below classification is bit-deterministic."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("day_cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-20, 0)
+    rolled = daily.select(
+        "d",
+        "day_cents",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("day_cents").over(w).alias("sv"),
+        F.sum(F.col("day_cents") * F.col("day_cents")).over(w).alias("sv2"),
+    ).filter(F.col("cnt") == 21)
+    mid = F.col("sv") * 1.0 / 21
+    sd = F.sqrt(F.col("sv2") * 1.0 / 21 - mid * mid)
+    up, lo = mid + 2 * sd, mid - 2 * sd
+    return rolled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        snap(mid, 2).alias("mid"),
+        snap(up, 2).alias("upper_band"),
+        snap(lo, 2).alias("lower_band"),
+        F.when(F.col("day_cents") * 1.0 > up, "above")
+        .when(F.col("day_cents") * 1.0 < lo, "below")
+        .otherwise("inside")
+        .alias("band"),
+    ).orderBy("day")

@@ -57,7 +57,15 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-9: round-8 WAVE-3 additions (newest, never
+    # slots 1-7: round-8 WAVE-4 additions (newest, never checked)
+    "text_kneser_ney_bigram",
+    "timeseries_bollinger_bands",
+    "agg_abc_classification",
+    "pipeline_source_cap_sample",
+    "graph_kcore_peel",
+    "ml_expected_calibration_error",
+    "stream_windowed_topk",
+    # slots 8-16: round-8 WAVE-3 additions (newest, never
     # driver-checked — these pre-empt the tail of the r2-refresh
     # block below, which re-queues for round 9)
     "ml_mcnemar_test",

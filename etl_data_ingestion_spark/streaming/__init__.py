@@ -7,4 +7,6 @@ from .windows import (  # noqa: F401
     sliding_counts,
     session_aggregate,
     dedup_first_event,
+    windowed_topk,
+    rank_topk,
 )

@@ -170,3 +170,52 @@ def static_enriched_spend(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def windowed_topk(
+    events: DataFrame,
+    k: int = 3,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Top-k event types per tumbling window by count.
+
+    Streaming mode returns the per-(window, type) counts — rank over
+    a streaming aggregate is not expressible in append mode, so the
+    k-selection runs on FINALIZED windows downstream (foreachBatch /
+    sink-side; tests/test_streaming.py drives exactly that split and
+    checks it equals the batch plan). Batch mode applies the rank
+    in-plan with a full deterministic tie-break; state per window is
+    |event types|, so streaming state is domain-bounded regardless
+    of throughput.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    counts = (
+        src.groupBy(F.window("ts", window_len).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "events",
+        )
+    )
+    if events.isStreaming:
+        return counts
+    return rank_topk(counts, k)
+
+
+def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The finalize step of windowed_topk: rank finalized per-window
+    counts and keep the top k (count desc, event_type tiebreak)."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("events"), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("window_start", "event_type", "events", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -552,3 +552,16 @@ def test_spend_tracker_processor_logic_with_injected_state():
     assert out2.total_events[0] == 3
     assert out2.total_value[0] == 10.0
     assert out2.max_value[0] == 6.0
+
+
+def test_windowed_topk_stream_matches_batch(spark, events_stream):
+    from etl_data_ingestion_spark.streaming import rank_topk, windowed_topk
+
+    stream_df, batch_df = events_stream
+    finalized = run_to_completion(
+        spark, windowed_topk(stream_df), "topk_counts_out", "complete"
+    )
+    got = rank_topk(finalized, 3).orderBy("window_start", "rnk").collect()
+    want = windowed_topk(batch_df, 3).orderBy("window_start", "rnk").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r.rnk <= 3 for r in got)
