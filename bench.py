@@ -191,6 +191,11 @@ EXTENDED = [
     "pipeline_source_cap_sample",
     "graph_kcore_peel",
     "ml_expected_calibration_error",
+    # round 8 wave 5
+    "ml_average_precision",
+    "ml_logreg_newton_probe",
+    "timeseries_ljung_box",
+    "agg_theil_inequality",
 ]
 
 

@@ -2612,3 +2612,78 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     ).orderBy(F.desc("rev_cents"), "brand")
+
+
+THEIL_ORACLE = """
+-- Theil T and L inequality indices of customer revenue (exact
+-- cents): T = (1/n) sum (x/mu) ln(x/mu), L = (1/n) sum ln(mu/x) —
+-- the DECOMPOSABLE inequality measures next to the Gini coefficient
+-- (Theil splits exactly into within-group + between-group terms,
+-- which Gini cannot). Per-customer terms are fixed-order scalars on
+-- exact BIGINTs, snapped to NANO units and summed exactly — the
+-- standing no-order-dependent-float-sums device.
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM cust
+), terms AS (
+  SELECT CAST(FLOOR((c.cents * 1.0 / (t.s * 1.0 / t.n))
+                    * LN(c.cents * 1.0 / (t.s * 1.0 / t.n))
+                    * 1000000000 + 0.5) AS BIGINT) AS t_nano,
+         CAST(FLOOR(LN((t.s * 1.0 / t.n) / (c.cents * 1.0))
+                    * 1000000000 + 0.5) AS BIGINT) AS l_nano
+  FROM cust c CROSS JOIN tot t
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_customers,
+       FLOOR((SUM(t_nano) * 1.0 / COUNT(*) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS theil_t,
+       FLOOR((SUM(l_nano) * 1.0 / COUNT(*) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS theil_l
+FROM terms
+"""
+
+
+@register("agg_theil_inequality", oracle=THEIL_ORACLE)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality of customer revenue — the
+    decomposable complement to agg_gini_coefficient (Theil is
+    additively separable into within/between-group inequality, the
+    property segmentation analyses need).
+
+    Scale shape: one fact pass to the customer domain; the corpus
+    mean broadcasts as two longs; per-customer entropy terms snap
+    to exact NANO integers before the final sums, so the indices
+    are summation-order independent at any scale."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    ratio = F.col("cents") * 1.0 / mu
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        F.floor(ratio * F.log(ratio) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("t_nano"),
+        F.floor(F.log(mu / (F.col("cents") * 1.0)) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("l_nano"),
+        F.col("n"),
+    )
+    return terms.agg(
+        F.max("n").alias("n_customers"),
+        snap(F.sum("t_nano") * 1.0 / F.count(F.lit(1)) / 1000000000.0, 6).alias(
+            "theil_t"
+        ),
+        snap(F.sum("l_nano") * 1.0 / F.count(F.lit(1)) / 1000000000.0, 6).alias(
+            "theil_l"
+        ),
+    )

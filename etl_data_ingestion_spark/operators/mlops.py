@@ -1620,3 +1620,193 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         snap(F.sum("t_nano") / 1000000000.0, 6).alias("ece"),
         snap(F.max("gap_micro") / 1000000.0, 6).alias("max_bin_gap"),
     )
+
+
+# ------------------------------------------------- average precision
+
+AVG_PRECISION_ORACLE = """
+-- Exact average precision (area under the PR curve by the step
+-- definition) of `value` ranking purchases, under the deterministic
+-- total order (value DESC, event_id): AP = (1/P) * sum over
+-- positives of precision@their_rank. THE retrieval/imbalanced-class
+-- summary metric (ml_auc_roc_exact ranks pairs; AP weights the head
+-- of the ranking). Per-positive precision terms are exact integer
+-- ratios snapped to NANO units and summed as BIGINTs — no float
+-- summation order anywhere.
+WITH ranked AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events
+), cum AS (
+  SELECT pos, rn,
+         SUM(pos) OVER (ORDER BY rn) AS cum_pos
+  FROM ranked
+), terms AS (
+  SELECT CAST(FLOOR((cum_pos * 1.0 / rn) * 1000000000 + 0.5) AS BIGINT)
+           AS t_nano
+  FROM cum WHERE pos = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked) AS n_rows,
+       FLOOR((SUM(t_nano) * 1.0 / COUNT(*) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS average_precision
+FROM terms
+"""
+
+
+@register("ml_average_precision", oracle=AVG_PRECISION_ORACLE)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of the value-ranker — the
+    head-weighted ranking metric for imbalanced labels (the PR-curve
+    area, where ROC-AUC's pair counting over-credits the easy
+    negatives).
+
+    Scale shape: one global sort for the deterministic total order
+    (rank metrics are sort-shaped by definition; Spark range-
+    partitions the sort, and the running positive count is a
+    partition-prefix scan). Precision@rank terms snap to exact NANO
+    integers before the final sum, so the metric is summation-order
+    independent."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ranked = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("value"), "event_id"))
+        .alias("rn"),
+    )
+    cum = ranked.select(
+        "pos",
+        "rn",
+        F.sum("pos").over(Window.orderBy("rn")).alias("cum_pos"),
+    )
+    terms = cum.filter(F.col("pos") == 1).select(
+        F.floor((F.col("cum_pos") * 1.0 / F.col("rn")) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("t_nano")
+    )
+    n_rows = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        terms.agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum("t_nano").alias("s_nano"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "n_pos",
+            "n_rows",
+            snap(
+                F.col("s_nano") * 1.0 / F.col("n_pos") / 1000000000.0, 6
+            ).alias("average_precision"),
+        )
+    )
+
+
+# ------------------------------------------------- one-step Newton logistic probe
+
+LOGREG_PROBE_ORACLE = """
+-- One-step Newton logistic-regression probe from beta=0 for
+-- purchase ~ value_cents + hour: at beta=0 the IRLS weight matrix
+-- is exactly I/4, so the first Newton step is the closed form
+-- beta = 2 * (X'X)^-1 X'z with z = 2y-1 — the score-test direction
+-- used for cheap in-engine feature screening (signs and relative
+-- magnitudes of a converged fit, one pass, no iteration). All six
+-- X'X moments and three X'z moments are EXACT BIGINT sums of
+-- integer features; the 3x3 adjugate solve is one fixed-order
+-- double chain on them, snapped.
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(date_part('hour', ts) AS BIGINT)) AS sh,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CAST(date_part('hour', ts) AS BIGINT)) AS sxh,
+         SUM(CAST(date_part('hour', ts) AS BIGINT)
+             * CAST(date_part('hour', ts) AS BIGINT)) AS shh,
+         SUM(CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                  AS BIGINT)) AS sz,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END) AS sxz,
+         SUM(CAST(date_part('hour', ts) AS BIGINT)
+             * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END) AS shz
+  FROM events WHERE value IS NOT NULL
+), d AS (
+  SELECT n * 1.0 AS a, sx * 1.0 AS b, sh * 1.0 AS c,
+         sxx * 1.0 AS dd, sxh * 1.0 AS e, shh * 1.0 AS f,
+         sz * 1.0 AS z0, sxz * 1.0 AS z1, shz * 1.0 AS z2,
+         CAST(n AS BIGINT) AS n_rows
+  FROM m
+), inv AS (
+  SELECT n_rows, z0, z1, z2,
+         (dd * f - e * e) AS c00, (c * e - b * f) AS c01, (b * e - c * dd) AS c02,
+         (c * e - b * f) AS c10, (a * f - c * c) AS c11, (b * c - a * e) AS c12,
+         (b * e - c * dd) AS c20, (b * c - a * e) AS c21, (a * dd - b * b) AS c22,
+         (a * (dd * f - e * e) - b * (b * f - c * e) + c * (b * e - c * dd))
+           AS det
+  FROM d
+)
+SELECT n_rows,
+       FLOOR((2.0 * (c00 * z0 + c01 * z1 + c02 * z2) / det) * 1000000 + 0.5)
+         / 1000000 AS beta_intercept,
+       FLOOR((2.0 * (c10 * z0 + c11 * z1 + c12 * z2) / det) * 1000000000 + 0.5)
+         / 1000000000 AS beta_value_cents,
+       FLOOR((2.0 * (c20 * z0 + c21 * z1 + c22 * z2) / det) * 1000000 + 0.5)
+         / 1000000 AS beta_hour
+FROM inv
+"""
+
+
+@register("ml_logreg_newton_probe", oracle=LOGREG_PROBE_ORACLE)
+def ml_logreg_newton_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Newton logistic probe (purchase ~ value_cents +
+    hour): the exact first IRLS step from beta=0, where the Hessian
+    is X'X/4 in closed form — the in-engine feature screen that
+    gives converged-fit signs and relative magnitudes in ONE
+    declarative pass (a full IRLS loop would iterate driver-side;
+    the probe is the standard score-test shortcut).
+
+    Scale shape: nine exact-BIGINT moments in one map-side-combined
+    aggregate (one Exchange of 9 longs per partition); the 3x3
+    adjugate solve is a fixed-order double chain on them. Integer
+    features keep every moment exact through ~1e10 rows (cents^2 *
+    rows ~ 2.5e19 caps int64 — rescale to decicents past that,
+    noted here for the 100 TB config)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True).filter(
+        F.col("value").isNotNull()
+    )
+    x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    h = F.hour("ts").cast("long")
+    z = F.when(F.col("event_type") == "purchase", 1).otherwise(-1).cast("long")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(h).alias("sh"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * h).alias("sxh"),
+        F.sum(h * h).alias("shh"),
+        F.sum(z).alias("sz"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(h * z).alias("shz"),
+    )
+    a, b, c = F.col("n") * 1.0, F.col("sx") * 1.0, F.col("sh") * 1.0
+    dd, e, f = F.col("sxx") * 1.0, F.col("sxh") * 1.0, F.col("shh") * 1.0
+    z0, z1, z2 = F.col("sz") * 1.0, F.col("sxz") * 1.0, F.col("shz") * 1.0
+    c00, c01, c02 = dd * f - e * e, c * e - b * f, b * e - c * dd
+    c11, c12, c22 = a * f - c * c, b * c - a * e, a * dd - b * b
+    det = a * (dd * f - e * e) - b * (b * f - c * e) + c * (b * e - c * dd)
+    return m.select(
+        F.col("n").alias("n_rows"),
+        snap(2.0 * (c00 * z0 + c01 * z1 + c02 * z2) / det, 6).alias(
+            "beta_intercept"
+        ),
+        snap(2.0 * (c01 * z0 + c11 * z1 + c12 * z2) / det, 9).alias(
+            "beta_value_cents"
+        ),
+        snap(2.0 * (c02 * z0 + c12 * z1 + c22 * z2) / det, 6).alias(
+            "beta_hour"
+        ),
+    )

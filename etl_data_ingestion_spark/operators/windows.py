@@ -1886,3 +1886,122 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inside")
         .alias("band"),
     ).orderBy("day")
+
+
+LJUNG_BOX_ORACLE = """
+-- Ljung-Box portmanteau test (m=7) on the daily-revenue series:
+-- Q = n(n+2) * sum_k r_k^2/(n-k) — the "is there ANY
+-- autocorrelation" gate run before fitting AR terms (the ACF op
+-- shows per-lag structure; Ljung-Box aggregates it into one
+-- chi-square decision, df=7, 5% critical value 14.067). Built on
+-- the identical exact-integer sufficient statistics as
+-- timeseries_acf_lags: every r_k is a fixed-order scalar chain on
+-- exact BIGINT sums, and the 7-term Q sum is a LITERAL left-to-
+-- right expression (not an aggregate), so it is bit-identical
+-- across engines.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), led AS (
+  SELECT y,
+         LEAD(y, 1) OVER (ORDER BY d) AS y1, LEAD(y, 2) OVER (ORDER BY d) AS y2,
+         LEAD(y, 3) OVER (ORDER BY d) AS y3, LEAD(y, 4) OVER (ORDER BY d) AS y4,
+         LEAD(y, 5) OVER (ORDER BY d) AS y5, LEAD(y, 6) OVER (ORDER BY d) AS y6,
+         LEAD(y, 7) OVER (ORDER BY d) AS y7
+  FROM daily
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS q,
+         SUM(y * y1) AS p1, SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1, SUM(y1) AS b1,
+         SUM(y * y2) AS p2, SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2, SUM(y2) AS b2,
+         SUM(y * y3) AS p3, SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS a3, SUM(y3) AS b3,
+         SUM(y * y4) AS p4, SUM(CASE WHEN y4 IS NOT NULL THEN y END) AS a4, SUM(y4) AS b4,
+         SUM(y * y5) AS p5, SUM(CASE WHEN y5 IS NOT NULL THEN y END) AS a5, SUM(y5) AS b5,
+         SUM(y * y6) AS p6, SUM(CASE WHEN y6 IS NOT NULL THEN y END) AS a6, SUM(y6) AS b6,
+         SUM(y * y7) AS p7, SUM(CASE WHEN y7 IS NOT NULL THEN y END) AS a7, SUM(y7) AS b7
+  FROM led
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ((p1*1.0 - (s*1.0/n)*((a1*1.0)+(b1*1.0)) + (n-1)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r1,
+         ((p2*1.0 - (s*1.0/n)*((a2*1.0)+(b2*1.0)) + (n-2)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r2,
+         ((p3*1.0 - (s*1.0/n)*((a3*1.0)+(b3*1.0)) + (n-3)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r3,
+         ((p4*1.0 - (s*1.0/n)*((a4*1.0)+(b4*1.0)) + (n-4)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r4,
+         ((p5*1.0 - (s*1.0/n)*((a5*1.0)+(b5*1.0)) + (n-5)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r5,
+         ((p6*1.0 - (s*1.0/n)*((a6*1.0)+(b6*1.0)) + (n-6)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r6,
+         ((p7*1.0 - (s*1.0/n)*((a7*1.0)+(b7*1.0)) + (n-7)*(s*1.0/n)*(s*1.0/n)) / (q*1.0 - n*(s*1.0/n)*(s*1.0/n))) AS r7
+  FROM agg
+)
+SELECT n AS n_days,
+       CAST(7 AS BIGINT) AS df,
+       FLOOR((n * (n + 2.0)
+              * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3) + r4*r4/(n-4)
+                 + r5*r5/(n-5) + r6*r6/(n-6) + r7*r7/(n-7)))
+             * 1000000 + 0.5) / 1000000 AS q_stat,
+       CASE WHEN n * (n + 2.0)
+                 * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3) + r4*r4/(n-4)
+                    + r5*r5/(n-5) + r6*r6/(n-6) + r7*r7/(n-7)) > 14.067
+            THEN 'autocorrelated' ELSE 'white_noise' END AS verdict
+FROM r
+"""
+
+
+@register("timeseries_ljung_box", oracle=LJUNG_BOX_ORACLE)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q test (m=7, df=7, 5% critical 14.067) on daily
+    revenue — the one-number "any autocorrelation at all?" gate a
+    forecasting pipeline runs before spending on AR terms
+    (timeseries_acf_lags is its per-lag diagnostic sibling, and
+    this op reuses that op's exact-integer sufficient-statistic
+    device verbatim).
+
+    Scale shape: identical to the ACF op — facts collapse to the
+    day domain, one window sort of |days|, one-row sufficient
+    statistics; Q's 7-term sum is a literal fixed-order expression,
+    never an aggregate, so cross-engine bit-parity holds with no
+    snapping before the final floor device."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    led = daily.select(
+        "y", *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 8)]
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    ]
+    for k in range(1, 8):
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum(F.col("y") * yk).alias(f"p{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y"))).alias(f"a{k}"),
+            F.sum(yk).alias(f"b{k}"),
+        ]
+    agg = led.agg(*aggs)
+    n = F.col("n")
+    ybar = F.col("s") * 1.0 / n
+    den = F.col("q") * 1.0 - n * ybar * ybar
+
+    def r(k):
+        return (
+            F.col(f"p{k}") * 1.0
+            - ybar * ((F.col(f"a{k}") * 1.0) + (F.col(f"b{k}") * 1.0))
+            + (n - k) * ybar * ybar
+        ) / den
+
+    qsum = r(1) * r(1) / (n - 1)
+    for k in range(2, 8):
+        qsum = qsum + r(k) * r(k) / (n - k)
+    qstat = n * (n + 2.0) * qsum
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.lit(7).cast("long").alias("df"),
+        snap(qstat, 6).alias("q_stat"),
+        F.when(qstat > 14.067, "autocorrelated")
+        .otherwise("white_noise")
+        .alias("verdict"),
+    )

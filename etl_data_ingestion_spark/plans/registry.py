@@ -57,7 +57,12 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-7: round-8 WAVE-4 additions (newest, never checked)
+    # slots 1-4: round-8 WAVE-5 additions (newest, never checked)
+    "ml_average_precision",
+    "ml_logreg_newton_probe",
+    "timeseries_ljung_box",
+    "agg_theil_inequality",
+    # slots 5-11: round-8 WAVE-4 additions (never checked)
     "text_kneser_ney_bigram",
     "timeseries_bollinger_bands",
     "agg_abc_classification",
