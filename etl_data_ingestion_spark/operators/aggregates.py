@@ -2477,10 +2477,20 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on execution order — cross-engine parity holds by
     construction, not by tolerance."""
     orders = load_table(spark, sf_dir, "orders", parallel=True)
-    n_df = orders.agg(F.count(F.lit(1)).alias("n"))
-    joint = orders.groupBy(
-        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus pass: the |X|x|Y| joint is the only fact-derived
+    # table; n, marginals, and every entropy term derive from these
+    # <=15 persisted rows (without the persist, Catalyst re-expands
+    # each of the 8 downstream branches into its own parquet scan —
+    # the plan audit that motivated this shape)
+    joint = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    n_df = joint.agg(F.sum("c").alias("n"))
     mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
     terms = (
@@ -2659,11 +2669,13 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_ingestion_spark.functions.numeric import snap
 
     orders = load_table(spark, sf_dir, "orders", parallel=True)
+    # persist the customer rollup: tot and the term pass both read it,
+    # and without the persist each branch re-scans the fact table
     cust = orders.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
-    )
+    ).persist()
     tot = cust.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
     )

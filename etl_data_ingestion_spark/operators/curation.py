@@ -1428,9 +1428,11 @@ def pipeline_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR) so the kept set is identical across engines."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
+    # persist the 3-column projection: the corpus count and the
+    # ranked pass both read it (else two parquet scans)
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "source", "n_chars", "doc_id"
-    )
+    ).persist()
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
     ranked = docs.select(

@@ -1503,12 +1503,14 @@ def ml_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_ingestion_spark.functions.numeric import snap
 
     orders = load_table(spark, sf_dir, "orders", parallel=True)
+    # persist the date rollup: the self-join reads it twice and would
+    # otherwise scan the fact table once per side
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev_cents"),
-    )
+    ).persist()
     a = daily.alias("a")
     b = daily.alias("b")
     dx = F.col("a.n_orders") - F.col("b.n_orders")
@@ -1681,25 +1683,27 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.sum("pos").over(Window.orderBy("rn")).alias("cum_pos"),
     )
-    terms = cum.filter(F.col("pos") == 1).select(
-        F.floor((F.col("cum_pos") * 1.0 / F.col("rn")) * 1000000000 + F.lit(0.5))
-        .cast("long")
-        .alias("t_nano")
+    # single pass over the ranked stream: the positive-only terms are
+    # a conditional aggregate, so n_rows needs no second sort branch
+    terms = cum.select(
+        F.when(
+            F.col("pos") == 1,
+            F.floor(
+                (F.col("cum_pos") * 1.0 / F.col("rn")) * 1000000000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("t_nano")
     )
-    n_rows = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
-    return (
-        terms.agg(
-            F.count(F.lit(1)).alias("n_pos"),
-            F.sum("t_nano").alias("s_nano"),
-        )
-        .crossJoin(F.broadcast(n_rows))
-        .select(
-            "n_pos",
-            "n_rows",
-            snap(
-                F.col("s_nano") * 1.0 / F.col("n_pos") / 1000000000.0, 6
-            ).alias("average_precision"),
-        )
+    return terms.agg(
+        F.count("t_nano").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("t_nano").alias("s_nano"),
+    ).select(
+        "n_pos",
+        "n_rows",
+        snap(
+            F.col("s_nano") * 1.0 / F.col("n_pos") / 1000000000.0, 6
+        ).alias("average_precision"),
     )
 
 

@@ -1615,6 +1615,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         rf"\b({stop})\b",
         "|",
     )
+    # persist the phrase-occurrence stream: word stats and phrase
+    # counts both consume it, and recomputing means a second corpus
+    # scan plus a second pass of the regexp pipeline
     occ = (
         docs.select("doc_id", s.alias("s"))
         .select("doc_id", F.explode(F.split(F.col("s"), r"\|")).alias("p"))
@@ -1623,6 +1626,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("phrase") > 0)
             & F.size(F.split(F.col("phrase"), " +")).between(1, 3)
         )
+        .persist()
     )
     occ_words = occ.select(
         "phrase",
@@ -1739,7 +1743,10 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2").persist()
-    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # persist the bigram-type table too: c1/cont/bt all derive from
+    # it, and without the persist each branch re-aggregates the full
+    # bigram stream (plan-audit finding: 5 fact scans -> 1)
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     c1 = c2.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")
     )

@@ -1761,6 +1761,8 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_cents")
     )
+    # persist the 53-row segment table: the stats aggregate and the
+    # z-score projection both read it (else two fact scans)
     seg = daily.groupBy(
         F.floor((F.col("doy") - 1) / 7).cast("long").alias("segment")
     ).agg(
@@ -1768,7 +1770,7 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("day_cents") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
         .cast("long")
         .alias("v"),
-    )
+    ).persist()
     stats = seg.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("sv"),
