@@ -196,6 +196,9 @@ EXTENDED = [
     "ml_logreg_newton_probe",
     "timeseries_ljung_box",
     "agg_theil_inequality",
+    # round 8 wave 6
+    "graph_assortativity",
+    "events_bot_regularity",
 ]
 
 

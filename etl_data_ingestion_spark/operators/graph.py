@@ -621,3 +621,107 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iteration int, n_nodes long, n_edges long"
     ).orderBy("iteration")
+
+
+ASSORTATIVITY_ORACLE = """
+-- Degree assortativity (Newman 2002) of the customer--supplier
+-- graph: the Pearson correlation of endpoint degrees over all edge
+-- ENDPOINT ORIENTATIONS (each undirected edge contributes both
+-- (j,k) and (k,j), which makes the estimator symmetric without the
+-- half-sum correction terms) — disassortative graphs (hubs link to
+-- leaves, r<0) need different partitioning strategy than
+-- assortative ones (hub-hub cores, skew hot spots). All moments
+-- are exact BIGINT sums of integer degrees; r is one fixed-order
+-- double chain, snapped.
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS u, -l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY n
+), oriented AS (
+  SELECT du.d AS j, dv.d AS k
+  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+  UNION ALL
+  SELECT dv.d AS j, du.d AS k
+  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+), m AS (
+  SELECT COUNT(*) AS n2,
+         CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j * j) AS BIGINT) AS sjj,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM oriented
+)
+SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       FLOOR(((sjk * 1.0 / n2 - (sj * 1.0 / n2) * (sk * 1.0 / n2))
+              / (SQRT(sjj * 1.0 / n2 - (sj * 1.0 / n2) * (sj * 1.0 / n2))
+                 * SQRT(skk * 1.0 / n2 - (sk * 1.0 / n2) * (sk * 1.0 / n2))))
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity", oracle=ASSORTATIVITY_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the customer--supplier
+    graph — one number telling you whether hubs connect to hubs
+    (r>0) or to leaves (r<0), which predicts whether per-node joins
+    will see correlated or anti-correlated skew.
+
+    Scale shape: edge dedup is the corpus-sized work (shared shape
+    with graph_degree_distribution / kcore); the persisted edge and
+    degree tables are node/edge-domain-sized, the double-orientation
+    union is a projection (no second join pass), and the five degree
+    moments reduce in one Exchange. Degree products stay inside
+    int64 to ~1e9-degree hubs x 1e9 edges; beyond that the moments
+    move to the oracle-mirrored double path (documented cutover)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), (-F.col("l_suppkey")).alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "dj")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dk")
+    joined = e.join(du, "u").join(dv, "v").persist()
+    oriented = joined.select(
+        F.col("dj").alias("j"), F.col("dk").alias("k")
+    ).unionAll(joined.select(F.col("dk").alias("j"), F.col("dj").alias("k")))
+    m = oriented.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum("j").alias("sj"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n2 = F.col("n2")
+    mj, mk = F.col("sj") * 1.0 / n2, F.col("sk") * 1.0 / n2
+    num = F.col("sjk") * 1.0 / n2 - mj * mk
+    den = F.sqrt(F.col("sjj") * 1.0 / n2 - mj * mj) * F.sqrt(
+        F.col("skk") * 1.0 / n2 - mk * mk
+    )
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        (n2 / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        snap(num / den, 6).alias("assortativity"),
+    )

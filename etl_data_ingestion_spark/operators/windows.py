@@ -2007,3 +2007,84 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("white_noise")
         .alias("verdict"),
     )
+
+
+BOT_REGULARITY_ORACLE = """
+-- Bot-likeness by inter-event regularity: per user with >= 5 gaps,
+-- the coefficient of variation of inter-event times (machine
+-- traffic is metronomic, cv -> 0; humans are bursty, cv >~ 1) —
+-- the behavioral bot filter a training-data pipeline runs over
+-- clickstream-adjacent corpora. Gaps are exact integer seconds
+-- (floored from exact epoch-microsecond differences), so all
+-- moments are exact BIGINT sums and cv is a fixed-order chain.
+-- Top-10 most-regular users, deterministic tie-break.
+WITH gaps AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0)
+              AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stats AS (
+  SELECT user_id, COUNT(gap_s) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sg,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+  HAVING COUNT(gap_s) >= 5 AND SUM(gap_s) > 0
+)
+SELECT user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       FLOOR((sg * 1.0 / n_gaps) * 100 + 0.5) / 100 AS mean_gap_s,
+       FLOOR((SQRT(sgg * 1.0 / n_gaps - (sg * 1.0 / n_gaps) * (sg * 1.0 / n_gaps))
+              / (sg * 1.0 / n_gaps)) * 1000000 + 0.5) / 1000000 AS cv
+FROM stats
+ORDER BY FLOOR((SQRT(sgg * 1.0 / n_gaps - (sg * 1.0 / n_gaps) * (sg * 1.0 / n_gaps))
+                / (sg * 1.0 / n_gaps)) * 1000000 + 0.5) / 1000000,
+         user_id
+LIMIT 10
+"""
+
+
+@register("events_bot_regularity", oracle=BOT_REGULARITY_ORACLE)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time regularity score per user (coefficient of
+    variation of gaps): the behavioral bot screen — metronomic
+    actors score near 0, organic users near or above 1. Emits the
+    ten most-regular users for review.
+
+    Scale shape: one fact pass; the LAG window partitions by
+    user_id (embarrassingly parallel, no global sort) and the
+    per-user moments partial-aggregate to the user domain. Gaps are
+    exact integer seconds from epoch-microsecond arithmetic, so cv
+    is a fixed-order chain on exact BIGINTs; the top-10 is
+    TakeOrderedAndProject on the snapped score with a user_id
+    tie-break."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / 1000000.0).cast("long").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+        )
+        .filter((F.col("n_gaps") >= 5) & (F.col("sg") > 0))
+    )
+    mean = F.col("sg") * 1.0 / F.col("n_gaps")
+    cv = F.sqrt(F.col("sgg") * 1.0 / F.col("n_gaps") - mean * mean) / mean
+    return (
+        stats.select(
+            "user_id",
+            "n_gaps",
+            snap(mean, 2).alias("mean_gap_s"),
+            snap(cv, 6).alias("cv"),
+        )
+        .orderBy("cv", "user_id")
+        .limit(10)
+    )
