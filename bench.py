@@ -199,6 +199,8 @@ EXTENDED = [
     # round 8 wave 6
     "graph_assortativity",
     "events_bot_regularity",
+    # round 8 wave 7
+    "timeseries_rolling_zscore_by_key",
 ]
 
 

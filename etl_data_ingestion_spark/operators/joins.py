@@ -270,9 +270,17 @@ def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SMJ_ORACLE = """
+-- revenue in EXACT integer cents: SUM(float) over ~6M lines per
+-- priority group diverged by 1 ulp between engines at sf1 (different
+-- summation order), flipping the printed cent after ROUND(,2) — the
+-- r8 scale sweep caught it ('...572.26' vs '...572.27'). Per-line
+-- half-up cents via FLOOR(x*100+0.5) is the identical IEEE chain in
+-- both engines; the BIGINT sum is order-free (int64 headroom ~9e16
+-- dollars, far past 100 TB group sums).
 SELECT o_orderpriority,
        COUNT(*) AS n_lines,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -294,8 +302,19 @@ def join_sortmerge_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact-cents sum (see SMJ_ORACLE): order-free BIGINT
+            # arithmetic instead of order-dependent float SUM+ROUND —
+            # the float form flipped a cent vs the oracle at sf1
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue"),
         )
     )
@@ -430,9 +449,12 @@ BLOOM_PRUNED_ORACLE = """
 -- negatives and every false positive is removed by the exact join
 -- that follows, so the result equals the plain join — which is
 -- exactly what the oracle computes.
+-- revenue in exact integer cents (same device and rationale as
+-- SMJ_ORACLE: order-free BIGINT sum, identical IEEE per-line chain).
 SELECT l_returnflag,
        COUNT(*) AS n_lines,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_nationkey = 7
@@ -495,8 +517,17 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact-cents sum (same device and rationale as SMJ_ORACLE)
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue"),
         )
     )

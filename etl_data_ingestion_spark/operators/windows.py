@@ -2088,3 +2088,97 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv", "user_id")
         .limit(10)
     )
+
+
+ROLLING_Z_BY_KEY_ORACLE = """
+-- Per-supplier rolling z-score anomalies on weekly net revenue:
+-- 8-week rolling mean/sd per supplier, flag weeks with |z| > 2 —
+-- the PARTITIONED rolling-anomaly shape (every rolling op so far
+-- ran on one global series; at 100 TB the per-key form is the one
+-- that matters, because each key's window is independent and the
+-- whole computation is embarrassingly parallel across keys).
+-- Weekly values are exact integer cents; rolling moments are exact
+-- BIGINT window sums; z and the flag are fixed-order chains.
+WITH weekly AS (
+  SELECT l_suppkey,
+         STRFTIME(date_trunc('week', l_shipdate), '%Y-%m-%d') AS wk,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+), rolled AS (
+  SELECT l_suppkey, wk, cents,
+         COUNT(*) OVER w AS cnt,
+         CAST(SUM(cents) OVER w AS BIGINT) AS sv,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS sv2
+  FROM weekly
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY wk
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT l_suppkey, wk, cents,
+         (cents - sv * 1.0 / 8)
+           / SQRT(sv2 * 1.0 / 8 - (sv * 1.0 / 8) * (sv * 1.0 / 8)) AS zval
+  FROM rolled
+  WHERE cnt = 8
+    AND sv2 * 1.0 / 8 - (sv * 1.0 / 8) * (sv * 1.0 / 8) > 0
+)
+SELECT l_suppkey, wk AS week_start, CAST(cents AS BIGINT) AS week_cents,
+       FLOOR(zval * 10000 + 0.5) / 10000 AS z_score
+FROM z WHERE ABS(zval) > 2
+ORDER BY l_suppkey, wk
+"""
+
+
+@register("timeseries_rolling_zscore_by_key", oracle=ROLLING_Z_BY_KEY_ORACLE)
+def timeseries_rolling_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier 8-week rolling z-score anomalies on net weekly
+    revenue — the PARTITIONED rolling-anomaly operator (the global-
+    series rolling ops don't exercise the shape that matters at
+    100 TB: windows partitioned by a high-cardinality key, where
+    every partition is independent and Spark parallelizes across
+    the key domain with no global sort).
+
+    Scale shape: one fact pass partial-aggregates to (supplier,
+    week); the window sorts WITHIN supplier partitions only (the
+    per-partition sort is |weeks|-sized); moments are exact BIGINT
+    window sums over integer cents, so the |z|>2 flag is a
+    deterministic fixed-order comparison. Zero-variance windows are
+    excluded in both engines before the division."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    weekly = li.groupBy(
+        "l_suppkey",
+        F.date_format(F.date_trunc("week", "l_shipdate"), "yyyy-MM-dd").alias(
+            "wk"
+        ),
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("wk").rowsBetween(-7, 0)
+    rolled = weekly.select(
+        "l_suppkey",
+        "wk",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("cents").over(w).alias("sv"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sv2"),
+    )
+    mean = F.col("sv") * 1.0 / 8
+    var = F.col("sv2") * 1.0 / 8 - mean * mean
+    zval = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        rolled.filter((F.col("cnt") == 8) & (var > 0))
+        .filter(F.abs(zval) > 2)
+        .select(
+            "l_suppkey",
+            F.col("wk").alias("week_start"),
+            F.col("cents").alias("week_cents"),
+            snap(zval, 4).alias("z_score"),
+        )
+        .orderBy("l_suppkey", "wk")
+    )

@@ -57,7 +57,9 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-2: round-8 WAVE-6 additions (newest, never checked)
+    # slot 1: round-8 WAVE-7 addition (newest, never checked)
+    "timeseries_rolling_zscore_by_key",
+    # slots 2-3: round-8 WAVE-6 additions (never checked)
     "graph_assortativity",
     "events_bot_regularity",
     # slots 3-6: round-8 WAVE-5 additions (never checked)
