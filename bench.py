@@ -201,6 +201,12 @@ EXTENDED = [
     "events_bot_regularity",
     # round 8 wave 7
     "timeseries_rolling_zscore_by_key",
+    # round 8 wave 8
+    "agg_pareto_frontier",
+    "timeseries_cross_correlation",
+    "embedding_pca_power_iteration",
+    "ml_item_item_cf",
+    "text_tfidf_cosine_pairs",
 ]
 
 

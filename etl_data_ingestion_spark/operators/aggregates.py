@@ -2699,3 +2699,86 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_l"
         ),
     )
+
+
+PARETO_FRONTIER_ORACLE = """
+-- Pareto frontier (skyline) of customers over MAXIMIZE lifetime
+-- spend (exact integer cents) / MINIMIZE order count — the
+-- 'high-value, low-touch' multi-objective query no single ORDER BY
+-- answers (max/max spend-orders is near-degenerate: the dims are
+-- positively correlated, so 1-2 points dominate; the opposed pair
+-- yields a real frontier). A customer is ON the frontier iff no
+-- other weakly beats them on both dims with one strict win;
+-- dominance is decided on exact integers, so the set is
+-- deterministic. Window formulation (no O(n^2) self-join): sorted
+-- by cents DESC, the running MIN(n_orders) over rows with STRICTLY
+-- larger cents (integer RANGE frame ending 1 PRECEDING) catches
+-- cross-x dominance; a per-cents-value MIN catches same-x
+-- dominance (equal cents, strictly fewer orders). Equal
+-- (cents, n) pairs do not dominate each other and both stay.
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), flagged AS (
+  SELECT o_custkey, cents, n_orders,
+         MIN(n_orders) OVER (ORDER BY cents DESC
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS best_above,
+         MIN(n_orders) OVER (PARTITION BY cents) AS best_same
+  FROM spend
+)
+SELECT o_custkey, CAST(cents AS BIGINT) AS cents, n_orders
+FROM flagged
+WHERE (best_above IS NULL OR best_above > n_orders)
+  AND best_same = n_orders
+ORDER BY cents DESC, o_custkey
+"""
+
+
+@register("agg_pareto_frontier", oracle=PARETO_FRONTIER_ORACLE)
+def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of customers: maximize lifetime
+    spend, minimize order count — 'high-value, low-touch', the
+    multi-objective query no single ORDER BY can answer (the
+    opposed-dimension pair; max/max is near-degenerate here since
+    spend and order count are positively correlated).
+
+    Plan: one fact pass partial-aggregates orders to |customers|
+    rows of exact-integer metrics; dominance is then two window
+    passes over ONE global sort on cents (the strictly-greater-x
+    running min via an integer RANGE frame, the same-x min via a
+    partition) — no O(n^2) dominance self-join. At 100 TB the
+    skyline is distributive (a partition-local frontier pass would
+    shrink input before the global sort), but the |customers|-sized
+    sorted window is already the cheap stage next to the fact scan;
+    dominance on exact BIGINTs means both engines flag the identical
+    frontier set."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_above = (
+        Window.orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("cents")
+    flagged = spend.select(
+        "o_custkey",
+        "cents",
+        "n_orders",
+        F.min("n_orders").over(w_above).alias("best_above"),
+        F.min("n_orders").over(w_same).alias("best_same"),
+    )
+    return (
+        flagged.filter(
+            (F.col("best_above").isNull() | (F.col("best_above") > F.col("n_orders")))
+            & (F.col("best_same") == F.col("n_orders"))
+        )
+        .select("o_custkey", "cents", "n_orders")
+        .orderBy(F.col("cents").desc(), "o_custkey")
+    )

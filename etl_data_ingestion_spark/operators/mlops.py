@@ -1814,3 +1814,96 @@ def ml_logreg_newton_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_hour"
         ),
     )
+
+
+ITEM_CF_ORACLE = """
+-- Item-item collaborative filtering scores: cosine similarity of
+-- parts over the order-basket incidence matrix (c_ab co-orders /
+-- sqrt(c_a * c_b)) — the classic 'customers who bought X also
+-- bought Y' recommender primitive. All counts are exact integers;
+-- cosine is one fixed-order float chain on them; ranking is on the
+-- snapped score with full (part_a, part_b) tiebreak, so top-20 is
+-- deterministic.
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+  SELECT l_partkey, COUNT(*) AS c FROM basket GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT pair.pa AS part_a, pair.pb AS part_b,
+         CAST(pair.c_ab AS BIGINT) AS co_orders,
+         CAST(ia.c AS BIGINT) AS n_a, CAST(ib.c AS BIGINT) AS n_b,
+         FLOOR(pair.c_ab / SQRT(ia.c * 1.0 * ib.c) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM pair
+  JOIN item ia ON ia.l_partkey = pair.pa
+  JOIN item ib ON ib.l_partkey = pair.pb
+  WHERE pair.c_ab >= 2
+)
+SELECT * FROM scored
+ORDER BY cosine DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("ml_item_item_cf", oracle=ITEM_CF_ORACLE)
+def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering cosine over order baskets
+    ('bought X, also bought Y') with min co-support 2 — the
+    recommender primitive the basket-rules operator's support/lift
+    view doesn't give (cosine normalizes by BOTH margins).
+
+    Plan: distinct (order, part) incidence, then the pair count is a
+    per-basket self-join — bounded quadratic: lineitem orders carry
+    <= 7 lines, so each order contributes <= 21 pairs, and the join
+    key is l_orderkey (co-partitioned shuffle, never a cross
+    product). Margins broadcast back onto pairs (|parts| rows).
+    At 100 TB the same bound holds per basket; heavy-hitter baskets
+    (retail carts of 1000s) would cap or sample per basket before
+    pairing — documented, not needed on this schema. Integer counts
+    -> one fixed-order cosine chain -> snapped ordering with full
+    key tiebreak: deterministic top-20 in both engines."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    scored = (
+        pair.join(item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c_ab").cast("long").alias("co_orders"),
+            F.col("ca").cast("long").alias("n_a"),
+            F.col("cb").cast("long").alias("n_b"),
+            (
+                F.floor(
+                    F.col("c_ab")
+                    / F.sqrt(F.col("ca") * 1.0 * F.col("cb"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "part_a", "part_b"
+    ).limit(20)

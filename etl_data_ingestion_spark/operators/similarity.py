@@ -969,3 +969,144 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cs", 6).alias("cos_sim"))
         .orderBy("q_id", "vec_id")
     )
+
+
+PCA_POWER_ORACLE = """
+-- Top principal direction of the embedding Gram matrix (sum of
+-- outer products, uncentered) via TWO fixed power iterations from
+-- the constant unit start v0 = 1/sqrt(64) — the PCA probe a
+-- curation pipeline runs to find the dominant axis of an embedding
+-- corpus (and its energy) without a d x d eigensolve.
+-- Determinism device: each iteration's accumulation u_j =
+-- SUM_rows(x_j * (x . v)) is made ORDER-FREE by snapping the
+-- per-row contribution to an exact integer (FLOOR(c * 1e6 + 0.5))
+-- and summing BIGINTs; the per-row scalar x . v and every
+-- renormalization fold run in fixed element order in both engines,
+-- so all float chains are bit-identical.
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), s1 AS (  -- x . v0 where v0_j = 1/8 (d = 64)
+  SELECT vec_id, x,
+         list_reduce(list_prepend(0.0, x), (a, b) -> a + b) / 8.0 AS s
+  FROM e
+), u1 AS (  -- order-free integer accumulation per component
+  SELECT g.pos,
+         SUM(CAST(FLOOR(s1.x[g.pos] * s1.s * 1000000 + 0.5) AS BIGINT)) AS u
+  FROM s1, (SELECT UNNEST(generate_series(1, 64)) AS pos) g
+  GROUP BY g.pos
+), v1row AS (  -- renormalize in fixed pos order
+  SELECT list(u / 1000000.0 ORDER BY pos) AS uf FROM u1
+), v1 AS (
+  SELECT list_transform(uf, c -> c / sqrt(list_reduce(
+           list_prepend(0.0, list_transform(uf, c2 -> c2 * c2)),
+           (a, b) -> a + b))) AS v
+  FROM v1row
+), s2 AS (
+  SELECT e.vec_id, e.x,
+         list_reduce(list_prepend(0.0,
+           list_transform(list_zip(e.x, v1.v),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           (a, b) -> a + b) AS s
+  FROM e, v1
+), u2 AS (
+  SELECT g.pos,
+         SUM(CAST(FLOOR(s2.x[g.pos] * s2.s * 1000000 + 0.5) AS BIGINT)) AS u
+  FROM s2, (SELECT UNNEST(generate_series(1, 64)) AS pos) g
+  GROUP BY g.pos
+), u2row AS (
+  SELECT list(u / 1000000.0 ORDER BY pos) AS uf FROM u2
+), nrm AS (
+  SELECT uf, sqrt(list_reduce(
+           list_prepend(0.0, list_transform(uf, c -> c * c)),
+           (a, b) -> a + b)) AS nrm
+  FROM u2row
+)
+SELECT g.pos - 1 AS component,
+       FLOOR(nrm.uf[g.pos] / nrm.nrm * 1000000 + 0.5) / 1000000 AS loading,
+       FLOOR(nrm.nrm * 1000 + 0.5) / 1000 AS eigenvalue_est
+FROM nrm, (SELECT UNNEST(generate_series(1, 64)) AS pos) g
+ORDER BY component
+"""
+
+
+@register("embedding_pca_power_iteration", oracle=PCA_POWER_ORACLE)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (uncentered
+    Gram matrix) by two fixed power iterations — dominant-axis probe
+    for embedding-space curation (is the corpus collapsing onto one
+    direction?) without materializing the d x d covariance.
+
+    Plan: each iteration is ONE corpus pass — the per-row scalar
+    s = x . v is a fixed-order JVM fold, the rank-1 accumulation
+    u_j = SUM(x_j * s) posexplodes to (pos, contrib) and hash-
+    aggregates on d = 64 keys (map-side combine reduces every
+    partition to 64 rows before the shuffle — at 100 TB the wire
+    carries 64 longs per partition, nothing else). Contributions
+    are snapped to exact 1e-6 integers so the sum is order-free
+    (int64 headroom: |contrib| <= ~1e7 per row -> 1e17 at 1e10
+    rows); renormalizations fold a 64-array in fixed pos order.
+    The second iteration broadcasts the 1-row v1 onto the corpus.
+    Both engines therefore run bit-identical float chains and the
+    BIGINT sums are order-independent, so loadings match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda c: c.cast("double")).alias("x"),
+    )
+    fold_sum = lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, c: acc + c
+    )
+
+    def iterate(df_with_s):
+        """(x, s) rows -> 1-row DF with the BIGINT-exact u array
+        (pos order) as doubles scaled back by 1e6."""
+        contrib = df_with_s.select(
+            F.posexplode("x").alias("pos", "xj"), F.col("s")
+        ).select(
+            "pos",
+            F.floor(F.col("xj") * F.col("s") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        u = contrib.groupBy("pos").agg(F.sum("c").alias("u"))
+        return u.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "u"))
+                ),
+                lambda st: st["u"] / 1000000.0,
+            ).alias("uf")
+        )
+
+    s1 = emb.select("vec_id", "x", (fold_sum(F.col("x")) / 8.0).alias("s"))
+    v1row = iterate(s1).select(
+        F.transform(
+            "uf",
+            lambda c: c / F.sqrt(fold_sum(F.transform("uf", lambda c2: c2 * c2))),
+        ).alias("v")
+    )
+    s2 = emb.crossJoin(F.broadcast(v1row)).select(
+        "vec_id",
+        "x",
+        fold_sum(F.zip_with("x", "v", lambda a, b: a * b)).alias("s"),
+    )
+    u2row = iterate(s2)
+    nrm = u2row.select(
+        "uf", F.sqrt(fold_sum(F.transform("uf", lambda c: c * c))).alias("nrm")
+    )
+    return (
+        nrm.select(
+            F.posexplode("uf").alias("pos", "c"), F.col("nrm")
+        )
+        .select(
+            F.col("pos").alias("component"),
+            (F.floor(F.col("c") / F.col("nrm") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "loading"
+            ),
+            (F.floor(F.col("nrm") * 1000 + F.lit(0.5)) / 1000).alias(
+                "eigenvalue_est"
+            ),
+        )
+        .orderBy("component")
+    )

@@ -1777,3 +1777,132 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TFIDF_COSINE_PAIRS_ORACLE = """
+-- Document-pair cosine similarity over TF-IDF vectors via an
+-- inverted-index self-join — the sparse-vector similarity primitive
+-- (near-dup scoring with term weighting, unlike raw Jaccard).
+-- Vocabulary pruning first: terms with df = 1 cannot co-occur and
+-- terms with df > 50 are stop-like posting lists that blow up the
+-- pair fan-out (the standard posting-cap); cosine is then EXACT on
+-- the pruned space. Determinism: idf is snapped to an exact 1e-4
+-- integer grid, so weights, dots and squared norms are all
+-- order-free BIGINT sums; the only float math is the final
+-- dot / (sqrt(n1) * sqrt(n2)) chain, identical in both engines.
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(FLOOR(ln(n.n_docs * 1.0 / df.df) * 10000 + 0.5)
+                      AS BIGINT) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df BETWEEN 2 AND 50
+), nrm AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+), dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot, COUNT(*) AS shared_terms
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT dot.doc_a, dot.doc_b, CAST(dot.shared_terms AS BIGINT) AS shared_terms,
+       FLOOR(dot.dot / (SQRT(na.n2) * SQRT(nb.n2)) * 1000000 + 0.5)
+         / 1000000 AS cosine
+FROM dot
+JOIN nrm na ON na.doc_id = dot.doc_a
+JOIN nrm nb ON nb.doc_id = dot.doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@register("text_tfidf_cosine_pairs", oracle=TFIDF_COSINE_PAIRS_ORACLE)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by TF-IDF cosine similarity via an
+    inverted-index self-join — weighted sparse-vector near-dup
+    scoring (Jaccard treats 'the' and a rare name alike; TF-IDF
+    cosine doesn't).
+
+    Plan: tokenize once; tf and df are the two standard term
+    aggregations (map-side combine); vocabulary pruning (2 <= df <=
+    50) removes both the can't-co-occur singletons and the stop-like
+    posting lists whose pair fan-out is quadratic in df — at 100 TB
+    the posting cap IS the scale control (fan-out bounded by
+    cap^2 per term; heavy terms carry no similarity signal).
+    Weights use an idf snapped to an exact 1e-4 grid so dot products
+    and squared norms are order-free BIGINT sums (headroom: w <=
+    ~3e7 at 1e10 docs -> pairwise products ~1e15, sums well inside
+    int64); the pair join shuffles on term (co-partitioned), norms
+    join back on doc_id, and only the final dot/(sqrt*sqrt) chain is
+    float — fixed order, identical engines. Top-20 is TakeOrdered
+    with a full (cosine, doc_a, doc_b) tiebreak."""
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df.filter(F.col("df").between(2, 50)), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n_docs") * 1.0 / F.col("df")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_terms").cast("long").alias("shared_terms"),
+            (
+                F.floor(
+                    F.col("dot")
+                    / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -2182,3 +2182,93 @@ def timeseries_rolling_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("l_suppkey", "wk")
     )
+
+
+CROSS_CORR_ORACLE = """
+-- Lagged cross-correlation between two daily event-count series
+-- (views leading purchases): Pearson corr of (views_t,
+-- purchases_{t+lag}) for lag 0..7 — the does-X-lead-Y question
+-- behind campaign attribution. All five moments are exact BIGINT
+-- sums of integer daily counts, so corr is a fixed-order float
+-- chain on identical integers in both engines; one sqrt at the
+-- end, snapped on the 6-decimal grid.
+WITH daily AS (
+  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT l.lag, a.v AS x, b.p AS y
+  FROM daily a
+  JOIN (SELECT UNNEST(RANGE(0, 8)) AS lag) l ON TRUE
+  JOIN daily b ON b.d = STRFTIME(CAST(a.d AS DATE) + l.lag * INTERVAL 1 DAY,
+                                 '%Y-%m-%d')
+), mom AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM lags GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       FLOOR((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS ccf
+FROM mom
+ORDER BY lag
+"""
+
+
+@register("timeseries_cross_correlation", oracle=CROSS_CORR_ORACLE)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (CCF) between the daily view and
+    purchase count series, lags 0..7 — 'do views lead purchases,
+    and by how many days?'.
+
+    Plan: one events pass conditional-aggregates to |days| rows;
+    the 8-lag expansion is an 8-row broadcast cross join plus an
+    equi-join back on the shifted date (|days| * 8 rows — driver-
+    tiny next to the fact scan); all Pearson moments are exact
+    BIGINT sums of integer counts, so the only float math is the
+    final fixed-order corr expression — identical in both engines
+    on identical integers. At 100 TB the daily rollup is the
+    standard map-side-combine reduction; the CCF itself never sees
+    the raw events."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    lags = spark.range(0, 8).select(F.col("id").alias("lag"))
+    pairs = (
+        daily.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            daily.select(F.col("d").alias("bd"), F.col("p").alias("y")),
+            F.col("bd")
+            == F.date_format(
+                F.date_add(F.to_date("a.d"), F.col("lag").cast("int")),
+                "yyyy-MM-dd",
+            ),
+        )
+        .select("lag", F.col("a.v").alias("x"), "y")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx) * 1.0 * (n * F.col("syy") - sy * sy)
+    )
+    return mom.select(
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("ccf"),
+    ).orderBy("lag")

@@ -57,7 +57,13 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slot 1: round-8 WAVE-7 addition (newest, never checked)
+    # slots 1-5: round-8 WAVE-8 additions (newest, never checked)
+    "agg_pareto_frontier",
+    "timeseries_cross_correlation",
+    "embedding_pca_power_iteration",
+    "ml_item_item_cf",
+    "text_tfidf_cosine_pairs",
+    # next: round-8 WAVE-7 addition (never checked)
     "timeseries_rolling_zscore_by_key",
     # slots 2-3: round-8 WAVE-6 additions (never checked)
     "graph_assortativity",
