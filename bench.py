@@ -207,6 +207,11 @@ EXTENDED = [
     "embedding_pca_power_iteration",
     "ml_item_item_cf",
     "text_tfidf_cosine_pairs",
+    # round 8 wave 9
+    "agg_corr_matrix_daily",
+    "timeseries_granger_lag1",
+    "text_inverted_index_phrase",
+    "embedding_matryoshka_agreement",
 ]
 
 

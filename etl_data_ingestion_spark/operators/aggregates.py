@@ -2782,3 +2782,135 @@ def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "cents", "n_orders")
         .orderBy(F.col("cents").desc(), "o_custkey")
     )
+
+
+CORR_MATRIX_ORACLE = """
+-- One-pass Pearson correlation MATRIX of the five daily event-count
+-- series (all 10 unordered pairs) — the cross-metric screen run
+-- before any pairwise deep-dive. One events pass pivots to a
+-- |days| x 5 table; every moment (sums, squares, cross-products)
+-- is an exact BIGINT sum of integer counts aggregated in the SAME
+-- single rollup, so each pair's corr is one fixed-order float
+-- chain on identical integers in both engines.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m1,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS m4,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS m5
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(m1) AS s1, SUM(m2) AS s2, SUM(m3) AS s3,
+         SUM(m4) AS s4, SUM(m5) AS s5,
+         SUM(m1*m1) AS q1, SUM(m2*m2) AS q2, SUM(m3*m3) AS q3,
+         SUM(m4*m4) AS q4, SUM(m5*m5) AS q5,
+         SUM(m1*m2) AS p12, SUM(m1*m3) AS p13, SUM(m1*m4) AS p14,
+         SUM(m1*m5) AS p15, SUM(m2*m3) AS p23, SUM(m2*m4) AS p24,
+         SUM(m2*m5) AS p25, SUM(m3*m4) AS p34, SUM(m3*m5) AS p35,
+         SUM(m4*m5) AS p45
+  FROM daily
+), names(i, nm) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'),
+                          (4, 'signup'), (5, 'error')),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ib, a.nm AS metric_a, b.nm AS metric_b
+  FROM names a JOIN names b ON a.i < b.i
+), vals AS (
+  SELECT ia, ib, metric_a, metric_b, n,
+         CASE ia WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                 WHEN 4 THEN s4 ELSE s5 END AS sa,
+         CASE ib WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                 WHEN 4 THEN s4 ELSE s5 END AS sb,
+         CASE ia WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3
+                 WHEN 4 THEN q4 ELSE q5 END AS qa,
+         CASE ib WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3
+                 WHEN 4 THEN q4 ELSE q5 END AS qb,
+         CASE ia * 10 + ib
+           WHEN 12 THEN p12 WHEN 13 THEN p13 WHEN 14 THEN p14
+           WHEN 15 THEN p15 WHEN 23 THEN p23 WHEN 24 THEN p24
+           WHEN 25 THEN p25 WHEN 34 THEN p34 WHEN 35 THEN p35
+           ELSE p45 END AS pab
+  FROM pairs CROSS JOIN mom
+)
+SELECT metric_a, metric_b,
+       FLOOR((n * pab - sa * sb)
+             / SQRT((n * qa - sa * sa) * 1.0 * (n * qb - sb * sb))
+             * 1000000 + 0.5) / 1000000 AS corr
+FROM vals
+ORDER BY metric_a, metric_b
+"""
+
+
+@register("agg_corr_matrix_daily", oracle=CORR_MATRIX_ORACLE)
+def agg_corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the five daily event-count
+    series, all 10 unordered pairs from ONE pass — the cross-metric
+    health screen (pairwise corr operators re-scan per pair; the
+    matrix form shares the scan and the rollup).
+
+    Plan: one events pass conditional-pivots to |days| x 5, one
+    single-row aggregate computes ALL 20 moments (map-side combine:
+    each partition ships one 21-value state), and the 10-row pair
+    expansion is driver-sized arithmetic on exact BIGINT moments —
+    the fact scan is paid once regardless of how many pairs the
+    matrix has. Integer moments -> identical float chains -> snapped
+    corr matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(
+                f"m{i+1}"
+            )
+            for i, k in enumerate(kinds)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(5):
+        aggs.append(F.sum(f"m{i+1}").alias(f"s{i+1}"))
+        aggs.append(F.sum(F.col(f"m{i+1}") * F.col(f"m{i+1}")).alias(f"q{i+1}"))
+    for i in range(5):
+        for j in range(i + 1, 5):
+            aggs.append(
+                F.sum(F.col(f"m{i+1}") * F.col(f"m{j+1}")).alias(f"p{i+1}{j+1}")
+            )
+    mom = daily.agg(*aggs)
+    pair_rows = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            pair_rows.append((i + 1, j + 1, kinds[i], kinds[j]))
+    pairs = spark.createDataFrame(
+        pair_rows, "ia int, ib int, metric_a string, metric_b string"
+    )
+    v = pairs.crossJoin(F.broadcast(mom))
+    pick = lambda pre, col: F.coalesce(
+        *[
+            F.when(F.col(col) == i, F.col(f"{pre}{i}"))
+            for i in range(1, 6)
+        ]
+    )
+    sa, sb = pick("s", "ia"), pick("s", "ib")
+    qa, qb = pick("q", "ia"), pick("q", "ib")
+    pab = F.coalesce(
+        *[
+            F.when(
+                (F.col("ia") == i) & (F.col("ib") == j), F.col(f"p{i}{j}")
+            )
+            for i in range(1, 6)
+            for j in range(i + 1, 6)
+        ]
+    )
+    n = F.col("n")
+    corr = (
+        F.floor(
+            (n * pab - sa * sb)
+            / F.sqrt((n * qa - sa * sa) * 1.0 * (n * qb - sb * sb))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return v.select("metric_a", "metric_b", corr.alias("corr")).orderBy(
+        "metric_a", "metric_b"
+    )

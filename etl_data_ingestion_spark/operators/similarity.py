@@ -1110,3 +1110,139 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("component")
     )
+
+
+MATRYOSHKA_ORACLE = """
+-- Matryoshka (MRL) truncation quality: for each of 5 query vectors,
+-- how many of the top-5 cosine neighbors found with the FULL 64-dim
+-- embedding survive when retrieval uses only the first-16-dim
+-- prefix (renormalized)? The measurement behind shipping truncated
+-- embeddings: overlap@5 is the retrieval-agreement score. Both
+-- rankings order by the SNAPPED cosine with a vec_id tiebreak, so
+-- rank boundaries cannot flip between engines; all cosine folds run
+-- in fixed element order.
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS fv,
+         list_transform(embedding[1:16], v -> CAST(v AS DOUBLE)) AS pre
+  FROM embeddings
+), n AS (
+  SELECT vec_id, fv, pre,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(fv, v -> v * v)), (a, b) -> a + b)) AS nf,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(pre, v -> v * v)), (a, b) -> a + b)) AS np
+  FROM e
+), q AS (
+  SELECT vec_id AS q_id, fv AS qf, pre AS qp, nf AS qnf, np AS qnp
+  FROM n WHERE vec_id < 5
+), scored AS (
+  SELECT q.q_id, n.vec_id,
+         FLOOR(list_reduce(list_prepend(0.0,
+             list_transform(list_zip(q.qf, n.fv),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (a, b) -> a + b) / (q.qnf * n.nf) * 1000000 + 0.5)
+           / 1000000 AS cf,
+         FLOOR(list_reduce(list_prepend(0.0,
+             list_transform(list_zip(q.qp, n.pre),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (a, b) -> a + b) / (q.qnp * n.np) * 1000000 + 0.5)
+           / 1000000 AS cp
+  FROM q CROSS JOIN n
+  WHERE n.vec_id <> q.q_id
+), rf AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS r
+  FROM scored
+), rp AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cp DESC, vec_id) AS r
+  FROM scored
+)
+SELECT rf.q_id,
+       CAST(COUNT(rp.vec_id) AS BIGINT) AS overlap_at_5
+FROM rf LEFT JOIN rp
+  ON rp.q_id = rf.q_id AND rp.vec_id = rf.vec_id AND rp.r <= 5
+WHERE rf.r <= 5
+GROUP BY rf.q_id
+ORDER BY rf.q_id
+"""
+
+
+@register("embedding_matryoshka_agreement", oracle=MATRYOSHKA_ORACLE)
+def embedding_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval agreement: overlap@5 between
+    full-64-dim and first-16-dim-prefix cosine top-5, per query —
+    the go/no-go measurement for serving truncated embeddings (MRL):
+    if prefix retrieval agrees, you ship 4x fewer bytes.
+
+    Plan: ONE corpus pass scores both representations (the prefix is
+    a slice of the same array — no second scan, no second shuffle);
+    5 queries broadcast; per-query top-5 via two rank windows over
+    the same scored relation (WindowGroupLimit pushes the heap
+    per-partition). Both rankings sort the SNAPPED cosine with
+    vec_id tiebreak — deterministic rank boundaries. At 100 TB the
+    prefix ranking is exactly the IVF/PQ candidate-generation
+    economics this measures: the operator quantifies what the cheap
+    representation loses before you deploy it."""
+    from etl_data_ingestion_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda c: c.cast("double")).alias("full"),
+        F.transform(
+            F.slice("embedding", 1, 16), lambda c: c.cast("double")
+        ).alias("pre"),
+    )
+    n = emb.select(
+        "vec_id",
+        "full",
+        "pre",
+        l2_norm("full").alias("nf"),
+        l2_norm("pre").alias("np"),
+    )
+    q = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("full").alias("qf"),
+        F.col("pre").alias("qp"),
+        F.col("nf").alias("qnf"),
+        F.col("np").alias("qnp"),
+    )
+    fold = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            snap6(fold("qf", "full") / (F.col("qnf") * F.col("nf"))).alias("cf"),
+            snap6(fold("qp", "pre") / (F.col("qnp") * F.col("np"))).alias("cp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("q_id").orderBy(F.col("cf").desc(), "vec_id")
+    wp = Window.partitionBy("q_id").orderBy(F.col("cp").desc(), "vec_id")
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    top_f = ranked.filter(F.col("rf") <= 5).select("q_id", "vec_id")
+    top_p = ranked.filter(F.col("rp") <= 5).select(
+        F.col("q_id").alias("p_q"), F.col("vec_id").alias("p_v")
+    )
+    return (
+        top_f.join(
+            top_p,
+            (F.col("q_id") == F.col("p_q")) & (F.col("vec_id") == F.col("p_v")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("p_v").cast("long").alias("overlap_at_5"))
+        .orderBy("q_id")
+    )

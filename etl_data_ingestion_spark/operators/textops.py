@@ -1906,3 +1906,120 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+PHRASE_INDEX_ORACLE = """
+-- Positional inverted index + phrase query: find the corpus's most
+-- frequent adjacent bigram, then count its exact phrase occurrences
+-- per document via a positional-postings adjacency join (term match
+-- at pos and pos+1 in the same doc) — the IR primitive behind
+-- quoted-phrase search and exact-sequence contamination checks.
+-- Counts are exact integers; both rankings carry full tiebreaks, so
+-- the result is deterministic. Positions are engine-internal (never
+-- compared across engines), so 0- vs 1-based indexing is free.
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) <> ''
+), post AS (
+  SELECT doc_id, g.i AS pos, ts[g.i] AS term
+  FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) g
+  WHERE g.i <= len(ts)
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+  ORDER BY c DESC, w1, w2
+  LIMIT 1
+), hits AS (
+  SELECT a.doc_id, COUNT(*) AS n_occ
+  FROM post a
+  JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  CROSS JOIN big
+  WHERE a.term = big.w1 AND b.term = big.w2
+  GROUP BY 1
+)
+SELECT big.w1 AS phrase_w1, big.w2 AS phrase_w2,
+       hits.doc_id, CAST(hits.n_occ AS BIGINT) AS n_occurrences
+FROM hits CROSS JOIN big
+ORDER BY n_occurrences DESC, doc_id
+LIMIT 15
+"""
+
+
+@register("text_inverted_index_phrase", oracle=PHRASE_INDEX_ORACLE)
+def text_inverted_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search over a positional inverted index: the
+    corpus's top adjacent bigram (self-calibrating query — no magic
+    literal that breaks at other scales), then per-doc exact phrase
+    counts for it; top-15 docs.
+
+    Plan: postings = one posexplode pass, partitioned by term — the
+    inverted-index layout; the phrase query filters two term posting
+    lists (the 1-row phrase broadcast onto the postings scan) and
+    joins them on (doc_id, adjacent pos) — co-partitioned on doc_id,
+    list-sized not corpus-sized, exactly how a distributed phrase
+    query should run at 100 TB (per-term posting lists are the read
+    unit; the adjacency join never touches documents without BOTH
+    terms). The top-bigram stage derives from an array transform on
+    the token arrays (no postings self-join needed engine-side).
+    Integer counts + full tiebreaks = deterministic result."""
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_ts = docs.filter(F.trim("text") != "").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    # sequence(1, 0) DESCENDS in Spark (see functions.text.word_ngrams)
+    # — guard single-token docs to an empty index list, not a clamp
+    idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = with_ts.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("g")
+    )
+    top = (
+        grams.groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    post = with_ts.select(
+        "doc_id", F.posexplode("ts").alias("pos", "term")
+    )
+    a = post.crossJoin(F.broadcast(top)).filter(
+        F.col("term") == F.col("w1")
+    )
+    b = post.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+        F.col("term").alias("b_term"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("b_pos") == F.col("pos") + 1),
+        )
+        .filter(F.col("b_term") == F.col("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        hits.select(
+            F.col("w1").alias("phrase_w1"),
+            F.col("w2").alias("phrase_w2"),
+            "doc_id",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(15)
+    )

@@ -2272,3 +2272,115 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("ccf"),
     ).orderBy("lag")
+
+
+GRANGER_ORACLE = """
+-- Granger-style lead-lag probe: does yesterday's VIEW count improve
+-- the 1-step autoregression of today's PURCHASE count? Compares
+-- R^2 of p_t ~ p_{t-1} against p_t ~ p_{t-1} + v_{t-1} (closed-form
+-- OLS). All raw moments are exact BIGINT sums of integer daily
+-- counts; the centered S-terms (n*Sxy - Sx*Sy) stay exact in int64
+-- (~1e12 at sf1 daily scale; exact-double to 2^53, i.e. through
+-- ~sf100 — documented boundary); the determinant algebra is one
+-- fixed-order float chain, identical in both engines.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT p AS y,
+         LAG(p) OVER (ORDER BY d) AS x1,
+         LAG(v) OVER (ORDER BY d) AS x2
+  FROM daily
+  QUALIFY x1 IS NOT NULL
+), mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+         SUM(x1*x1) AS sx1x1, SUM(x2*x2) AS sx2x2, SUM(x1*x2) AS sx1x2,
+         SUM(x1*y) AS sx1y, SUM(x2*y) AS sx2y, SUM(y*y) AS syy
+  FROM lagged
+), cs AS (
+  SELECT n,
+         CAST(n*sx1x1 - sx1*sx1 AS DOUBLE) AS s11,
+         CAST(n*sx2x2 - sx2*sx2 AS DOUBLE) AS s22,
+         CAST(n*sx1x2 - sx1*sx2 AS DOUBLE) AS s12,
+         CAST(n*sx1y - sx1*sy AS DOUBLE) AS s1y,
+         CAST(n*sx2y - sx2*sy AS DOUBLE) AS s2y,
+         CAST(n*syy - sy*sy AS DOUBLE) AS sy2
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       FLOOR(s1y * s1y / (s11 * sy2) * 1000000 + 0.5) / 1000000 AS r2_ar1,
+       FLOOR((s1y * (s22 * s1y - s12 * s2y) + s2y * (s11 * s2y - s12 * s1y))
+             / ((s11 * s22 - s12 * s12) * sy2)
+             * 1000000 + 0.5) / 1000000 AS r2_with_views,
+       FLOOR(((s1y * (s22 * s1y - s12 * s2y) + s2y * (s11 * s2y - s12 * s1y))
+              / ((s11 * s22 - s12 * s12) * sy2)
+              - s1y * s1y / (s11 * sy2))
+             * 1000000 + 0.5) / 1000000 AS delta_r2
+FROM cs
+"""
+
+
+@register("timeseries_granger_lag1", oracle=GRANGER_ORACLE)
+def timeseries_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag probe: R^2 gain of adding yesterday's
+    view count to the purchase AR(1) regression — the 'does X lead
+    Y' causal screen behind media-mix attribution, in closed form
+    (no iterative fit).
+
+    Plan: one events pass -> |days| x 2 daily rollup; one lag window
+    over the single day-ordered series (|days| rows — the only sort);
+    one single-row aggregate of all nine raw moments (exact BIGINT
+    on integer counts, map-side combine); the OLS determinant
+    algebra runs on the driver-sized row as a fixed-order float
+    chain. Exactness boundary: centered S-terms are exact doubles
+    to 2^53 (~sf100 daily volumes); past that, rescale counts to
+    thousands — documented, not silently wrong (the sweep would
+    flag)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "v"
+        ),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("p").alias("y"),
+        F.lag("p").over(w).alias("x1"),
+        F.lag("v").over(w).alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    s11 = (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).cast("double")
+    s22 = (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).cast("double")
+    s12 = (n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).cast("double")
+    s1y = (n * F.col("sx1y") - F.col("sx1") * F.col("sy")).cast("double")
+    s2y = (n * F.col("sx2y") - F.col("sx2") * F.col("sy")).cast("double")
+    sy2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r2a = s1y * s1y / (s11 * sy2)
+    r2b = (s1y * (s22 * s1y - s12 * s2y) + s2y * (s11 * s2y - s12 * s1y)) / (
+        (s11 * s22 - s12 * s12) * sy2
+    )
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return mom.select(
+        n.cast("long").alias("n_pairs"),
+        snap6(r2a).alias("r2_ar1"),
+        snap6(r2b).alias("r2_with_views"),
+        snap6(r2b - r2a).alias("delta_r2"),
+    )

@@ -57,7 +57,12 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-5: round-8 WAVE-8 additions (newest, never checked)
+    # slots 1-4: round-8 WAVE-9 additions (newest, never checked)
+    "agg_corr_matrix_daily",
+    "timeseries_granger_lag1",
+    "text_inverted_index_phrase",
+    "embedding_matryoshka_agreement",
+    # round-8 WAVE-8 additions (never checked)
     "agg_pareto_frontier",
     "timeseries_cross_correlation",
     "embedding_pca_power_iteration",
