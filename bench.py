@@ -212,6 +212,10 @@ EXTENDED = [
     "timeseries_granger_lag1",
     "text_inverted_index_phrase",
     "embedding_matryoshka_agreement",
+    # round 8 wave 10
+    "graph_community_modularity",
+    "ml_feature_hash_collisions",
+    "agg_countmin_width_sweep",
 ]
 
 

@@ -2914,3 +2914,138 @@ def agg_corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("metric_a", "metric_b", corr.alias("corr")).orderBy(
         "metric_a", "metric_b"
     )
+
+
+CMS_WIDTH_SWEEP_ORACLE = """
+-- Count-min sketch WIDTH CALIBRATION: build d=3 sketches at widths
+-- 256 / 1024 / 4096 over the supplier-occurrence stream and measure
+-- the overestimate of the top-10 true heavy hitters at each width —
+-- the sizing curve that decides how much memory a 100 TB sketch
+-- deployment actually needs (the fixed-width countmin operator
+-- assumes a width; this one MEASURES the width/error tradeoff).
+-- Hashes are the portable LCG family (never engine builtins);
+-- every count is exact, so the error curve is deterministic.
+WITH keyed AS (
+  -- pre-aggregate the stream ONCE: the sketch over per-key counts
+  -- is identical to the sketch over raw occurrences (bucket count =
+  -- sum of its keys' counts), and the 9-plane expansion then runs
+  -- over |keys| rows, not |stream| rows
+  SELECT l_suppkey AS key, COUNT(*) AS kc FROM lineitem GROUP BY 1
+), rows_(r, a, b) AS (VALUES (0, 1103515245, 12345),
+                            (1, 69069, 1),
+                            (2, 1664525, 1013904223)),
+widths(w) AS (VALUES (256), (1024), (4096)),
+sketch AS (
+  SELECT w, r,
+         ((key * a + b) % 2147483648) % w AS bucket,
+         CAST(SUM(kc) AS BIGINT) AS cnt
+  FROM keyed CROSS JOIN rows_ CROSS JOIN widths
+  GROUP BY 1, 2, 3
+), truth AS (
+  SELECT key, kc AS true_cnt
+  FROM keyed
+  ORDER BY true_cnt DESC, key
+  LIMIT 10
+), est AS (
+  SELECT t.key, t.true_cnt, s.w, MIN(s.cnt) AS est_cnt
+  FROM truth t
+  CROSS JOIN rows_
+  CROSS JOIN widths
+  JOIN sketch s ON s.w = widths.w AND s.r = rows_.r
+              AND s.bucket = ((t.key * rows_.a + rows_.b) % 2147483648)
+                             % widths.w
+  GROUP BY 1, 2, 3
+)
+SELECT w AS width,
+       FLOOR(AVG((est_cnt - true_cnt) * 1.0 / true_cnt) * 1000000 + 0.5)
+         / 1000000 AS avg_over_frac,
+       FLOOR(MAX((est_cnt - true_cnt) * 1.0 / true_cnt) * 1000000 + 0.5)
+         / 1000000 AS max_over_frac
+FROM est
+GROUP BY w
+ORDER BY w
+"""
+
+
+@register("agg_countmin_width_sweep", oracle=CMS_WIDTH_SWEEP_ORACLE)
+def agg_countmin_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min width calibration: overestimate fraction of the
+    top-10 true heavy hitters under d=3 sketches at widths 256 /
+    1024 / 4096 — the memory/error curve that sizes a production
+    sketch (error ~ stream_len/width; this measures the constant on
+    real key skew instead of trusting the bound).
+
+    Plan: ONE stream pass reduces to per-key counts (map-side
+    combine; |keys| rows), shared by BOTH the sketch build and the
+    truth top-k — sketching the keyed table is numerically identical
+    to sketching the raw stream (a bucket's count is the sum of its
+    keys' counts) and makes the 9-plane expansion |keys|-sized, not
+    stream-sized. The 90-row probe set (10 keys x 9 planes)
+    broadcasts onto the sketch table. Portable LCG hashes (house
+    device), exact integer counts everywhere, one snapped division
+    at the end."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        F.col("l_suppkey").alias("key")
+    )
+    keyed = li.groupBy("key").agg(F.count(F.lit(1)).alias("kc")).persist()
+    # the 9 (row, width) sketch planes as a LITERAL array explode —
+    # an inline generator, not a joined DataFrame: no extra query
+    # stages, no broadcast jobs (AQE stage-scheduling floor dominates
+    # this op's runtime otherwise; the data is all tiny)
+    LCG = [(0, 1103515245, 12345), (1, 69069, 1), (2, 1664525, 1013904223)]
+    WIDTHS = [256, 1024, 4096]
+    planes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(a).cast("long").alias("a"),
+                    F.lit(b).cast("long").alias("b"),
+                    F.lit(w).alias("w"),
+                )
+                for (r, a, b) in LCG
+                for w in WIDTHS
+            ]
+        )
+    )
+    bucket = (
+        (F.col("key") * F.col("p.a") + F.col("p.b")) % 2147483648
+    ) % F.col("p.w")
+    sketch = (
+        keyed.select("key", "kc", planes.alias("p"))
+        .select(
+            F.col("p.w").alias("w"),
+            F.col("p.r").alias("r"),
+            bucket.alias("bucket"),
+            "kc",
+        )
+        .groupBy("w", "r", "bucket")
+        .agg(F.sum("kc").cast("long").alias("cnt"))
+    )
+    truth = (
+        keyed.select("key", F.col("kc").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "key")
+        .limit(10)
+    )
+    probes = truth.select("key", "true_cnt", planes.alias("p")).select(
+        "key",
+        "true_cnt",
+        F.col("p.w").alias("w"),
+        F.col("p.r").alias("r"),
+        bucket.alias("bucket"),
+    )
+    est = (
+        sketch.join(F.broadcast(probes), ["w", "r", "bucket"])
+        .groupBy("key", "true_cnt", "w")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    over = (F.col("est_cnt") - F.col("true_cnt")) * 1.0 / F.col("true_cnt")
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        est.groupBy(F.col("w").alias("width"))
+        .agg(
+            snap6(F.avg(over)).alias("avg_over_frac"),
+            snap6(F.max(over)).alias("max_over_frac"),
+        )
+        .orderBy("width")
+    )

@@ -1907,3 +1907,95 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)
+
+
+FEATURE_HASH_ORACLE = """
+-- Feature-hashing (hashing-trick) collision audit: hash the corpus
+-- vocabulary into 512 buckets with a portable polynomial char hash
+-- (acc*31 + codepoint, mod 2^31-1 — the same device family as the
+-- rolling fingerprint; NEVER the engine's builtin hash, which is
+-- not cross-engine) and measure what a 512-dim hashed feature
+-- space loses: buckets used, max load, collision rate. The sizing
+-- measurement behind every hashed-feature model. All counts exact
+-- integers; the one float output (expected buckets under uniform
+-- hashing, 512*(1-(1-1/512)^n)) is a fixed POWER chain snapped to
+-- 1e-4.
+WITH terms AS (
+  SELECT DISTINCT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+), hashed AS (
+  SELECT t,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(t)),
+                            i -> CAST(ascii(t[i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) % 512 AS bucket
+  FROM terms
+), by_bucket AS (
+  SELECT bucket, COUNT(*) AS load FROM hashed GROUP BY 1
+)
+SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
+       COUNT(*) AS buckets_used,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       FLOOR((SUM(load) - COUNT(*)) * 1.0 / SUM(load) * 1000000 + 0.5)
+         / 1000000 AS collision_rate,
+       FLOOR(512.0 * (1.0 - POWER(511.0 / 512.0, SUM(load))) * 10000 + 0.5)
+         / 10000 AS expected_buckets_used
+FROM by_bucket
+"""
+
+
+@register("ml_feature_hash_collisions", oracle=FEATURE_HASH_ORACLE)
+def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit for a 512-dim hashed feature
+    space over the corpus vocabulary — how many features collide,
+    how hot is the worst bucket, and how does usage compare to the
+    uniform-hashing expectation (calibrates whether the hash itself
+    is the problem or 512 dims is just too few).
+
+    Plan: vocabulary = one distinct over exploded tokens (map-side
+    partial dedup; Zipf-bounded size); the hash is a fixed-order
+    fold over each term's codepoints — pure JVM char math, one
+    512-group aggregate after. The portable polynomial hash is the
+    house device (rolling fingerprint family): builtin hashes
+    (xxhash64/murmur) are engine-specific and can never be
+    oracle-checked. At 100 TB the vocab table IS the work unit —
+    everything downstream is 512 rows."""
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(tokens("text")).alias("t"))
+        .distinct()
+    )
+    code = lambda ch: F.ascii(ch).cast("long")
+    bucket = (
+        F.aggregate(
+            F.split(F.col("t"), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + code(ch)) % 2147483647,
+        )
+        % 512
+    )
+    by_bucket = (
+        terms.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    s, used = F.sum("load"), F.count(F.lit(1))
+    return by_bucket.agg(
+        s.cast("long").alias("n_terms"),
+        used.alias("buckets_used"),
+        F.max("load").cast("long").alias("max_load"),
+        (F.floor((s - used) * 1.0 / s * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "collision_rate"
+        ),
+        (
+            F.floor(
+                512.0 * (1.0 - F.pow(F.lit(511.0 / 512.0), s)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("expected_buckets_used"),
+    )

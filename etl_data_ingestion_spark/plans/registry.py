@@ -57,7 +57,11 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-4: round-8 WAVE-9 additions (newest, never checked)
+    # slots 1-3: round-8 WAVE-10 additions (newest, never checked)
+    "graph_community_modularity",
+    "ml_feature_hash_collisions",
+    "agg_countmin_width_sweep",
+    # round-8 WAVE-9 additions (never checked)
     "agg_corr_matrix_daily",
     "timeseries_granger_lag1",
     "text_inverted_index_phrase",

@@ -48,8 +48,18 @@ def test_bloom_pruned_join_equals_plain_join(spark):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact-cents revenue contract (round-8 sweep fix): the
+            # plain join must mirror the operator's order-free sum
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue"),
         )
     )
