@@ -216,6 +216,9 @@ EXTENDED = [
     "graph_community_modularity",
     "ml_feature_hash_collisions",
     "agg_countmin_width_sweep",
+    # round 8 wave 11
+    "timeseries_dtw_distance",
+    "scan_csv_multiline_quoted",
 ]
 
 

@@ -669,3 +669,74 @@ def scan_bucketed_join_zero_exchange(
             F.lit(zero_exchange).alias("zero_exchange"),
         )
     )
+
+
+CSV_MULTILINE_ORACLE = """
+-- Multiline quoted-CSV roundtrip: a CSV is synthesized from customer
+-- whose comment field embeds NEWLINES and COMMAS (quoted per RFC
+-- 4180); the reader must reassemble logical records across physical
+-- lines (multiLine mode). The comment is a pure function of the
+-- customer row, so the oracle recomputes every aggregate from the
+-- parquet source directly — if the reader splits records on the
+-- embedded newlines, counts, key sums and lengths all diverge.
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(length(c_name || chr(10) || 'memo, with comma' ||
+                       chr(10) || c_mktsegment)) AS BIGINT)
+         AS comment_chars,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+            AS BIGINT) AS building_rows
+FROM customer WHERE c_custkey < 3000
+"""
+
+
+@register("scan_csv_multiline_quoted", oracle=CSV_MULTILINE_ORACLE)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 multiline CSV: fields with embedded newlines and
+    commas survive a write/read roundtrip only if the reader parses
+    quoted fields across physical lines (multiLine=true) — the
+    messy-CSV reality check missing from the clean-roundtrip and
+    corrupt-row scans.
+
+    SCALE WARNING (the honest part): multiLine=true makes a CSV file
+    NON-SPLITTABLE — records can span line boundaries, so Spark
+    assigns ONE task per file instead of one per 128 MB split. At
+    100 TB that is the difference between 800k tasks and |files|
+    tasks: production either converts multiline data to parquet at
+    the edge or shards it into many small files upstream. This
+    operator verifies correctness of the path AND documents why it
+    must not be the steady-state format."""
+    path = _scratch(sf_dir, "customer_multiline_csv")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3000)
+        .select(
+            "c_custkey",
+            F.concat_ws(
+                "\n", F.col("c_name"), F.lit("memo, with comma"),
+                F.col("c_mktsegment"),
+            ).alias("comment"),
+            "c_mktsegment",
+        )
+    )
+    (
+        cust.coalesce(1)
+        .write.mode("overwrite")
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("c_custkey long, comment string, c_mktsegment string")
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum(F.length("comment")).cast("long").alias("comment_chars"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("building_rows"),
+    )

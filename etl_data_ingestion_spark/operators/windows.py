@@ -2384,3 +2384,133 @@ def timeseries_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap6(r2b).alias("r2_with_views"),
         snap6(r2b - r2a).alias("delta_r2"),
     )
+
+
+DTW_ORACLE = """
+-- Dynamic-time-warping distance between the daily VIEW and PURCHASE
+-- count series — the shape-alignment measure that tolerates lag and
+-- local stretching where Euclidean (lockstep) distance does not;
+-- reported next to the lockstep sum so the gap IS the warping gain.
+-- Cost |a_i - b_j| on exact integer counts makes the whole DP exact
+-- BIGINT arithmetic: no float enters at any point, so the distance
+-- is deterministic by construction. The oracle runs the DP as an
+-- ANTI-DIAGONAL WAVEFRONT recursive CTE (each diagonal depends only
+-- on the previous two, so every cell of a diagonal is one
+-- list_transform; the within-row D(i,j-1) dependency that blocks a
+-- row-major SQL formulation lands on the previous diagonal).
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1
+), s AS (
+  SELECT list(CAST(v AS BIGINT) ORDER BY d) AS av,
+         list(CAST(p AS BIGINT) ORDER BY d) AS bv,
+         COUNT(*) AS n
+  FROM daily
+), dp AS (
+  WITH RECURSIVE diag(k, cur, prev) AS (
+    SELECT 2,
+           [CAST(abs(av[1] - bv[1]) AS BIGINT)],
+           CAST([] AS BIGINT[])
+    FROM s
+    UNION ALL
+    SELECT k + 1,
+           list_transform(
+             generate_series(greatest(1, k + 1 - n), least(n, k)),
+             i -> CAST(abs(av[i] - bv[k + 1 - i]) AS BIGINT) + least(
+               CASE WHEN i - 1 >= greatest(1, k - n)
+                     AND i - 1 <= least(n, k - 1)
+                    THEN cur[(i - 1) - greatest(1, k - n) + 1]
+                    ELSE 1152921504606846976 END,
+               CASE WHEN i <= k - 1 AND i <= least(n, k - 1)
+                     AND i >= greatest(1, k - n)
+                     AND k + 1 - i - 1 >= 1
+                    THEN cur[i - greatest(1, k - n) + 1]
+                    ELSE 1152921504606846976 END,
+               CASE WHEN k = 2 THEN
+                      CASE WHEN i = 1 AND k + 1 - i = 1 THEN 0
+                           ELSE 1152921504606846976 END
+                    WHEN i - 1 >= greatest(1, k - 1 - n)
+                     AND i - 1 <= least(n, k - 2)
+                     AND k + 1 - i - 1 >= 1
+                    THEN prev[(i - 1) - greatest(1, k - 1 - n) + 1]
+                    ELSE 1152921504606846976 END)
+           ),
+           cur
+    FROM diag, s WHERE k < 2 * n
+  )
+  SELECT diag.cur[1] AS dtw FROM diag, s WHERE diag.k = 2 * n
+), lock AS (
+  SELECT CAST(SUM(ABS(av[g.i] - bv[g.i])) AS BIGINT) AS lockstep
+  FROM s, (SELECT UNNEST(generate_series(1, 100000)) AS i) g
+  WHERE g.i <= n
+)
+SELECT CAST(s.n AS BIGINT) AS n_days,
+       dp.dtw AS dtw_distance,
+       lock.lockstep AS lockstep_distance
+FROM s, dp, lock
+"""
+
+
+@register("timeseries_dtw_distance", oracle=DTW_ORACLE)
+def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between the daily view and purchase count series,
+    next to the lockstep (Euclidean-L1) distance — how much better do
+    the two shapes align when local time warping is allowed? The
+    standard similarity for lag-tolerant series comparison.
+
+    Plan: the fact-sized work is the daily conditional rollup
+    (map-side combine to |days| rows). The O(|days|^2) DP then runs
+    on DAY-DOMAIN-SIZED state — constant in data volume (~500k cells
+    at a 2-year domain) — inside a single-group applyInPandas: the
+    right mechanism for small sequential state that SQL cannot
+    vectorize (the DP has a within-row dependency), keeping the
+    computation engine-side and Arrow-batched rather than collected.
+    Integer costs -> exact BIGINT DP -> deterministic distance, no
+    float anywhere. At 100 TB nothing changes: the DP input is the
+    day domain, not the events."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "v"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        a = [int(x) for x in pdf["v"]]
+        b = [int(x) for x in pdf["p"]]
+        n = len(a)
+        big = 1 << 60
+        prev = [big] * (n + 1)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = [big] * (n + 1)
+            ai = a[i - 1]
+            for j in range(1, n + 1):
+                c = ai - b[j - 1]
+                if c < 0:
+                    c = -c
+                best = prev[j]
+                if prev[j - 1] < best:
+                    best = prev[j - 1]
+                if cur[j - 1] < best:
+                    best = cur[j - 1]
+                cur[j] = c + best
+            prev = cur
+        lock = sum(abs(x - y) for x, y in zip(a, b))
+        return pd.DataFrame(
+            {"n_days": [n], "dtw_distance": [prev[n]], "lockstep_distance": [lock]}
+        )
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(dp, "n_days long, dtw_distance long, lockstep_distance long")
+    )
