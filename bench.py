@@ -219,6 +219,9 @@ EXTENDED = [
     # round 8 wave 11
     "timeseries_dtw_distance",
     "scan_csv_multiline_quoted",
+    # round 8 wave 12
+    "events_anova_weekday",
+    "pandas_cogroup_reconcile",
 ]
 
 

@@ -195,3 +195,115 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.sentence_idx, s.sentence, s.n_tokens "
         "FROM udtf_input, LATERAL sentence_split(t) s"
     )
+
+
+COGROUP_ORACLE = """
+-- Cogrouped reconciliation: per order, compare the lineitem net sum
+-- (exact integer cents) against o_totalprice (exact cents) and
+-- account the discrepancy distribution per order priority — the
+-- ledger-vs-detail audit every warehouse runs. The oracle is the
+-- plain relational form; the operator exercises Spark's COGROUPED
+-- applyInPandas (two DataFrames grouped on the same key, each
+-- group pair handed to one pandas function) — the python-interop
+-- mechanism the other pandas ops don't cover. TPC-H totalprice
+-- includes tax/charge so the delta is structurally nonzero; the
+-- audit quantifies it exactly.
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS net_cents,
+         COUNT(*) AS n_lines
+  FROM lineitem WHERE l_orderkey < 4000 GROUP BY 1
+), o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN li.net_cents IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS orders_without_lines,
+       CAST(SUM(COALESCE(li.n_lines, 0)) AS BIGINT) AS n_lines,
+       CAST(SUM(ABS(o.total_cents - COALESCE(li.net_cents, 0)))
+            AS BIGINT) AS abs_delta_cents
+FROM o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("pandas_cogroup_reconcile", oracle=COGROUP_ORACLE)
+def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger-vs-detail reconciliation via COGROUPED applyInPandas:
+    orders and lineitem grouped on orderkey, each (order-group,
+    line-group) pair reconciled in one pandas function — completing
+    the python-interop surface (scalar pandas_udf, grouped
+    applyInPandas, mapInPandas, UDTF, and now cogroup).
+
+    Plan: both sides shuffle once on the cogroup key (exactly the
+    co-partitioning a join would do); the pandas function sees
+    day-to-day-sized groups and emits one row per order, then a tiny
+    JVM rollup by priority. Cents are snapped to exact integers
+    BEFORE the pandas boundary so the reconciliation arithmetic is
+    integer-exact end to end (Arrow ships int64, no float
+    round-trip). At 100 TB cogroup is shuffle-bound like the
+    equivalent join — the pandas stage adds Arrow serialization,
+    which is why production reserves cogroup for logic SQL can't
+    express; this operator documents the mechanism and its cost
+    honestly."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", parallel=True)
+        .filter(F.col("l_orderkey") < 4000)
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("net_cents"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders", parallel=True)
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            # lines without an order header are out of audit scope
+            return pd.DataFrame(
+                columns=["o_orderpriority", "no_lines", "n_lines", "abs_delta"]
+            )
+        net = int(ldf["net_cents"].sum()) if not ldf.empty else 0
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [odf["o_orderpriority"].iloc[0]],
+                "no_lines": [1 if ldf.empty else 0],
+                "n_lines": [len(ldf)],
+                "abs_delta": [abs(int(odf["total_cents"].iloc[0]) - net)],
+            }
+        )
+
+    per_order = orders.groupBy("o_orderkey").cogroup(
+        li.groupBy("l_orderkey")
+    ).applyInPandas(
+        reconcile,
+        "o_orderpriority string, no_lines int, n_lines long, abs_delta long",
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("no_lines").cast("long").alias("orders_without_lines"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("abs_delta").cast("long").alias("abs_delta_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

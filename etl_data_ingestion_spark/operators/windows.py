@@ -2514,3 +2514,99 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(dp, "n_days long, dtw_distance long, lockstep_distance long")
     )
+
+
+ANOVA_WEEKDAY_ORACLE = """
+-- One-way ANOVA: does weekday explain daily purchase volume?
+-- F = (SSB/(k-1)) / (SSW/(n-k)) over the 7 weekday groups of the
+-- daily purchase-count series — the is-there-a-weekly-cycle test
+-- run before fitting any seasonal model. Group moments are exact
+-- BIGINT sums of integer daily counts; SSB/SSW are assembled from
+-- them in one fixed-order float chain (the textbook identity
+-- SSW = sum(q_g - s_g^2/n_g), SSB = sum(s_g^2/n_g) - S^2/N), so F
+-- and the group means match bit-for-bit.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1
+), grp AS (
+  SELECT dayofweek(d) AS wd, COUNT(*) AS ng,
+         SUM(p) AS sg, SUM(p * p) AS qg
+  FROM daily GROUP BY 1
+), tot AS (
+  -- e = sum(sg^2/ng) would be a 7-term ORDER-DEPENDENT float sum
+  -- (the class the multi-scale sweep exists to catch); each term is
+  -- snapped to an exact 1e-4 integer first so the SUM is order-free
+  -- BIGINT (terms exact-double to 2^53 -> valid through ~sf100)
+  SELECT COUNT(*) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(sg * sg * 10000 * 1.0 / ng + 0.5) AS BIGINT))
+              AS BIGINT) / 10000.0 AS e
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS n_groups, n AS n_days,
+       FLOOR((e - s * 1.0 * s / n) * 10000 + 0.5) / 10000 AS ss_between,
+       FLOOR((q - e) * 10000 + 0.5) / 10000 AS ss_within,
+       FLOOR(((e - s * 1.0 * s / n) / (k - 1)) / ((q - e) / (n - k))
+             * 1000000 + 0.5) / 1000000 AS f_stat
+FROM tot
+"""
+
+
+@register("events_anova_weekday", oracle=ANOVA_WEEKDAY_ORACLE)
+def events_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test for a weekday effect on daily purchase
+    volume — the formal is-there-a-weekly-cycle screen run before
+    fitting seasonal structure (the seasonal-decompose operator
+    assumes the cycle; this one tests it).
+
+    Plan: events reduce to |days| rows (map-side combine), weekday
+    groups reduce those to 7 moment rows, and the F assembly is a
+    single-row fixed-order float chain over exact BIGINT moments
+    (the only non-integer term, sum(s_g^2/n_g), is formed in group
+    order in both engines — 7 terms, deterministic). Scan-bound at
+    every scale; the date domain never grows with volume."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        )
+    )
+    grp = daily.groupBy(F.dayofweek("d").alias("wd")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("p").alias("sg"),
+        F.sum(F.col("p") * F.col("p")).alias("qg"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+        # per-group 1e-4 integer snap -> ORDER-FREE BIGINT sum (see
+        # the oracle note: a raw float sum over groups is the
+        # cross-engine summation-order class)
+        (
+            F.sum(
+                F.floor(
+                    F.col("sg") * F.col("sg") * 10000 * 1.0 / F.col("ng")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            / 10000.0
+        ).alias("e"),
+    )
+    k, n, s, q, e = (F.col(c) for c in ["k", "n", "s", "q", "e"])
+    ssb = e - s * 1.0 * s / n
+    ssw = q - e
+    return tot.select(
+        k.cast("long").alias("n_groups"),
+        n.alias("n_days"),
+        (F.floor(ssb * 10000 + F.lit(0.5)) / 10000).alias("ss_between"),
+        (F.floor(ssw * 10000 + F.lit(0.5)) / 10000).alias("ss_within"),
+        (
+            F.floor((ssb / (k - 1)) / (ssw / (n - k)) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("f_stat"),
+    )

@@ -57,7 +57,10 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-2: round-8 WAVE-11 additions (newest, never checked)
+    # slots 1-2: round-8 WAVE-12 additions (newest, never checked)
+    "events_anova_weekday",
+    "pandas_cogroup_reconcile",
+    # round-8 WAVE-11 additions (never checked)
     "timeseries_dtw_distance",
     "scan_csv_multiline_quoted",
     # round-8 WAVE-10 additions (never checked)
