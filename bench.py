@@ -222,6 +222,10 @@ EXTENDED = [
     # round 8 wave 12
     "events_anova_weekday",
     "pandas_cogroup_reconcile",
+    # round 8 wave 13
+    "subquery_not_in_null_semantics",
+    "stream_outer_interval_join",
+    "quality_date_gaps",
 ]
 
 

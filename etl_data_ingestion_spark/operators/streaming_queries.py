@@ -380,3 +380,66 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_topk(ev, k=3).orderBy("window_start", "rnk")
+
+
+OUTER_INTERVAL_ORACLE = """
+-- LEFT OUTER interval join, batch analogue: per-purchase count of
+-- same-user views in the preceding 30 minutes, histogrammed — the
+-- n_views = 0 bucket is exactly the population the inner interval
+-- join silently drops (purchases with no preceding view), which is
+-- the question the outer variant exists to answer. The streaming
+-- face (watermarked left-outer stream-stream join with NULL
+-- emission on watermark passage) runs in
+-- tests/test_streaming.py::test_stream_stream_left_outer_join.
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+), per_purchase AS (
+  SELECT p.p_id, COUNT(v.v_ts) AS n_views
+  FROM p LEFT JOIN v
+    ON v.v_user = p.p_user
+   AND v.v_ts <= p.p_ts
+   AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE
+  GROUP BY p.p_id
+)
+SELECT CAST(n_views AS BIGINT) AS n_views,
+       COUNT(*) AS n_purchases
+FROM per_purchase
+GROUP BY n_views
+ORDER BY n_views
+"""
+
+
+@register("stream_outer_interval_join", oracle=OUTER_INTERVAL_ORACLE)
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER purchase<-view interval join (batch face), reduced
+    to the per-purchase view-count histogram: the n_views = 0 bucket
+    is the population the INNER interval join silently drops. The
+    same helper runs as a watermarked left-outer stream-stream join
+    (NULL emission gated on watermark passage — state eviction is
+    the completeness proof) in tests/test_streaming.py.
+
+    Plan: both sides one events pass; the range join shuffles on
+    user_id (co-partitioned); the histogram is two tiny rollups. At
+    100 TB the per-user view lists bound the join fan-out, and the
+    streaming face holds only the 30-minute window + 1 hour
+    watermark of state per user."""
+    from etl_data_ingestion_spark.streaming import (
+        purchase_view_interval_join_outer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    joined = purchase_view_interval_join_outer(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "view"),
+    )
+    return (
+        joined.groupBy("p_id")
+        .agg(F.count("v_ts").alias("n_views"))
+        .groupBy("n_views")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("n_views")
+    )

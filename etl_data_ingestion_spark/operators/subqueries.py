@@ -270,3 +270,89 @@ def subquery_any_all_quantified(
         )
         .orderBy("nation")
     )
+
+
+NOT_IN_NULL_ORACLE = """
+-- The NOT IN null trap, as an operator: a key list containing a
+-- single NULL makes `x NOT IN (list)` UNKNOWN for every x (three-
+-- valued logic), silently emptying the naive query — the classic
+-- production incident when an exclusion list gains a NULL. The
+-- operator computes the exclusion BOTH ways and reports the trap:
+-- naive NOT IN count (0 by SQL semantics) next to the null-safe
+-- NOT EXISTS count (the intended answer). Both engines implement
+-- ANSI three-valued logic, so the counts match exactly — including
+-- the zero.
+WITH exclusions AS (
+  -- every 4th supplier (scale-robust: nation-keyed filters are
+  -- empty at sf0.001), plus a planted NULL (the incident)
+  SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 4 = 1
+  UNION ALL SELECT NULL
+), naive AS (
+  SELECT COUNT(*) AS c FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT k FROM exclusions)
+), safe AS (
+  SELECT COUNT(*) AS c FROM lineitem li
+  WHERE NOT EXISTS (SELECT 1 FROM exclusions e WHERE e.k = li.l_suppkey)
+), total AS (
+  SELECT COUNT(*) AS c FROM lineitem
+)
+SELECT naive.c AS naive_not_in_rows,
+       safe.c AS null_safe_rows,
+       total.c AS total_rows,
+       CAST(total.c - safe.c AS BIGINT) AS excluded_rows
+FROM naive, safe, total
+"""
+
+
+@register("subquery_not_in_null_semantics", oracle=NOT_IN_NULL_ORACLE)
+def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap as a first-class semantics check: an
+    exclusion list with a planted NULL makes naive `NOT IN` return
+    ZERO rows (x <> NULL is UNKNOWN, so the conjunction never
+    passes) while the null-safe NOT EXISTS anti-join returns the
+    intended population. An engine user switching from the reference
+    must get ANSI three-valued logic, not a 'helpful' fix — this
+    operator pins both counts.
+
+    Plan: naive NOT IN compiles to a null-aware anti join (Spark
+    plans BroadcastNestedLoopJoin for NAAJ when the list may contain
+    NULL — itself worth knowing: a nullable exclusion list DEFEATS
+    the hash anti-join at 100 TB, which is the performance half of
+    why production schemas declare exclusion keys NOT NULL); the
+    null-safe form is an ordinary broadcast anti join."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_suppkey"
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 1)
+        .select(F.col("s_suppkey").alias("k"))
+        .unionByName(
+            spark.range(1).select(F.lit(None).cast("long").alias("k"))
+        )
+    )
+    excl.createOrReplaceTempView("not_in_exclusions")
+    li.createOrReplaceTempView("not_in_lineitem")
+    naive = spark.sql(
+        "SELECT COUNT(*) AS c FROM not_in_lineitem "
+        "WHERE l_suppkey NOT IN (SELECT k FROM not_in_exclusions)"
+    )
+    safe = li.join(
+        F.broadcast(excl.filter(F.col("k").isNotNull())),
+        li.l_suppkey == F.col("k"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    total = li.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        naive.select(F.col("c").alias("naive_not_in_rows"))
+        .crossJoin(F.broadcast(safe.select(F.col("c").alias("null_safe_rows"))))
+        .crossJoin(F.broadcast(total.select(F.col("c").alias("total_rows"))))
+        .select(
+            "naive_not_in_rows",
+            "null_safe_rows",
+            "total_rows",
+            (F.col("total_rows") - F.col("null_safe_rows"))
+            .cast("long")
+            .alias("excluded_rows"),
+        )
+    )

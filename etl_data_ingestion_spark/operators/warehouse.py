@@ -813,3 +813,91 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "tier")
     )
+
+
+DATE_GAPS_ORACLE = """
+-- Date-coverage gap detection: generate the expected day range from
+-- the observed min/max order date and anti-join the present days —
+-- the freshness/completeness check a warehouse runs on every
+-- time-partitioned table (a missing day = a failed upstream load).
+-- The fixture is gap-free, so days are deterministically PLANTED
+-- missing (every day whose epoch-day % 50 = 7 is deleted before the
+-- check) to prove the detector fires; the summary row carries both
+-- populations.
+WITH present0 AS (
+  -- o_orderdate is a midnight TIMESTAMP in the fixture; the day axis
+  -- is a DATE in both engines
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+), present AS (
+  SELECT d FROM present0
+  WHERE CAST(epoch(CAST(d AS TIMESTAMP)) / 86400 AS BIGINT) % 50 <> 7
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM present0
+), expected AS (
+  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+), missing AS (
+  SELECT e.d FROM expected e
+  WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.d = e.d)
+)
+SELECT (SELECT COUNT(*) FROM expected) AS n_expected_days,
+       (SELECT COUNT(*) FROM present) AS n_present_days,
+       CAST(COUNT(*) AS BIGINT) AS n_missing_days,
+       STRFTIME(MIN(d), '%Y-%m-%d') AS first_missing,
+       STRFTIME(MAX(d), '%Y-%m-%d') AS last_missing
+FROM missing
+"""
+
+
+@register("quality_date_gaps", oracle=DATE_GAPS_ORACLE)
+def quality_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-coverage gap detector: expected-day range (from observed
+    min/max) anti-joined against present days — the per-partition
+    completeness check that catches a silently failed daily load.
+    Days are deterministically planted missing (epoch-day % 50 = 7)
+    because the fixture is gap-free and an untestable detector is
+    no detector.
+
+    Plan: present days are one DISTINCT over the date column (scan-
+    pruned to one column); the expected axis is a generated range
+    (|days| rows, driver-free via sequence+explode); the anti-join
+    is day-domain-sized. At 100 TB this runs on partition METADATA
+    (directory listing) rather than data — same plan, cheaper scan;
+    the data-level form here is the one that also catches a present-
+    but-empty partition."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    present0 = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    present = present0.filter(
+        (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast("long")
+        % 50
+        != 7
+    )
+    bounds = present0.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    expected = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    missing = expected.join(present, "d", "left_anti")
+    n_expected = expected.agg(F.count(F.lit(1)).alias("c"))
+    n_present = present.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        missing.agg(
+            F.count(F.lit(1)).cast("long").alias("n_missing_days"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_missing"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_missing"),
+        )
+        .crossJoin(
+            F.broadcast(n_expected.select(F.col("c").alias("n_expected_days")))
+        )
+        .crossJoin(
+            F.broadcast(n_present.select(F.col("c").alias("n_present_days")))
+        )
+        .select(
+            "n_expected_days",
+            "n_present_days",
+            "n_missing_days",
+            "first_missing",
+            "last_missing",
+        )
+    )

@@ -57,7 +57,11 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-2: round-8 WAVE-12 additions (newest, never checked)
+    # slots 1-3: round-8 WAVE-13 additions (newest, never checked)
+    "subquery_not_in_null_semantics",
+    "stream_outer_interval_join",
+    "quality_date_gaps",
+    # round-8 WAVE-12 additions (never checked)
     "events_anova_weekday",
     "pandas_cogroup_reconcile",
     # round-8 WAVE-11 additions (never checked)

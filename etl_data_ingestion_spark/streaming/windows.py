@@ -219,3 +219,42 @@ def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("window_start", "event_type", "events", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def purchase_view_interval_join_outer(
+    purchases: DataFrame, views: DataFrame, window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    with its in-window views, or with NULL view columns once the
+    watermark proves no view can still arrive. The outer variant is
+    the one that answers 'which purchases had NO preceding view?'
+    (the inner join silently drops them). In streaming mode the
+    unmatched row can only be emitted when the watermark passes
+    p_ts + 0 (the end of the join window): state eviction IS the
+    completeness proof. Batch mode: ordinary left range join."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return p.join(v, cond, "left_outer").select(
+        "p_id", "p_user", "p_ts", "v_id", "v_ts"
+    )
