@@ -226,6 +226,10 @@ EXTENDED = [
     "subquery_not_in_null_semantics",
     "stream_outer_interval_join",
     "quality_date_gaps",
+    # round 8 wave 14
+    "ml_isotonic_calibration_bins",
+    "agg_hill_tail_index",
+    "timeseries_periodogram_fixed",
 ]
 
 

@@ -3049,3 +3049,89 @@ def agg_countmin_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+
+HILL_TAIL_ORACLE = """
+-- Hill estimator of the power-law tail index of customer lifetime
+-- spend: alpha = 1 / mean(ln(x_i / x_k)) over the k-1 largest
+-- values above the k-th order statistic — the standard heavy-tail
+-- measurement that tells you whether revenue concentration follows
+-- a Pareto law (alpha ~ 1-2: extreme; > 3: thin). Spend is exact
+-- integer cents; the top-k MULTISET of values is deterministic
+-- regardless of tiebreak (selection is on values, k-th value
+-- included by count); each log term snaps to an exact 1e-9 integer
+-- so the mean is an order-free BIGINT sum.
+WITH spend AS (
+  SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), topk AS (
+  SELECT cents FROM spend ORDER BY cents DESC LIMIT 200
+), kth AS (
+  SELECT MIN(cents) AS xk, COUNT(*) AS k FROM topk
+), terms AS (
+  SELECT CAST(FLOOR(ln(t.cents * 1.0 / kth.xk) * 1000000000 + 0.5)
+              AS BIGINT) AS l_nano
+  FROM topk t CROSS JOIN kth
+  WHERE t.cents > kth.xk
+)
+SELECT kth.k AS k, CAST(kth.xk AS BIGINT) AS kth_value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_tail_terms,
+       FLOOR(COUNT(*) * 1.0
+             / (SUM(l_nano) / 1000000000.0) * 1000000 + 0.5)
+         / 1000000 AS hill_alpha
+FROM terms CROSS JOIN kth
+GROUP BY kth.k, kth.xk
+"""
+
+
+@register("agg_hill_tail_index", oracle=HILL_TAIL_ORACLE)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail-index estimator over customer lifetime
+    spend (top k = 200 order statistics) — quantifies revenue
+    concentration (Pareto alpha), the number that decides whether
+    per-key skew mitigation is worth building before the skew hits.
+
+    Plan: one fact pass to |customers| exact-cents rows; top-200 is
+    TakeOrderedAndProject (per-partition heaps, no global sort);
+    the log terms snap to exact 1e-9 integers so their sum is
+    order-free BIGINT — the only floats are per-term ln on identical
+    integer ratios and the final division chain. Selection
+    determinism: the top-k MULTISET of values needs no tiebreak, and
+    terms strictly above the k-th value make the term set exact even
+    with ties at the boundary."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    topk = spend.select("cents").orderBy(F.col("cents").desc()).limit(200)
+    kth = topk.agg(F.min("cents").alias("xk"), F.count(F.lit(1)).alias("k"))
+    terms = (
+        topk.crossJoin(F.broadcast(kth))
+        .filter(F.col("cents") > F.col("xk"))
+        .select(
+            "k",
+            "xk",
+            F.floor(
+                F.log(F.col("cents") * 1.0 / F.col("xk")) * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("l_nano"),
+        )
+    )
+    return terms.groupBy("k", F.col("xk").alias("kth_value_cents")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail_terms"),
+        (
+            F.floor(
+                F.count(F.lit(1))
+                * 1.0
+                / (F.sum("l_nano") / 1000000000.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("hill_alpha"),
+    ).select("k", "kth_value_cents", "n_tail_terms", "hill_alpha")

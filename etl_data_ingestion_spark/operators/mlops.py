@@ -1999,3 +1999,136 @@ def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("expected_buckets_used"),
     )
+
+
+
+ISOTONIC_ORACLE = """
+-- Isotonic (monotone) calibration of the sigmoid score against the
+-- purchase label via the CLOSED-FORM pool-adjacent-violators
+-- solution: over score-ordered bins, fitted[i] = max_{j<=i}
+-- min_{k>=i} rate(j..k) — the textbook max-min characterization,
+-- computable as two nested scans over the 20-bin prefix sums (8000
+-- rational comparisons) instead of the sequential PAV loop. Bin
+-- populations are exact integers; rate(j..k) compares exactly in
+-- doubles (distinct rationals with denominators << 2^26 are >> 1
+-- ulp apart), so the fit is deterministic in both engines.
+WITH scored AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 250.0) / 50.0)) AS ph,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), bins AS (
+  SELECT CAST(LEAST(FLOOR(ph * 20), 19) AS BIGINT) AS bin,
+         COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM scored GROUP BY 1
+), pre AS (
+  SELECT bin, n, s,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+  FROM bins
+), axis AS (SELECT bin, n, s FROM bins),
+rates AS (  -- rate over the bin range [j..k], from prefix sums
+  SELECT j.bin AS j, k.bin AS k,
+         (k.cs - COALESCE(pj.cs, 0)) * 1.0
+           / (k.cn - COALESCE(pj.cn, 0)) AS r
+  FROM pre j
+  JOIN pre k ON k.bin >= j.bin
+  LEFT JOIN pre pj ON pj.bin = j.bin - 1
+), inner_min AS (  -- min over k >= i of rate(j..k), for each (i, j<=i)
+  SELECT a.bin AS i, r.j, MIN(r.r) AS m
+  FROM axis a
+  JOIN rates r ON r.j <= a.bin AND r.k >= a.bin
+  GROUP BY 1, 2
+), fitted AS (
+  SELECT i AS bin, MAX(m) AS iso
+  FROM inner_min GROUP BY 1
+)
+SELECT b.bin, CAST(b.n AS BIGINT) AS n_events,
+       FLOOR(b.s * 1.0 / b.n * 1000000 + 0.5) / 1000000 AS raw_rate,
+       FLOOR(f.iso * 1000000 + 0.5) / 1000000 AS isotonic_rate
+FROM bins b JOIN fitted f ON f.bin = b.bin
+ORDER BY b.bin
+"""
+
+
+@register("ml_isotonic_calibration_bins", oracle=ISOTONIC_ORACLE)
+def ml_isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (the nonparametric alternative to Platt
+    scaling): monotone-nondecreasing fit of the purchase rate over
+    20 score bins, via the closed-form max-min characterization of
+    pool-adjacent-violators — fitted[i] = max_{j<=i} min_{k>=i}
+    rate(j..k) — so the inherently SEQUENTIAL PAV loop becomes 8000
+    parallel rational comparisons over bin prefix sums.
+
+    Plan: one fact pass to 20 bins (map-side combine); everything
+    after is bin-domain arithmetic (the j/k range expansion is
+    20^2 rows joined to a 20-row axis). Exactness: bin counts are
+    integers; range rates are ratios of int64 prefix differences,
+    whose double comparisons are exact-order for denominators
+    << 2^26 (gap >= 1/(n_a*n_b) >> ulp) — so min/max pick the same
+    rates in both engines, and only the final snap is float."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
+    y = (F.col("event_type") == "purchase").cast("int")
+    bins = (
+        ev.select(ph.alias("ph"), y.alias("y"))
+        .groupBy(
+            F.least(F.floor(F.col("ph") * 20), F.lit(19))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    ).persist()
+    j = pre.select(F.col("bin").alias("j"), F.col("cn").alias("jcn"), F.col("cs").alias("jcs"))
+    pj = pre.select(
+        (F.col("bin") + 1).alias("j"),
+        F.col("cn").alias("pcn"),
+        F.col("cs").alias("pcs"),
+    )
+    k = pre.select(F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cs").alias("kcs"))
+    rates = (
+        j.join(F.broadcast(pj), "j", "left")
+        .join(F.broadcast(k), F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("kcs") - F.coalesce(F.col("pcs"), F.lit(0)))
+                * 1.0
+                / (F.col("kcn") - F.coalesce(F.col("pcn"), F.lit(0)))
+            ).alias("r"),
+        )
+    )
+    axis = pre.select(F.col("bin").alias("i"))
+    inner_min = (
+        axis.join(
+            F.broadcast(rates),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("r").alias("m"))
+    )
+    fitted = inner_min.groupBy(F.col("i").alias("bin")).agg(
+        F.max("m").alias("iso")
+    )
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        bins.join(fitted, "bin")
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n_events"),
+            snap6(F.col("s") * 1.0 / F.col("n")).alias("raw_rate"),
+            snap6(F.col("iso")).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -2610,3 +2610,95 @@ def events_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("f_stat"),
     )
+
+
+
+PERIODOGRAM_ORACLE = """
+-- Fixed-frequency periodogram of the daily purchase series: spectral
+-- power at candidate periods 7 / 14 / 30 days — the direct detector
+-- for 'is there a weekly cycle, and is it the dominant one?'
+-- (complements the ANOVA operator, which tests weekday group means
+-- but cannot rank periods). Power P = (sum x_t cos(2 pi t / P))^2 +
+-- (sum x_t sin(2 pi t / P))^2 over the day index t. Each trig term
+-- is snapped to an exact 1e-6 integer so both accumulations are
+-- order-free BIGINT sums (counts x trig <= ~1e12 exact-double at
+-- any realistic daily volume); the squares are formed from exact
+-- values in one fixed chain.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT x, date_diff('day', (SELECT MIN(d) FROM daily), d) AS t
+  FROM daily
+), per(p) AS (VALUES (7), (14), (30)),
+acc AS (
+  SELECT p,
+         SUM(CAST(FLOOR(x * cos(2 * pi() * t / p) * 1000000 + 0.5)
+                  AS BIGINT)) AS a,
+         SUM(CAST(FLOOR(x * sin(2 * pi() * t / p) * 1000000 + 0.5)
+                  AS BIGINT)) AS b,
+         COUNT(*) AS n
+  FROM idx CROSS JOIN per
+  GROUP BY p
+)
+SELECT p AS period_days,
+       CAST(n AS BIGINT) AS n_days,
+       FLOOR(((a / 1000000.0) * (a / 1000000.0)
+              + (b / 1000000.0) * (b / 1000000.0)) / n * 10000 + 0.5)
+         / 10000 AS power_per_day
+FROM acc
+ORDER BY period_days
+"""
+
+
+@register("timeseries_periodogram_fixed", oracle=PERIODOGRAM_ORACLE)
+def timeseries_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram at fixed candidate periods (7/14/30 days) over the
+    daily purchase series — ranks cyclic structure by spectral power
+    where the ANOVA operator can only test one grouping.
+
+    Plan: one fact pass to |days| rows; the 3-period expansion is an
+    inline literal explode over the day-domain table; trig terms
+    snap to exact 1e-6 integers so the cos/sin accumulations are
+    ORDER-FREE BIGINT sums (the raw float sum is the known
+    cross-engine summation-order class); squares form from exact
+    values in one fixed chain. Per-term libm-vs-JVM trig ulps sit
+    behind the snap (same accepted boundary posture as ln in
+    Zipf/Theil — the multi-scale sweep is the standing detector)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "x"
+        )
+    )
+    lo = daily.agg(F.min("d").alias("lo"))
+    idx = daily.crossJoin(F.broadcast(lo)).select(
+        "x", F.datediff("d", "lo").alias("t")
+    )
+    periods = F.explode(F.array(F.lit(7), F.lit(14), F.lit(30)))
+    two_pi = 2 * 3.141592653589793
+    expanded = idx.select("x", "t", periods.alias("p"))
+    ang = two_pi * F.col("t") / F.col("p")
+    acc = expanded.groupBy("p").agg(
+        F.sum(
+            F.floor(F.col("x") * F.cos(ang) * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("a"),
+        F.sum(
+            F.floor(F.col("x") * F.sin(ang) * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    af, bf = F.col("a") / 1000000.0, F.col("b") / 1000000.0
+    return acc.select(
+        F.col("p").alias("period_days"),
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.floor((af * af + bf * bf) / F.col("n") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("power_per_day"),
+    ).orderBy("period_days")
