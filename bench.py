@@ -230,6 +230,9 @@ EXTENDED = [
     "ml_isotonic_calibration_bins",
     "agg_hill_tail_index",
     "timeseries_periodogram_fixed",
+    # round 8 wave 15
+    "ml_mann_whitney_u",
+    "ml_price_elasticity_by_brand",
 ]
 
 

@@ -2132,3 +2132,185 @@ def ml_isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+MANN_WHITNEY_ORACLE = """
+-- Mann-Whitney U (Wilcoxon rank-sum) test: do purchase events draw
+-- their `value` from a stochastically larger distribution than view
+-- events? The nonparametric two-sample test the Welch-t operator
+-- can't replace when normality fails. EXACT device: per distinct
+-- value, the average rank is (2*cum_before + t + 1)/2 — kept at 2x
+-- scale so every rank sum is an order-free BIGINT (ties included);
+-- the tie-corrected variance uses sum(t^3 - t), also exact BIGINT
+-- (int64 to ~4e5-deep ties; document past sf100). Only the final
+-- z chain is float, identical in both engines.
+WITH s AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('purchase', 'view')
+), byv AS (
+  SELECT v, COUNT(*) AS t, CAST(SUM(g1) AS BIGINT) AS t1
+  FROM s GROUP BY v
+), ranked AS (
+  SELECT t, t1,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+  FROM byv
+), agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2,
+         CAST(SUM(t1 * (2 * cb + t + 1)) AS BIGINT) AS r1_2x,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) / 2.0 AS u1,
+       FLOOR((r1_2x - n1 * (n1 + 1) - n1 * n2)
+             / (2.0 * SQRT(n1 * 1.0 * n2 / 12.0
+                 * ((n1 + n2 + 1)
+                    - tie3 * 1.0 / ((n1 + n2) * 1.0 * (n1 + n2 - 1)))))
+             * 1000000 + 0.5) / 1000000 AS z_score
+FROM agg
+"""
+
+
+@register("ml_mann_whitney_u", oracle=MANN_WHITNEY_ORACLE)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (purchase vs view
+    event values) with tie correction — the nonparametric
+    complement to agg_welch_ttest for non-normal distributions.
+
+    Plan: one fact pass groups by distinct value (|values| rows),
+    one value-ordered window for cumulative counts, one single-row
+    moment aggregate. Exactness: average ranks are kept at 2x scale
+    so rank sums (ties included) are order-free BIGINT; the tie
+    term sum(t^3 - t) is exact BIGINT (headroom to ~4e5-deep ties —
+    past that, documented rescale); the z statistic is the only
+    float chain. Grouping doubles for ties is exact (identical bit
+    patterns group identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("g1"),
+    )
+    byv = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("g1").cast("long").alias("t1")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_2x"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1, n2, r1_2x, tie3 = (
+        F.col("n1"),
+        F.col("n2"),
+        F.col("r1_2x"),
+        F.col("tie3"),
+    )
+    var = (
+        n1
+        * 1.0
+        * n2
+        / 12.0
+        * ((n1 + n2 + 1) - tie3 * 1.0 / ((n1 + n2) * 1.0 * (n1 + n2 - 1)))
+    )
+    z = (r1_2x - n1 * (n1 + 1) - n1 * n2) / (2.0 * F.sqrt(var))
+    return agg.select(
+        "n1",
+        "n2",
+        ((r1_2x - n1 * (n1 + 1)).cast("long") / 2.0).alias("u1"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_score"),
+    )
+
+
+ELASTICITY_ORACLE = """
+-- Per-brand price elasticity of demand: OLS slope of ln(quantity)
+-- on ln(retail price) over lineitem purchases — the classic log-log
+-- elasticity regression, one row per brand. Exact device: both log
+-- terms snap to 1e-4 integers per row, making all five regression
+-- moments order-free BIGINT sums (<= ~2e15 at sf1 — exact-double);
+-- the centered-slope chain then runs on exact values in both
+-- engines. (regr_slope would sum floats in engine order — the
+-- known summation-order class; designed out here.)
+WITH t AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(ln(l.l_quantity) * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(p.p_retailprice) * 10000 + 0.5) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), mom AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       FLOOR((n * 1.0 * sxy - sx * 1.0 * sy)
+             / (n * 1.0 * sxx - sx * 1.0 * sx) * 10000 + 0.5)
+         / 10000 AS elasticity_slope
+FROM mom
+ORDER BY p_brand
+"""
+
+
+@register("ml_price_elasticity_by_brand", oracle=ELASTICITY_ORACLE)
+def ml_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price-elasticity regression per brand (slope of
+    ln(quantity) ~ ln(price)) — the demand-curve probe a pricing
+    pipeline runs per segment; here slope ~ 0 because the synthetic
+    quantities are price-independent, which is itself the testable
+    statement.
+
+    Plan: one fact pass with the part dim broadcast; per-row log
+    terms snap to 1e-4 integers so the five per-brand moments are
+    order-free BIGINT sums with map-side combine (|brands| rows out
+    of the Exchange); the centered-slope chain promotes the exact
+    moments to double identically in both engines (sums exact-double
+    to 2^53, ~sf100 headroom — documented)."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    t = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.floor(F.log("l_quantity") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log("p_retailprice") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * 1.0 * F.col("sxy") - sx * 1.0 * sy) / (
+        n * 1.0 * F.col("sxx") - sx * 1.0 * sx
+    )
+    return mom.select(
+        "p_brand",
+        n.cast("long").alias("n_lines"),
+        (F.floor(slope * 10000 + F.lit(0.5)) / 10000).alias(
+            "elasticity_slope"
+        ),
+    ).orderBy("p_brand")

@@ -57,7 +57,10 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-3: round-8 WAVE-14 additions (newest, never checked)
+    # slots 1-2: round-8 WAVE-15 additions (newest, never checked)
+    "ml_mann_whitney_u",
+    "ml_price_elasticity_by_brand",
+    # round-8 WAVE-14 additions (never checked)
     "ml_isotonic_calibration_bins",
     "agg_hill_tail_index",
     "timeseries_periodogram_fixed",
