@@ -233,6 +233,8 @@ EXTENDED = [
     # round 8 wave 15
     "ml_mann_whitney_u",
     "ml_price_elasticity_by_brand",
+    # round 8 wave 16
+    "timeseries_hurst_rs",
 ]
 
 

@@ -2702,3 +2702,180 @@ def timeseries_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("power_per_day"),
     ).orderBy("period_days")
+
+
+HURST_RS_ORACLE = """
+-- Hurst exponent via rescaled-range (R/S) analysis of the daily
+-- purchase series: mean R/S over non-overlapping blocks of sizes
+-- 8/16/32, then H = slope of ln(mean R/S) on ln(m) — the
+-- long-memory probe (H ~ 0.5 random, > 0.5 trending, < 0.5
+-- mean-reverting). EXACT device: with integer block sums s,
+-- squares q and prefixes, m*Z_k = m*pref_k - (k+1)*s is exact
+-- BIGINT, and R/S = (max mZ - min mZ) / sqrt(m*q - s^2) — exact
+-- integers into ONE division+sqrt per block; per-block values snap
+-- to 1e-6 integers so each size's mean is an order-free BIGINT
+-- sum; the 3-point log-log slope runs on 1e-6-snapped integer
+-- coordinates, so even the final regression is exact integer
+-- arithmetic up to one division.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM daily
+), sizes(m) AS (VALUES (8), (16), (32)),
+rows_ AS (
+  SELECT m, CAST(FLOOR(rn / m) AS BIGINT) AS blk, rn % m AS k, x,
+         CAST(SUM(x) OVER (PARTITION BY m, CAST(FLOOR(rn / m) AS BIGINT)
+                           ORDER BY rn) AS BIGINT) AS pref
+  FROM seq CROSS JOIN sizes
+), tot AS (
+  SELECT m, blk, COUNT(*) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+  FROM rows_ GROUP BY 1, 2
+), mz AS (
+  SELECT r.m, r.blk,
+         MAX(r.m * r.pref - (r.k + 1) * t.s) AS mx,
+         MIN(r.m * r.pref - (r.k + 1) * t.s) AS mn,
+         ANY_VALUE(t.s) AS s, ANY_VALUE(t.q) AS q, ANY_VALUE(t.cnt) AS cnt
+  FROM rows_ r JOIN tot t ON t.m = r.m AND t.blk = r.blk
+  GROUP BY 1, 2
+), rs AS (
+  SELECT m, CAST(FLOOR((mx - mn) / SQRT(m * q - s * s) * 1000000 + 0.5)
+                 AS BIGINT) AS rs_micro
+  FROM mz WHERE cnt = m AND m * q - s * s > 0
+), mean_rs AS (
+  SELECT m, COUNT(*) AS n_blocks,
+         CAST(FLOOR(SUM(rs_micro) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+           AS mean_micro
+  FROM rs GROUP BY m
+), pts AS (
+  SELECT m, n_blocks, mean_micro,
+         CAST(FLOOR(ln(m * 1.0) * 1000000 + 0.5) AS BIGINT) AS u,
+         CAST(FLOOR(ln(mean_micro / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+           AS v
+  FROM mean_rs
+), slope AS (
+  SELECT (COUNT(*) * SUM(u * v) - SUM(u) * SUM(v)) * 1.0
+           / (COUNT(*) * SUM(u * u) - SUM(u) * SUM(u)) AS h
+  FROM pts
+)
+SELECT pts.m AS block_size,
+       CAST(pts.n_blocks AS BIGINT) AS n_blocks,
+       pts.mean_micro / 1000000.0 AS mean_rs,
+       FLOOR(slope.h * 10000 + 0.5) / 10000 AS hurst_h
+FROM pts CROSS JOIN slope
+ORDER BY block_size
+"""
+
+
+@register("timeseries_hurst_rs", oracle=HURST_RS_ORACLE)
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (rescaled-range) of the daily purchase series —
+    does demand have long memory (H > 0.5), or does the ACF
+    operator's short-lag view miss nothing (H ~ 0.5)?
+
+    Plan: |days| rows after the fact rollup; each (size, block)
+    partition computes its R/S independently (embarrassingly
+    parallel across blocks — the form that scales); exactness runs
+    deeper than usual: m*Z_k and the variance radicand are exact
+    BIGINT, each block's R/S snaps to a 1e-6 integer (order-free
+    per-size mean), and even the final log-log regression runs on
+    snapped integer coordinates — the ONLY float steps are one
+    sqrt+division per block, two ln calls per size, and the last
+    slope division."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "x"
+        )
+    )
+    seq = daily.select(
+        "x", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn")
+    )
+    sizes = F.explode(F.array(F.lit(8), F.lit(16), F.lit(32)))
+    rows_ = seq.select("x", "rn", sizes.alias("m")).select(
+        "m",
+        F.floor(F.col("rn") / F.col("m")).cast("long").alias("blk"),
+        (F.col("rn") % F.col("m")).alias("k"),
+        "x",
+    )
+    wb = Window.partitionBy("m", "blk").orderBy("k")
+    rows_ = rows_.select(
+        "m", "blk", "k", "x", F.sum("x").over(wb).cast("long").alias("pref")
+    )
+    tot = rows_.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    mzv = F.col("m") * F.col("pref") - (F.col("k") + 1) * F.col("s")
+    mz = (
+        rows_.join(tot, ["m", "blk"])
+        .groupBy("m", "blk")
+        .agg(
+            F.max(mzv).alias("mx"),
+            F.min(mzv).alias("mn"),
+            F.first("s").alias("s"),
+            F.first("q").alias("q"),
+            F.first("cnt").alias("cnt"),
+        )
+    )
+    rs = mz.filter(
+        (F.col("cnt") == F.col("m"))
+        & (F.col("m") * F.col("q") - F.col("s") * F.col("s") > 0)
+    ).select(
+        "m",
+        F.floor(
+            (F.col("mx") - F.col("mn"))
+            / F.sqrt(F.col("m") * F.col("q") - F.col("s") * F.col("s"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    mean_rs = rs.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.floor(F.sum("rs_micro") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mean_micro"),
+    )
+    pts = mean_rs.select(
+        "m",
+        "n_blocks",
+        "mean_micro",
+        F.floor(F.log(F.col("m") * 1.0) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("u"),
+        F.floor(
+            F.log(F.col("mean_micro") / 1000000.0) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v"),
+    ).persist()
+    slope = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("u") * F.col("v"))
+                - F.sum("u") * F.sum("v")
+            )
+            * 1.0
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("u") * F.col("u"))
+                - F.sum("u") * F.sum("u")
+            )
+        ).alias("h")
+    )
+    return (
+        pts.crossJoin(F.broadcast(slope))
+        .select(
+            F.col("m").alias("block_size"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            (F.col("mean_micro") / 1000000.0).alias("mean_rs"),
+            (F.floor(F.col("h") * 10000 + F.lit(0.5)) / 10000).alias(
+                "hurst_h"
+            ),
+        )
+        .orderBy("block_size")
+    )

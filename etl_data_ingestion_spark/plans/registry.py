@@ -57,7 +57,9 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-2: round-8 WAVE-15 additions (newest, never checked)
+    # slot 1: round-8 WAVE-16 addition (newest, never checked)
+    "timeseries_hurst_rs",
+    # round-8 WAVE-15 additions (never checked)
     "ml_mann_whitney_u",
     "ml_price_elasticity_by_brand",
     # round-8 WAVE-14 additions (never checked)
