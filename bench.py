@@ -235,6 +235,9 @@ EXTENDED = [
     "ml_price_elasticity_by_brand",
     # round 8 wave 16
     "timeseries_hurst_rs",
+    # round 8 wave 17
+    "agg_lorenz_curve_deciles",
+    "window_gaps_islands_dates",
 ]
 
 

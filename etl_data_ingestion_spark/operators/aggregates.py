@@ -3135,3 +3135,84 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("hill_alpha"),
     ).select("k", "kth_value_cents", "n_tail_terms", "hill_alpha")
+
+
+LORENZ_ORACLE = """
+-- Lorenz curve by customer decile: cumulative share of total spend
+-- held by the bottom 10%/20%/.../100% of customers — the curve
+-- BEHIND the Gini coefficient (agg_gini_coefficient reports the
+-- area; this reports the shape, which is what capacity planning
+-- actually reads: 'the top decile is X% of revenue'). Exact
+-- integer cents end to end; decile assignment uses NTILE over
+-- (cents, custkey) — fully tiebroken, so both engines cut the
+-- deciles identically; shares snap on the 1e-6 grid.
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT cents,
+         NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend
+), per AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM tiled GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per
+)
+SELECT decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       cents AS decile_cents,
+       FLOOR(SUM(cents) OVER (ORDER BY decile) * 1.0 / tot.t
+             * 1000000 + 0.5) / 1000000 AS cum_share
+FROM per CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+@register("agg_lorenz_curve_deciles", oracle=LORENZ_ORACLE)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile — the concentration
+    SHAPE behind the Gini scalar ('the top decile holds X% of
+    revenue'), which is what skew planning actually reads.
+
+    Plan: fact pass to |customers| exact-cents rows; NTILE over one
+    global sort with a full (cents, custkey) tiebreak cuts
+    identical deciles in both engines; everything after is 10-row
+    arithmetic on exact BIGINTs with one snapped division. The
+    global sort is |customers|-sized — the same posture as the
+    skyline operator (range-partitioned sort, minutes at 1e9
+    keys)."""
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    tiled = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").cast("long").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("cents").alias("decile_cents"),
+            (
+                F.floor(
+                    F.sum("cents").over(w) * 1.0 / F.col("t") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -2879,3 +2879,69 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+GAPS_ISLANDS_ORACLE = """
+-- Gaps-and-islands over DATE sequences: contiguous runs of active
+-- days per user (events), as (island_start, island_end, length)
+-- ranges via the rn-difference device — date minus a per-user row
+-- number is CONSTANT within a consecutive run, so one window + one
+-- groupBy materializes every island without self-joins or
+-- recursion. The canonical continuity question ('how long was the
+-- user continuously active?') that sessionize-by-gap answers for
+-- timestamps and this answers for calendar days. Top-15 longest
+-- islands with full tiebreaks.
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), marked AS (
+  SELECT user_id, d,
+         CAST(d AS DATE) - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM active
+), islands AS (
+  SELECT user_id,
+         STRFTIME(MIN(d), '%Y-%m-%d') AS island_start,
+         STRFTIME(MAX(d), '%Y-%m-%d') AS island_end,
+         COUNT(*) AS n_days
+  FROM marked GROUP BY user_id, grp
+)
+SELECT user_id, island_start, island_end,
+       CAST(n_days AS BIGINT) AS n_days
+FROM islands
+ORDER BY n_days DESC, user_id, island_start
+LIMIT 15
+"""
+
+
+@register("window_gaps_islands_dates", oracle=GAPS_ISLANDS_ORACLE)
+def window_gaps_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous active-day runs per user as
+    (start, end, length) ranges via the rn-difference device (date
+    minus per-user row number is constant within a run) — one
+    window, one groupBy, no self-join and no recursion. Top-15
+    longest islands, fully tiebroken.
+
+    Plan: distinct (user, day) with map-side partial dedup; the
+    window sorts WITHIN user partitions only (the per-key
+    partitioned shape — parallel across the user domain); islands
+    are a second hash aggregate on (user, grp). At 100 TB the
+    distinct is the only fact-sized stage."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = active.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        marked.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy(F.col("n_days").desc(), "user_id", "island_start")
+        .limit(15)
+    )

@@ -57,7 +57,10 @@ def register(name: str, oracle: Optional[str] = None):
 # lead the trailing list, then the 45-strong r3 cohort queues for
 # round 9+. Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
-    # slot 1: round-8 WAVE-16 addition (newest, never checked)
+    # slots 1-2: round-8 WAVE-17 additions (newest, never checked)
+    "agg_lorenz_curve_deciles",
+    "window_gaps_islands_dates",
+    # round-8 WAVE-16 addition (never checked)
     "timeseries_hurst_rs",
     # round-8 WAVE-15 additions (never checked)
     "ml_mann_whitney_u",
