@@ -3,6 +3,8 @@ from .text import (  # noqa: F401
     tokens,
     token_count,
     word_ngrams,
+    word_ngrams_from,
     char_shingles,
+    char_shingles_from,
     rolling_fingerprint,
 )

@@ -18,7 +18,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
-from etl_data_ingestion_spark.functions.text import BPE_ISH_PATTERN, word_ngrams
+from etl_data_ingestion_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    tokens,
+    word_ngrams_from,
+)
 from etl_data_ingestion_spark.plans.registry import register
 
 C4_LINE_ORACLE = """
@@ -149,9 +153,11 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scalable stand-in for suffix-array substring dedup,
     which has no distributed-friendly formulation."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams("text", 8)).alias("g")
-    ).persist()  # three consumers below; the HOF must not re-run
+    grams = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams_from("toks", 8)).alias("g"))
+        .persist()  # three consumers below; the HOF must not re-run
+    )
     tot = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

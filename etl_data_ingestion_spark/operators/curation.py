@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
-from etl_data_ingestion_spark.functions.text import word_ngrams
+from etl_data_ingestion_spark.functions.text import tokens, word_ngrams_from
 from etl_data_ingestion_spark.plans.registry import register
 
 DECONTAMINATE_ORACLE = """
@@ -56,8 +56,8 @@ def pipeline_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFr
     cost is one pass + map-side semi join. Flagged docs are dropped
     (or reviewed) before training."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams("text", 5)).alias("g")
+    grams = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(word_ngrams_from("toks", 5)).alias("g")
     )
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()

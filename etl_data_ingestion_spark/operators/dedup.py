@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.functions.minhash import minhash_signature_udf
-from etl_data_ingestion_spark.functions.text import word_ngrams
+from etl_data_ingestion_spark.functions.text import tokens, word_ngrams_from
 from etl_data_ingestion_spark.functions.vectors import cosine_similarity
 from etl_data_ingestion_spark.plans.registry import register
 
@@ -161,10 +161,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # tokens materialized into a column BEFORE the n-gram HOF (round-9
+    # perf fix: inline tokenize re-ran the regex split per gram —
+    # O(tokens²); see functions.text.word_ngrams_from). No size()>0
+    # filter: explode already drops empty arrays, and the filter was a
+    # pushdown trap that re-evaluated the HOF a second time.
     grams_all = (
-        corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select("doc_id", F.explode("grams").alias("gram"))
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams_from("toks", 3)).alias("gram"))
         .distinct()
     )
     # frequent-gram cap (posting list ≤ 50 docs): boilerplate grams
@@ -878,7 +882,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature agreement) admits candidates cheaply; the exact measure
     (array_intersect/union on the pair's shingle sets) confirms them,
     touching |candidates| documents instead of |docs|²."""
-    from etl_data_ingestion_spark.functions.text import char_shingles
+    from etl_data_ingestion_spark.functions.text import char_shingles_from
 
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
@@ -888,7 +892,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" tiny edit")).alias("text"),
         )
     )
-    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh"))
+    # trimmed text materialized before the shingle HOF (round-9 perf
+    # fix — inline trim re-evaluated per shingle; char_shingles_from)
+    sh = corpus.select("doc_id", F.trim("text").alias("t")).select(
+        "doc_id", char_shingles_from("t", 5).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -1356,10 +1364,14 @@ def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # tokens materialized into a column BEFORE the n-gram HOF (round-9
+    # perf fix: inline tokenize re-ran the regex split per gram —
+    # O(tokens²); see functions.text.word_ngrams_from). No size()>0
+    # filter: explode already drops empty arrays, and the filter was a
+    # pushdown trap that re-evaluated the HOF a second time.
     grams_all = (
-        corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select("doc_id", F.explode("grams").alias("gram"))
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams_from("toks", 3)).alias("gram"))
         .distinct()
     )
     rare = (
@@ -1492,10 +1504,11 @@ def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(quoted)
+    # materialize-then-gram; no size filter (explode drops empties) —
+    # see the round-9 note on the first grams_all above
     grams_all = (
-        corpus.select("doc_id", word_ngrams("text", 3).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select("doc_id", F.explode("grams").alias("g"))
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams_from("toks", 3)).alias("g"))
         .distinct()
     )
     rare = (

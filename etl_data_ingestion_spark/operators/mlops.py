@@ -569,22 +569,27 @@ def pipeline_contamination_curve(
     grams has vanishing birthday-collision probability; the oracle
     keeps exact strings, so a collision would surface as a parity
     diff rather than pass silently)."""
-    from etl_data_ingestion_spark.functions.text import word_ngrams
+    from etl_data_ingestion_spark.functions.text import tokens, word_ngrams_from
 
     docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
         F.length(F.trim("text")) > 0
     )
+    # ONE tokenization, materialized as a column, shared by all three
+    # gram sizes (round-9 perf fix: the inline form re-ran the regex
+    # split per gram per size — 16.5s → 1.3s at sf0.1; see
+    # functions.text.word_ngrams_from)
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
 
     def tag(n):
         # single-arg lambda on purpose: a two-arg lambda would make
         # F.transform pass the array INDEX as the second argument;
         # hash INSIDE the transform so the gram string dies map-side
         return F.transform(
-            word_ngrams("text", n),
+            word_ngrams_from("toks", n),
             lambda g: F.struct(F.lit(n).alias("n"), F.xxhash64(g).alias("g")),
         )
 
-    grams = docs.select(
+    grams = toked.select(
         "doc_id",
         F.explode(F.flatten(F.array(tag(1), tag(2), tag(3)))).alias("ng"),
     ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))

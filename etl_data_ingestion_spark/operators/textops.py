@@ -978,13 +978,18 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     judge perf fix: first-appearance and token mass only need term
     EQUALITY; the oracle keeps exact strings, so a 64-bit collision
     would surface as a parity diff, not pass silently)."""
-    from etl_data_ingestion_spark.functions.text import word_ngrams
+    from etl_data_ingestion_spark.functions.text import tokens, word_ngrams_from
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
+    # token array materialized before the gram HOF (round-9 perf fix:
+    # 8.5s → sub-second at sf0.1; see functions.text.word_ngrams_from)
     toks = docs.select(
         (F.col("doc_id") / 50).cast("long").alias("b"),
+        tokens("text").alias("tk"),
+    ).select(
+        "b",
         F.explode(
-            F.transform(word_ngrams("text", 3), lambda g: F.xxhash64(g))
+            F.transform(word_ngrams_from("tk", 3), lambda g: F.xxhash64(g))
         ).alias("term"),
     )
     per_bucket = toks.groupBy("b").agg(F.count(F.lit(1)).alias("toks"))
