@@ -238,6 +238,12 @@ EXTENDED = [
     # round 8 wave 17
     "agg_lorenz_curve_deciles",
     "window_gaps_islands_dates",
+    # round 9 wave 18
+    "agg_kruskal_wallis",
+    "agg_benjamini_hochberg_fdr",
+    "timeseries_runs_test",
+    "timeseries_pacf_durbin",
+    "agg_cochran_armitage_trend",
 ]
 
 

@@ -238,4 +238,5 @@ def load_all() -> None:
         attribution,
         video,
         mlops,
+        stats_tests,
     )
