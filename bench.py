@@ -244,6 +244,11 @@ EXTENDED = [
     "timeseries_runs_test",
     "timeseries_pacf_durbin",
     "agg_cochran_armitage_trend",
+    # round 9 wave 19
+    "ml_mrr_at_10",
+    "ml_recall_at_10",
+    "ml_ols_normal_equations",
+    "text_oov_rate_cross_source",
 ]
 
 

@@ -2338,3 +2338,275 @@ def ml_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "elasticity_slope"
         ),
     ).orderBy("p_brand")
+
+
+# ----------------------------------------------- wave 19: MRR@10
+
+MRR_ORACLE = """
+-- Mean-reciprocal-rank@10 per day for `value` as a purchase ranker:
+-- where does the FIRST relevant result land? The metric for
+-- single-answer retrieval (dedup-candidate lookup, nearest-neighbor
+-- eval) where NDCG's graded gains overweight the tail. Same total
+-- order as ml_ndcg_at_k (value DESC, event_id); rr = 1/pos is one
+-- exact IEEE division of small integers, so no snap is needed
+-- beyond ROUND(,6) parity hygiene.
+WITH ranked AS (
+  SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('day', ts)
+           ORDER BY value DESC, event_id) AS pos
+  FROM events
+)
+SELECT day,
+       CAST(COALESCE(MIN(CASE WHEN rel = 1 AND pos <= 10 THEN pos END), 0)
+            AS BIGINT) AS first_pos_top10,
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 AND pos <= 10
+                                     THEN pos END), 0.0), 6)
+         AS reciprocal_rank
+FROM ranked
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("ml_mrr_at_10", oracle=MRR_ORACLE)
+def ml_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily reciprocal rank@10 of the value ranker (see oracle).
+    Scale shape: identical to ml_ndcg_at_k — one Exchange on the day
+    key for the ranking window, then |days|-sized aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    day_t = F.date_trunc("day", "ts")
+    w = Window.partitionBy(day_t).orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        F.date_format(day_t, "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("pos"),
+    )
+    first = F.min(
+        F.when((F.col("rel") == 1) & (F.col("pos") <= 10), F.col("pos"))
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.coalesce(first, F.lit(0)).cast("long").alias(
+                "first_pos_top10"
+            ),
+            F.round(F.coalesce(1.0 / first, F.lit(0.0)), 6).alias(
+                "reciprocal_rank"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# -------------------------------------------- wave 19: recall@10
+
+RECALL_ORACLE = """
+-- Recall@10 per day for the value ranker: what share of the day's
+-- relevant items does the kept top-10 retain? The coverage
+-- counterpart of precision-oriented NDCG/MRR — the number a
+-- curation pipeline quotes when it keeps k of n candidates. Days
+-- with zero purchases are excluded (0/0). Integer counts; one
+-- division under ROUND(,6).
+WITH ranked AS (
+  SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('day', ts)
+           ORDER BY value DESC, event_id) AS pos
+  FROM events
+), daily AS (
+  SELECT day,
+         SUM(rel) AS n_relevant,
+         SUM(CASE WHEN pos <= 10 THEN rel ELSE 0 END) AS hits
+  FROM ranked GROUP BY day
+)
+SELECT day,
+       CAST(n_relevant AS BIGINT) AS n_relevant,
+       CAST(hits AS BIGINT) AS hits_top10,
+       ROUND(hits * 1.0 / n_relevant, 6) AS recall_at_10
+FROM daily WHERE n_relevant > 0
+ORDER BY day
+"""
+
+
+@register("ml_recall_at_10", oracle=RECALL_ORACLE)
+def ml_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily recall@10 of the value ranker (see oracle). Scale shape:
+    same single day-key Exchange as ml_ndcg_at_k / ml_mrr_at_10."""
+    ev = load_table(spark, sf_dir, "events")
+    day_t = F.date_trunc("day", "ts")
+    w = Window.partitionBy(day_t).orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        F.date_format(day_t, "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("pos"),
+    )
+    daily = ranked.groupBy("day").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.sum(F.when(F.col("pos") <= 10, F.col("rel")).otherwise(0)).alias(
+            "hits"
+        ),
+    )
+    return (
+        daily.filter(F.col("n_relevant") > 0)
+        .select(
+            "day",
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.col("hits").cast("long").alias("hits_top10"),
+            F.round(F.col("hits") * 1.0 / F.col("n_relevant"), 6).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------- wave 19: OLS via normal equations
+
+OLS_ORACLE = """
+-- Two-feature OLS by the closed-form normal equations: predict an
+-- order's total (cents) from its line count and summed quantity —
+-- the workhorse regression an experimentation platform fits
+-- in-warehouse without an ML runtime. All sufficient statistics are
+-- exact integer sums (y^2 summed WIDE: HUGEINT here, DECIMAL(38,0)
+-- in Spark — cents^2 tops int64 past ~1e6 orders); the centered
+-- 2x2 solve is one fixed-order scalar chain, identical both
+-- engines. beta_* are cents-per-unit; r2 is unitless.
+WITH per AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS x1,
+         CAST(SUM(l_quantity) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT x1, x2, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM per JOIN orders ON o_orderkey = ok
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+         CAST(SUM(x1 * y) AS BIGINT) AS q1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS q2y,
+         SUM(y * y) AS qyy
+  FROM j
+), c AS (
+  SELECT n,
+         q11 * 1.0 - s1 * 1.0 * s1 / n AS s11,
+         q22 * 1.0 - s2 * 1.0 * s2 / n AS s22,
+         q12 * 1.0 - s1 * 1.0 * s2 / n AS s12,
+         q1y * 1.0 - s1 * 1.0 * sy / n AS s1y,
+         q2y * 1.0 - s2 * 1.0 * sy / n AS s2y,
+         qyy * 1.0 - sy * 1.0 * sy / n AS syy,
+         s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, sy * 1.0 / n AS my
+  FROM m
+), b AS (
+  SELECT n, s1y, s2y, syy, m1, m2, my,
+         (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+         (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       FLOOR(b1 * 1000000 + 0.5) / 1000000 AS beta_lines,
+       FLOOR(b2 * 1000000 + 0.5) / 1000000 AS beta_qty,
+       FLOOR((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000
+         AS intercept_cents,
+       FLOOR((b1 * s1y + b2 * s2y) / syy * 1000000 + 0.5) / 1000000
+         AS r_squared
+FROM b
+"""
+
+
+@register("ml_ols_normal_equations", oracle=OLS_ORACLE)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature OLS (see oracle). Scale shape: the
+    lineitem aggregation and the orders join are both keyed on
+    orderkey (co-partitioned, AQE-coalesced); everything after is a
+    single 10-statistic reduction row — no iteration, no driver
+    loop, no ML runtime."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    o = load_table(spark, sf_dir, "orders")
+    per = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.sum("l_quantity").cast("long").alias("x2"),
+    )
+    j = per.join(o, per.ok == o.o_orderkey).select(
+        "x1",
+        "x2",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("q12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("q1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("q2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("qyy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        n,
+        (F.col("q11") * 1.0 - F.col("s1") * 1.0 * F.col("s1") / n).alias("s11"),
+        (F.col("q22") * 1.0 - F.col("s2") * 1.0 * F.col("s2") / n).alias("s22"),
+        (F.col("q12") * 1.0 - F.col("s1") * 1.0 * F.col("s2") / n).alias("s12"),
+        (F.col("q1y") * 1.0 - F.col("s1") * 1.0 * F.col("sy") / n).alias("s1y"),
+        (F.col("q2y") * 1.0 - F.col("s2") * 1.0 * F.col("sy") / n).alias("s2y"),
+        (F.col("qyy") * 1.0 - F.col("sy") * 1.0 * F.col("sy") / n).alias("syy"),
+        (F.col("s1") * 1.0 / n).alias("m1"),
+        (F.col("s2") * 1.0 / n).alias("m2"),
+        (F.col("sy") * 1.0 / n).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = c.select(
+        n,
+        "s1y",
+        "s2y",
+        "syy",
+        "m1",
+        "m2",
+        "my",
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
+    )
+    return b.select(
+        n.cast("long").alias("n_orders"),
+        (F.floor(F.col("b1") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "beta_lines"
+        ),
+        (F.floor(F.col("b2") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "beta_qty"
+        ),
+        (
+            F.floor(
+                (
+                    F.col("my")
+                    - F.col("b1") * F.col("m1")
+                    - F.col("b2") * F.col("m2")
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("intercept_cents"),
+        (
+            F.floor(
+                (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y"))
+                / F.col("syy")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("r_squared"),
+    )

@@ -2034,3 +2034,85 @@ def text_inverted_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "doc_id")
         .limit(15)
     )
+
+
+# ----------------------------- wave 19: cross-source OOV token mass
+
+OOV_ORACLE = """
+-- Cross-source out-of-vocabulary rate: for each source, the share
+-- of its TOKEN MASS whose (lowercased) type appears in no other
+-- source — the token-weighted complement of the set-based
+-- text_source_vocab_jaccard, and the number that predicts tokenizer
+-- fertility blow-ups when a new source joins a training mixture.
+-- Exact integers end to end (occurrence counts, single-source
+-- types); one division under the 1e-6 snap.
+WITH tok AS (
+  SELECT source, LOWER(tok) AS tok
+  FROM documents,
+       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS t(tok)
+  WHERE TRIM(text) <> ''
+), occ AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), spread AS (
+  SELECT tok, COUNT(DISTINCT source) AS ns FROM occ GROUP BY tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN ns = 1 THEN c ELSE 0 END) AS BIGINT)
+         AS oov_mass,
+       CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_types,
+       FLOOR(SUM(CASE WHEN ns = 1 THEN c ELSE 0 END) * 1.0 / SUM(c)
+             * 1000000 + 0.5) / 1000000 AS oov_rate
+FROM occ JOIN spread USING (tok)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_oov_rate_cross_source", oracle=OOV_ORACLE)
+def text_oov_rate_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass OOV rate per source vs the union of all other
+    sources (see oracle).
+
+    Scale shape: one fact pass explodes tokens into per-(source,
+    type) counts (map-side combined — the Exchange carries the
+    vocab-sized (source, token) table, not token occurrences); the
+    spread table is vocab-sized; the final join is vocab-keyed and
+    AQE-coalesced. At 100 TB the (source × type) domain is the
+    bounding set (~|sources| × |vocab|), never the corpus. The token
+    string itself is the join key for oracle parity; the production
+    variant ships xxhash64(token) — the established 8-byte-key
+    narrowing."""
+    from etl_data_ingestion_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "source",
+        F.explode(tokens("text")).alias("tok"),
+    ).select("source", F.lower("tok").alias("tok"))
+    occ = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    spread = occ.groupBy("tok").agg(
+        F.countDistinct("source").alias("ns")
+    )
+    oov = F.when(F.col("ns") == 1, F.col("c")).otherwise(0)
+    return (
+        occ.join(spread, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("oov_mass"),
+            F.sum(F.when(F.col("ns") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("oov_types"),
+            (
+                F.floor(
+                    F.sum(oov) * 1.0 / F.sum("c") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
