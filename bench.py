@@ -249,6 +249,11 @@ EXTENDED = [
     "ml_recall_at_10",
     "ml_ols_normal_equations",
     "text_oov_rate_cross_source",
+    # round 9 wave 20
+    "graph_local_clustering_coeff",
+    "graph_adamic_adar_topk",
+    "graph_label_propagation_2round",
+    "graph_hits_fixed_iter",
 ]
 
 

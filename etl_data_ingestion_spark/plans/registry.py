@@ -239,4 +239,5 @@ def load_all() -> None:
         video,
         mlops,
         stats_tests,
+        graph2,
     )
