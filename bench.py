@@ -254,6 +254,10 @@ EXTENDED = [
     "graph_adamic_adar_topk",
     "graph_label_propagation_2round",
     "graph_hits_fixed_iter",
+    # round 9 wave 21
+    "quality_unreferenced_parents",
+    "dedup_savings_by_source",
+    "pipeline_token_budget_waterfill",
 ]
 
 

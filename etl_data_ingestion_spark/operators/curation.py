@@ -1458,3 +1458,129 @@ def pipeline_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------ wave 21: token-budget water-filling
+
+WATERFILL_ORACLE = """
+-- Token-budget water-filling: allocate a global training-token
+-- budget (60% of the corpus here) across sources as
+-- alloc_i = min(tokens_i, lambda), with the water level lambda
+-- chosen so the allocations exactly exhaust the budget — the
+-- closed-form fair allocator behind 'cap the big sources, keep the
+-- small ones whole' mixture policies (the capped-proportional
+-- complement of pipeline_domain_mixture_weights). EXACT device:
+-- sort sources by token count ascending; with prefix sums P_j, the
+-- saturation point is the LARGEST j with P_j + (m-j)*t_j <= B
+-- (all integers), and lambda = (B - P_j)/(m - j) is one exact IEEE
+-- division. No iteration — the classic O(m log m) closed form.
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                  END) AS BIGINT) AS t
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(FLOOR(SUM(t) * 0.6) AS BIGINT) AS b,
+         COUNT(*) AS m
+  FROM tok
+), ranked AS (
+  SELECT source, t,
+         ROW_NUMBER() OVER (ORDER BY t, source) AS j,
+         SUM(t) OVER (ORDER BY t, source) AS p
+  FROM tok
+), seg AS (
+  SELECT COALESCE(MAX(CASE WHEN p + (m - j) * t <= b THEN j END), 0) AS j0
+  FROM ranked, tot
+), lvl AS (
+  SELECT (b - COALESCE((SELECT p FROM ranked WHERE j = j0), 0)) * 1.0
+           / (m - j0) AS lam
+  FROM seg, tot
+)
+SELECT source,
+       CAST(t AS BIGINT) AS n_tokens,
+       FLOOR(LEAST(t * 1.0, lam) * 10000 + 0.5) / 10000 AS allocation,
+       CASE WHEN t * 1.0 <= lam THEN 1 ELSE 0 END AS kept_whole
+FROM ranked, lvl
+ORDER BY source
+"""
+
+
+@register("pipeline_token_budget_waterfill", oracle=WATERFILL_ORACLE)
+def pipeline_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form water-filling of a 60%-of-corpus token budget
+    across sources (see oracle).
+
+    Scale shape: one fact pass to |sources| token totals (map-side
+    combined; the token count is size(split) — no explode); the
+    water-level solve is a window scan over the m-row source table.
+    At 100 TB m is tens-to-thousands of sources — domain-sized
+    forever. All saturation decisions compare exact integers; lambda
+    is the single float, identical both engines."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    tok = docs.groupBy("source").agg(
+        F.sum(
+            F.when(F.trim("text") == "", 0).otherwise(
+                F.size(F.split(F.trim("text"), r"\s+"))
+            )
+        )
+        .cast("long")
+        .alias("t")
+    )
+    tot = tok.agg(
+        F.floor(F.sum("t") * 0.6).cast("long").alias("b"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    wj = Window.orderBy("t", "source")
+    ranked = tok.select(
+        "source",
+        "t",
+        F.row_number().over(wj).alias("j"),
+        F.sum("t").over(wj.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+    ).localCheckpoint()  # two consumers: segment solve + final projection
+    seg = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p") + (F.col("m") - F.col("j")) * F.col("t")
+                        <= F.col("b"),
+                        F.col("j"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("j0")
+        )
+    )
+    pj0 = (
+        ranked.join(F.broadcast(seg), F.col("j") == F.col("j0"))
+        .agg(F.coalesce(F.max("p"), F.lit(0)).alias("pj0"))
+    )
+    lvl = (
+        tot.crossJoin(seg)
+        .crossJoin(pj0)
+        .select(
+            (
+                (F.col("b") - F.col("pj0")) * 1.0 / (F.col("m") - F.col("j0"))
+            ).alias("lam")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("t").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.least(F.col("t") * 1.0, F.col("lam")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("allocation"),
+            F.when(F.col("t") * 1.0 <= F.col("lam"), 1)
+            .otherwise(0)
+            .alias("kept_whole"),
+        )
+        .orderBy("source")
+    )

@@ -1558,3 +1558,82 @@ def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cont_raw", 4).alias("containment"),
         F.round("jac_raw", 4).alias("jaccard"),
     )
+
+
+# ----------------------------- wave 21: dedup savings by source
+
+SAVINGS_ORACLE = """
+-- Per-source dedup savings forecast: with keep-first exact dedup
+-- over the augmented corpus (the standard every-10th-doc copy
+-- plant), how many documents and how many CHARACTERS does each
+-- source shed? The number a storage/compute planner reads before
+-- green-lighting the dedup pass at 100 TB. Keep-first winner =
+-- MIN(doc_id) per text (total order), chars = LENGTH(text); all
+-- exact integers, one division under the snap.
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents
+  WHERE doc_id % 10 = 0
+), keyed AS (
+  SELECT source, doc_id, LENGTH(text) AS ch,
+         MIN(doc_id) OVER (PARTITION BY text) AS keeper
+  FROM corpus
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removable,
+       CAST(SUM(ch) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN ch ELSE 0 END) AS BIGINT)
+         AS chars_removable,
+       FLOOR(SUM(CASE WHEN doc_id <> keeper THEN ch ELSE 0 END) * 1.0
+             / SUM(ch) * 1000000 + 0.5) / 1000000 AS savings_rate
+FROM keyed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_savings_by_source", oracle=SAVINGS_ORACLE)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup savings report (see oracle).
+
+    Scale shape: ONE Exchange keyed on the text digest (the window's
+    partition key — production ships sha2(text), 32-byte keys, and
+    here the window partitions by the text value itself for oracle
+    parity); per-source totals are a second, |sources|-sized
+    aggregation. No joins, no candidate pairs — this is the
+    accounting layer over the same plan dedup_exact_keep_first
+    runs."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    wt = Window.partitionBy("text")
+    keyed = corpus.select(
+        "source",
+        "doc_id",
+        F.length("text").alias("ch"),
+        F.min("doc_id").over(wt).alias("keeper"),
+    )
+    dup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    dup_ch = F.when(F.col("doc_id") != F.col("keeper"), F.col("ch")).otherwise(0)
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_removable"),
+            F.sum("ch").cast("long").alias("chars_total"),
+            F.sum(dup_ch).cast("long").alias("chars_removable"),
+            (
+                F.floor(
+                    F.sum(dup_ch) * 1.0 / F.sum("ch") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )

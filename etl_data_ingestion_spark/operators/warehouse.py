@@ -901,3 +901,78 @@ def quality_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_missing",
         )
     )
+
+
+# --------------------------- wave 21: unreferenced parent rows
+
+UNREFERENCED_ORACLE = """
+-- Dead-dimension audit — the converse of the child->parent orphan
+-- check (quality_referential_integrity): how many PARENT rows are
+-- never referenced by any child? Unreferenced parts/customers are
+-- how warehouses accrete zombie dimensions; the count feeds both
+-- vacuum policy and join-cardinality expectations. One distinct per
+-- child FK + one anti-join per relation, all exact integers.
+SELECT * FROM (
+  SELECT 'customer<-orders' AS relation,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS parent_rows,
+         CAST((SELECT COUNT(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+              AS BIGINT) AS unreferenced
+  UNION ALL
+  SELECT 'nation<-customer',
+         CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM nation
+               WHERE n_nationkey NOT IN
+                 (SELECT c_nationkey FROM customer)) AS BIGINT)
+  UNION ALL
+  SELECT 'part<-lineitem',
+         CAST((SELECT COUNT(*) FROM part) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM part
+               WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'supplier<-lineitem',
+         CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM supplier
+               WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+              AS BIGINT)
+)
+ORDER BY relation
+"""
+
+
+@register("quality_unreferenced_parents", oracle=UNREFERENCED_ORACLE)
+def quality_unreferenced_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-dimension audit (see oracle). Scale shape: each child
+    side reduces to a DISTINCT key set first (map-side combined),
+    and the anti join is keyed on the dimension key — for dims that
+    fit, AQE turns it into a broadcast; for fact-sized 'dims' it is
+    one co-partitioned shuffle each. The four relations are
+    independent scans unioned at the end (no cross-relation
+    barrier)."""
+    rels = []
+    for relation, parent, pk, child, fk in [
+        ("customer<-orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("nation<-customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+        ("part<-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+        ("supplier<-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ]:
+        p = load_table(spark, sf_dir, parent)
+        c = load_table(spark, sf_dir, child).select(
+            F.col(fk).alias(pk)
+        ).distinct()
+        stats = p.join(c, pk, "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("unreferenced")
+        )
+        total = p.agg(F.count(F.lit(1)).cast("long").alias("parent_rows"))
+        rels.append(
+            total.crossJoin(stats).select(
+                F.lit(relation).alias("relation"),
+                "parent_rows",
+                "unreferenced",
+            )
+        )
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relation")
