@@ -258,6 +258,11 @@ EXTENDED = [
     "quality_unreferenced_parents",
     "dedup_savings_by_source",
     "pipeline_token_budget_waterfill",
+    # round 9 wave 22
+    "events_attribution_position_based",
+    "timeseries_variance_ratio",
+    "timeseries_wow_growth",
+    "events_churn_rate_weekly",
 ]
 
 

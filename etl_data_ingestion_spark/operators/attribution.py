@@ -441,3 +441,126 @@ def events_session_gap_histogram(
         )
         .orderBy("bucket")
     )
+
+
+# -------------------- wave 22: position-based (U-shaped) attribution
+
+POSITION_ATTR_ORACLE = """
+-- Position-based (U-shaped, 40/20/40) multi-touch attribution: each
+-- user's FIRST purchase distributes credit over their strictly
+-- earlier non-purchase touches — 40% to the first touch, 40% to the
+-- last, the middle 20% split evenly (1 touch takes 100%, 2 take
+-- 50/50). The multi-touch complement of the last-touch operator.
+-- EXACT device: per-touch weights are snapped to 1e-9 integers (the
+-- only rational with a data-dependent denominator is 0.2/(k-2),
+-- snapped identically in both engines), so channel credit is an
+-- order-free BIGINT sum. Users whose first purchase has no prior
+-- touch credit 'unattributed'.
+WITH conv AS (
+  SELECT user_id, ts AS cts FROM (
+    SELECT user_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), touch AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN conv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < c.cts
+), pos AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM touch
+), credit AS (
+  SELECT event_type AS channel,
+         CASE
+           WHEN k = 1 THEN CAST(1000000000 AS BIGINT)
+           WHEN k = 2 THEN CAST(500000000 AS BIGINT)
+           WHEN p = 1 OR p = k THEN CAST(400000000 AS BIGINT)
+           ELSE CAST(FLOOR(200000000.0 / (k - 2) + 0.5) AS BIGINT)
+         END AS c9
+  FROM pos
+  UNION ALL
+  SELECT 'unattributed', CAST(1000000000 AS BIGINT)
+  FROM conv c
+  WHERE NOT EXISTS (SELECT 1 FROM touch t WHERE t.user_id = c.user_id)
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       FLOOR(SUM(c9) / 1000000000.0 * 10000 + 0.5) / 10000
+         AS attributed_conversions
+FROM credit
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("events_attribution_position_based", oracle=POSITION_ATTR_ORACLE)
+def events_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped 40/20/40 multi-touch attribution (see oracle).
+
+    Scale shape: conversions and touch positions each take ONE
+    window over the user key (same Exchange, AQE-reused); credit is
+    map-side arithmetic and the channel rollup is a 5-row aggregate.
+    The 1e-9 integer credit grid keeps every accumulation order-free
+    — no float-sum-order exposure no matter how many touches a user
+    has."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("cts"))
+    )
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("cts"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wk = Window.partitionBy("user_id")
+    pos = touch.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("p"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    c9 = (
+        F.when(F.col("k") == 1, F.lit(1000000000))
+        .when(F.col("k") == 2, F.lit(500000000))
+        .when(
+            (F.col("p") == 1) | (F.col("p") == F.col("k")),
+            F.lit(400000000),
+        )
+        .otherwise(
+            F.floor(200000000.0 / (F.col("k") - 2) + F.lit(0.5))
+        )
+        .cast("long")
+    )
+    credited = pos.select(F.col("event_type").alias("channel"), c9.alias("c9"))
+    unattributed = (
+        conv.join(touch.select("user_id").distinct(), "user_id", "left_anti")
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.lit(1000000000).cast("long").alias("c9"),
+        )
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            (
+                F.floor(
+                    F.sum("c9") / 1000000000.0 * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("attributed_conversions"),
+        )
+        .orderBy("channel")
+    )

@@ -680,3 +680,78 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ------------------------------- wave 22: weekly churn rate
+
+CHURN_ORACLE = """
+-- Weekly churn: of the users active in week w, what share have NO
+-- activity in week w+1? The retention-triangle summary a growth
+-- dashboard actually plots (retention_daily_cohorts keeps the full
+-- cohort matrix; this is the week-grain roll-off). The last week
+-- has no successor and is excluded. Exact integer counts; one
+-- division under the snap.
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+  FROM events
+), nxt AS (
+  SELECT a.wk,
+         COUNT(*) AS active,
+         SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS churned
+  FROM uw a
+  LEFT JOIN uw b
+    ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+  GROUP BY a.wk
+)
+SELECT STRFTIME(wk, '%Y-%m-%d') AS week_start,
+       CAST(active AS BIGINT) AS active_users,
+       CAST(churned AS BIGINT) AS churned_users,
+       FLOOR(churned * 1.0 / active * 1000000 + 0.5) / 1000000
+         AS churn_rate
+FROM nxt
+WHERE wk < (SELECT MAX(wk) FROM uw)
+ORDER BY week_start
+"""
+
+
+@register("events_churn_rate_weekly", oracle=CHURN_ORACLE)
+def events_churn_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active-user churn (see oracle). Scale shape: facts
+    collapse to the distinct (user, week) table map-side; the
+    successor probe is a self-join co-partitioned on user_id (the
+    week shift rides along); week totals are a |weeks|-row rollup."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    nxt = uw.select(
+        "user_id", (F.col("wk") - F.expr("INTERVAL 7 DAY")).alias("wk")
+    ).withColumn("seen_next", F.lit(1))
+    per_week = (
+        uw.join(nxt, ["user_id", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("active"),
+            F.sum(
+                F.when(F.col("seen_next").isNull(), 1).otherwise(0)
+            ).alias("churned"),
+        )
+    )
+    last_wk = uw.agg(F.max("wk").alias("mx"))
+    return (
+        per_week.crossJoin(F.broadcast(last_wk))
+        .filter(F.col("wk") < F.col("mx"))
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            F.col("active").cast("long").alias("active_users"),
+            F.col("churned").cast("long").alias("churned_users"),
+            (
+                F.floor(
+                    F.col("churned") * 1.0 / F.col("active") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("churn_rate"),
+        )
+        .orderBy("week_start")
+    )

@@ -2958,3 +2958,167 @@ def window_gaps_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_days").desc(), "user_id", "island_start")
         .limit(15)
     )
+
+
+# ---------------------- wave 22: Lo-MacKinlay variance-ratio test
+
+VARIANCE_RATIO_ORACLE = """
+-- Variance-ratio test (Lo-MacKinlay, q=5, unadjusted homoskedastic
+-- form) on the daily-revenue series: VR significantly above 1 means
+-- positive serial correlation (trending), below 1 mean-reversion —
+-- the random-walk diagnostic behind the Hurst and runs-test
+-- operators, expressed through variances of q-period sums.
+-- EXACT device: all sufficient statistics (sum/sum-of-squares of
+-- 1-day diffs and of overlapping 5-day diffs) are exact integer
+-- cents via the expansion sum((x-mu)^2) = sum(x^2) - n*mu^2, so
+-- VR and z are one fixed-order scalar chain, identical both
+-- engines. sum(d^2) is summed WIDE (HUGEINT / DECIMAL(38,0)) —
+-- daily-diff cents squared top int64 past ~3e9 cents/day.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT y,
+         LAG(y, 1) OVER (ORDER BY d) AS y1,
+         LAG(y, 5) OVER (ORDER BY d) AS y5
+  FROM daily
+), agg AS (
+  SELECT COUNT(y1) AS n,
+         SUM(y - y1) AS sd,
+         SUM(CAST((y - y1) * (y - y1) AS BIGINT)) AS qd,
+         COUNT(y5) AS n5,
+         SUM(y - y5) AS s5,
+         SUM(CAST((y - y5) * (y - y5) AS BIGINT)) AS q5
+  FROM seq
+), chain AS (
+  SELECT n, n5,
+         (qd * 1.0 - n * (sd * 1.0 / n) * (sd * 1.0 / n)) / n AS v1,
+         (q5 * 1.0 - n5 * (5 * (sd * 1.0 / n)) * (5 * (sd * 1.0 / n)))
+           / (n5 * 5.0) AS v5
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_diffs,
+       FLOOR(v5 / v1 * 1000000 + 0.5) / 1000000 AS variance_ratio,
+       FLOOR((v5 / v1 - 1.0)
+             / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n))
+             * 1000000 + 0.5) / 1000000 AS z_score
+FROM chain
+"""
+
+
+@register("timeseries_variance_ratio", oracle=VARIANCE_RATIO_ORACLE)
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio random-walk test at horizon q=5 (see oracle).
+    Scale shape: facts collapse to |days| map-side; both LAG columns
+    share one window sort; the test is a single-row scalar chain."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 5).over(w).alias("y5"),
+    )
+    d1 = F.col("y") - F.col("y1")
+    d5 = F.col("y") - F.col("y5")
+    agg = seq.agg(
+        F.count("y1").alias("n"),
+        F.sum(d1).alias("sd"),
+        F.sum((d1 * d1).cast("decimal(38,0)")).alias("qd"),
+        F.count("y5").alias("n5"),
+        F.sum(d5).alias("s5"),
+        F.sum((d5 * d5).cast("decimal(38,0)")).alias("q5"),
+    )
+    n, n5, sd = F.col("n"), F.col("n5"), F.col("sd")
+    mu = sd * 1.0 / n
+    v1 = (F.col("qd") * 1.0 - n * mu * mu) / n
+    v5 = (F.col("q5") * 1.0 - n5 * (5 * mu) * (5 * mu)) / (n5 * 5.0)
+    vr = v5 / v1
+    return agg.select(
+        n.cast("long").alias("n_diffs"),
+        (F.floor(vr * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "variance_ratio"
+        ),
+        (
+            F.floor(
+                (vr - 1.0)
+                / F.sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("z_score"),
+    )
+
+
+# ------------------------------- wave 22: week-over-week growth
+
+WOW_GROWTH_ORACLE = """
+-- Week-over-week revenue growth with a 4-week trailing mean — the
+-- BI staple over the weekly rollup: exact integer weekly cents, the
+-- growth division and the trailing mean each one IEEE op on exact
+-- integers (the 4-week SUM is integral; dividing by the window row
+-- COUNT keeps partial leading windows well-defined).
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS wk,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT wk, rev,
+         LAG(rev) OVER (ORDER BY wk) AS prev,
+         SUM(rev) OVER (ORDER BY wk
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4,
+         COUNT(*) OVER (ORDER BY wk
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c4
+  FROM weekly
+)
+SELECT STRFTIME(wk, '%Y-%m-%d') AS week_start,
+       rev AS revenue_cents,
+       FLOOR(CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
+                  ELSE (rev - prev) * 1.0 / prev END
+             * 1000000 + 0.5) / 1000000 AS wow_growth,
+       FLOOR(s4 * 1.0 / c4 * 10000 + 0.5) / 10000 AS trailing4_mean
+FROM seq
+ORDER BY week_start
+"""
+
+
+@register("timeseries_wow_growth", oracle=WOW_GROWTH_ORACLE)
+def timeseries_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue, WoW growth, 4-week trailing mean (see oracle).
+    Scale shape: facts collapse to |weeks| map-side; one window sort
+    of the weeks table serves LAG and both trailing frames."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rev")
+    )
+    w = Window.orderBy("wk")
+    wf = w.rowsBetween(-3, 0)
+    seq = weekly.select(
+        "wk",
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.sum("rev").over(wf).alias("s4"),
+        F.count(F.lit(1)).over(wf).alias("c4"),
+    )
+    growth = (
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == 0), F.lit(0.0)
+        ).otherwise(
+            (F.col("rev") - F.col("prev")) * 1.0 / F.col("prev")
+        )
+    )
+    return seq.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        F.col("rev").alias("revenue_cents"),
+        (F.floor(growth * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "wow_growth"
+        ),
+        (
+            F.floor(F.col("s4") * 1.0 / F.col("c4") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("trailing4_mean"),
+    ).orderBy("week_start")
