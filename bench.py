@@ -263,6 +263,10 @@ EXTENDED = [
     "timeseries_variance_ratio",
     "timeseries_wow_growth",
     "events_churn_rate_weekly",
+    # round 9 wave 23
+    "ml_simplified_silhouette",
+    "scalar_higher_order_funcs",
+    "pandas_map_in_arrow_tokens",
 ]
 
 

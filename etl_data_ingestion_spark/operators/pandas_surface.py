@@ -307,3 +307,61 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------- wave 23: mapInArrow batch surface
+
+ARROW_MAP_ORACLE = """
+-- mapInArrow parity: per-document byte and whitespace-token counts
+-- computed over raw Arrow RecordBatches (pyarrow.compute, zero
+-- pandas) — the lowest-overhead Python batch surface, completing
+-- the interop family (scalar pandas_udf, grouped/cogrouped
+-- applyInPandas, mapInPandas, UDTF). utf8 byte length = octet
+-- count; token count = whitespace split of trimmed non-empty text,
+-- both exactly recomputable in SQL.
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN TRIM(text) = '' THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END
+            AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("pandas_map_in_arrow_tokens", oracle=ARROW_MAP_ORACLE)
+def pandas_map_in_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow over raw RecordBatches with pyarrow.compute kernels
+    (see oracle): binary_length for utf8 bytes, and a trim+split
+    token count — all columnar, no pandas materialization. The Arrow
+    batch iterator is the same plumbing mapInPandas uses one level
+    down; batch size follows spark.sql.execution.arrow\
+.maxRecordsPerBatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def counts(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            n_bytes = pc.binary_length(text)
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            n_tokens = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(toks),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_tokens, pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        counts, "doc_id long, n_bytes long, n_tokens long"
+    ).orderBy("doc_id")

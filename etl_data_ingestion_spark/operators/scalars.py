@@ -596,3 +596,71 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).cast("long").alias("popcount"),
         k.bitwiseAND(k - 1).alias("clear_lowest"),
     ).orderBy("o_orderkey")
+
+
+# ------------------- wave 23: higher-order function showcase
+
+HOF_ORACLE = """
+-- Higher-order array-function surface: transform / filter / exists /
+-- forall / zip_with / aggregate over the embedding vector, each with
+-- its DuckDB list_* twin — the API-parity query proving the lambda
+-- surface matches (Spark HOFs run interpreted; everything here is a
+-- single pass over a 64-element array per row, map-side). Floats are
+-- per-row fixed chains under ROUND — no cross-row accumulation.
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0.0)) AS n_positive,
+       CASE WHEN list_bool_or(list_transform(embedding, x -> x > 0.25))
+            THEN 1 ELSE 0 END AS any_above_quarter,
+       CASE WHEN list_bool_and(list_transform(embedding, x -> abs(x) < 1.0))
+            THEN 1 ELSE 0 END AS all_below_one,
+       -- abs() INSIDE the transform: list_reduce seeds with the
+       -- FIRST ELEMENT (unlike Spark's explicit 0.0 init), so any
+       -- per-element map must happen before the fold
+       ROUND(list_reduce(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x), 6) AS l1_norm,
+       ROUND(list_reduce(
+               list_transform(
+                 list_zip(embedding, list_reverse(embedding)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+               (acc, x) -> acc + x), 6) AS dot_with_reverse
+FROM embeddings
+ORDER BY vec_id
+LIMIT 100
+"""
+
+
+@register("scalar_higher_order_funcs", oracle=HOF_ORACLE)
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOF surface parity: filter/exists/forall/transform/zip_with/
+    aggregate against DuckDB's list_* family (see oracle). All work
+    is per-row over the 64-dim vector — map-side, no shuffle, one
+    scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    ed = F.transform(F.col("e"), lambda x: x.cast("double"))
+    l1 = F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    dotrev = F.aggregate(
+        F.zip_with(ed, F.reverse(ed), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(F.col("e"), lambda x: x > 0.0)).alias(
+                "n_positive"
+            ),
+            F.exists(F.col("e"), lambda x: x > 0.25)
+            .cast("int")
+            .alias("any_above_quarter"),
+            F.forall(F.col("e"), lambda x: F.abs(x) < 1.0)
+            .cast("int")
+            .alias("all_below_one"),
+            F.round(l1, 6).alias("l1_norm"),
+            F.round(dotrev, 6).alias("dot_with_reverse"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

@@ -1246,3 +1246,127 @@ def embedding_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("p_v").cast("long").alias("overlap_at_5"))
         .orderBy("q_id")
     )
+
+
+# ----------------------- wave 23: simplified silhouette by label
+
+SILHOUETTE_ORACLE = """
+-- Simplified (centroid-based) silhouette per label over the
+-- embedding corpus: a_i = dist(point, own centroid), b_i = min
+-- dist(point, other centroids), s_i = (b_i - a_i)/max(a_i, b_i) —
+-- the O(n*k) clustering-quality score that replaces O(n^2) full
+-- silhouette at scale. Determinism: centroids are per-dim means
+-- ROUNDed to 1e-5 (the ml_kmeans_lloyd_exact precedent) so both
+-- engines broadcast IDENTICAL centroids; each distance is a
+-- per-row ROUND(,8) chain; each s_i snaps to a 1e-9 integer so the
+-- per-label mean is an order-free BIGINT sum.
+WITH dims AS (
+  SELECT vec_id, label, d.i AS i, embedding[d.i] AS x
+  FROM read_parquet_embeddings e,
+       (SELECT UNNEST(generate_series(1, 64)) AS i) d
+), cent AS (
+  SELECT label AS clab, i, ROUND(SUM(x) / COUNT(*), 5) AS c
+  FROM dims GROUP BY label, i
+), dist AS (
+  SELECT v.vec_id, v.label, c.clab,
+         ROUND(SUM((v.x - c.c) * (v.x - c.c)), 8) AS d2
+  FROM dims v JOIN cent c ON c.i = v.i
+  GROUP BY v.vec_id, v.label, c.clab
+), ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clab = label THEN d2 END) AS a2,
+         MIN(CASE WHEN clab <> label THEN d2 END) AS b2
+  FROM dist GROUP BY vec_id, label
+), s AS (
+  SELECT label,
+         CAST(FLOOR((sqrt(b2) - sqrt(a2))
+                    / GREATEST(sqrt(a2), sqrt(b2)) * 1000000000 + 0.5)
+              AS BIGINT) AS s9
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       FLOOR(SUM(s9) / COUNT(*) / 1000000000.0 * 1000000 + 0.5)
+         / 1000000 AS mean_silhouette
+FROM s
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "ml_simplified_silhouette",
+    oracle=SILHOUETTE_ORACLE.replace(
+        "read_parquet_embeddings e", "embeddings e"
+    ),
+)
+def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based simplified silhouette per label (see oracle).
+
+    Scale shape: ONE vector-table pass builds the k centroids (the
+    per-(label, dim) aggregation ships 64 doubles per label, never
+    vectors); the snapped k x 64 centroid table BROADCASTS onto a
+    second scan where each point computes k distances map-side via
+    zip_with folds (no explode — the oracle's dims UNNEST is the SQL
+    rendering, not the Spark plan); s_i snaps to the 1e-9 grid so
+    label means are order-free BIGINT sums. O(n*k) total, one
+    broadcast, one label-keyed reduction."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    # per-dim means, snapped — posexplode is fine HERE because the
+    # output is (k x dim), but we keep it vector-shaped end to end
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.collect_list("v"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+    )
+    cent = sums.select(
+        F.col("label").alias("clab"),
+        F.transform(
+            F.col("s"), lambda x: F.round(x / F.col("n"), 5)
+        ).alias("c"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clab", d2.alias("d2")
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clab") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clab") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    a, b = F.sqrt("a2"), F.sqrt("b2")
+    s9 = F.floor(
+        (b - a) / F.greatest(a, b) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        ab.select("label", s9.alias("s9"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (
+                F.floor(
+                    F.sum("s9") / F.count(F.lit(1)) / 1000000000.0 * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_points",
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )
