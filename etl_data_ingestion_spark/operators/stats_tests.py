@@ -35,11 +35,18 @@ KRUSKAL_ORACLE = """
 -- Mann-Whitney operator (same 2x-scaled tie-averaged integer rank
 -- device: per distinct cent value, avg rank = (2*cum_before+t+1)/2,
 -- kept at 2x so every rank sum is exact BIGINT). Per-group squared
--- rank-sum terms are snapped to 1e-4 integers and summed WIDE
--- (HUGEINT here / DECIMAL(38,0) in Spark — the terms themselves top
--- int64 past N ~ 3e7), so H is one fixed-order scalar chain on
--- cross-engine-identical exact integers. Tie correction from
--- sum(t^3 - t), also a wide integer sum.
+-- rank-sum terms are NORMALIZED BY N before snapping —
+-- term_g = 100 * r2g^2 / (ng * N), magnitude ~100*ng*N, inside
+-- int64 to ~sf300 where the unnormalized 1e-4-scale form already
+-- tops int64 at sf0.3 (caught by the round-9 multi-scale sweep:
+-- DuckDB's CAST raised while Spark's floor-to-long wrapped — the
+-- exact silent-vs-loud divergence the sweep exists to find). With
+-- e100 = sum(term_g), H = 0.03 * e100/(N+1) - 3(N+1): one
+-- fixed-order scalar chain on cross-engine-identical integers
+-- (the snap costs |H error| <= 0.075/(N+1) — below the 1e-6 output
+-- snap for every fixture beyond sf0.01, and deterministic
+-- everywhere since all engines share the snapped integers). Tie
+-- correction from sum(t^3 - t), a wide integer sum.
 WITH s AS (
   SELECT o_orderpriority AS g,
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
@@ -59,15 +66,16 @@ WITH s AS (
 ), tot AS (
   SELECT COUNT(*) AS k,
          CAST(SUM(ng) AS BIGINT) AS n,
-         SUM(CAST(FLOOR(r2g * 1.0 * r2g * 10000 / ng + 0.5) AS BIGINT))
-           AS e4i,
          (SELECT SUM(CAST(t * t * t - t AS BIGINT)) FROM byv) AS tie
+  FROM rg
+), e AS (
+  SELECT SUM(CAST(FLOOR(r2g * 1.0 * r2g / ng / (SELECT n FROM tot) * 100
+                        + 0.5) AS BIGINT)) AS e100
   FROM rg
 ), h AS (
   SELECT n, k, tie,
-         12.0 / (n * 1.0 * (n + 1)) * ((e4i / 10000.0) / 4.0)
-           - 3.0 * (n + 1) AS hstat
-  FROM tot
+         0.03 * (e100 / (n + 1.0)) - 3.0 * (n + 1) AS hstat
+  FROM tot, e
 )
 SELECT CAST(n AS BIGINT) AS n_orders,
        CAST(k AS BIGINT) AS n_groups,
@@ -125,18 +133,26 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rg.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("ng").cast("long").alias("n"),
-        F.sum(
-            F.floor(
-                F.col("r2g") * 1.0 * F.col("r2g") * 10000 / F.col("ng")
-                + F.lit(0.5)
-            ).cast("decimal(38,0)")
-        ).alias("e4i"),
     ).crossJoin(tie_row)
-    n, k, e4i, tie = (F.col(c) for c in ["n", "k", "e4i", "tie"])
-    hstat = (
-        F.lit(12.0) / (n * 1.0 * (n + 1)) * ((e4i / 10000.0) / 4.0)
-        - 3.0 * (n + 1)
+    # term normalized by N BEFORE snapping (round-9 sweep catch: the
+    # unnormalized 1e-4-scale term tops int64 at sf0.3 — DuckDB's
+    # CAST raises, Spark's floor-to-long wraps silently); magnitude
+    # ~100*ng*N keeps the snapped integer exact to ~sf300
+    e = (
+        rg.crossJoin(F.broadcast(tot.select("n")))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("r2g") * 1.0 * F.col("r2g") / F.col("ng")
+                    / F.col("n") * 100
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("e100")
+        )
     )
+    tot = tot.crossJoin(F.broadcast(e))
+    n, k, e100, tie = (F.col(c) for c in ["n", "k", "e100", "tie"])
+    hstat = 0.03 * (e100 / (n + 1.0)) - 3.0 * (n + 1)
     return tot.select(
         n.cast("long").alias("n_orders"),
         k.cast("long").alias("n_groups"),
@@ -235,7 +251,10 @@ def agg_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(
         F.count(F.lit(1)).cast("long").alias("nn"),
         F.sum("b").alias("ss"),
-        F.sum(F.col("b") * F.col("b")).alias("qq"),
+        # cents^2 summed WIDE (DECIMAL(38,0) / DuckDB HUGEINT): the
+        # long sum would wrap around sf100 — same hardening as the
+        # ANOVA/Kruskal terms
+        F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)")).alias("qq"),
     )
     z = g.crossJoin(F.broadcast(tot)).select(
         "nk",

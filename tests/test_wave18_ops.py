@@ -36,14 +36,17 @@ def test_kruskal_wallis_matches_python(spark, sf_dir):
         rg[g][0] += 1
         rg[g][1] += ar[v]
     n = len(vals)
-    # mirror the engines' snapped-term device exactly
-    e4i = sum(
-        math.floor((2 * R) * 1.0 * (2 * R) * 10000 / ng + 0.5)
+    # mirror the engines' N-normalized snapped-term device exactly
+    e100 = sum(
+        math.floor((2 * R) * 1.0 * (2 * R) / ng / n * 100 + 0.5)
         for ng, R in rg.values()
     )
-    h = 12.0 / (n * 1.0 * (n + 1)) * ((float(e4i) / 10000.0) / 4.0) - 3.0 * (
-        n + 1
-    )
+    h = 0.03 * (float(e100) / (n + 1.0)) - 3.0 * (n + 1)
+    # and confirm the device tracks textbook H to its documented bound
+    h_true = 12.0 / (n * (n + 1)) * sum(
+        (2 * R / 2.0) ** 2 / ng for ng, R in rg.values()
+    ) - 3.0 * (n + 1)
+    assert abs(h - h_true) <= 0.075 / (n + 1) + 1e-9
     tie = sum(t * t * t - t for t in byv.values())
     hc = h / (1 - tie * 1.0 / (n * 1.0 * n * n - n))
     [row] = registry.QUERIES["agg_kruskal_wallis"](spark, sf_dir).collect()
