@@ -104,7 +104,10 @@ LOCAL_CC_ORACLE = EDGE_BUILD_SQL + """
   FROM pairs e
   JOIN deg da ON da.n = e.u
   JOIN deg db ON db.n = e.v
-), tri AS (
+), tri AS MATERIALIZED (
+  -- MATERIALIZED: tn references tri three times; without it DuckDB
+  -- inlines the whole triangle join per reference and the oracle
+  -- runs 3x the work (timed out at sf>=0.1 in the round-9 sweep)
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM oriented e1
   JOIN oriented e2 ON e2.a = e1.b
