@@ -240,16 +240,21 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas, mapInPandas, UDTF, and now cogroup).
 
     Plan: both sides shuffle once on the cogroup key (exactly the
-    co-partitioning a join would do); the pandas function sees
-    day-to-day-sized groups and emits one row per order, then a tiny
-    JVM rollup by priority. Cents are snapped to exact integers
-    BEFORE the pandas boundary so the reconciliation arithmetic is
-    integer-exact end to end (Arrow ships int64, no float
-    round-trip). At 100 TB cogroup is shuffle-bound like the
-    equivalent join — the pandas stage adds Arrow serialization,
-    which is why production reserves cogroup for logic SQL can't
-    express; this operator documents the mechanism and its cost
-    honestly."""
+    co-partitioning a join would do). The key is a BUCKET
+    (orderkey % 64), not the raw orderkey — round-9 perf fix: keying
+    on the order itself produced ~1k one-row pandas groups at sf0.1
+    and ~11ms of per-group Arrow/pandas overhead each (11.1s
+    measured); with chunky buckets the same per-order reconciliation
+    runs VECTORIZED inside each batch (pandas groupby + merge) and
+    the overhead amortizes ~group-size-fold. This is the standard
+    scaling pattern for cogrouped applyInPandas: never give the
+    Python boundary more groups than you have cores' worth of work.
+    Cents are snapped to exact integers BEFORE the pandas boundary
+    so the arithmetic is integer-exact end to end (Arrow ships
+    int64, no float round-trip). At 100 TB cogroup is shuffle-bound
+    like the equivalent join — the pandas stage adds Arrow
+    serialization, which is why production reserves cogroup for
+    logic SQL can't express."""
     li = (
         load_table(spark, sf_dir, "lineitem", parallel=True)
         .filter(F.col("l_orderkey") < 4000)
@@ -280,19 +285,40 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lines without an order header are out of audit scope
             return pd.DataFrame(
                 columns=["o_orderpriority", "no_lines", "n_lines", "abs_delta"]
+            ).astype(
+                {"no_lines": "int32", "n_lines": "int64", "abs_delta": "int64"}
             )
-        net = int(ldf["net_cents"].sum()) if not ldf.empty else 0
+        if ldf.empty:
+            agg = pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "net": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        else:
+            g = ldf.groupby("l_orderkey")["net_cents"]
+            agg = pd.DataFrame(
+                {"l_orderkey": g.sum().index,
+                 "net": g.sum().values,
+                 "n": g.count().values}
+            )
+        m = odf.merge(
+            agg, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
+        n = m["n"].fillna(0).astype("int64")
+        net = m["net"].fillna(0).astype("int64")
         return pd.DataFrame(
             {
-                "o_orderpriority": [odf["o_orderpriority"].iloc[0]],
-                "no_lines": [1 if ldf.empty else 0],
-                "n_lines": [len(ldf)],
-                "abs_delta": [abs(int(odf["total_cents"].iloc[0]) - net)],
+                "o_orderpriority": m["o_orderpriority"],
+                "no_lines": (n == 0).astype("int32"),
+                "n_lines": n,
+                "abs_delta": (m["total_cents"] - net).abs().astype("int64"),
             }
         )
 
-    per_order = orders.groupBy("o_orderkey").cogroup(
-        li.groupBy("l_orderkey")
+    per_order = orders.groupBy(
+        (F.col("o_orderkey") % 64).alias("b")
+    ).cogroup(
+        li.groupBy((F.col("l_orderkey") % 64).alias("b"))
     ).applyInPandas(
         reconcile,
         "o_orderpriority string, no_lines int, n_lines long, abs_delta long",
