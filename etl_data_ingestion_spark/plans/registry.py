@@ -61,12 +61,15 @@ def register(name: str, oracle: Optional[str] = None):
 #                the refresh block below) — per the r8 judge's own
 #                principle, changed code must not coast on verdicts
 #                that predate the change;
-#   slots 27-50  24 of the 45 remaining r2-era verdicts (oldest debt).
-# After this window: 21 r2-era verdicts remain (vs the verdict's
-# hoped-for <=17 — the 6 round-9 behavior-change slots took priority,
-# which is the stronger reading of the same instruction); they plus
-# the r3 cohort queue oldest-first for round 10. Names not listed
-# trail in registration order.
+#   slots 27-46  20 of the 45 remaining r2-era verdicts (oldest debt);
+#   slots 47-50  the round-9 LATE behavior changes (advisor fixes +
+#                the cogroup rewrite — see the inline note below).
+# After this window: 25 r2-era verdicts remain (vs the verdict's
+# hoped-for <=17 — the 10 round-9 behavior-change slots took
+# priority, which is the stronger reading of the same instruction:
+# changed code must not coast on pre-change verdicts); they plus the
+# r3 cohort and the 23 round-9 wave additions queue for round 10.
+# Names not listed trail in registration order.
 CHECK_ORDER: list[str] = [
     # slots 1-13: never driver-checked (registered r8, displaced)
     "agg_ab_test_ztest",
@@ -119,13 +122,23 @@ CHECK_ORDER: list[str] = [
     "pipeline_training_data_curation",
     "scan_partitioned_pruning",
     "similarity_ivf_topk",
+    # slots 47-50: round-9 LATE behavior changes (post-window-recut:
+    # the advisor fixes to isotonic gappy bins / ANOVA promotion /
+    # the phrase-index oracle axis, and the cogroup bucket-key perf
+    # rewrite) — changed code must not coast on its r8 verdicts, so
+    # these pre-empt the window's last four r2 slots (which lead the
+    # round-10 queue below instead)
+    "ml_isotonic_calibration_bins",
+    "events_anova_weekday",
+    "text_inverted_index_phrase",
+    "pandas_cogroup_reconcile",
+    # ---- end of the 50-slot window ----
+    # trailing: the 25 remaining r2-era verdicts (round 10's first
+    # slots), then round-8 behavior-change leftover, then the r3 cohort
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "stream_dedup_first_event",
     "stream_tumbling_hourly",
-    # ---- end of the 50-slot window ----
-    # trailing: the 21 remaining r2-era verdicts (round 10's first
-    # slots), then round-8 behavior-change leftover, then the r3 cohort
     "text_lang_bigram_score",
     "text_lang_id_heuristic",
     "text_normalize_pipeline",
