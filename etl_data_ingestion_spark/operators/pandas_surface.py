@@ -249,6 +249,20 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overhead amortizes ~group-size-fold. This is the standard
     scaling pattern for cogrouped applyInPandas: never give the
     Python boundary more groups than you have cores' worth of work.
+
+    ARROW-FLOOR CONTRACT (r9 verdict #4; PLANS.md "Round-9:
+    cogrouped-applyInPandas per-group overhead"): after the bucket
+    fix this operator measures ~1.1-1.3s at sf0.1 under the bench
+    protocol while the DuckDB oracle runs ~0.03s — that residue is
+    the FLOOR of the cogroup surface itself (two shuffles + Arrow
+    encode/decode of every row across the Python boundary + a
+    Python worker round-trip), not plan waste; measured per-batch
+    overhead is ~11ms per (Arrow batch + pandas frame) construction
+    pair, so any future cogroup operator should (a) bucket its key
+    so batches carry >= thousands of rows, (b) expect ~1s of
+    irreducible overhead at toy scale, and (c) justify itself by
+    logic SQL can't express, because a pure-SQL equivalent skips
+    the boundary entirely.
     Cents are snapped to exact integers BEFORE the pandas boundary
     so the arithmetic is integer-exact end to end (Arrow ships
     int64, no float round-trip). At 100 TB cogroup is shuffle-bound
@@ -355,6 +369,38 @@ ORDER BY doc_id
 """
 
 
+def arrow_token_count_batches(batches):
+    """Arrow RecordBatch generator behind pandas_map_in_arrow_tokens,
+    module-level so tests can drive it over synthetic edge-whitespace
+    docs. Trim is ASCII space ONLY (pc.utf8_trim(text, ' ')) to match
+    the oracle's SQL TRIM and the repo-wide tokens() convention —
+    utf8_trim_whitespace would strip tabs/newlines the SQL side keeps
+    (round-10 advisor fix); the \\s+ split itself is Unicode-aware in
+    both engines, so only the EDGES differed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        doc_id = batch.column("doc_id")
+        text = batch.column("text")
+        n_bytes = pc.binary_length(text)
+        trimmed = pc.utf8_trim(text, " ")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        n_tokens = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int32()),
+            pc.list_value_length(toks),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pc.cast(n_bytes, pa.int64()),
+                pc.cast(n_tokens, pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_tokens"],
+        )
+
+
 @register("pandas_map_in_arrow_tokens", oracle=ARROW_MAP_ORACLE)
 def pandas_map_in_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow over raw RecordBatches with pyarrow.compute kernels
@@ -363,31 +409,7 @@ def pandas_map_in_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch iterator is the same plumbing mapInPandas uses one level
     down; batch size follows spark.sql.execution.arrow\
 .maxRecordsPerBatch."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def counts(batches):
-        for batch in batches:
-            doc_id = batch.column("doc_id")
-            text = batch.column("text")
-            n_bytes = pc.binary_length(text)
-            trimmed = pc.utf8_trim_whitespace(text)
-            toks = pc.split_pattern_regex(trimmed, r"\s+")
-            n_tokens = pc.if_else(
-                pc.equal(trimmed, ""),
-                pa.scalar(0, pa.int32()),
-                pc.list_value_length(toks),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    doc_id,
-                    pc.cast(n_bytes, pa.int64()),
-                    pc.cast(n_tokens, pa.int64()),
-                ],
-                names=["doc_id", "n_bytes", "n_tokens"],
-            )
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(
-        counts, "doc_id long, n_bytes long, n_tokens long"
+        arrow_token_count_batches, "doc_id long, n_bytes long, n_tokens long"
     ).orderBy("doc_id")

@@ -1265,7 +1265,14 @@ WITH dims AS (
   FROM read_parquet_embeddings e,
        (SELECT UNNEST(generate_series(1, 64)) AS i) d
 ), cent AS (
-  SELECT label AS clab, i, ROUND(SUM(x) / COUNT(*), 5) AS c
+  -- per-dim centroid from an ORDER-FREE exact integer sum (round-10
+  -- advisor fix): each component snaps to a 1e-9 grid first, so the
+  -- accumulation is BIGINT (no float-order epsilon near the 1e-5
+  -- rounding boundary); the divide chain s9/1e9/n is one fixed-order
+  -- IEEE sequence mirrored by the Spark side
+  SELECT label AS clab, i,
+         ROUND(SUM(CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT))
+               / 1000000000.0 / COUNT(*), 5) AS c
   FROM dims GROUP BY label, i
 ), dist AS (
   SELECT v.vec_id, v.label, c.clab,
@@ -1314,22 +1321,40 @@ def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = 64
-    # per-dim means, snapped — posexplode is fine HERE because the
-    # output is (k x dim), but we keep it vector-shaped end to end
-    sums = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.aggregate(
-            F.collect_list("v"),
-            F.array_repeat(F.lit(0.0), dim),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("s"),
+    # per-dim centroids from ORDER-FREE exact fixed-point sums
+    # (round-10 advisor fix): the previous collect_list double-fold
+    # accumulated floats in nondeterministic collect order right
+    # before the 1e-5 snap — and gathered every vector of a label
+    # onto one reducer. posexplode -> per-(label, dim) BIGINT sum of
+    # 1e-9-snapped components is map-side combined (ships 64 longs
+    # per label per partition, never vectors) and bit-identical to
+    # the oracle regardless of row order.
+    dims = emb.select(
+        "label", F.posexplode("v").alias("i", "x")
+    ).select(
+        "label",
+        "i",
+        F.floor(F.col("x") * 1000000000 + F.lit(0.5)).cast("long").alias("x9"),
     )
-    cent = sums.select(
-        F.col("label").alias("clab"),
-        F.transform(
-            F.col("s"), lambda x: F.round(x / F.col("n"), 5)
-        ).alias("c"),
+    per_dim = dims.groupBy("label", "i").agg(
+        F.sum("x9").alias("s9"), F.count(F.lit(1)).alias("n")
+    )
+    # fixed-order divide chain s9/1e9/n mirrored in the oracle
+    cent = (
+        per_dim.select(
+            F.col("label").alias("clab"),
+            "i",
+            F.round(
+                F.col("s9") / 1000000000.0 / F.col("n"), 5
+            ).alias("ci"),
+        )
+        .groupBy("clab")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "ci"))),
+                lambda s: s["ci"],
+            ).alias("c")
+        )
     )
     d2 = F.round(
         F.aggregate(

@@ -463,10 +463,15 @@ WITH daily AS (
          LEAD(y, 3) OVER (ORDER BY d) AS y3
   FROM daily
 ), agg AS (
-  SELECT COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS q,
-         SUM(y * y1) AS p1, SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1, SUM(y1) AS b1,
-         SUM(y * y2) AS p2, SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2, SUM(y2) AS b2,
-         SUM(y * y3) AS p3, SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS a3, SUM(y3) AS b3
+  -- products promoted to HUGEINT BEFORE the multiply (round-10
+  -- advisor fix): daily cents reach ~1.8e7 at sf0.1 and scale ~10x
+  -- per decade, so a BIGINT y*y would raise around sf30 while the
+  -- promoted form stays exact — matching the Spark side's
+  -- promote-before-multiply DECIMAL(38,0)
+  SELECT COUNT(*) AS n, SUM(y) AS s, SUM(CAST(y AS HUGEINT) * y) AS q,
+         SUM(CAST(y AS HUGEINT) * y1) AS p1, SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1, SUM(y1) AS b1,
+         SUM(CAST(y AS HUGEINT) * y2) AS p2, SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2, SUM(y2) AS b2,
+         SUM(CAST(y AS HUGEINT) * y3) AS p3, SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS a3, SUM(y3) AS b3
   FROM led
 ), acf AS (
   SELECT
@@ -514,15 +519,22 @@ def timeseries_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     led = daily.select(
         "y", *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 4)]
     )
+    # y*y and y*y_k promoted to DECIMAL(38,0) BEFORE the multiply
+    # (round-10 advisor fix): plain int64 products wrap silently
+    # around sf30 while the oracle's HUGEINT stays exact — the same
+    # promote-before-multiply rule the ANOVA/variance-ratio terms
+    # follow (module docstring: "anything that can exceed int64 is
+    # summed WIDE" applies to the product, not just the sum).
+    y_wide = F.col("y").cast("decimal(38,0)")
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("s"),
-        F.sum(F.col("y") * F.col("y")).alias("q"),
+        F.sum(y_wide * F.col("y")).alias("q"),
     ]
     for k in range(1, 4):
         yk = F.col(f"y{k}")
         aggs += [
-            F.sum(F.col("y") * yk).alias(f"p{k}"),
+            F.sum(y_wide * yk).alias(f"p{k}"),
             F.sum(F.when(yk.isNotNull(), F.col("y"))).alias(f"a{k}"),
             F.sum(yk).alias(f"b{k}"),
         ]

@@ -2984,12 +2984,16 @@ WITH daily AS (
          LAG(y, 5) OVER (ORDER BY d) AS y5
   FROM daily
 ), agg AS (
+  -- diffs promoted to HUGEINT BEFORE squaring (round-10 advisor
+  -- fix): a BIGINT d*d raises past |d|~3e9 cents while the promoted
+  -- multiply stays exact — the widening must protect the term, not
+  -- just the accumulation
   SELECT COUNT(y1) AS n,
          SUM(y - y1) AS sd,
-         SUM(CAST((y - y1) * (y - y1) AS BIGINT)) AS qd,
+         SUM(CAST(y - y1 AS HUGEINT) * (y - y1)) AS qd,
          COUNT(y5) AS n5,
          SUM(y - y5) AS s5,
-         SUM(CAST((y - y5) * (y - y5) AS BIGINT)) AS q5
+         SUM(CAST(y - y5 AS HUGEINT) * (y - y5)) AS q5
   FROM seq
 ), chain AS (
   SELECT n, n5,
@@ -3024,13 +3028,18 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = F.col("y") - F.col("y1")
     d5 = F.col("y") - F.col("y5")
+    # promote BEFORE squaring (round-10 advisor fix): casting only
+    # the product to DECIMAL(38,0) widened the sum but left an int64
+    # multiply that wraps silently past |d|~3e9 cents; the decimal
+    # operand makes the multiply itself exact, matching the oracle's
+    # CAST(d AS HUGEINT) * d
     agg = seq.agg(
         F.count("y1").alias("n"),
         F.sum(d1).alias("sd"),
-        F.sum((d1 * d1).cast("decimal(38,0)")).alias("qd"),
+        F.sum(d1.cast("decimal(38,0)") * d1).alias("qd"),
         F.count("y5").alias("n5"),
         F.sum(d5).alias("s5"),
-        F.sum((d5 * d5).cast("decimal(38,0)")).alias("q5"),
+        F.sum(d5.cast("decimal(38,0)") * d5).alias("q5"),
     )
     n, n5, sd = F.col("n"), F.col("n5"), F.col("sd")
     mu = sd * 1.0 / n

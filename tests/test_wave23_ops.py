@@ -21,9 +21,17 @@ def test_simplified_silhouette_matches_python(spark, sf_dir):
     by_label: dict = defaultdict(list)
     for _, lab, v in vecs:
         by_label[lab].append(v)
+    # mirror the round-10 order-free centroid: each component snaps
+    # to a 1e-9 integer grid, sums are exact ints, divide chain is
+    # the fixed-order s9/1e9/n
     cent = {
         lab: [
-            round(sum(v[i] for v in vs) / len(vs), 5)
+            round(
+                sum(math.floor(v[i] * 1e9 + 0.5) for v in vs)
+                / 1e9
+                / len(vs),
+                5,
+            )
             for i in range(64)
         ]
         for lab, vs in by_label.items()
@@ -49,9 +57,9 @@ def test_simplified_silhouette_matches_python(spark, sf_dir):
     for lab, ss in s9.items():
         mean = math.floor(sum(ss) / len(ss) / 1e9 * 1e6 + 0.5) / 1e6
         assert got[lab][0] == len(ss)
-        # centroid float-sum order can wiggle the 1e-5 snap on a few
-        # dims; allow one snap step on the final 1e-6 mean
-        assert abs(got[lab][1] - mean) <= 2e-6, lab
+        # centroids are now exact fixed-point integer sums (order-
+        # free), so the mirror matches EXACTLY — no snap-step wiggle
+        assert got[lab][1] == mean, lab
     # silhouettes are bounded; the synthetic labels are NOT geometric
     # clusters, so negative means are expected — the operator's job is
     # to REPORT that honestly (it is the 'should I trust these labels
@@ -99,7 +107,47 @@ def test_map_in_arrow_matches_python(spark, sf_dir):
     }
     assert set(got) == {r.doc_id for r in rows}
     for r in rows:
-        nb = len(r.text.encode("utf-8"))
-        t = r.text.strip()
-        nt = len(t.split()) if t else 0
+        nb, nt = _oracle_token_counts(r.text)
         assert got[r.doc_id] == (nb, nt), r.doc_id
+
+
+def _oracle_token_counts(text):
+    """Python mirror of the ORACLE semantics (ASCII-space TRIM, then
+    Unicode \\s+ split where a leading separator yields an empty
+    first element) — NOT Python .strip()/.split(), which would mask
+    an edge-tab/newline divergence between the Arrow kernel and the
+    SQL oracle."""
+    import re
+
+    nb = len(text.encode("utf-8"))
+    t = text.strip(" ")
+    nt = 0 if t == "" else len(re.split(r"\s+", t))
+    return nb, nt
+
+
+def test_map_in_arrow_edge_whitespace(spark):
+    """Edge tabs/newlines: the Arrow trim must be ASCII-space-only to
+    match SQL TRIM; utf8_trim_whitespace would silently drop the
+    empty edge tokens the oracle counts."""
+    from etl_data_ingestion_spark.operators.pandas_surface import (
+        arrow_token_count_batches,
+    )
+
+    docs = [
+        (1, "\tleading tab"),
+        (2, "trailing newline\n"),
+        (3, "  spaces only  "),
+        (4, "\t\t"),
+        (5, ""),
+        (6, " mixed\tinner  runs \n tail "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bytes, r.n_tokens)
+        for r in df.mapInArrow(
+            arrow_token_count_batches,
+            "doc_id long, n_bytes long, n_tokens long",
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _oracle_token_counts(text), (doc_id, text)
