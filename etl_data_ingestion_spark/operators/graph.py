@@ -580,7 +580,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution-join shape as connected components, with
     monotonically DECREASING data per round. Fixed unroll keeps the
     lineage short (an open-ended peel would localCheckpoint per
-    round, as dedup.connected_components does)."""
+    round, as dedup.connected_components does).
+
+    Action count (round-10 rewrite, r9 verdict #3): the previous
+    form ran 8 driver-side .count() actions + 4 persists to fill a
+    4-row result — each a full job submission. Now every per-round
+    count is a 1-row lazy aggregate and the result is their UNION,
+    collected by the caller as ONE job; identical Exchanges across
+    the branches (each level's degree shuffle / semi-join feeds both
+    its own count and the next level) are deduplicated by Spark's
+    ReusedExchange, so each peel level still computes once. The
+    corpus-sized distinct edge set keeps its single persist."""
     li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
         "l_orderkey", "l_suppkey"
     )
@@ -602,25 +612,30 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
 
-    rows = []
+    def count_row(it: int, nodes: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(it).alias("iteration"),
+                F.col("n_nodes").cast("long"),
+                F.col("n_edges").cast("long"),
+            )
+        )
+
     e = edges
     d = degrees(e)
-    rows.append((0, d.count(), e.count()))
+    out = count_row(0, d.select("n"), e)
     for it in (1, 2, 3):
         active = d.filter(F.col("deg") >= 3).select("n")
         e = (
             e.join(active.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(active.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .persist()
         )
-        n_active = active.count()
-        n_edges = e.count()
-        rows.append((it, n_active, n_edges))
+        out = out.unionAll(count_row(it, active, e))
         d = degrees(e)
-    return spark.createDataFrame(
-        rows, "iteration int, n_nodes long, n_edges long"
-    ).orderBy("iteration")
+    return out.orderBy("iteration")
 
 
 ASSORTATIVITY_ORACLE = """
