@@ -634,7 +634,26 @@ def main() -> None:
             c_comp = [
                 n for n in curve_names if c_duck[n] and c_duck[n] < 5.0
             ]
+            # Scale-lane drift alarm (round-10, r9 verdict #2: the
+            # sf1 q5 regression went unflagged because the >=2x rule
+            # watched only the sf0.1 tiers — the scale lanes are
+            # where a plan regression at scale shows FIRST). Same
+            # rule as the main tier: >=2x the prior committed
+            # artifact AND >=1s absolute.
+            c_drift: list[str] = []
+            try:
+                prev_lane = prev.get("scale_curve", {}).get(label, {})
+                prev_q = prev_lane.get("queries", {})
+                if prev.get("sf") == sf:
+                    for n, t in c_timings.items():
+                        p = prev_q.get(n)
+                        if p and t >= 1.0 and t >= 2 * p:
+                            c_drift.append(n)
+                            drift.append(f"sf{label}:{n}")
+            except (NameError, AttributeError):
+                pass
             scale_curve[label] = {
+                "drift_over_2x": sorted(c_drift),
                 "spark_total": round(sum(c_timings[n] for n in c_comp), 3),
                 "duckdb_total": round(sum(c_duck[n] for n in c_comp), 3),
                 "ratio": (
