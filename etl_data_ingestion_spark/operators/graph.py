@@ -583,59 +583,101 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, as dedup.connected_components does).
 
     Action count (round-10 rewrite, r9 verdict #3): the previous
-    form ran 8 driver-side .count() actions + 4 persists to fill a
-    4-row result — each a full job submission. Now every per-round
-    count is a 1-row lazy aggregate and the result is their UNION,
-    collected by the caller as ONE job; identical Exchanges across
-    the branches (each level's degree shuffle / semi-join feeds both
-    its own count and the next level) are deduplicated by Spark's
-    ReusedExchange, so each peel level still computes once. The
-    corpus-sized distinct edge set keeps its single persist."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
-        "o_orderkey", "o_custkey"
-    )
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"), (-F.col("l_suppkey")).alias("v")
-        )
-        .distinct()
-        .persist()
-    )
+    form ran 8 driver-side .count() actions (two per round) + 4
+    persists to fill a 4-row result. Now each round derives BOTH its
+    counts (n_active x n_edges) in ONE job via a crossJoin of two
+    1-row aggregates over the persisted level — 4 logical actions
+    total. A fully-lazy union of all four count rows was measured
+    FIRST and rejected: without per-level persists AQE re-plans each
+    branch independently and re-materializes every upstream peel
+    stage per branch (494 jobs, 39.5s at sf0.1 vs 9.0s for the
+    8-action form — tools/floor_decompose.py), so the per-level
+    persist is load-bearing, not optional."""
+    # AQE gate (measured, tools/floor_decompose.py at sf0.1): the
+    # peel rounds run shrinking node-domain aggregates where AQE's
+    # per-stage materialization is pure overhead (min-of-3 ~7.6s
+    # with AQE vs ~4.8s without; ~50 stage-jobs vs ~12). Gate A
+    # PRIORI on the fact-file footprint (known driver-side for
+    # free): under ~2 GB of lineitem bytes the whole graph fits one
+    # executor's worth of work and fixed planning wins; at cluster
+    # scale AQE stays on for its runtime BHJ conversion + skew
+    # handling on the semi-joins over billions of edges. The toggle
+    # MUST precede the first persist(): CacheManager compiles the
+    # cached plan eagerly at persist() under the conf active THEN
+    # (measured: toggling after the persist left the whole run at
+    # the AQE-on timing).
+    import os as _os
 
-    def degrees(e: DataFrame) -> DataFrame:
-        nodes = e.select(F.col("u").alias("n")).unionAll(
-            e.select(F.col("v").alias("n"))
-        )
-        return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    from etl_data_ingestion_spark.catalog import table_path
 
-    def count_row(it: int, nodes: DataFrame, e: DataFrame) -> DataFrame:
-        return (
-            nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    def _tree_bytes(p: str) -> int:
+        if _os.path.isfile(p):
+            return _os.path.getsize(p)
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(p)
+            for f in fs
+        )
+
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(aqe_key, "true")
+    try:
+        li_bytes = _tree_bytes(table_path(sf_dir, "lineitem"))
+    except OSError:
+        li_bytes = 1 << 60
+    toggle = li_bytes < 2_000_000_000 and prev_aqe == "true"
+    if toggle:
+        spark.conf.set(aqe_key, "false")
+    try:
+        li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+            "o_orderkey", "o_custkey"
+        )
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(
-                F.lit(it).alias("iteration"),
-                F.col("n_nodes").cast("long"),
-                F.col("n_edges").cast("long"),
+                F.col("o_custkey").alias("u"),
+                (-F.col("l_suppkey")).alias("v"),
             )
+            .distinct()
+            .persist()
         )
 
-    e = edges
-    d = degrees(e)
-    out = count_row(0, d.select("n"), e)
-    for it in (1, 2, 3):
-        active = d.filter(F.col("deg") >= 3).select("n")
-        e = (
-            e.join(active.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(active.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-        )
-        out = out.unionAll(count_row(it, active, e))
+        def degrees(e: DataFrame) -> DataFrame:
+            nodes = e.select(F.col("u").alias("n")).unionAll(
+                e.select(F.col("v").alias("n"))
+            )
+            return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+
+        def both_counts(nodes: DataFrame, e: DataFrame) -> tuple[int, int]:
+            row = (
+                nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+                .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+                .collect()[0]
+            )
+            return row.n_nodes, row.n_edges
+
+        e = edges
         d = degrees(e)
-    return out.orderBy("iteration")
+        rows = [(0, *both_counts(d.select("n"), e))]
+        for it in (1, 2, 3):
+            active = d.filter(F.col("deg") >= 3).select("n")
+            e = (
+                e.join(active.withColumnRenamed("n", "u"), "u", "left_semi")
+                .join(active.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .persist()
+            )
+            rows.append((it, *both_counts(active, e)))
+            d = degrees(e)
+    finally:
+        if toggle:
+            spark.conf.set(aqe_key, prev_aqe)
+    return spark.createDataFrame(
+        rows, "iteration int, n_nodes long, n_edges long"
+    ).orderBy("iteration")
 
 
 ASSORTATIVITY_ORACLE = """
