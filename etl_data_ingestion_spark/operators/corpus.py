@@ -745,22 +745,34 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ex.groupBy("line").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
-    kept = ex.join(cnt, "line").filter(F.col("ndocs") < 3)
-    re = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("cleaned"),
+    # single doc-keyed aggregation carries BOTH the total line count
+    # and the survivor reassembly (round-10 floor-decomposition
+    # catch: the previous tot-table + final left-join re-scanned and
+    # re-split the corpus text a second time and paid an extra
+    # doc_id join — n_lines is just COUNT(*) over the already-
+    # exploded rows, and collect_list SKIPS nulls, so the
+    # conditional struct collects survivors only)
+    keep = F.col("ndocs") < 3
+    surv = F.when(keep, F.struct("idx", "line"))
+    re = (
+        ex.join(cnt, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(surv)),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
     )
-    tot = docs.select("doc_id", n_lines.cast("long").alias("n_lines"))
-    return tot.join(re, "doc_id", "left").select(
+    return re.select(
         "doc_id",
         "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "n_kept",
         F.coalesce(F.length("cleaned"), F.lit(0))
         .cast("long")
         .alias("cleaned_len"),

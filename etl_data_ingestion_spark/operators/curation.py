@@ -960,22 +960,36 @@ def pipeline_naive_bayes_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
+    # round-10 floor-decomposition restructure: the token explosion
+    # previously ran once for train and once for test (two corpus
+    # scans + splits), and train was re-derived THREE times (cnt /
+    # vocab / tot) plus two separate driver collects — 21 AQE jobs
+    # total. Now: persist the exploded tokens (both halves read
+    # them), persist cnt (the one fact-sized aggregate) and derive
+    # vocab/tot FROM it, and fetch both bounded scalars (|V|, train
+    # doc count) in ONE crossJoined collect.
     words = corpus.select(
         "doc_id",
         "label",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    )
+    ).persist()
     train = words.filter(F.col("doc_id") % 2 == 0)
-    cnt = train.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = train.select("w").distinct()
-    tot = train.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cnt = train.groupBy("label", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    vocab = cnt.select("w").distinct()
+    tot = cnt.groupBy("label").agg(F.sum("c").cast("long").alias("n"))
     prior = (
         corpus.filter(F.col("doc_id") % 2 == 0)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
-    vsize = vocab.count()  # |V|: bounded scalar, documented collect
-    n_train_docs = prior.agg(F.sum("nd")).collect()[0][0]
+    scalars = (
+        cnt.agg(F.count_distinct("w").alias("v"))
+        .crossJoin(prior.agg(F.sum("nd").alias("ntd")))
+        .collect()[0]
+    )
+    vsize, n_train_docs = scalars.v, scalars.ntd
     ptab = (
         tot.crossJoin(vocab)
         .join(cnt, ["label", "w"], "left")

@@ -1862,30 +1862,45 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitive the basket-rules operator's support/lift
     view doesn't give (cosine normalizes by BOTH margins).
 
-    Plan: distinct (order, part) incidence, then the pair count is a
-    per-basket self-join — bounded quadratic: lineitem orders carry
-    <= 7 lines, so each order contributes <= 21 pairs, and the join
-    key is l_orderkey (co-partitioned shuffle, never a cross
-    product). Margins broadcast back onto pairs (|parts| rows).
-    At 100 TB the same bound holds per basket; heavy-hitter baskets
-    (retail carts of 1000s) would cap or sample per basket before
-    pairing — documented, not needed on this schema. Integer counts
-    -> one fixed-order cosine chain -> snapped ordering with full
-    key tiebreak: deterministic top-20 in both engines."""
+    Plan (round-10 rewrite, floor-decomposition catch: the basket
+    SELF-JOIN shape measured 2.65s / 20x-over-floor at sf0.1): ONE
+    corpus shuffle groups each order's distinct parts into a sorted
+    array (collect_set; lineitem orders carry <= 7 lines), then the
+    <= C(7,2)=21 pairs per basket expand MAP-SIDE from the array via
+    a nested transform/flatten HOF — no distinct exchange, no
+    sort-merge self-join, no second corpus shuffle; the pair count
+    and the per-item margins both aggregate from that one grouped
+    relation. At 100 TB the same bound holds per basket;
+    heavy-hitter baskets (retail carts of 1000s) would cap or
+    sample per basket before pairing — slice(parts, 1, K) on the
+    sorted array is the documented cap. Integer counts -> one
+    fixed-order cosine chain -> snapped ordering with full key
+    tiebreak: deterministic top-20 in both engines."""
     li = load_table(spark, sf_dir, "lineitem", parallel=True)
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
+    )
+    item = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + F.lit(2),
+                    F.size(F.col("parts")),
+                ),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

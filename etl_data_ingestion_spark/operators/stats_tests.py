@@ -98,7 +98,15 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_exact_percentiles is the drop-in replacement for the
     unpartitioned running sum); then a k-row reduction.
     H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1), written exactly as
-    the oracle's chain (the 2x rank scale folds into e4i's /4)."""
+    the oracle's chain (the 2x rank scale folds into e4i's /4).
+
+    Round-10 restructure (floor-decomposition catch: the previous
+    byv/gv/tie/tot/e crossJoin lattice re-scanned the fact table
+    twice and submitted 19 AQE jobs for a 1-row answer): ONE fact
+    exchange to (g, v) counts; the per-value table derives FROM it;
+    the tie total rides the SAME single-partition window sort as the
+    ranks (full-frame sum); N rides a 5-row window — a single
+    lineage, no crossJoins, no repeated scans."""
     o = load_table(spark, sf_dir, "orders", parallel=True)
     s = o.select(
         F.col("o_orderpriority").alias("g"),
@@ -106,51 +114,45 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    byv = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gv = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("tg"))
+    byv = gv.groupBy("v").agg(F.sum("tg").cast("long").alias("t"))
+    w_upto = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("t")
     ranked = byv.select(
         "v",
-        (2 * (F.sum("t").over(wv) - F.col("t")) + F.col("t") + 1).alias(
-            "ar2"
-        ),
+        (2 * (F.sum("t").over(w_upto) - t) + t + 1).alias("ar2"),
+        F.sum((t * t * t - t).cast("decimal(38,0)"))
+        .over(w_all)
+        .alias("tie"),
     )
-    gv = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("tg"))
     rg = (
         gv.join(ranked, "v")
         .groupBy("g")
         .agg(
             F.sum("tg").cast("long").alias("ng"),
             F.sum(F.col("tg") * F.col("ar2")).cast("long").alias("r2g"),
+            F.max("tie").alias("tie"),
         )
     )
-    tie_row = byv.agg(
-        F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("tie")
-    )
-    tot = rg.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("ng").cast("long").alias("n"),
-    ).crossJoin(tie_row)
+    w_groups = Window.partitionBy(F.lit(1))
+    rg2 = rg.withColumn("n", F.sum("ng").over(w_groups))
     # term normalized by N BEFORE snapping (round-9 sweep catch: the
     # unnormalized 1e-4-scale term tops int64 at sf0.3 — DuckDB's
-    # CAST raises, Spark's floor-to-long wraps silently); magnitude
+    # CAST raised, Spark's floor-to-long wrapped silently); magnitude
     # ~100*ng*N keeps the snapped integer exact to ~sf300
-    e = (
-        rg.crossJoin(F.broadcast(tot.select("n")))
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("r2g") * 1.0 * F.col("r2g") / F.col("ng")
-                    / F.col("n") * 100
-                    + F.lit(0.5)
-                ).cast("decimal(38,0)")
-            ).alias("e100")
-        )
+    term = F.floor(
+        F.col("r2g") * 1.0 * F.col("r2g") / F.col("ng") / F.col("n") * 100
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    tot = rg2.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").cast("long").alias("n"),
+        F.max("tie").alias("tie"),
+        F.sum(term).alias("e100"),
     )
-    tot = tot.crossJoin(F.broadcast(e))
     n, k, e100, tie = (F.col(c) for c in ["n", "k", "e100", "tie"])
     hstat = 0.03 * (e100 / (n + 1.0)) - 3.0 * (n + 1)
     return tot.select(

@@ -55,15 +55,23 @@ def register(name: str, oracle: Optional[str] = None):
 #                multiply widening, ASCII-trim parity, order-free
 #                centroids), so their first-ever verdicts cover the
 #                POST-change code;
-#   slots 24-48  ALL 25 remaining r2-era verdicts (r2 cohort -> 0);
-#   slots 49-50  round-10 behavior/code changes outside the never-
+#   slots 24-46  23 of the 25 remaining r2-era verdicts;
+#   slots 47-50  the FOUR round-10 plan rewrites outside the never-
 #                checked set (changed code must not coast on its old
-#                verdicts): the graph_kcore_peel single-pass action-
-#                count rewrite (era r8) takes slot 49; slot 50 holds
-#                the oldest r3 entry, displaced if another round-10
-#                change lands.
-# After this window: zero never-checked queries remain, the r2
-# cohort is empty, and the oldest debt is the r3 cohort.
+#                verdicts — the same displacement rule round 9
+#                applied, stated plainly): graph_kcore_peel (action
+#                fusion + AQE gate), ml_item_item_cf (self-join ->
+#                per-basket pair expansion), dedup_repeated_lines_
+#                corpus (fused doc aggregation), pipeline_naive_
+#                bayes_spam (persist + fused scalar collect). These
+#                pre-empt the last two r2 slots and the planned
+#                oldest-r3 slot; deviation from the r9 verdict's
+#                arithmetic (r2 cohort ends at 2, not 0): the 2
+#                leftover r2 entries (subquery_in_high_qty,
+#                subquery_not_exists_customers) LEAD the round-11
+#                queue below.
+# After this window: zero never-checked queries remain and the r2
+# cohort is 2 (both queued first for r11).
 # ROUND-11 STANDING QUEUE (r9 verdict #5 — oldest-first so nothing
 # older than r7 remains by end of r11): the trailing list below IS
 # that queue — the 42 remaining r3-era verdicts first, then the r4
@@ -118,16 +126,18 @@ CHECK_ORDER: list[str] = [
     "scalar_posexplode_embedding",
     "scalar_try_funcs",
     "subquery_exists_returned",
+    # slots 47-50: round-10 plan rewrites (changed code first)
+    "graph_kcore_peel",
+    "ml_item_item_cf",
+    "dedup_repeated_lines_corpus",
+    "pipeline_naive_bayes_spam",
+    # ---- end of the 50-slot window ----
+    # trailing = the round-11 standing queue, oldest-first: the 2
+    # displaced r2-era entries, then the 43 r3-era verdicts, then
+    # the r4 cohort in registration order
     "subquery_in_high_qty",
     "subquery_not_exists_customers",
-    # slots 49-50: round-10 code changes outside the never-set, then
-    # the oldest r3 entry
-    "graph_kcore_peel",
     "agg_heavy_hitters_countmin",
-    # ---- end of the 50-slot window ----
-    # trailing: the 42 remaining r3-era verdicts (round 11's first
-    # slots, oldest debt; agg_heavy_hitters_countmin promoted to the
-    # window above), then the r4 cohort trails in registration order
     "agg_hll_partitioned_union",
     "dedup_incremental_new_docs",
     "dedup_semantic_clusters",
