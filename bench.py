@@ -267,6 +267,15 @@ EXTENDED = [
     "ml_simplified_silhouette",
     "scalar_higher_order_funcs",
     "pandas_map_in_arrow_tokens",
+    # round 10 wave 24
+    "agg_levene_variance_homogeneity",
+    "agg_jarque_bera_normality",
+    "agg_cramers_v",
+    "graph_ktruss_edge_support",
+    "events_exp_gap_fit",
+    "text_word_burstiness",
+    "timeseries_spectral_entropy",
+    "window_hampel_outliers",
 ]
 
 

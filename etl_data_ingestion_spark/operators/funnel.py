@@ -12,7 +12,7 @@ the fact scan instead of shuffling it again.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
@@ -754,4 +754,121 @@ def events_churn_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
         .orderBy("week_start")
+    )
+
+
+# -------------------- wave 24: exponential fit of inter-event gaps
+
+EXP_GAP_FIT_ORACLE = """
+-- Are inter-purchase gaps memoryless? Fit an exponential by MLE
+-- (lambda = n / sum(gaps)) to per-user purchase inter-arrival times
+-- and measure the KS distance between the empirical CDF and the
+-- fitted one — the Poisson-process health check behind rate-anomaly
+-- alerting (agg_poisson_rate_anomaly assumes exactly this; a big KS
+-- here says its alerts are mis-calibrated). EXACT device: gaps are
+-- exact integer seconds; the empirical CDF runs on the DISTINCT-gap
+-- domain with exact cumulative counts (the Kruskal cum-count
+-- device), so D+ = max(cum/n - F(g)) and D- = max(F(g) - prev/n)
+-- are maxima of per-row 1e-9-snapped values — order-free; exp()
+-- ulps sit behind the snap (accepted ln/exp boundary posture).
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) AS gap
+  FROM p
+), gg AS (
+  SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS s FROM gg
+), dom AS (
+  SELECT gap, COUNT(*) AS c FROM gg GROUP BY gap
+), cum AS (
+  SELECT gap, c,
+         SUM(c) OVER (ORDER BY gap) AS cum
+  FROM dom
+), ks AS (
+  SELECT
+    MAX(CAST(FLOOR((cum * 1.0 / n
+                    - (1 - exp(-(n * 1.0 / s) * gap)))
+                   * 1000000000 + 0.5) AS BIGINT)) AS dplus9,
+    MAX(CAST(FLOOR(((1 - exp(-(n * 1.0 / s) * gap))
+                    - (cum - c) * 1.0 / n)
+                   * 1000000000 + 0.5) AS BIGINT)) AS dminus9
+  FROM cum, tot
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       FLOOR(n * 3600.0 / s * 1000000 + 0.5) / 1000000
+         AS lambda_per_hour,
+       FLOOR(GREATEST(dplus9, dminus9) / 1000000000.0 * 1000000 + 0.5)
+         / 1000000 AS ks_stat
+FROM ks, tot
+"""
+
+
+@register("events_exp_gap_fit", oracle=EXP_GAP_FIT_ORACLE)
+def events_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential MLE + KS goodness-of-fit on per-user purchase
+    inter-arrival seconds (see oracle) — the memorylessness check
+    under the Poisson-rate alerting family.
+
+    Scale shape: one fact pass -> per-user LAG (user-partitioned
+    window, co-partitioned with the event layout); gaps collapse to
+    the DISTINCT-second domain with exact cumulative counts, so the
+    KS sweep is domain-sized, never fact-sized; both KS branches are
+    maxima of snapped integers (order-free), and lambda comes from
+    two exact integer sums."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    g = p.select(
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    dom = g.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("gap").rangeBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    cum = dom.select(
+        "gap",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).over(w_all).cast("long").alias("s"),
+    )
+    n, s, gap, c, cumc = (
+        F.col("n"),
+        F.col("s"),
+        F.col("gap"),
+        F.col("c"),
+        F.col("cum"),
+    )
+    fexp = 1 - F.exp(-(n * 1.0 / s) * gap)
+    ks = cum.groupBy("n", "s").agg(
+        F.max(
+            F.floor((cumc * 1.0 / n - fexp) * 1000000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("dplus9"),
+        F.max(
+            F.floor(
+                (fexp - (cumc - c) * 1.0 / n) * 1000000000 + F.lit(0.5)
+            ).cast("long")
+        ).alias("dminus9"),
+    )
+    return ks.select(
+        n.cast("long").alias("n_gaps"),
+        (F.floor(n * 3600.0 / s * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "lambda_per_hour"
+        ),
+        (
+            F.floor(
+                F.greatest(F.col("dplus9"), F.col("dminus9"))
+                / 1000000000.0
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ks_stat"),
     )

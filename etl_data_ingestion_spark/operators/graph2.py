@@ -446,3 +446,122 @@ def graph_hits_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_a9")
     )
+
+
+# ------------------------------- wave 24: k-truss edge support
+
+KTRUSS_ORACLE = EDGE_BUILD_SQL + """
+, oriented AS (
+  SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM pairs e
+  JOIN deg da ON da.n = e.u
+  JOIN deg db ON db.n = e.v
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.a = e1.b
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+), tedges AS (
+  SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM tri
+  UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri
+  UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+), sup AS (
+  SELECT u, v, COUNT(*) AS s FROM tedges GROUP BY u, v
+), es AS (
+  SELECT p.u, p.v, COALESCE(s.s, 0) AS support
+  FROM pairs p LEFT JOIN sup s ON s.u = p.u AND s.v = p.v
+)
+SELECT CAST(support AS BIGINT) AS support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY support DESC) AS BIGINT)
+         AS n_edges_in_truss
+FROM es GROUP BY support ORDER BY support
+"""
+
+
+@register("graph_ktruss_edge_support", oracle=KTRUSS_ORACLE)
+def graph_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support histogram — the k-truss decomposition
+    statistic: an edge with support s belongs to the (s+2)-truss, so
+    the descending-cumulative column reads directly as 'how many
+    edges survive k-truss filtering at k = support+2'. The truss is
+    the standard community-core sparsifier one notch stricter than
+    k-core (graph_kcore_peel peels NODES by degree; the truss peels
+    EDGES by triangle membership).
+
+    Scale shape: same bounded edge build + degree-ordered oriented
+    wedge join as graph_triangle_count (the O(|E|^1.5)-bounded
+    enumeration); each triangle re-emits its THREE undirected edges
+    (a projection union, no join), support is one edge-keyed count,
+    and the histogram is an |support-domain|-sized rollup. Pure
+    integer math end to end."""
+    pairs, und, deg = _edges(spark, sf_dir)
+    e = (
+        pairs.join(
+            F.broadcast(
+                deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+            ),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .localCheckpoint()
+    )
+    tedges = (
+        tri.select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .unionByName(
+            tri.select(
+                F.least("y", "z").alias("u"),
+                F.greatest("y", "z").alias("v"),
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("x", "z").alias("u"),
+                F.greatest("x", "z").alias("v"),
+            )
+        )
+    )
+    sup = tedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+    es = pairs.join(sup, ["u", "v"], "left").select(
+        F.coalesce(F.col("s"), F.lit(0)).alias("support")
+    )
+    hist = es.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    w_desc = Window.orderBy(F.col("support").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("support").cast("long").alias("support"),
+        "n_edges",
+        F.sum("n_edges").over(w_desc).cast("long").alias("n_edges_in_truss"),
+    ).orderBy("support")

@@ -663,3 +663,339 @@ def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_trend"),
     )
+
+
+# ------------------------ wave 24: Levene variance homogeneity
+
+LEVENE_ORACLE = """
+-- Levene's test (mean-centered variant) for homogeneity of account-
+-- balance variance across the 5 market segments — the assumption
+-- gate in front of the ANOVA/t-test family (their F/t statistics
+-- presume equal group variances; Levene tests exactly that without
+-- presuming normality the way Bartlett does).
+-- EXACT device: with integer cents x and exact group sums
+-- (n_i, s_i), the absolute deviation z_ij = |x - s_i/n_i| scales to
+-- the exact integer u_ij = |n_i*x - s_i| (promoted to HUGEINT
+-- before the multiply), so U_i = sum(u) and Q_i = sum(u^2) are
+-- order-free exact integer sums; every cross-group float is snapped
+-- to a fixed grid before its order-free integer sum; W is one fixed
+-- scalar chain. Two fact passes by construction (the second pass
+-- needs the first's group means) with the 5-row stats broadcast
+-- onto the second.
+WITH c AS (
+  SELECT c_mktsegment AS g,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+  FROM customer
+), gs AS (
+  SELECT g, COUNT(*) AS ni, CAST(SUM(x) AS BIGINT) AS si
+  FROM c GROUP BY g
+), u AS (
+  SELECT c.g, ABS(CAST(gs.ni AS HUGEINT) * c.x - gs.si) AS u
+  FROM c JOIN gs USING (g)
+), gu AS (
+  SELECT g, COUNT(*) AS ni,
+         SUM(u) AS ui,
+         SUM(u * u) AS qi
+  FROM u GROUP BY g
+), t AS (
+  SELECT g, ni, ui, qi,
+         CAST(FLOOR(ui * 1.0 / ni * 1000000 + 0.5) AS BIGINT) AS zi6
+  FROM gu
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(SUM(zi6) AS BIGINT) AS sz6
+  FROM t
+), terms AS (
+  SELECT
+    CAST(FLOOR(ni * (ui * 1.0 / ni / ni - sz6 / 1000000.0 / n)
+                  * (ui * 1.0 / ni / ni - sz6 / 1000000.0 / n)
+               * 100 + 0.5) AS HUGEINT) AS num2,
+    CAST(FLOOR((qi * 1.0 / ni / ni
+                - (ui * 1.0 / ni) * (ui * 1.0 / ni) / ni)
+               * 100 + 0.5) AS HUGEINT) AS den2
+  FROM t, tot
+), f AS (
+  SELECT SUM(num2) AS num, SUM(den2) AS den FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS n_groups,
+       FLOOR((n - k) * 1.0 / (k - 1) * (num * 1.0 / den) * 1000000
+             + 0.5) / 1000000 AS w_stat
+FROM f, tot
+"""
+
+
+@register("agg_levene_variance_homogeneity", oracle=LEVENE_ORACLE)
+def agg_levene_variance_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Levene W (mean-centered) across market segments (see oracle).
+
+    Scale shape: pass 1 reduces the facts to 5 (n_i, s_i) rows; the
+    5-row table BROADCASTS onto pass 2, where |n_i*x - s_i| stays an
+    exact integer (promote-before-multiply DECIMAL(38,0)) and the
+    second map-side-combined aggregation ships two wide integers per
+    group per partition. Deviation-from-group-mean statistics are
+    inherently two-pass; both passes are full scans, nothing
+    shuffles but the 5-row reductions. Cross-group sums run on
+    snapped integer grids (1e-6 for mean |z|, 1e-2 for the SS
+    terms) so no float summation depends on group order."""
+    c = load_table(spark, sf_dir, "customer", parallel=True).select(
+        F.col("c_mktsegment").alias("g"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    gs = c.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("x").alias("si")
+    )
+    u_expr = F.abs(
+        F.col("ni").cast("decimal(38,0)") * F.col("x") - F.col("si")
+    )
+    gu = (
+        c.join(F.broadcast(gs), "g")
+        .select("g", "ni", u_expr.alias("u"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum("u").alias("ui"),
+            F.sum(F.col("u") * F.col("u")).alias("qi"),
+        )
+    )
+    t = gu.select(
+        "g",
+        "ni",
+        "ui",
+        "qi",
+        F.floor(F.col("ui") * 1.0 / F.col("ni") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("zi6"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    t2 = t.select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("ni").over(w_all).cast("long").alias("n"),
+        F.sum("zi6").over(w_all).cast("long").alias("sz6"),
+    )
+    ni, ui, qi = F.col("ni"), F.col("ui"), F.col("qi")
+    n, k, sz6 = F.col("n"), F.col("k"), F.col("sz6")
+    zbar_i = ui * 1.0 / ni / ni
+    zbar = sz6 / 1000000.0 / n
+    num2 = F.floor(
+        ni * (zbar_i - zbar) * (zbar_i - zbar) * 100 + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    den2 = F.floor(
+        (qi * 1.0 / ni / ni - (ui * 1.0 / ni) * (ui * 1.0 / ni) / ni) * 100
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    f = t2.groupBy("n", "k").agg(
+        F.sum(num2).alias("num"), F.sum(den2).alias("den")
+    )
+    return f.select(
+        n.cast("long").alias("n_customers"),
+        k.cast("long").alias("n_groups"),
+        (
+            F.floor(
+                (n - k) * 1.0 / (k - 1)
+                * (F.col("num") * 1.0 / F.col("den"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("w_stat"),
+    )
+
+
+# ----------------------------- wave 24: Jarque-Bera normality
+
+JARQUE_BERA_ORACLE = """
+-- Jarque-Bera normality test on account balances: JB =
+-- n/6 * (skew^2 + excess_kurtosis^2 / 4) from the four raw power
+-- sums — the cheap screen run before any normality-assuming model
+-- (a huge JB says use the rank/robust tier: Kruskal, MAD, Theil-
+-- Sen). All power sums are exact wide integers (cents promoted to
+-- HUGEINT before powering: x^4 tops int64 at ~40k-cent balances);
+-- the moment chain is one fixed-order IEEE sequence on them,
+-- written identically in both engines.
+WITH c AS (
+  SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+  FROM customer
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(x AS HUGEINT) * x) AS s2,
+         SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+         SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+  FROM c
+), mom AS (
+  SELECT n,
+         s1 * 1.0 / n AS mu,
+         s2 * 1.0 / n AS r2,
+         s3 * 1.0 / n AS r3,
+         s4 * 1.0 / n AS r4
+  FROM m
+), cen AS (
+  SELECT n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2
+            - 3 * mu * mu * mu * mu AS m4
+  FROM mom
+), st AS (
+  SELECT n,
+         m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exkurt
+  FROM cen
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       FLOOR(skew * 1000000 + 0.5) / 1000000 AS skewness,
+       FLOOR(exkurt * 1000000 + 0.5) / 1000000 AS excess_kurtosis,
+       FLOOR(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) * 10000
+             + 0.5) / 10000 AS jarque_bera
+FROM st
+"""
+
+
+@register("agg_jarque_bera_normality", oracle=JARQUE_BERA_ORACLE)
+def agg_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen on account balances (see oracle).
+
+    Scale shape: ONE map-side-combined pass to four wide-integer
+    power sums (the canonical sufficient-statistic reduction — the
+    same shape at 100 TB, one Exchange of 4 decimals + a count per
+    partition); the moment/JB chain is a single-row fixed-order
+    scalar sequence. skew's m2^1.5 is written SQRT(m2) cubed so both
+    engines run the same IEEE ops (no pow)."""
+    c = load_table(spark, sf_dir, "customer", parallel=True).select(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x")
+    )
+    xw = F.col("x").cast("decimal(38,0)")
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xw).alias("s1"),
+        F.sum(xw * F.col("x")).alias("s2"),
+        F.sum(xw * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xw * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") * 1.0 / n
+    r2 = F.col("s2") * 1.0 / n
+    r3 = F.col("s3") * 1.0 / n
+    r4 = F.col("s4") * 1.0 / n
+    mom = m.select(
+        n,
+        mu.alias("mu"),
+        (r2 - mu * mu).alias("m2"),
+        (r3 - 3 * mu * r2 + 2 * mu * mu * mu).alias("m3"),
+        (
+            r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    skew = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    exkurt = m4 / (m2 * m2) - 3.0
+    return mom.select(
+        n.cast("long").alias("n_customers"),
+        (F.floor(skew * 1000000 + F.lit(0.5)) / 1000000).alias("skewness"),
+        (F.floor(exkurt * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "excess_kurtosis"
+        ),
+        (
+            F.floor(
+                n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("jarque_bera"),
+    )
+
+
+# ------------------------------- wave 24: Cramer's V effect size
+
+CRAMERS_V_ORACLE = """
+-- Cramer's V between order status and order priority: the EFFECT
+-- SIZE the chi-square independence test (agg_chi2_independence)
+-- cannot give — chi2 grows with N, so at warehouse scale everything
+-- is 'significant'; V = sqrt(chi2 / (N * (min(r,c)-1))) in [0,1] is
+-- the scale-free association strength that stays comparable across
+-- table sizes. Same completed-contingency-table discipline as the
+-- chi2 operator (empty cells contribute their expectation); the
+-- <= 15-cell float sum rides ROUND like the chi2 precedent.
+WITH obs AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), dom AS (
+  SELECT x.a, y.b
+  FROM (SELECT DISTINCT a FROM obs) x
+  CROSS JOIN (SELECT DISTINCT b FROM obs) y
+), filled AS (
+  SELECT dom.a, dom.b, COALESCE(obs.o, 0) AS o
+  FROM dom LEFT JOIN obs ON dom.a = obs.a AND dom.b = obs.b
+), m AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS rt,
+         SUM(o) OVER (PARTITION BY b) AS ct,
+         SUM(o) OVER ()               AS n
+  FROM filled
+), agg AS (
+  SELECT COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+         ANY_VALUE(n) AS n,
+         SUM((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+             / (rt * ct * 1.0 / n)) AS chi2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(r AS BIGINT) AS n_status,
+       CAST(c AS BIGINT) AS n_priority,
+       ROUND(chi2, 4) AS chi2_stat,
+       ROUND(SQRT(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+FROM agg
+"""
+
+
+@register("agg_cramers_v", oracle=CRAMERS_V_ORACLE)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association strength between order status and
+    priority (see oracle) — the N-invariant effect size on top of
+    the chi2 machinery.
+
+    Scale shape: one fact pass to the <= 15-cell contingency table;
+    margins, chi2 and V are window algebra on those cells (same
+    audited shape as agg_chi2_independence)."""
+    o = load_table(spark, sf_dir, "orders", parallel=True)
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    dom = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
+    filled = dom.join(obs, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    m = filled.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("b")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    agg = m.agg(
+        F.count_distinct("a").alias("r"),
+        F.count_distinct("b").alias("c"),
+        F.max("n").alias("n"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+    )
+    n, r, cc, chi2 = (F.col(x) for x in ["n", "r", "c", "chi2"])
+    return agg.select(
+        n.cast("long").alias("n_orders"),
+        r.cast("long").alias("n_status"),
+        cc.cast("long").alias("n_priority"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        F.round(
+            F.sqrt(chi2 / (n * (F.least(r, cc) - 1))), 6
+        ).alias("cramers_v"),
+    )

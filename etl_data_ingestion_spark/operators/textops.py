@@ -2116,3 +2116,87 @@ def text_oov_rate_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------ wave 24: word burstiness (VMR)
+
+BURSTINESS_ORACLE = """
+-- Word burstiness for the 20 most frequent corpus tokens: the
+-- variance-to-mean ratio (VMR) of per-document counts, zeros
+-- included — the Church/Gale dispersion diagnostic a plain
+-- frequency list hides (VMR ~ 1 = Poisson-scattered function word;
+-- VMR >> 1 = bursty content/boilerplate word that concentrates in
+-- few documents — exactly the token class repetition filters key
+-- on). EXACT device: with integer per-doc counts c and D total
+-- docs, VMR = (q/D - (s/D)^2) / (s/D) from exact integer s = sum c,
+-- q = sum c^2 (zero docs contribute zero to both, so only
+-- containing docs are scanned); one fixed chain per word.
+WITH t AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), dw AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w
+), tot AS (
+  SELECT COUNT(*) AS d FROM documents
+), ws AS (
+  SELECT w,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q,
+         COUNT(*) AS df
+  FROM dw GROUP BY w
+)
+SELECT w AS word,
+       s AS total_count,
+       CAST(df AS BIGINT) AS doc_freq,
+       FLOOR((q * 1.0 / d - (s * 1.0 / d) * (s * 1.0 / d))
+             / (s * 1.0 / d) * 1000000 + 0.5) / 1000000 AS burstiness
+FROM ws, tot
+ORDER BY total_count DESC, word
+LIMIT 20
+"""
+
+
+@register("text_word_burstiness", oracle=BURSTINESS_ORACLE)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of per-document counts for the top-20
+    corpus tokens (see oracle) — the burstiness/dispersion signal
+    repetition and boilerplate filters act on.
+
+    Scale shape: one corpus pass explodes tokens to (doc, word)
+    counts (map-side combined); per-word sufficient statistics
+    (sum c, sum c^2 WIDE, doc freq) reduce on the word domain; D is
+    a 1-row broadcast; top-20 is TakeOrdered on (count desc, word).
+    Zero-docs enter the math through D alone — no dense completion
+    join ever happens."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d_row = docs.agg(F.count(F.lit(1)).alias("d"))
+    ws = dw.groupBy("w").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    s, q, d = F.col("s"), F.col("q"), F.col("d")
+    mean = s * 1.0 / d
+    return (
+        ws.crossJoin(F.broadcast(d_row))
+        .select(
+            F.col("w").alias("word"),
+            s.alias("total_count"),
+            F.col("df").cast("long").alias("doc_freq"),
+            (
+                F.floor(
+                    (q * 1.0 / d - mean * mean) / mean * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("total_count"), "word")
+        .limit(20)
+    )

@@ -3131,3 +3131,249 @@ def timeseries_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("trailing4_mean"),
     ).orderBy("week_start")
+
+
+# ------------------------- wave 24: spectral entropy of the daily series
+
+SPECTRAL_ENTROPY_ORACLE = """
+-- Spectral entropy of the daily purchase series over the fixed
+-- period grid 2..30 days: H = -sum(q ln q)/ln(K) with q the
+-- normalized periodogram powers — ONE number in [0,1] that says
+-- 'how concentrated is this series' cyclic energy' (0 = one pure
+-- cycle, 1 = white noise); the scalar summary on top of
+-- timeseries_periodogram_fixed's 3-period detail view. Same exact
+-- device as the periodogram: every trig term snaps to a 1e-6
+-- integer so the per-period accumulations are order-free BIGINT
+-- sums; powers snap to 1e-6 before the cross-period normalization
+-- and each entropy term snaps to 1e-9 before its order-free sum
+-- (per-term libm-vs-JVM ulps sit behind the snaps — the accepted
+-- ln/trig boundary posture of Zipf/Theil/periodogram).
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT x, date_diff('day', (SELECT MIN(d) FROM daily), d) AS t
+  FROM daily
+), per AS (
+  SELECT UNNEST(range(2, 31)) AS p
+), acc AS (
+  SELECT p,
+         SUM(CAST(FLOOR(x * cos(2 * pi() * t / p) * 1000000 + 0.5)
+                  AS BIGINT)) AS a,
+         SUM(CAST(FLOOR(x * sin(2 * pi() * t / p) * 1000000 + 0.5)
+                  AS BIGINT)) AS b,
+         COUNT(*) AS n
+  FROM idx CROSS JOIN per
+  GROUP BY p
+), pw AS (
+  SELECT p,
+         CAST(FLOOR(((a / 1000000.0) * (a / 1000000.0)
+                     + (b / 1000000.0) * (b / 1000000.0)) / n
+                    * 1000000 + 0.5) AS BIGINT) AS p6
+  FROM acc
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(p6) AS BIGINT) AS s6 FROM pw
+), ent AS (
+  SELECT CAST(SUM(CASE WHEN p6 > 0
+              THEN CAST(FLOOR((p6 * 1.0 / s6) * ln(p6 * 1.0 / s6)
+                              * 1000000000 - 0.5) AS BIGINT) + 1
+              ELSE 0 END) AS BIGINT) AS e9
+  FROM pw, tot
+)
+SELECT CAST(k AS BIGINT) AS n_periods,
+       CAST(s6 AS BIGINT) AS total_power6,
+       FLOOR(-(e9 / 1000000000.0) / ln(k * 1.0) * 1000000 + 0.5)
+         / 1000000 AS spectral_entropy
+FROM ent, tot
+"""
+
+
+@register("timeseries_spectral_entropy", oracle=SPECTRAL_ENTROPY_ORACLE)
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy over the 2..30-day period grid
+    (see oracle) — the concentration summary of the periodogram.
+
+    Scale shape: one fact pass to |days| rows; the 29-period
+    expansion explodes the DAY-DOMAIN table only (29x ~1e3 rows, not
+    facts); per-period trig sums are order-free snapped-integer
+    reductions; powers, normalization and entropy are a 29-row
+    fixed chain with every cross-period sum on an integer grid.
+    q*ln(q) terms snap with FLOOR(...*1e9 - 0.5)+1 (ceil-style) so
+    the always-negative terms round identically in both engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x")
+    )
+    lo = daily.agg(F.min("d").alias("lo"))
+    idx = daily.crossJoin(F.broadcast(lo)).select(
+        "x", F.datediff("d", "lo").alias("t")
+    )
+    periods = F.explode(
+        F.sequence(F.lit(2), F.lit(30))
+    )
+    two_pi = 2 * 3.141592653589793
+    expanded = idx.select("x", "t", periods.alias("p"))
+    ang = two_pi * F.col("t") / F.col("p")
+    acc = expanded.groupBy("p").agg(
+        F.sum(
+            F.floor(F.col("x") * F.cos(ang) * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("a"),
+        F.sum(
+            F.floor(F.col("x") * F.sin(ang) * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    af, bf = F.col("a") / 1000000.0, F.col("b") / 1000000.0
+    pw = acc.select(
+        "p",
+        F.floor((af * af + bf * bf) / F.col("n") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("p6"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    pw2 = pw.select(
+        "p6",
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("p6").over(w_all).cast("long").alias("s6"),
+    )
+    q = F.col("p6") * 1.0 / F.col("s6")
+    term9 = F.when(
+        F.col("p6") > 0,
+        F.floor(q * F.log(q) * 1000000000 - F.lit(0.5)).cast("long")
+        + F.lit(1),
+    ).otherwise(F.lit(0))
+    ent = pw2.groupBy("k", "s6").agg(F.sum(term9).alias("e9"))
+    return ent.select(
+        F.col("k").cast("long").alias("n_periods"),
+        F.col("s6").cast("long").alias("total_power6"),
+        (
+            F.floor(
+                -(F.col("e9") / 1000000000.0) / F.log(F.col("k") * 1.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("spectral_entropy"),
+    )
+
+
+# ----------------------------- wave 24: Hampel filter outlier flags
+
+HAMPEL_ORACLE = """
+-- Hampel filter over daily revenue: a day is an outlier when its
+-- deviation from the +-3-day rolling MEDIAN exceeds 3 * 1.4826 *
+-- rolling MAD — the robust alternative to the rolling-zscore
+-- operator (one promo day inflates a mean/std band and masks the
+-- next outlier; median/MAD bands don't move). EXACT device: revenue
+-- is integer cents; the frame is materialized as a sorted LIST so
+-- median and MAD come out as exact integers in 2x/4x units
+-- (odd: 2*mid; even: lo+hi), and the flag is the INTEGER comparison
+-- 20000*dev2 > 44478*mad4  (= |x-med| > 4.4478*mad exactly, since
+-- dev2 = 2|x-med| and mad4 = 4*mad) — no float anywhere.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), fr AS (
+  SELECT d, rev,
+         list_sort(LIST(rev) OVER (ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+  FROM daily
+), med AS (
+  SELECT d, rev, w, len(w) AS nw,
+         CASE WHEN len(w) % 2 = 1 THEN 2 * w[(len(w) + 1) // 2]
+              ELSE w[len(w) // 2] + w[len(w) // 2 + 1] END AS med2
+  FROM fr
+), dev AS (
+  SELECT d, rev, nw, med2,
+         list_sort(list_transform(w, v -> ABS(2 * v - med2))) AS dv
+  FROM med
+), mad AS (
+  SELECT d, rev, nw, med2,
+         CASE WHEN nw % 2 = 1 THEN 2 * dv[(nw + 1) // 2]
+              ELSE dv[nw // 2] + dv[nw // 2 + 1] END AS mad4,
+         ABS(2 * rev - med2) AS dev2
+  FROM dev
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       rev AS revenue_cents,
+       CAST(med2 AS BIGINT) AS med2,
+       CAST(mad4 AS BIGINT) AS mad4,
+       CAST(CASE WHEN 20000 * dev2 > 44478 * mad4 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_outlier
+FROM mad ORDER BY day
+"""
+
+
+@register("window_hampel_outliers", oracle=HAMPEL_ORACLE)
+def window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel (rolling median +- 3*1.4826*MAD) outlier flags on daily
+    revenue (see oracle) — the robust band the rolling-zscore
+    operator can't give under contaminated windows.
+
+    Scale shape: facts collapse map-side to |days|; the +-3-day
+    frame materializes as a <=7-element sorted array per day
+    (collect_list over the day-domain window — at 100 TB still
+    |days|-sized), and median/MAD/flag are exact integer array math
+    (2x/4x unit trick keeps even-count medians integral; the flag
+    comparison is 20000*dev2 > 44478*mad4, float-free in both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("rev")
+    )
+    wf = Window.orderBy("d").rowsBetween(-3, 3)
+    fr = daily.select(
+        "d", "rev", F.array_sort(F.collect_list("rev").over(wf)).alias("w")
+    )
+    nw = F.size("w")
+    # 1-based element_at; (nw+1)//2 via floor division on ints
+    mid_odd = 2 * F.element_at("w", ((nw + 1) / 2).cast("int"))
+    mid_even = F.element_at("w", (nw / 2).cast("int")) + F.element_at(
+        "w", (nw / 2).cast("int") + 1
+    )
+    med = fr.select(
+        "d",
+        "rev",
+        "w",
+        nw.alias("nw"),
+        F.when(nw % 2 == 1, mid_odd).otherwise(mid_even).alias("med2"),
+    )
+    dv = F.array_sort(
+        F.transform("w", lambda v: F.abs(2 * v - F.col("med2")))
+    )
+    dev = med.select(
+        "d", "rev", "nw", "med2", dv.alias("dv"),
+        F.abs(2 * F.col("rev") - F.col("med2")).alias("dev2"),
+    )
+    nwc = F.col("nw")
+    mad_odd = 2 * F.element_at("dv", ((nwc + 1) / 2).cast("int"))
+    mad_even = F.element_at("dv", (nwc / 2).cast("int")) + F.element_at(
+        "dv", (nwc / 2).cast("int") + 1
+    )
+    mad = dev.select(
+        "d",
+        "rev",
+        "med2",
+        F.when(nwc % 2 == 1, mad_odd).otherwise(mad_even).alias("mad4"),
+        "dev2",
+    )
+    return mad.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").alias("revenue_cents"),
+        F.col("med2").cast("long").alias("med2"),
+        F.col("mad4").cast("long").alias("mad4"),
+        F.when(
+            20000 * F.col("dev2") > 44478 * F.col("mad4"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_outlier"),
+    ).orderBy("day")
