@@ -276,6 +276,13 @@ EXTENDED = [
     "text_word_burstiness",
     "timeseries_spectral_entropy",
     "window_hampel_outliers",
+    # round 10 wave 25
+    "agg_mann_kendall_trend",
+    "agg_wilcoxon_signed_rank",
+    "agg_robust_moments_octiles",
+    "text_yule_k",
+    "ml_ridge_normal_equations",
+    "pipeline_neyman_allocation",
 ]
 
 

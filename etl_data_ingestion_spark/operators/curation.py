@@ -1598,3 +1598,119 @@ def pipeline_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# -------------------- wave 25: Neyman stratified sample allocation
+
+NEYMAN_ORACLE = """
+-- Neyman-optimal allocation of a 10,000-document sampling budget
+-- across sources: n_h proportional to N_h * S_h (stratum size times
+-- stratum std of document length) — the variance-minimizing way to
+-- spend an eval/annotation budget, vs the proportional allocation
+-- a naive sampler uses (proportional over-samples big LOW-variance
+-- strata). Integer largest-remainder rounding makes the allocations
+-- sum to the budget EXACTLY and deterministically (remainder desc,
+-- source asc). EXACT device: per-stratum (N_h, sum, sum^2 WIDE) are
+-- exact integers; S_h enters through one sqrt per stratum; weights
+-- are snapped to 1e-9 integers before the shares so the rounding
+-- comparison is exact-integer in both engines.
+WITH s AS (
+  SELECT source, COUNT(*) AS nh,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS qx
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, nh,
+         CAST(FLOOR(nh * SQRT(qx * 1.0 / nh
+                              - (sx * 1.0 / nh) * (sx * 1.0 / nh))
+                    * 1000000000 + 0.5) AS HUGEINT) AS w9
+  FROM s
+), tot AS (
+  SELECT CAST(SUM(w9) AS HUGEINT) AS tw9 FROM w
+), base AS (
+  SELECT source, nh, w9,
+         CAST((w9 * 10000) // tw9 AS BIGINT) AS alloc0,
+         CAST((w9 * 10000) % tw9 AS HUGEINT) AS rem
+  FROM w, tot
+), short AS (
+  SELECT CAST(10000 - SUM(alloc0) AS BIGINT) AS k FROM base
+), ranked AS (
+  SELECT source, nh, alloc0,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn
+  FROM base
+)
+SELECT source,
+       CAST(nh AS BIGINT) AS n_docs,
+       CAST(alloc0 + CASE WHEN rn <= (SELECT k FROM short)
+                          THEN 1 ELSE 0 END AS BIGINT) AS sample_quota
+FROM ranked ORDER BY source
+"""
+
+
+@register("pipeline_neyman_allocation", oracle=NEYMAN_ORACLE)
+def pipeline_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling quotas per source for a
+    10k-doc budget (see oracle) — the variance-minimizing partner of
+    pipeline_stratified_sample's proportional scheme.
+
+    Scale shape: one corpus pass to per-source exact moments
+    (map-side combined; sum of n_chars^2 WIDE); weights, shares and
+    largest-remainder rounding all run on the |sources| domain with
+    integer comparisons (w9/rem are snapped exact integers), so the
+    quota vector is deterministic and sums to the budget by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).alias(
+            "qx"
+        ),
+    )
+    nh, sx, qx = F.col("nh"), F.col("sx"), F.col("qx")
+    w = s.select(
+        "source",
+        "nh",
+        F.floor(
+            nh
+            * F.sqrt(qx * 1.0 / nh - (sx * 1.0 / nh) * (sx * 1.0 / nh))
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("w9"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    base = w.select(
+        "source",
+        "nh",
+        F.sum("w9").over(w_all).alias("tw9"),
+        "w9",
+    ).select(
+        "source",
+        "nh",
+        # integral `div`, not floor(decimal /): Spark's decimal
+        # division rounds to a bounded result scale BEFORE a floor
+        # could act, which can flip a quotient sitting within 1e-6
+        # of an integer; `div` is exact integer division like the
+        # oracle's HUGEINT //
+        F.expr("(w9 * 10000) div tw9").cast("long").alias("alloc0"),
+        F.expr("w9 * 10000 - ((w9 * 10000) div tw9) * tw9").alias("rem"),
+    )
+    base2 = base.select(
+        "*",
+        (F.lit(10000) - F.sum("alloc0").over(w_all)).alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .alias("rn"),
+    )
+    return base2.select(
+        "source",
+        F.col("nh").cast("long").alias("n_docs"),
+        (
+            F.col("alloc0")
+            + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("sample_quota"),
+    ).orderBy("source")

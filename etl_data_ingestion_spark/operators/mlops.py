@@ -2625,3 +2625,161 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("r_squared"),
     )
+
+
+# ------------------------- wave 25: ridge path (normal equations)
+
+RIDGE_ORACLE = """
+-- Ridge regression path by closed-form regularized normal
+-- equations: the SAME sufficient statistics as the OLS operator
+-- (predict order cents from line count and summed quantity) solved
+-- at lambda in {0, n, 10n} — the shrinkage path that shows HOW the
+-- coefficients collapse toward zero as the penalty grows (lambda=0
+-- reproduces OLS exactly, so the path is self-checking). Penalty is
+-- per-observation (lambda = c*n on the centered covariance scale),
+-- the standard parameterization that keeps the path invariant to
+-- data volume. All sufficient statistics are exact integer sums;
+-- each lambda row is one fixed-order scalar chain on them.
+WITH per AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS x1,
+         CAST(SUM(l_quantity) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT x1, x2, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM per JOIN orders ON o_orderkey = ok
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+         CAST(SUM(x1 * y) AS BIGINT) AS q1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS q2y
+  FROM j
+), c AS (
+  SELECT n,
+         q11 * 1.0 - s1 * 1.0 * s1 / n AS s11,
+         q22 * 1.0 - s2 * 1.0 * s2 / n AS s22,
+         q12 * 1.0 - s1 * 1.0 * s2 / n AS s12,
+         q1y * 1.0 - s1 * 1.0 * sy / n AS s1y,
+         q2y * 1.0 - s2 * 1.0 * sy / n AS s2y,
+         s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, sy * 1.0 / n AS my
+  FROM m
+), lam AS (
+  SELECT CAST(UNNEST([0.0, 1.0, 10.0]) AS DOUBLE) AS c_lam
+), b AS (
+  SELECT c_lam, n, m1, m2, my,
+         ((s22 + c_lam * n) * s1y - s12 * s2y)
+           / ((s11 + c_lam * n) * (s22 + c_lam * n) - s12 * s12) AS b1,
+         ((s11 + c_lam * n) * s2y - s12 * s1y)
+           / ((s11 + c_lam * n) * (s22 + c_lam * n) - s12 * s12) AS b2
+  FROM c CROSS JOIN lam
+)
+SELECT CAST(c_lam AS DOUBLE) AS lambda_per_obs,
+       CAST(n AS BIGINT) AS n_orders,
+       FLOOR(b1 * 1000000 + 0.5) / 1000000 AS beta_lines,
+       FLOOR(b2 * 1000000 + 0.5) / 1000000 AS beta_qty,
+       FLOOR((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000
+         AS intercept_cents
+FROM b ORDER BY lambda_per_obs
+"""
+
+
+@register("ml_ridge_normal_equations", oracle=RIDGE_ORACLE)
+def ml_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge path at lambda/n in {0, 1, 10} on the OLS
+    operator's sufficient statistics (see oracle); lambda=0 row
+    reproduces ml_ols_normal_equations bit-for-bit.
+
+    Scale shape: identical to the OLS operator — orderkey-keyed
+    aggregation + join, ONE 9-statistic reduction, then the 3-row
+    lambda grid explodes the 1-row stats (a literal array, no data
+    motion). The path costs nothing extra at any scale because the
+    statistics are shared across lambdas."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    o = load_table(spark, sf_dir, "orders")
+    per = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.sum("l_quantity").cast("long").alias("x2"),
+    )
+    j = per.join(o, per.ok == o.o_orderkey).select(
+        "x1",
+        "x2",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("q12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("q1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("q2y"),
+    )
+    n = F.col("n")
+    c = m.select(
+        n,
+        (F.col("q11") * 1.0 - F.col("s1") * 1.0 * F.col("s1") / n).alias(
+            "s11"
+        ),
+        (F.col("q22") * 1.0 - F.col("s2") * 1.0 * F.col("s2") / n).alias(
+            "s22"
+        ),
+        (F.col("q12") * 1.0 - F.col("s1") * 1.0 * F.col("s2") / n).alias(
+            "s12"
+        ),
+        (F.col("q1y") * 1.0 - F.col("s1") * 1.0 * F.col("sy") / n).alias(
+            "s1y"
+        ),
+        (F.col("q2y") * 1.0 - F.col("s2") * 1.0 * F.col("sy") / n).alias(
+            "s2y"
+        ),
+        (F.col("s1") * 1.0 / n).alias("m1"),
+        (F.col("s2") * 1.0 / n).alias("m2"),
+        (F.col("sy") * 1.0 / n).alias("my"),
+    )
+    lam = F.explode(F.array(F.lit(0.0), F.lit(1.0), F.lit(10.0)))
+    cl = c.select("*", lam.alias("c_lam"))
+    r11 = F.col("s11") + F.col("c_lam") * n
+    r22 = F.col("s22") + F.col("c_lam") * n
+    det = r11 * r22 - F.col("s12") * F.col("s12")
+    b = cl.select(
+        "c_lam",
+        n,
+        "m1",
+        "m2",
+        "my",
+        ((r22 * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias(
+            "b1"
+        ),
+        ((r11 * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias(
+            "b2"
+        ),
+    )
+    return b.select(
+        F.col("c_lam").alias("lambda_per_obs"),
+        n.cast("long").alias("n_orders"),
+        (F.floor(F.col("b1") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "beta_lines"
+        ),
+        (F.floor(F.col("b2") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "beta_qty"
+        ),
+        (
+            F.floor(
+                (
+                    F.col("my")
+                    - F.col("b1") * F.col("m1")
+                    - F.col("b2") * F.col("m2")
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("intercept_cents"),
+    ).orderBy("lambda_per_obs")

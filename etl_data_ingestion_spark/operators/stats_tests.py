@@ -999,3 +999,294 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(chi2 / (n * (F.least(r, cc) - 1))), 6
         ).alias("cramers_v"),
     )
+
+
+# ------------------------------ wave 25: Mann-Kendall trend test
+
+MANN_KENDALL_ORACLE = """
+-- Mann-Kendall monotone-trend test on daily revenue: S = sum over
+-- day pairs i<j of sign(y_j - y_i), ties-corrected variance, and
+-- the continuity-corrected z — the NONPARAMETRIC trend detector
+-- (the runs test sees non-randomness, Theil-Sen fits the slope;
+-- Mann-Kendall is the significance test that justifies fitting one
+-- at all). EXACT device: S is an exact integer from a day-domain
+-- pair join (|days|^2 pairs — bounded by the calendar, never by
+-- facts); the tie term sums t(t-1)(2t+5) over exact value-count
+-- groups; z is one fixed chain.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), n_ AS (
+  SELECT COUNT(*) AS n FROM daily
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y) WHERE t > 1
+), v AS (
+  SELECT n, s, tt,
+         (n * (n - 1.0) * (2 * n + 5) - tt) / 18.0 AS var
+  FROM n_, s, ties
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat,
+       FLOOR(CASE WHEN s > 0 THEN (s - 1) / SQRT(var)
+                  WHEN s < 0 THEN (s + 1) / SQRT(var)
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000 AS z_score
+FROM v
+"""
+
+
+@register("agg_mann_kendall_trend", oracle=MANN_KENDALL_ORACLE)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue (see oracle).
+
+    Scale shape: facts collapse map-side to |days|; the pair join is
+    day-domain quadratic (calendar-bounded — ~9M pairs even at ten
+    YEARS of days, broadcastable small side), ties reduce on the
+    revenue-value domain, and the z is a 1-row chain. At 100 TB the
+    shape is identical because the calendar doesn't grow with data;
+    for minute-grained series swap the pair join for the
+    O(n log n) rank formulation (S = sum of concordances via
+    mergesort inversions) — documented cutover."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    ).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    s_row = (
+        a.join(F.broadcast(b), F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n_row = daily.agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t")
+    tie_row = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = n_row.crossJoin(s_row).crossJoin(tie_row)
+    n, s, tt = F.col("n"), F.col("s"), F.col("tt")
+    var = (n * (n - 1.0) * (2 * n + 5) - tt) / 18.0
+    z = (
+        F.when(s > 0, (s - 1) / F.sqrt(var))
+        .when(s < 0, (s + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        n.cast("long").alias("n_days"),
+        s.alias("s_stat"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_score"),
+    )
+
+
+# --------------------------- wave 25: Wilcoxon signed-rank (paired)
+
+WILCOXON_ORACLE = """
+-- Wilcoxon signed-rank test: is weekDAY revenue systematically
+-- different from weekEND revenue, PAIRED BY ISO WEEK? The paired
+-- counterpart of the Mann-Whitney operator (which compares two
+-- independent samples); pairing by week removes between-week volume
+-- drift from the comparison entirely. Same 2x-scaled tie-averaged
+-- integer rank device on |d|: every rank sum is exact BIGINT, the
+-- normal approximation runs in the 2x scale (W2 = 2*W+ has mean
+-- n(n+1)/2 and variance n(n+1)(2n+1)/6 - sum(t^3-t)/12), and zero
+-- differences drop per the standard procedure.
+WITH wk AS (
+  SELECT date_trunc('week', ts) AS w,
+         -- isodow: 6=Sat, 7=Sun (DuckDB's plain dayofweek is
+         -- 0-indexed from Sunday, unlike Spark's 1-indexed — the
+         -- grouping-invariant chi2 oracle never noticed; a PAIRED
+         -- split does)
+         CAST(FLOOR(SUM(CASE WHEN isodow(ts) IN (6, 7)
+                             THEN 0 ELSE value END) * 100 + 0.5)
+              AS BIGINT) AS wd,
+         CAST(FLOOR(SUM(CASE WHEN isodow(ts) IN (6, 7)
+                             THEN value ELSE 0 END) * 100 + 0.5)
+              AS BIGINT) AS we
+  FROM events GROUP BY 1
+), d AS (
+  SELECT wd - we AS d, ABS(wd - we) AS ad FROM wk WHERE wd <> we
+), byv AS (
+  SELECT ad, COUNT(*) AS t FROM d GROUP BY ad
+), ranked AS (
+  SELECT ad, t,
+         2 * (SUM(t) OVER (ORDER BY ad) - t) + t + 1 AS ar2,
+         CAST(SUM(t * t * t - t) OVER () AS BIGINT) AS tie
+  FROM byv
+), j AS (
+  SELECT CAST(SUM(CASE WHEN d.d > 0 THEN r.ar2 ELSE 0 END) AS BIGINT)
+           AS w2,
+         COUNT(*) AS n,
+         ANY_VALUE(r.tie) AS tie
+  FROM d JOIN ranked r ON r.ad = d.ad
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(w2 / 2.0 AS DOUBLE) AS w_plus,
+       FLOOR((w2 - n * (n + 1.0) / 2)
+             / SQRT(n * (n + 1.0) * (2 * n + 1) / 6 - tie / 12.0)
+             * 1000000 + 0.5) / 1000000 AS z_score
+FROM j
+"""
+
+
+@register("agg_wilcoxon_signed_rank", oracle=WILCOXON_ORACLE)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank: weekday vs weekend revenue
+    paired by ISO week (see oracle).
+
+    Scale shape: one fact pass to |weeks| paired rows (map-side
+    conditional sums); ranks run on the |distinct |d|| domain with
+    the shared 2x tie-averaged device; the tie total rides the same
+    single-partition window sort. Everything after the week rollup
+    is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    is_we = F.dayofweek("ts").isin(1, 7)
+    wk = ev.groupBy(F.date_trunc("week", "ts").alias("w")).agg(
+        F.floor(
+            F.sum(F.when(is_we, F.lit(0.0)).otherwise(F.col("value"))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wd"),
+        F.floor(
+            F.sum(F.when(is_we, F.col("value")).otherwise(F.lit(0.0))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("we"),
+    )
+    d = wk.filter(F.col("wd") != F.col("we")).select(
+        (F.col("wd") - F.col("we")).alias("d"),
+        F.abs(F.col("wd") - F.col("we")).alias("ad"),
+    )
+    byv = d.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
+    w_upto = Window.orderBy("ad").rangeBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("ad").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("t")
+    ranked = byv.select(
+        "ad",
+        (2 * (F.sum("t").over(w_upto) - t) + t + 1).alias("ar2"),
+        F.sum(t * t * t - t).over(w_all).cast("long").alias("tie"),
+    )
+    j = d.join(ranked, "ad").agg(
+        F.sum(F.when(F.col("d") > 0, F.col("ar2")).otherwise(0))
+        .cast("long")
+        .alias("w2"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("tie").alias("tie"),
+    )
+    n, w2, tie = F.col("n"), F.col("w2"), F.col("tie")
+    return j.select(
+        n.cast("long").alias("n_pairs"),
+        (w2 / 2.0).alias("w_plus"),
+        (
+            F.floor(
+                (w2 - n * (n + 1.0) / 2)
+                / F.sqrt(
+                    n * (n + 1.0) * (2 * n + 1) / 6 - tie / 12.0
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("z_score"),
+    )
+
+
+# ----------------------- wave 25: robust moments from exact octiles
+
+ROBUST_MOMENTS_ORACLE = """
+-- Robust location/scale/shape summary from exact octiles of account
+-- balances: median, IQR, Bowley (quartile) skewness and Moors
+-- (octile) kurtosis — the outlier-immune counterpart of the
+-- moment-based Jarque-Bera screen (one corrupted balance moves
+-- skewness/kurtosis arbitrarily; it cannot move an octile). All
+-- eight cut points are EXACT discrete order statistics
+-- (quantile_disc / percentile_disc) on integer cents — engine-
+-- identical by definition, no interpolation, no float until the two
+-- final ratios.
+WITH c AS (
+  SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x FROM customer
+), q AS (
+  SELECT COUNT(*) AS n,
+         quantile_disc(x, 0.125) AS e1, quantile_disc(x, 0.25) AS e2,
+         quantile_disc(x, 0.375) AS e3, quantile_disc(x, 0.50) AS e4,
+         quantile_disc(x, 0.625) AS e5, quantile_disc(x, 0.75) AS e6,
+         quantile_disc(x, 0.875) AS e7
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(e4 AS BIGINT) AS median_cents,
+       CAST(e6 - e2 AS BIGINT) AS iqr_cents,
+       FLOOR((e6 + e2 - 2.0 * e4) / (e6 - e2) * 1000000 + 0.5)
+         / 1000000 AS bowley_skew,
+       FLOOR(((e7 - e5) + (e3 - e1)) * 1.0 / (e6 - e2) * 1000000 + 0.5)
+         / 1000000 AS moors_kurtosis
+FROM q
+"""
+
+
+@register("agg_robust_moments_octiles", oracle=ROBUST_MOMENTS_ORACLE)
+def agg_robust_moments_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR/Bowley-skew/Moors-kurtosis from exact octiles (see
+    oracle) — the contamination-proof location-scale-shape summary.
+
+    Scale shape: percentile_disc over one scan (Spark computes all
+    seven cut points in a single aggregate); at 100 TB exact order
+    statistics go through the two-pass partition-offset device of
+    agg_exact_percentiles — drop-in, documented there."""
+    c = load_table(spark, sf_dir, "customer", parallel=True).select(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x")
+    )
+    cuts = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY x)"
+        ).alias(f"e{i}")
+        for i, p in enumerate(
+            ["0.125", "0.25", "0.375", "0.50", "0.625", "0.75", "0.875"],
+            start=1,
+        )
+    ]
+    q = c.agg(F.count(F.lit(1)).alias("n"), *cuts)
+    e1, e2, e3, e4, e5, e6, e7 = (F.col(f"e{i}") for i in range(1, 8))
+    return q.select(
+        F.col("n").cast("long").alias("n_customers"),
+        e4.cast("long").alias("median_cents"),
+        (e6 - e2).cast("long").alias("iqr_cents"),
+        (
+            F.floor(
+                (e6 + e2 - 2.0 * e4) / (e6 - e2) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("bowley_skew"),
+        (
+            F.floor(
+                ((e7 - e5) + (e3 - e1)) * 1.0 / (e6 - e2) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("moors_kurtosis"),
+    )

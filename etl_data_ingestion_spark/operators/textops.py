@@ -2200,3 +2200,69 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "word")
         .limit(20)
     )
+
+
+# ----------------------------------- wave 25: Yule's K diversity
+
+YULE_K_ORACLE = """
+-- Yule's K lexical-diversity characteristic per source: K =
+-- 10^4 * (sum_w c_w^2 - N) / N^2 over the token frequency spectrum
+-- — the length-INVARIANT repetitiveness constant (TTR and Heaps
+-- curves move with corpus size; K doesn't, which is why stylometry
+-- and corpus-QA use it to compare sources of different volume).
+-- High K = few types dominate (template/boilerplate-heavy source).
+-- EXACT: c_w counts are integers, sum c^2 is a WIDE integer sum,
+-- K is one fixed chain per source.
+WITH t AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), wc AS (
+  SELECT source, w, COUNT(*) AS c FROM t GROUP BY source, w
+), agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * c) AS q,
+         COUNT(*) AS v
+  FROM wc GROUP BY source
+)
+SELECT source,
+       n AS n_tokens,
+       CAST(v AS BIGINT) AS n_types,
+       FLOOR(10000.0 * (q - n) / (n * 1.0 * n) * 10000 + 0.5) / 10000
+         AS yule_k
+FROM agg ORDER BY source
+"""
+
+
+@register("text_yule_k", oracle=YULE_K_ORACLE)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K repetitiveness constant per source (see oracle) —
+    the size-invariant diversity number next to Heaps/TTR/hapax.
+
+    Scale shape: one corpus tokenization to (source, word) counts
+    (map-side combined); per-source reduction of (N, sum c^2 WIDE,
+    V); one fixed chain per source row."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    n, q, v = F.col("n"), F.col("q"), F.col("v")
+    return agg.select(
+        "source",
+        n.alias("n_tokens"),
+        v.cast("long").alias("n_types"),
+        (
+            F.floor(
+                10000.0 * (q - n) / (n * 1.0 * n) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("yule_k"),
+    ).orderBy("source")
