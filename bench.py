@@ -283,6 +283,11 @@ EXTENDED = [
     "text_yule_k",
     "ml_ridge_normal_equations",
     "pipeline_neyman_allocation",
+    # round 10 wave 26
+    "quality_l_diversity",
+    "events_decayed_engagement",
+    "agg_grubbs_outlier",
+    "timeseries_var_expected_shortfall",
 ]
 
 

@@ -1714,3 +1714,78 @@ def pipeline_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sample_quota"),
     ).orderBy("source")
+
+
+# ---------------------------------- wave 26: l-diversity audit
+
+L_DIVERSITY_ORACLE = """
+-- l-diversity audit on the SAME quasi-identifier classes as the
+-- k-anonymity operator (nation, balance band, market segment), with
+-- order priority of the customer's orders as the SENSITIVE
+-- attribute: a class that is k-anonymous but where everyone shares
+-- one sensitive value still leaks it (the homogeneity attack
+-- k-anonymity cannot see); distinct-l-diversity requires >= l
+-- distinct sensitive values per class. l = 3 here. Per-nation
+-- accounting mirrors the k-anonymity output shape so the two
+-- release gates read side by side.
+WITH cls AS (
+  SELECT c.c_nationkey,
+         CAST(FLOOR(c.c_acctbal / 2000) AS INT) AS bal_band,
+         c.c_mktsegment,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT o.o_orderpriority) AS l_div
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN l_div < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(MIN(l_div) AS BIGINT) AS min_l,
+       MIN(l_div) >= 3 AS l3_diverse
+FROM cls GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register("quality_l_diversity", oracle=L_DIVERSITY_ORACLE)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit (l=3) over the k-anonymity QI
+    classes with order priority as the sensitive attribute (see
+    oracle) — catches the homogeneity attack k-anonymity misses.
+
+    Scale shape: the customer-orders join is keyed on custkey
+    (co-partitioned); one aggregation to QI classes with a
+    count_distinct over the 5-value sensitive domain (exact, tiny
+    per-group state); per-nation accounting is domain-sized."""
+    c = load_table(spark, sf_dir, "customer", parallel=True)
+    o = load_table(spark, sf_dir, "orders", parallel=True)
+    cls = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    viol = F.col("l_div") < 3
+    return (
+        cls.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.sum(F.when(viol, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("l_div").cast("long").alias("min_l"),
+            (F.min("l_div") >= 3).alias("l3_diverse"),
+        )
+        .orderBy("c_nationkey")
+    )

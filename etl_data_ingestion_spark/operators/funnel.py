@@ -872,3 +872,79 @@ def events_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("ks_stat"),
     )
+
+
+# ---------------------- wave 26: exponentially decayed engagement
+
+DECAYED_ENGAGEMENT_ORACLE = """
+-- Time-decayed engagement score per user with a 7-day half-life:
+-- score = sum over the user's events of 0.5^(age_days/7), age
+-- measured from the corpus max timestamp — the recency-weighted
+-- activity ranking behind churn/win-back targeting (a plain count
+-- ranks a user who left last year above one active yesterday).
+-- Top-20 by (score desc, user_id). EXACT device: each decay term
+-- snaps to a 1e-9 integer so per-user sums are order-free BIGINT
+-- sums; exp2 ulps sit behind the snap (accepted boundary posture).
+WITH mx AS (
+  SELECT MAX(ts) AS t FROM events
+), term AS (
+  SELECT user_id,
+         CAST(FLOOR(POWER(0.5, date_diff('second', e.ts, mx.t)
+                               / 86400.0 / 7.0)
+                    * 1000000000 + 0.5) AS BIGINT) AS d9
+  FROM events e, mx
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(d9) AS BIGINT) AS s9
+  FROM term GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       FLOOR(s9 / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS engagement_score
+FROM agg
+ORDER BY s9 DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_decayed_engagement", oracle=DECAYED_ENGAGEMENT_ORACLE)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score per user, top-20 (see
+    oracle) — the recency-weighted ranking plain counts can't give.
+
+    Scale shape: one fact pass; the corpus max-ts is a 1-row
+    broadcast; each event's decay term snaps map-side to a 1e-9
+    integer so the per-user reduction is an order-free BIGINT sum
+    (map-side combined); ranking is TakeOrdered on the EXACT integer
+    s9 (ties broken by user_id), so the top-20 cut is
+    order-stable in both engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    mx = ev.agg(F.max("ts").alias("t"))
+    age_days = (
+        F.unix_timestamp("t") - F.unix_timestamp("ts")
+    ) / 86400.0
+    d9 = F.floor(
+        F.pow(F.lit(0.5), age_days / 7.0) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", d9.alias("d9"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("d9").cast("long").alias("s9"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("s9"), "user_id")
+        .limit(20)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.floor(F.col("s9") / 1000000000.0 * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("engagement_score"),
+        )
+    )

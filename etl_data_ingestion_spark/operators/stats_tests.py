@@ -1290,3 +1290,84 @@ def agg_robust_moments_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("moors_kurtosis"),
     )
+
+
+# --------------------------------- wave 26: Grubbs outlier test
+
+GRUBBS_ORACLE = """
+-- Grubbs' test on daily revenue: G = max|y - mean| / sd — is the
+-- single most extreme day a statistical outlier, and WHICH day is
+-- it? The one-outlier confirmatory test on top of the flagging
+-- tiers (zscore/MAD/Hampel flag candidates; Grubbs scores the
+-- worst one). EXACT device: with integer cents y and exact (n, s,
+-- q), |n*y - s| is an exact integer (promoted before the multiply),
+-- so the argmax day is an exact-integer comparison with date
+-- tie-break, and G = (maxu/n) / sqrt((q - s^2/n)/(n-1)) is one
+-- fixed chain.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS q
+  FROM daily
+), u AS (
+  SELECT d, y, ABS(CAST((SELECT n FROM m) AS HUGEINT) * y
+                   - (SELECT s FROM m)) AS udev
+  FROM daily
+), pick AS (
+  SELECT d, y, udev FROM u ORDER BY udev DESC, d LIMIT 1
+)
+SELECT CAST(m.n AS BIGINT) AS n_days,
+       STRFTIME(pick.d, '%Y-%m-%d') AS suspect_day,
+       pick.y AS suspect_revenue_cents,
+       FLOOR((pick.udev * 1.0 / m.n)
+             / SQRT((m.q * 1.0 - m.s * 1.0 * m.s / m.n) / (m.n - 1))
+             * 1000000 + 0.5) / 1000000 AS g_stat
+FROM m, pick
+"""
+
+
+@register("agg_grubbs_outlier", oracle=GRUBBS_ORACLE)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' single-outlier test on daily revenue (see oracle).
+
+    Scale shape: facts collapse map-side to |days|; the 1-row moment
+    table broadcasts back; the argmax is TakeOrdered(1) on an exact
+    integer deviation with date tie-break; G is one fixed chain."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q"),
+    )
+    u = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "y",
+        "n",
+        "s",
+        "q",
+        F.abs(F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")).alias(
+            "udev"
+        ),
+    )
+    pick = u.orderBy(F.desc("udev"), "d").limit(1)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    return pick.select(
+        n.cast("long").alias("n_days"),
+        F.date_format("d", "yyyy-MM-dd").alias("suspect_day"),
+        F.col("y").alias("suspect_revenue_cents"),
+        (
+            F.floor(
+                (F.col("udev") * 1.0 / n)
+                / F.sqrt((q * 1.0 - s * 1.0 * s / n) / (n - 1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("g_stat"),
+    )

@@ -3377,3 +3377,84 @@ def window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_outlier"),
     ).orderBy("day")
+
+
+# --------------------- wave 26: VaR / expected shortfall of changes
+
+VAR_ES_ORACLE = """
+-- Value-at-Risk and expected shortfall of day-over-day revenue
+-- CHANGES at the 95% level: VaR95 = the exact 5th-percentile
+-- (discrete order statistic) of daily diffs; ES95 = the mean of the
+-- tail at or below it — the risk pair behind 'how bad is a bad day,
+-- and how bad is the average bad day'. Complements max_drawdown
+-- (worst cumulative run) with the per-day tail view. EXACT: diffs
+-- are integer cents, the cut is quantile_disc (engine-identical on
+-- integers), and the tail mean is one division of two exact
+-- integers.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), diffs AS (
+  SELECT y - LAG(y) OVER (ORDER BY d) AS df FROM daily
+), dd AS (
+  SELECT df FROM diffs WHERE df IS NOT NULL
+), cut AS (
+  SELECT COUNT(*) AS n, quantile_disc(df, 0.05) AS var95 FROM dd
+), tail AS (
+  SELECT COUNT(*) AS n_tail, CAST(SUM(df) AS BIGINT) AS s_tail
+  FROM dd, cut WHERE df <= var95
+)
+SELECT CAST(n AS BIGINT) AS n_diffs,
+       CAST(var95 AS BIGINT) AS var95_cents,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       FLOOR(s_tail * 1.0 / n_tail * 100 + 0.5) / 100 AS es95_cents
+FROM cut, tail
+"""
+
+
+@register("timeseries_var_expected_shortfall", oracle=VAR_ES_ORACLE)
+def timeseries_var_expected_shortfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VaR95 + expected shortfall of daily revenue changes (see
+    oracle) — exact order-statistic cut, exact-integer tail mean.
+
+    Scale shape: facts collapse map-side to |days|; one day-ordered
+    LAG; the 5% cut is percentile_disc in one aggregate; the tail
+    mean is a filtered 1-row reduction against the broadcast cut."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    dd = daily.select(
+        (F.col("y") - F.lag("y").over(w)).alias("df")
+    ).filter(F.col("df").isNotNull())
+    cut = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY df)").alias(
+            "var95"
+        ),
+    )
+    tail = (
+        dd.crossJoin(F.broadcast(cut))
+        .filter(F.col("df") <= F.col("var95"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum("df").cast("long").alias("s_tail"),
+            F.max("n").alias("n"),
+            F.max("var95").alias("var95"),
+        )
+    )
+    return tail.select(
+        F.col("n").cast("long").alias("n_diffs"),
+        F.col("var95").cast("long").alias("var95_cents"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        (
+            F.floor(
+                F.col("s_tail") * 1.0 / F.col("n_tail") * 100 + F.lit(0.5)
+            )
+            / 100
+        ).alias("es95_cents"),
+    )
