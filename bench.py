@@ -288,6 +288,9 @@ EXTENDED = [
     "events_decayed_engagement",
     "agg_grubbs_outlier",
     "timeseries_var_expected_shortfall",
+    # round 10 wave 27
+    "agg_hodges_lehmann_shift",
+    "events_bounce_rate_by_entry",
 ]
 
 

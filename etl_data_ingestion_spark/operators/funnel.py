@@ -948,3 +948,90 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("engagement_score"),
         )
     )
+
+
+# --------------------------- wave 27: session bounce-rate rollup
+
+BOUNCE_RATE_ORACLE = """
+-- Per-source... no: per event-type-of-entry bounce rate over
+-- 30-minute-gap sessions: a session that contains exactly ONE event
+-- is a bounce; rate grouped by the session's ENTRY event type — the
+-- engagement-quality rollup on top of the sessionizer
+-- (window_sessionize_gaps emits sessions; this scores them). Same
+-- gaps-and-islands device, exact integer accounting.
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+), per AS (
+  SELECT user_id, session_id,
+         MIN_BY(event_type, ts) AS entry_type,
+         COUNT(*) AS n_events
+  FROM sid GROUP BY user_id, session_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS bounce_rate
+FROM per GROUP BY entry_type ORDER BY entry_type
+"""
+
+
+@register("events_bounce_rate_by_entry", oracle=BOUNCE_RATE_ORACLE)
+def events_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate (single-event sessions) grouped by the session's
+    entry event type (see oracle) — the quality rollup over the
+    30-minute-gap sessionizer.
+
+    Scale shape: one user-partitioned window pass (LAG + running
+    sum — co-partitioned, the sessionizer's audited shape), one
+    (user, session) aggregation with MIN_BY for the entry event,
+    one entry-type rollup. Sub-second timestamps compared at full
+    double precision (the sessionizer's round-4 lesson)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(wu)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sid = s.withColumn("session_id", F.sum("new_s").over(wsum))
+    per = sid.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", "ts").alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounces"),
+            F.round(F.sum(bounce) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )

@@ -1371,3 +1371,91 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("g_stat"),
     )
+
+
+# ---------------- wave 27: Hodges-Lehmann paired location estimate
+
+HODGES_LEHMANN_ORACLE = """
+-- Hodges-Lehmann estimator of the weekday-minus-weekend revenue
+-- shift, paired by ISO week: the median of all Walsh averages
+-- (d_i + d_j)/2 over pairs i <= j — the LOCATION estimate that goes
+-- with the Wilcoxon signed-rank TEST (the test says 'is there a
+-- shift'; HL says 'how big', robustly — one crazy week cannot move
+-- it). EXACT device: Walsh averages are computed in 2x units
+-- (d_i + d_j is an exact integer), the pair set is
+-- |weeks|^2-bounded (calendar-domain quadratic), and the median is
+-- an exact discrete order statistic on integers.
+WITH wk AS (
+  SELECT date_trunc('week', ts) AS w,
+         CAST(FLOOR(SUM(CASE WHEN isodow(ts) IN (6, 7)
+                             THEN 0 ELSE value END) * 100 + 0.5)
+              AS BIGINT) AS wd,
+         CAST(FLOOR(SUM(CASE WHEN isodow(ts) IN (6, 7)
+                             THEN value ELSE 0 END) * 100 + 0.5)
+              AS BIGINT) AS we
+  FROM events GROUP BY 1
+), d AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY w) AS i, wd - we AS d FROM wk
+), walsh AS (
+  SELECT a.d + b.d AS w2
+  FROM d a JOIN d b ON a.i <= b.i
+), agg AS (
+  SELECT COUNT(*) AS n_walsh, quantile_disc(w2, 0.5) AS hl2 FROM walsh
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_weeks,
+       CAST(n_walsh AS BIGINT) AS n_walsh_averages,
+       CAST(hl2 AS BIGINT) AS hl_shift_2x_cents,
+       FLOOR(hl2 / 2.0 * 100 + 0.5) / 100 AS hl_shift_cents
+FROM agg
+"""
+
+
+@register("agg_hodges_lehmann_shift", oracle=HODGES_LEHMANN_ORACLE)
+def agg_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann robust estimate of the weekday-vs-weekend
+    revenue shift (see oracle) — the size-of-effect partner of
+    agg_wilcoxon_signed_rank.
+
+    Scale shape: one fact pass to |weeks| paired diffs; the Walsh-
+    average self-join is CALENDAR-quadratic (|weeks|^2/2 pairs —
+    ~135k at ten years; broadcast small side), and the median is an
+    exact discrete order statistic on 2x-unit integers."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    is_we = F.dayofweek("ts").isin(1, 7)
+    wk = ev.groupBy(F.date_trunc("week", "ts").alias("w")).agg(
+        F.floor(
+            F.sum(F.when(is_we, F.lit(0.0)).otherwise(F.col("value"))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wd"),
+        F.floor(
+            F.sum(F.when(is_we, F.col("value")).otherwise(F.lit(0.0))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("we"),
+    )
+    d = wk.select(
+        F.row_number().over(Window.orderBy("w")).alias("i"),
+        (F.col("wd") - F.col("we")).alias("d"),
+    ).persist()
+    a, b = d.alias("a"), d.alias("b")
+    walsh = a.join(F.broadcast(b), F.col("a.i") <= F.col("b.i")).select(
+        (F.col("a.d") + F.col("b.d")).alias("w2")
+    )
+    agg = walsh.agg(
+        F.count(F.lit(1)).alias("n_walsh"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w2)").alias(
+            "hl2"
+        ),
+    )
+    n_weeks = d.agg(F.count(F.lit(1)).alias("nw"))
+    return agg.crossJoin(F.broadcast(n_weeks)).select(
+        F.col("nw").cast("long").alias("n_weeks"),
+        F.col("n_walsh").cast("long").alias("n_walsh_averages"),
+        F.col("hl2").cast("long").alias("hl_shift_2x_cents"),
+        (F.floor(F.col("hl2") / 2.0 * 100 + F.lit(0.5)) / 100).alias(
+            "hl_shift_cents"
+        ),
+    )

@@ -127,3 +127,77 @@ def test_var_es_matches_python(spark, sf_dir):
         len(tail),
     )
     assert abs(row.es95_cents - es) < 0.011
+
+
+def test_hodges_lehmann_matches_python(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "date_trunc('week', ts) AS w",
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 0.0 ELSE value END AS wdv",
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN value ELSE 0.0 END AS wev",
+        )
+        .groupBy("w")
+        .agg({"wdv": "sum", "wev": "sum"})
+        .collect()
+    )
+    ds = [
+        math.floor(r["sum(wdv)"] * 100 + 0.5)
+        - math.floor(r["sum(wev)"] * 100 + 0.5)
+        for r in rows
+    ]
+    walsh = sorted(
+        ds[i] + ds[j] for i in range(len(ds)) for j in range(i, len(ds))
+    )
+    nw = len(walsh)
+    hl2 = walsh[max(0, math.ceil(0.5 * nw) - 1)]
+    row = registry.QUERIES["agg_hodges_lehmann_shift"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n_weeks, row.n_walsh_averages, row.hl_shift_2x_cents) == (
+        len(ds),
+        nw,
+        hl2,
+    )
+
+
+def test_bounce_rate_matches_python(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE) AS t",
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    by_u = defaultdict(list)
+    for r in rows:
+        by_u[r.user_id].append((r.t, r.event_id, r.event_type))
+    sessions = []
+    for evs in by_u.values():
+        evs.sort()
+        cur = []
+        prev = None
+        for t, _, et in evs:
+            if prev is not None and t - prev <= 1800:
+                cur.append(et)
+            else:
+                if cur:
+                    sessions.append(cur)
+                cur = [et]
+            prev = t
+        sessions.append(cur)
+    per_entry = defaultdict(lambda: [0, 0])
+    for sess in sessions:
+        e = per_entry[sess[0]]
+        e[0] += 1
+        e[1] += 1 if len(sess) == 1 else 0
+    got = {
+        r.entry_type: (r.n_sessions, r.n_bounces)
+        for r in registry.QUERIES["events_bounce_rate_by_entry"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in per_entry.items()}
