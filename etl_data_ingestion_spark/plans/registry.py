@@ -70,8 +70,16 @@ def register(name: str, oracle: Optional[str] = None):
 #                leftover r2 entries (subquery_in_high_qty,
 #                subquery_not_exists_customers) LEAD the round-11
 #                queue below.
-# After this window: zero never-checked queries remain and the r2
-# cohort is 2 (both queued first for r11).
+# After this window: zero of the queries that existed at round-10
+# START remain never-checked, and the r2 cohort is 2. Round 10 ALSO
+# added 20 new queries (waves 24-27) — new evidence debt, ledgered
+# in COVERAGE.md.
+# ROUND-11 PLANNED WINDOW (the r9 verdict's standing oldest-first
+# queue, adapted for the additions): the 2 displaced r2-era entries
+# + the 20 never-checked wave-24..27 queries + 28 oldest r3-era;
+# the remaining 15 r3 entries then lead round 12, after which
+# nothing older than r7 remains — one round later than the r9
+# verdict hoped, the price of the wave-24..27 coverage growth.
 # ROUND-11 STANDING QUEUE (r9 verdict #5 — oldest-first so nothing
 # older than r7 remains by end of r11): the trailing list below IS
 # that queue — the 42 remaining r3-era verdicts first, then the r4
