@@ -1875,8 +1875,12 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample per basket before pairing — slice(parts, 1, K) on the
     sorted array is the documented cap. Integer counts -> one
     fixed-order cosine chain -> snapped ordering with full key
-    tiebreak: deterministic top-20 in both engines."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    tiebreak: deterministic top-20 in both engines. NO scan fan-out
+    (parallel=False): the first operator is a straight partial-agg
+    groupBy — the catalog rule's excluded shape; the round-robin
+    Exchange moved raw rows for nothing (A/B'd round 10:
+    2.23s -> 1.63s at sf0.1, 3.77 -> 3.12 at sf1)."""
+    li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
