@@ -870,7 +870,13 @@ def agg_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape at 100 TB, one Exchange of 4 decimals + a count per
     partition); the moment/JB chain is a single-row fixed-order
     scalar sequence. skew's m2^1.5 is written SQRT(m2) cubed so both
-    engines run the same IEEE ops (no pow)."""
+    engines run the same IEEE ops (no pow). Accuracy boundary
+    (tests/test_property_wave24.py pins the model): the raw-power
+    expansion's absolute error is a few ulps of the RAW moments, so
+    it degrades vs the true central moments only when sd << mean —
+    far from this column's regime (sd ~ mean); cross-engine parity
+    is unconditional either way since both engines run the identical
+    expansion."""
     c = load_table(spark, sf_dir, "customer", parallel=True).select(
         F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
         .cast("long")
