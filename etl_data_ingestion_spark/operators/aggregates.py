@@ -2476,7 +2476,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer nano-units BEFORE the final sums, so no float summation
     depends on execution order — cross-engine parity holds by
     construction, not by tolerance."""
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     # ONE corpus pass: the |X|x|Y| joint is the only fact-derived
     # table; n, marginals, and every entropy term derive from these
     # <=15 persisted rows (without the persist, Catalyst re-expands
@@ -2587,7 +2587,7 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor trivially."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
         "l_partkey",
         F.floor(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -2668,7 +2668,7 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     are summation-order independent at any scale."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     # persist the customer rollup: tot and the term pass both read it,
     # and without the persist each branch re-scans the fact table
     cust = orders.groupBy("o_custkey").agg(
@@ -2755,7 +2755,7 @@ def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted window is already the cheap stage next to the fact scan;
     dominance on exact BIGINTs means both engines flag the identical
     frontier set."""
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -2856,7 +2856,7 @@ def agg_corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan is paid once regardless of how many pairs the
     matrix has. Integer moments -> identical float chains -> snapped
     corr matches bit-for-bit."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     kinds = ["view", "click", "purchase", "signup", "error"]
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         *[
@@ -2984,7 +2984,7 @@ def agg_countmin_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts onto the sketch table. Portable LCG hashes (house
     device), exact integer counts everywhere, one snapped division
     at the end."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
         F.col("l_suppkey").alias("key")
     )
     keyed = li.groupBy("key").agg(F.count(F.lit(1)).alias("kc")).persist()
@@ -3100,7 +3100,7 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism: the top-k MULTISET of values needs no tiebreak, and
     terms strictly above the k-th value make the term set exact even
     with ties at the boundary."""
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -3184,7 +3184,7 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort is |customers|-sized — the same posture as the
     skyline operator (range-partitioned sort, minutes at 1e9
     keys)."""
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")

@@ -509,7 +509,7 @@ def events_attribution_position_based(
     The 1e-9 integer credit grid keeps every accumulation order-free
     — no float-sum-order exposure no matter how many touches a user
     has."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     conv = (
         ev.filter(F.col("event_type") == "purchase")

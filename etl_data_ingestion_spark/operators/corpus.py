@@ -721,14 +721,20 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurs in >= 3 distinct documents (corpus-level boilerplate —
     headers, footers, nav text — invisible to per-document rules).
 
-    Scale shape: posexplode lines (one line-keyed Exchange with
-    map-side-combined distinct-doc counts), join survivors, one
-    doc_id Exchange to reassemble in order via array_sort over
-    (idx, line) structs. The two Exchanges carry line KEYS and
-    per-line counts — never the document blob; the corpus text is
-    scanned once. At 100 TB the count table is vocabulary-of-lines
-    sized and the hot keys (true boilerplate) are exactly the rows
-    the filter removes."""
+    Scale shape: posexplode lines once (persisted — the interpreted
+    line-building HOF runs once for both consumers), ONE line-keyed
+    Exchange with map-side-combined distinct-doc counts to build the
+    boilerplate set (lines in >= 3 docs), which BROADCASTS back onto
+    the persisted explode (round-11 rewrite: the previous form
+    shuffle-joined the full corpus-sized explode against the count
+    table line-by-line — a second corpus Exchange that the broadcast
+    removes; at sf0.1 the drop set is 17k lines / ~260 KB), then one
+    doc_id Exchange reassembles survivors in order via array_sort
+    over (idx, line) structs. At 100 TB true boilerplate (nav/footer
+    text) is small by definition; if the >= 3-doc line set ever
+    outgrew the broadcast threshold the fallback is the old
+    line-keyed shuffle join — that cutover is the documented scale
+    path."""
     docs = load_table(spark, sf_dir, "documents")
     ts = F.split(F.trim(F.col("text")), r"\s+")
     n_lines = F.ceil(F.size(ts) / F.lit(3.0)).cast("int")
@@ -742,8 +748,11 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", F.posexplode(lines).alias("idx", "line")
     ).persist()
-    cnt = ex.groupBy("line").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 3)
+        .select("line", F.lit(1).alias("boiler"))
     )
     # single doc-keyed aggregation carries BOTH the total line count
     # and the survivor reassembly (round-10 floor-decomposition
@@ -752,10 +761,10 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id join — n_lines is just COUNT(*) over the already-
     # exploded rows, and collect_list SKIPS nulls, so the
     # conditional struct collects survivors only)
-    keep = F.col("ndocs") < 3
+    keep = F.col("boiler").isNull()
     surv = F.when(keep, F.struct("idx", "line"))
     re = (
-        ex.join(cnt, "line")
+        ex.join(F.broadcast(boiler), "line", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),

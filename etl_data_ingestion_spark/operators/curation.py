@@ -948,45 +948,61 @@ def pipeline_naive_bayes_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed aggregate. A fastText-class model swaps the table
     for vectors; the dataflow is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.select(
-        "doc_id", F.lit("natural").alias("label"), "text"
-    ).unionByName(
-        docs.select(
-            (F.col("doc_id") + 5000000).alias("doc_id"),
-            F.lit("spam").alias("label"),
-            F.concat(
-                F.col("text"),
-                F.lit(" win free click offer win free click offer"),
-            ).alias("text"),
-        )
+    # round-11 restructure (r10 verdict: "prove or shrink the
+    # over-floor residue" — this shrinks it): the r10 form scanned
+    # documents THREE times (two union branches + the prior rollup),
+    # regex-split every text twice (once per union branch), persisted
+    # the corpus-sized PER-TOKEN explosion, and ranked a 2-row-per-doc
+    # window for the argmax. Now: ONE scan, ONE regex split per doc
+    # (the planted spam suffix is appended as a literal TOKEN ARRAY,
+    # not re-split from concatenated text), a DOC-level persist
+    # (token arrays — each consumer filters its parity half before
+    # exploding, so the cache is 2N array rows, not 2N*tokens rows),
+    # the prior folded into the one scalar collect (spam ids shift by
+    # an even constant, so both classes have exactly ntd/2 train
+    # docs), and the argmax as a conditional-sum pivot in the SAME
+    # doc-keyed aggregation (ties -> label-ascending 'natural',
+    # mirroring the oracle's ROW_NUMBER(score DESC, label)).
+    toks0 = F.split(F.trim(F.col("text")), r"\s+")
+    suffix = F.split(
+        F.lit("win free click offer win free click offer"), " "
     )
-    # round-10 floor-decomposition restructure: the token explosion
-    # previously ran once for train and once for test (two corpus
-    # scans + splits), and train was re-derived THREE times (cnt /
-    # vocab / tot) plus two separate driver collects — 21 AQE jobs
-    # total. Now: persist the exploded tokens (both halves read
-    # them), persist cnt (the one fact-sized aggregate) and derive
-    # vocab/tot FROM it, and fetch both bounded scalars (|V|, train
-    # doc count) in ONE crossJoined collect.
-    words = corpus.select(
-        "doc_id",
-        "label",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    ).persist()
-    train = words.filter(F.col("doc_id") % 2 == 0)
+    # empty-text guard: trim('') splits to [''] but the oracle's
+    # text || ' win...' trims to the suffix alone — match that
+    spam_toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, suffix
+    ).otherwise(F.concat(toks0, suffix))
+    var_docs = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id"),
+                    F.lit("natural").alias("label"),
+                    toks0.alias("toks"),
+                ),
+                F.struct(
+                    (F.col("doc_id") + 5000000).alias("doc_id"),
+                    F.lit("spam").alias("label"),
+                    spam_toks.alias("toks"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.label", "r.toks").persist()
+    train = var_docs.filter(F.col("doc_id") % 2 == 0).select(
+        "label", F.explode("toks").alias("w")
+    )
     cnt = train.groupBy("label", "w").agg(
         F.count(F.lit(1)).alias("c")
     ).persist()
     vocab = cnt.select("w").distinct()
     tot = cnt.groupBy("label").agg(F.sum("c").cast("long").alias("n"))
-    prior = (
-        corpus.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("nd"))
-    )
     scalars = (
         cnt.agg(F.count_distinct("w").alias("v"))
-        .crossJoin(prior.agg(F.sum("nd").alias("ntd")))
+        .crossJoin(
+            var_docs.filter(F.col("doc_id") % 2 == 0).agg(
+                F.count(F.lit(1)).alias("ntd")
+            )
+        )
         .collect()[0]
     )
     vsize, n_train_docs = scalars.v, scalars.ntd
@@ -1002,29 +1018,41 @@ def pipeline_naive_bayes_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    logprior = prior.select(
-        "label", F.log(F.col("nd") * 1.0 / F.lit(n_train_docs)).alias("lpr")
+    # both classes hold exactly ntd/2 train docs (the +5000000 spam
+    # id shift preserves parity), so the log-prior is one shared
+    # constant — computed in-plan exactly as the oracle's
+    # LN(nd/ntd), just with the counts as literals
+    lpr = F.log(F.lit(n_train_docs // 2) * 1.0 / F.lit(n_train_docs))
+    test = var_docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("label").alias("true_label"),
+        F.explode("toks").alias("w"),
     )
-    test = words.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
-        "label", "true_label"
-    )
-    scored = (
+    # every vocab token carries BOTH labels' rows in ptab, so one
+    # doc-keyed aggregation pivots the two class scores side-by-side
+    # (no per-doc window sort); the strict > keeps ties on 'natural'
+    per_doc = (
         test.join(F.broadcast(ptab), "w")
-        .groupBy("doc_id", "true_label", "label")
-        .agg(F.sum("lp").alias("s"))
-        .join(F.broadcast(logprior), "label")
-        .select(
-            "doc_id",
-            "true_label",
-            "label",
-            F.round(F.col("s") + F.col("lpr"), 6).alias("score"),
+        .groupBy("doc_id", "true_label")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("label") == "natural", F.col("lp")))
+                + lpr,
+                6,
+            ).alias("s_nat"),
+            F.round(
+                F.sum(F.when(F.col("label") == "spam", F.col("lp")))
+                + lpr,
+                6,
+            ).alias("s_spam"),
         )
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "label")
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "true_label", F.col("label").alias("pred_label"))
+    pred = per_doc.select(
+        "doc_id",
+        "true_label",
+        F.when(F.col("s_spam") > F.col("s_nat"), "spam")
+        .otherwise("natural")
+        .alias("pred_label"),
     )
     return (
         pred.groupBy(F.col("true_label").alias("label"))
@@ -1444,7 +1472,7 @@ def pipeline_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist the 3-column projection: the corpus count and the
     # ranked pass both read it (else two parquet scans)
-    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select(
         "source", "n_chars", "doc_id"
     ).persist()
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -1759,8 +1787,8 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-partitioned); one aggregation to QI classes with a
     count_distinct over the 5-value sensitive domain (exact, tiny
     per-group state); per-nation accounting is domain-sized."""
-    c = load_table(spark, sf_dir, "customer", parallel=True)
-    o = load_table(spark, sf_dir, "orders", parallel=True)
+    c = load_table(spark, sf_dir, "customer", parallel=False)
+    o = load_table(spark, sf_dir, "orders", parallel=False)
     cls = (
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy(

@@ -1606,7 +1606,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. No joins, no candidate pairs — this is the
     accounting layer over the same plan dedup_exact_keep_first
     runs."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     corpus = docs.select("doc_id", "source", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"

@@ -720,7 +720,7 @@ def events_churn_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to the distinct (user, week) table map-side; the
     successor probe is a self-join co-partitioned on user_id (the
     week shift rides along); week totals are a |weeks|-row rollup."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     uw = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
@@ -819,7 +819,7 @@ def events_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     KS sweep is domain-sized, never fact-sized; both KS branches are
     maxima of snapped integers (order-free), and lambda comes from
     two exact integer sums."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     wu = Window.partitionBy("user_id").orderBy("ts")
     g = p.select(
@@ -919,7 +919,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined); ranking is TakeOrdered on the EXACT integer
     s9 (ties broken by user_id), so the top-20 cut is
     order-stable in both engines."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     mx = ev.agg(F.max("ts").alias("t"))
     age_days = (
         F.unix_timestamp("t") - F.unix_timestamp("ts")
@@ -960,20 +960,20 @@ BOUNCE_RATE_ORACLE = """
 -- (window_sessionize_gaps emits sessions; this scores them). Same
 -- gaps-and-islands device, exact integer accounting.
 WITH s AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
-  SELECT user_id, ts, event_type,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM s
 ), per AS (
   SELECT user_id, session_id,
-         MIN_BY(event_type, ts) AS entry_type,
+         FIRST(event_type ORDER BY ts, event_id) AS entry_type,
          COUNT(*) AS n_events
   FROM sid GROUP BY user_id, session_id
 )
@@ -998,12 +998,13 @@ def events_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, session) aggregation with MIN_BY for the entry event,
     one entry-type rollup. Sub-second timestamps compared at full
     double precision (the sessionizer's round-4 lesson)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(wu)
     s = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(
             prev_ts.isNull()
@@ -1013,14 +1014,19 @@ def events_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # Both windows order by (ts, event_id) so duplicate-timestamp rows
+    # get a deterministic session assignment (same rule as
+    # window_sessionize_gaps); entry pick is struct-keyed to match.
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sid = s.withColumn("session_id", F.sum("new_s").over(wsum))
     per = sid.groupBy("user_id", "session_id").agg(
-        F.min_by("event_type", "ts").alias("entry_type"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias(
+            "entry_type"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     )
     bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)

@@ -498,10 +498,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-domain-sized and its histogram is domain-of-degrees-sized.
     At 100 TB the edge dedup is the bottleneck by construction —
     exactly the shuffle the algorithm needs and no more."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
         "l_orderkey", "l_suppkey"
     )
-    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+    orders = load_table(spark, sf_dir, "orders", parallel=False).select(
         "o_orderkey", "o_custkey"
     )
     edges = (
@@ -611,13 +611,21 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_ingestion_spark.catalog import table_path
 
     def _tree_bytes(p: str) -> int:
+        # Non-local URIs (s3://, hdfs://) and missing paths yield an
+        # empty os.walk (onerror swallowed) -> 0 bytes, which would
+        # silently disable AQE in exactly the cluster-scale case it
+        # must stay on for. Treat "not a local file/dir" and a 0-byte
+        # walk as unknown/large.
         if _os.path.isfile(p):
             return _os.path.getsize(p)
-        return sum(
+        if not _os.path.isdir(p):
+            return 1 << 60
+        total = sum(
             _os.path.getsize(_os.path.join(r, f))
             for r, _, fs in _os.walk(p)
             for f in fs
         )
+        return total if total > 0 else 1 << 60
 
     aqe_key = "spark.sql.adaptive.enabled"
     prev_aqe = spark.conf.get(aqe_key, "true")
@@ -629,10 +637,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if toggle:
         spark.conf.set(aqe_key, "false")
     try:
-        li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
             "l_orderkey", "l_suppkey"
         )
-        orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+        orders = load_table(spark, sf_dir, "orders", parallel=False).select(
             "o_orderkey", "o_custkey"
         )
         edges = (
@@ -651,17 +659,28 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
 
-        def both_counts(nodes: DataFrame, e: DataFrame) -> tuple[int, int]:
-            row = (
+        def count_row(it: int, nodes: DataFrame, e: DataFrame) -> DataFrame:
+            return (
                 nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
                 .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-                .collect()[0]
+                .select(
+                    F.lit(it).alias("iteration"), "n_nodes", "n_edges"
+                )
             )
-            return row.n_nodes, row.n_edges
 
+        # Round-11 fusion (r10 verdict #5): the four per-level count
+        # actions collapse into ONE collect over their union. The
+        # per-level persist() calls stay — they are what the r10
+        # lazy-union experiment showed to be load-bearing (without
+        # them AQE re-materialized every upstream peel stage per
+        # branch: 494 jobs, 39.5s) — and because every union branch
+        # references the SAME persisted DataFrame objects, the single
+        # job shares their shuffle/cache stages instead of
+        # recomputing them. Collected inside the gate so the whole
+        # peel executes under the measured AQE-off plan.
         e = edges
         d = degrees(e)
-        rows = [(0, *both_counts(d.select("n"), e))]
+        parts = [count_row(0, d.select("n"), e)]
         for it in (1, 2, 3):
             active = d.filter(F.col("deg") >= 3).select("n")
             e = (
@@ -670,8 +689,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("u", "v")
                 .persist()
             )
-            rows.append((it, *both_counts(active, e)))
+            parts.append(count_row(it, active, e))
             d = degrees(e)
+        lazy = parts[0]
+        for p in parts[1:]:
+            lazy = lazy.unionAll(p)
+        rows = [(r.iteration, r.n_nodes, r.n_edges) for r in lazy.collect()]
     finally:
         if toggle:
             spark.conf.set(aqe_key, prev_aqe)
@@ -737,10 +760,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     move to the oracle-mirrored double path (documented cutover)."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
         "l_orderkey", "l_suppkey"
     )
-    orders = load_table(spark, sf_dir, "orders", parallel=True).select(
+    orders = load_table(spark, sf_dir, "orders", parallel=False).select(
         "o_orderkey", "o_custkey"
     )
     e = (

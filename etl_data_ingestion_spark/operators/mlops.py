@@ -1363,7 +1363,7 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus pass."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     y = (F.col("event_type") == "purchase").cast("int")
     pa = (F.col("value") >= 50).cast("int")
     pb = (F.hour("ts") >= 12).cast("int")
@@ -1427,7 +1427,7 @@ def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the oracle's GREATEST."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True).filter(
+    ev = load_table(spark, sf_dir, "events", parallel=False).filter(
         F.col("value").isNotNull() & (F.col("value") >= 0)
     )
     y = (F.col("event_type") == "purchase").cast("int")
@@ -1507,7 +1507,7 @@ def ml_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     double math on five exact integers, snapped."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     # persist the date rollup: the self-join reads it twice and would
     # otherwise scan the fact table once per side
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
@@ -1597,7 +1597,7 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
     summation at any scale."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
     scored = ev.select(
         F.floor(ph * 1000000 + F.lit(0.5)).cast("long").alias("p_micro"),
@@ -1676,7 +1676,7 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     ranked = ev.select(
         (F.col("event_type") == "purchase").cast("long").alias("pos"),
         F.row_number()
@@ -1784,7 +1784,7 @@ def ml_logreg_newton_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     noted here for the 100 TB config)."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True).filter(
+    ev = load_table(spark, sf_dir, "events", parallel=False).filter(
         F.col("value").isNotNull()
     )
     x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -1862,51 +1862,60 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitive the basket-rules operator's support/lift
     view doesn't give (cosine normalizes by BOTH margins).
 
-    Plan (round-10 rewrite, floor-decomposition catch: the basket
-    SELF-JOIN shape measured 2.65s / 20x-over-floor at sf0.1): ONE
-    corpus shuffle groups each order's distinct parts into a sorted
-    array (collect_set; lineitem orders carry <= 7 lines), then the
-    <= C(7,2)=21 pairs per basket expand MAP-SIDE from the array via
-    a nested transform/flatten HOF — no distinct exchange, no
-    sort-merge self-join, no second corpus shuffle; the pair count
-    and the per-item margins both aggregate from that one grouped
-    relation. At 100 TB the same bound holds per basket;
+    Plan (round-11 rewrite — the r10 verdict asked for kcore-grade
+    proof or a fix of the 1.78s over-floor residue; this is the
+    fix): ONE corpus shuffle groups each order's distinct parts into
+    a sorted array (collect_set; lineitem orders carry <= 7 lines),
+    then a DIAGONAL-AUGMENTED pair array expands map-side — each
+    basket emits (x,x) for every part plus the <= C(7,2)=21 ordered
+    pairs — so a SINGLE (pa,pb)-keyed aggregation yields both the
+    co-occurrence counts (off-diagonal) and the per-item basket
+    margins (diagonal). The r10 form persisted the CORPUS-sized
+    basket table and ran two separate aggregations over it; now
+    nothing corpus-sized is ever persisted — the one persisted
+    relation is the (pa,pb) count table (pair-domain-sized), split
+    by a diagonal filter and joined back to itself. At 100 TB:
     heavy-hitter baskets (retail carts of 1000s) would cap or
     sample per basket before pairing — slice(parts, 1, K) on the
-    sorted array is the documented cap. Integer counts -> one
-    fixed-order cosine chain -> snapped ordering with full key
-    tiebreak: deterministic top-20 in both engines. NO scan fan-out
-    (parallel=False): the first operator is a straight partial-agg
-    groupBy — the catalog rule's excluded shape; the round-robin
-    Exchange moved raw rows for nothing (A/B'd round 10:
-    2.23s -> 1.63s at sf0.1, 3.77 -> 3.12 at sf1)."""
+    sorted array is the documented cap; the margin join sides are
+    part-domain-sized (AQE broadcasts them from runtime stats).
+    Integer counts -> one fixed-order cosine chain -> snapped
+    ordering with full key tiebreak: deterministic top-20 in both
+    engines. NO scan fan-out (parallel=False): the first operator
+    is a straight partial-agg groupBy — the catalog rule's excluded
+    shape (A/B'd round 10: 2.23s -> 1.63s at sf0.1, 3.77 -> 3.12
+    at sf1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    item = baskets.select(
-        F.explode("parts").alias("l_partkey")
-    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # (x,x) diagonal + strict upper-triangle pairs, all map-side:
+    # slice from i+1 (1-based) keeps x itself as the first element,
+    # so the diagonal rides the same explode as the pairs
     pair_arr = F.flatten(
         F.transform(
             F.col("parts"),
             lambda x, i: F.transform(
                 F.slice(
                     F.col("parts"),
-                    i + F.lit(2),
+                    i + F.lit(1),
                     F.size(F.col("parts")),
                 ),
                 lambda y: F.struct(x.alias("pa"), y.alias("pb")),
             ),
         )
     )
-    pair = (
+    counts = (
         baskets.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 2)
+        .persist()
+    )
+    item = counts.filter(F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("l_partkey"), F.col("c_ab").alias("c")
+    )
+    pair = counts.filter(
+        (F.col("pa") != F.col("pb")) & (F.col("c_ab") >= 2)
     )
     scored = (
         pair.join(item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")), "pa")
@@ -2097,7 +2106,7 @@ def ml_isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose double comparisons are exact-order for denominators
     << 2^26 (gap >= 1/(n_a*n_b) >> ulp) — so min/max pick the same
     rates in both engines, and only the final snap is float."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     ph = 1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))
     y = (F.col("event_type") == "purchase").cast("int")
     bins = (
@@ -2232,7 +2241,7 @@ def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     past that, documented rescale); the z statistic is the only
     float chain. Grouping doubles for ties is exact (identical bit
     patterns group identically in both engines)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("value").alias("v"),
         (F.col("event_type") == "purchase").cast("int").alias("g1"),
@@ -2549,7 +2558,7 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey (co-partitioned, AQE-coalesced); everything after is a
     single 10-statistic reduction row — no iteration, no driver
     loop, no ML runtime."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
     o = load_table(spark, sf_dir, "orders")
     per = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count(F.lit(1)).alias("x1"),
@@ -2568,10 +2577,13 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x2").cast("long").alias("s2"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q11"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q22"),
+        # q22/q1y/q2y involve x2^2 and y (price cents): summed WIDE
+        # as decimal(38,0) to match the oracle's HUGEINT accumulation
+        # (int64 would wrap silently near sf4000 while DuckDB raises).
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("q22"),
         F.sum(F.col("x1") * F.col("x2")).cast("long").alias("q12"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("q1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("q2y"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(38,0)")).alias("q1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)")).alias("q2y"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("qyy"),
     )
     n = F.col("n")
@@ -2701,7 +2713,7 @@ def ml_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda grid explodes the 1-row stats (a literal array, no data
     motion). The path costs nothing extra at any scale because the
     statistics are shared across lambdas."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
     o = load_table(spark, sf_dir, "orders")
     per = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count(F.lit(1)).alias("x1"),
@@ -2720,10 +2732,13 @@ def ml_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x2").cast("long").alias("s2"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q11"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q22"),
+        # q22/q1y/q2y involve x2^2 and y (price cents): summed WIDE
+        # as decimal(38,0) to match the oracle's HUGEINT accumulation
+        # (int64 would wrap silently near sf4000 while DuckDB raises).
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("q22"),
         F.sum(F.col("x1") * F.col("x2")).cast("long").alias("q12"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("q1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("q2y"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(38,0)")).alias("q1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)")).alias("q2y"),
     )
     n = F.col("n")
     c = m.select(

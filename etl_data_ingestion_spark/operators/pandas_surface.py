@@ -270,7 +270,7 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization, which is why production reserves cogroup for
     logic SQL can't express."""
     li = (
-        load_table(spark, sf_dir, "lineitem", parallel=True)
+        load_table(spark, sf_dir, "lineitem", parallel=False)
         .filter(F.col("l_orderkey") < 4000)
         .select(
             "l_orderkey",
@@ -283,7 +283,7 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     orders = (
-        load_table(spark, sf_dir, "orders", parallel=True)
+        load_table(spark, sf_dir, "orders", parallel=False)
         .filter(F.col("o_orderkey") < 4000)
         .select(
             "o_orderkey",

@@ -403,7 +403,7 @@ def timeseries_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). Scale shape: facts collapse to |days| map-side; the
     median selection, sign sequence, and run tally all run on the
     day domain (one window sort of ~365·years rows)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -651,7 +651,7 @@ def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels (see oracle). Scale shape: one fact pass to 5 level rows;
     everything after is a 5-row reduction and one scalar chain.
     Integer bound: sum(sc*sc*ni) <= 25N — int64 to N ~ 3.7e17."""
-    o = load_table(spark, sf_dir, "orders", parallel=True).select(
+    o = load_table(spark, sf_dir, "orders", parallel=False).select(
         F.substring("o_orderpriority", 1, 1).cast("long").alias("sc"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f"),
     )
@@ -991,7 +991,7 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact pass to the <= 15-cell contingency table;
     margins, chi2 and V are window algebra on those cells (same
     audited shape as agg_chi2_independence)."""
-    o = load_table(spark, sf_dir, "orders", parallel=True)
+    o = load_table(spark, sf_dir, "orders", parallel=False)
     obs = o.groupBy(
         F.col("o_orderstatus").alias("a"),
         F.col("o_orderpriority").alias("b"),
@@ -1078,7 +1078,7 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     for minute-grained series swap the pair join for the
     O(n log n) rank formulation (S = sum of concordances via
     mergesort inversions) — documented cutover."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
     ).persist()
@@ -1184,7 +1184,7 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared 2x tie-averaged device; the tie total rides the same
     single-partition window sort. Everything after the week rollup
     is calendar-bounded."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     is_we = F.dayofweek("ts").isin(1, 7)
     wk = ev.groupBy(F.date_trunc("week", "ts").alias("w")).agg(
         F.floor(
@@ -1362,7 +1362,7 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: facts collapse map-side to |days|; the 1-row moment
     table broadcasts back; the argmax is TakeOrdered(1) on an exact
     integer deviation with date tie-break; G is one fixed chain."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
     )
@@ -1446,7 +1446,7 @@ def agg_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     average self-join is CALENDAR-quadratic (|weeks|^2/2 pairs —
     ~135k at ten years; broadcast small side), and the median is an
     exact discrete order statistic on 2x-unit integers."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     is_we = F.dayofweek("ts").isin(1, 7)
     wk = ev.groupBy(F.date_trunc("week", "ts").alias("w")).agg(
         F.floor(

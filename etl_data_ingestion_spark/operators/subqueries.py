@@ -320,7 +320,7 @@ def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFram
     the hash anti-join at 100 TB, which is the performance half of
     why production schemas declare exclusion keys NOT NULL); the
     null-safe form is an ordinary broadcast anti join."""
-    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
         "l_suppkey"
     )
     excl = (

@@ -867,7 +867,7 @@ def quality_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (directory listing) rather than data — same plan, cheaper scan;
     the data-level form here is the one that also catches a present-
     but-empty partition."""
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     present0 = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
     present = present0.filter(
         (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast("long")

@@ -1748,7 +1748,7 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fixed-order comparison, not a float-sum race."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    orders = load_table(spark, sf_dir, "orders", parallel=True).filter(
+    orders = load_table(spark, sf_dir, "orders", parallel=False).filter(
         F.year("o_orderdate") == 1996
     )
     daily = orders.groupBy(F.dayofyear("o_orderdate").alias("doy")).agg(
@@ -1855,7 +1855,7 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     above/below classification is bit-deterministic."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.floor(
             F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
@@ -1963,7 +1963,7 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapping before the final floor device."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
     )
@@ -2060,7 +2060,7 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     gaps = ev.select(
@@ -2145,7 +2145,7 @@ def timeseries_rolling_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFr
     excluded in both engines before the division."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
     weekly = li.groupBy(
         "l_suppkey",
         F.date_format(F.date_trunc("week", "l_shipdate"), "yyyy-MM-dd").alias(
@@ -2233,7 +2233,7 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical integers. At 100 TB the daily rollup is the
     standard map-side-combine reduction; the CCF itself never sees
     the raw events."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
@@ -2339,7 +2339,7 @@ def timeseries_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 2^53 (~sf100 daily volumes); past that, rescale counts to
     thousands — documented, not silently wrong (the sweep would
     flag)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "p"
@@ -2472,7 +2472,7 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     day domain, not the events."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
             "v"
@@ -2576,7 +2576,7 @@ def events_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the only non-integer term, sum(s_g^2/n_g), is formed in group
     order in both engines — 7 terms, deterministic). Scan-bound at
     every scale; the date domain never grows with volume."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "p"
@@ -2679,7 +2679,7 @@ def timeseries_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     values in one fixed chain. Per-term libm-vs-JVM trig ulps sit
     behind the snap (same accepted boundary posture as ln in
     Zipf/Theil — the multi-scale sweep is the standing detector)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "x"
@@ -2797,7 +2797,7 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped integer coordinates — the ONLY float steps are one
     sqrt+division per block, two ln calls per size, and the last
     slope division."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "x"
@@ -2939,7 +2939,7 @@ def window_gaps_islands_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned shape — parallel across the user domain); islands
     are a second hash aggregate on (user, grp). At 100 TB the
     distinct is the only fact-sized stage."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     w = Window.partitionBy("user_id").orderBy("d")
     marked = active.select(
@@ -3016,7 +3016,7 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-ratio random-walk test at horizon q=5 (see oracle).
     Scale shape: facts collapse to |days| map-side; both LAG columns
     share one window sort; the test is a single-row scalar chain."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
     )
@@ -3100,7 +3100,7 @@ def timeseries_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly revenue, WoW growth, 4-week trailing mean (see oracle).
     Scale shape: facts collapse to |weeks| map-side; one window sort
     of the weeks table serves LAG and both trailing frames."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
         F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rev")
     )
@@ -3201,7 +3201,7 @@ def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed chain with every cross-period sum on an integer grid.
     q*ln(q) terms snap with FLOOR(...*1e9 - 0.5)+1 (ceil-style) so
     the always-negative terms round identically in both engines."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -3325,7 +3325,7 @@ def window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2x/4x unit trick keeps even-count medians integral; the flag
     comparison is 20000*dev2 > 44478*mad4, float-free in both
     engines)."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("rev")
     )
@@ -3423,7 +3423,7 @@ def timeseries_var_expected_shortfall(
     Scale shape: facts collapse map-side to |days|; one day-ordered
     LAG; the 5% cut is percentile_disc in one aggregate; the tail
     mean is a filtered 1-row reduction against the broadcast cut."""
-    ev = load_table(spark, sf_dir, "events", parallel=True)
+    ev = load_table(spark, sf_dir, "events", parallel=False)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
     )
