@@ -8,6 +8,7 @@ inputs — ``spark.read.parquet`` takes directories just as happily.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import weakref
 
@@ -191,6 +192,58 @@ def drop_resident(spark: SparkSession) -> None:
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@contextlib.contextmanager
+def small_fact_aqe_gate(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem",
+    threshold: int = 2_000_000_000,
+):
+    """AQE gate for iterative / multi-consumer small-input queries
+    (extracted from graph_kcore_peel's round-10 device, generalized in
+    round 11 after ml_item_item_cf measured the same effect: AQE's
+    per-stage materialization is pure overhead when the whole input
+    fits one executor's worth of work — kcore ~7.6s -> ~4.8s, item_cf
+    1.87 -> 1.40 at sf0.1 AND 3.81 -> 3.14 at sf1, min-of-4
+    interleaved). Gate A PRIORI on the fact-file footprint (known
+    driver-side for free): under `threshold` bytes fixed planning
+    wins; at cluster scale AQE stays ON for its runtime BHJ
+    conversion + skew handling. Non-local URIs, missing paths, and
+    0-byte walks are treated as unknown/LARGE so the gate can never
+    silently disable AQE in the cluster-scale case it must protect.
+
+    The toggle must precede the first persist() (CacheManager
+    compiles the cached plan eagerly at persist() under the conf
+    active then) and any ACTION must run inside the gate — a lazy
+    DataFrame returned through the gate would execute under the
+    restored session conf.
+    """
+    def _tree_bytes(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if not os.path.isdir(p):
+            return 1 << 60
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+        return total if total > 0 else 1 << 60
+
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(aqe_key, "true")
+    try:
+        fact_bytes = _tree_bytes(table_path(sf_dir, table))
+    except OSError:
+        fact_bytes = 1 << 60
+    toggle = fact_bytes < threshold and prev == "true"
+    if toggle:
+        spark.conf.set(aqe_key, "false")
+    try:
+        yield toggle
+    finally:
+        if toggle:
+            spark.conf.set(aqe_key, prev)
 
 
 def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:

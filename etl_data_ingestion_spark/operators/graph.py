@@ -596,47 +596,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE gate (measured, tools/floor_decompose.py at sf0.1): the
     # peel rounds run shrinking node-domain aggregates where AQE's
     # per-stage materialization is pure overhead (min-of-3 ~7.6s
-    # with AQE vs ~4.8s without; ~50 stage-jobs vs ~12). Gate A
-    # PRIORI on the fact-file footprint (known driver-side for
-    # free): under ~2 GB of lineitem bytes the whole graph fits one
-    # executor's worth of work and fixed planning wins; at cluster
-    # scale AQE stays on for its runtime BHJ conversion + skew
-    # handling on the semi-joins over billions of edges. The toggle
-    # MUST precede the first persist(): CacheManager compiles the
-    # cached plan eagerly at persist() under the conf active THEN
-    # (measured: toggling after the persist left the whole run at
-    # the AQE-on timing).
-    import os as _os
+    # with AQE vs ~4.8s without; ~50 stage-jobs vs ~12). Shared
+    # device since round 11: catalog.small_fact_aqe_gate (the same
+    # measured gate now also carries ml_item_item_cf); the toggle
+    # precedes the first persist() and the collect runs inside it.
+    from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
 
-    from etl_data_ingestion_spark.catalog import table_path
-
-    def _tree_bytes(p: str) -> int:
-        # Non-local URIs (s3://, hdfs://) and missing paths yield an
-        # empty os.walk (onerror swallowed) -> 0 bytes, which would
-        # silently disable AQE in exactly the cluster-scale case it
-        # must stay on for. Treat "not a local file/dir" and a 0-byte
-        # walk as unknown/large.
-        if _os.path.isfile(p):
-            return _os.path.getsize(p)
-        if not _os.path.isdir(p):
-            return 1 << 60
-        total = sum(
-            _os.path.getsize(_os.path.join(r, f))
-            for r, _, fs in _os.walk(p)
-            for f in fs
-        )
-        return total if total > 0 else 1 << 60
-
-    aqe_key = "spark.sql.adaptive.enabled"
-    prev_aqe = spark.conf.get(aqe_key, "true")
-    try:
-        li_bytes = _tree_bytes(table_path(sf_dir, "lineitem"))
-    except OSError:
-        li_bytes = 1 << 60
-    toggle = li_bytes < 2_000_000_000 and prev_aqe == "true"
-    if toggle:
-        spark.conf.set(aqe_key, "false")
-    try:
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
         li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
             "l_orderkey", "l_suppkey"
         )
@@ -694,13 +660,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lazy = parts[0]
         for p in parts[1:]:
             lazy = lazy.unionAll(p)
-        rows = [(r.iteration, r.n_nodes, r.n_edges) for r in lazy.collect()]
-    finally:
-        if toggle:
-            spark.conf.set(aqe_key, prev_aqe)
-    return spark.createDataFrame(
-        rows, "iteration int, n_nodes long, n_edges long"
-    ).orderBy("iteration")
+        # persist+count INSIDE the gate (collect + createDataFrame
+        # measured ~0.55s of py4j local-relation overhead on the
+        # item_cf A/B; the 4-row cache read is free)
+        out = lazy.persist()
+        out.count()
+    return out.orderBy("iteration")
 
 
 ASSORTATIVITY_ORACLE = """

@@ -1862,84 +1862,110 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitive the basket-rules operator's support/lift
     view doesn't give (cosine normalizes by BOTH margins).
 
-    Plan (round-11 rewrite — the r10 verdict asked for kcore-grade
-    proof or a fix of the 1.78s over-floor residue; this is the
-    fix): ONE corpus shuffle groups each order's distinct parts into
-    a sorted array (collect_set; lineitem orders carry <= 7 lines),
-    then a DIAGONAL-AUGMENTED pair array expands map-side — each
-    basket emits (x,x) for every part plus the <= C(7,2)=21 ordered
-    pairs — so a SINGLE (pa,pb)-keyed aggregation yields both the
-    co-occurrence counts (off-diagonal) and the per-item basket
-    margins (diagonal). The r10 form persisted the CORPUS-sized
-    basket table and ran two separate aggregations over it; now
-    nothing corpus-sized is ever persisted — the one persisted
-    relation is the (pa,pb) count table (pair-domain-sized), split
-    by a diagonal filter and joined back to itself. At 100 TB:
-    heavy-hitter baskets (retail carts of 1000s) would cap or
-    sample per basket before pairing — slice(parts, 1, K) on the
-    sorted array is the documented cap; the margin join sides are
-    part-domain-sized (AQE broadcasts them from runtime stats).
-    Integer counts -> one fixed-order cosine chain -> snapped
-    ordering with full key tiebreak: deterministic top-20 in both
-    engines. NO scan fan-out (parallel=False): the first operator
-    is a straight partial-agg groupBy — the catalog rule's excluded
-    shape (A/B'd round 10: 2.23s -> 1.63s at sf0.1, 3.77 -> 3.12
-    at sf1)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    # (x,x) diagonal + strict upper-triangle pairs, all map-side:
-    # slice from i+1 (1-based) keeps x itself as the first element,
-    # so the diagonal rides the same explode as the pairs
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("parts"),
-                    i + F.lit(1),
-                    F.size(F.col("parts")),
+    Plan (round-10 map-side pair expansion + round-11 AQE gate):
+    ONE corpus shuffle groups each order's distinct parts into a
+    sorted array (collect_set; lineitem orders carry <= 7 lines),
+    then the <= C(7,2)=21 pairs per basket expand MAP-SIDE from the
+    array via a nested transform/flatten HOF — no distinct exchange,
+    no sort-merge self-join, no second corpus shuffle; the pair
+    count and the per-item margins both aggregate from that one
+    persisted grouped relation. At 100 TB the same bound holds per
+    basket; heavy-hitter baskets (retail carts of 1000s) would cap
+    or sample per basket before pairing — slice(parts, 1, K) on the
+    sorted array is the documented cap. Integer counts -> one
+    fixed-order cosine chain -> snapped ordering with full key
+    tiebreak: deterministic top-20 in both engines. NO scan fan-out
+    (parallel=False; A/B'd round 10: 2.23 -> 1.63 at sf0.1,
+    3.77 -> 3.12 at sf1).
+
+    Round-11 A/B ledger (min-of-4 interleaved, this form vs a
+    single-aggregation "diagonal" variant that folded the margins
+    into the pair groupBy): diagonal was 0.3s SLOWER at sf0.1
+    (2.63 vs 2.33 — persisting the c_ab=1 pair tail costs more than
+    the corpus-sized basket cache it saved) — measured and
+    REJECTED. What did move the number: the kcore AQE gate
+    (catalog.small_fact_aqe_gate, 1.87 -> 1.40 at sf0.1 and
+    3.81 -> 3.14 at sf1) — the r10 "two-phase hash agg latency"
+    residue was substantially AQE per-stage materialization. The
+    20-row result is persist+count-materialized INSIDE the gate (a
+    plain lazy return would execute under the restored session
+    conf; collect+createDataFrame paid ~0.55s of py4j
+    local-relation overhead) — same eager posture as
+    graph_kcore_peel."""
+    from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
+
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+            .persist()
+        )
+        item = (
+            baskets.select(F.explode("parts").alias("l_partkey"))
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("parts"),
+                        i + F.lit(2),
+                        F.size(F.col("parts")),
+                    ),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
                 ),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
+            )
         )
-    )
-    counts = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .persist()
-    )
-    item = counts.filter(F.col("pa") == F.col("pb")).select(
-        F.col("pa").alias("l_partkey"), F.col("c_ab").alias("c")
-    )
-    pair = counts.filter(
-        (F.col("pa") != F.col("pb")) & (F.col("c_ab") >= 2)
-    )
-    scored = (
-        pair.join(item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")), "pa")
-        .join(item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")), "pb")
-        .select(
-            F.col("pa").alias("part_a"),
-            F.col("pb").alias("part_b"),
-            F.col("c_ab").cast("long").alias("co_orders"),
-            F.col("ca").cast("long").alias("n_a"),
-            F.col("cb").cast("long").alias("n_b"),
-            (
-                F.floor(
-                    F.col("c_ab")
-                    / F.sqrt(F.col("ca") * 1.0 * F.col("cb"))
-                    * 1000000
-                    + F.lit(0.5)
-                )
-                / 1000000
-            ).alias("cosine"),
+        pair = (
+            baskets.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .filter(F.col("c_ab") >= 2)
         )
-    )
-    return scored.orderBy(
-        F.col("cosine").desc(), "part_a", "part_b"
-    ).limit(20)
+        scored = (
+            pair.join(
+                item.select(
+                    F.col("l_partkey").alias("pa"), F.col("c").alias("ca")
+                ),
+                "pa",
+            )
+            .join(
+                item.select(
+                    F.col("l_partkey").alias("pb"), F.col("c").alias("cb")
+                ),
+                "pb",
+            )
+            .select(
+                F.col("pa").alias("part_a"),
+                F.col("pb").alias("part_b"),
+                F.col("c_ab").cast("long").alias("co_orders"),
+                F.col("ca").cast("long").alias("n_a"),
+                F.col("cb").cast("long").alias("n_b"),
+                (
+                    F.floor(
+                        F.col("c_ab")
+                        / F.sqrt(F.col("ca") * 1.0 * F.col("cb"))
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("cosine"),
+            )
+        )
+        # materialize the 20-row result INSIDE the gate (persist +
+        # count; a lazy return would execute under the restored
+        # session conf, and collect+createDataFrame measured ~0.55s
+        # of py4j local-relation overhead) — the caller reads the
+        # tiny cached relation
+        top = scored.orderBy(
+            F.col("cosine").desc(), "part_a", "part_b"
+        ).limit(20).persist()
+        top.count()
+        baskets.unpersist()
+    return top
 
 
 FEATURE_HASH_ORACLE = """
