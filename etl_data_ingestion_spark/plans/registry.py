@@ -74,77 +74,54 @@ def register(name: str, oracle: Optional[str] = None):
 # START remain never-checked, and the r2 cohort is 2. Round 10 ALSO
 # added 20 new queries (waves 24-27) — new evidence debt, ledgered
 # in COVERAGE.md.
-# ROUND-11 PLANNED WINDOW (the r9 verdict's standing oldest-first
-# queue, adapted for the additions): the 2 displaced r2-era entries
-# + the 20 never-checked wave-24..27 queries + 28 oldest r3-era;
-# the remaining 15 r3 entries then lead round 12, after which
-# nothing older than r7 remains — one round later than the r9
-# verdict hoped, the price of the wave-24..27 coverage growth.
-# ROUND-11 STANDING QUEUE (r9 verdict #5 — oldest-first so nothing
-# older than r7 remains by end of r11): the trailing list below IS
-# that queue — the 42 remaining r3-era verdicts first, then the r4
-# cohort (46) in registration order. Names not listed trail in
-# registration order.
+# ROUND-11 RECUT (executed; see window comments inside the list):
+#   7 changed-code slots + 2 r2 (cohort -> 0) + 18 never-checked
+#   (cohort -> 0) + 23 oldest r3. After this window nothing r2-era
+#   remains and no query has never been checked; the remaining r3
+#   cohort leads round 12.
 CHECK_ORDER: list[str] = [
-    # slots 1-23: never driver-checked (round-9 waves 18-23)
-    "agg_benjamini_hochberg_fdr",
-    "agg_cochran_armitage_trend",
-    "agg_kruskal_wallis",
-    "dedup_savings_by_source",
-    "events_attribution_position_based",
-    "events_churn_rate_weekly",
-    "graph_adamic_adar_topk",
-    "graph_hits_fixed_iter",
-    "graph_label_propagation_2round",
-    "graph_local_clustering_coeff",
-    "ml_mrr_at_10",
-    "ml_ols_normal_equations",
-    "ml_recall_at_10",
-    "ml_simplified_silhouette",
-    "pandas_map_in_arrow_tokens",
-    "pipeline_token_budget_waterfill",
-    "quality_unreferenced_parents",
-    "scalar_higher_order_funcs",
-    "text_oov_rate_cross_source",
-    "timeseries_pacf_durbin",
-    "timeseries_runs_test",
-    "timeseries_variance_ratio",
-    "timeseries_wow_growth",
-    # slots 24-48: the ENTIRE remaining r2-era cohort (25)
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "stream_dedup_first_event",
-    "stream_tumbling_hourly",
-    "text_lang_bigram_score",
-    "text_lang_id_heuristic",
-    "text_normalize_pipeline",
-    "text_quality_score",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    "ingest_comma_int_roundtrip",
-    "sort_global_nation",
-    "topk_orders_by_price",
-    "subquery_scalar_above_avg",
-    "text_bpe_token_estimate",
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_from_json_struct",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "scalar_posexplode_embedding",
-    "scalar_try_funcs",
-    "subquery_exists_returned",
-    # slots 47-50: round-10 plan rewrites (changed code first)
-    "graph_kcore_peel",
+    # slots 1-7: round-11 changed code first (the displacement
+    # rule every round since r9). Slot 1 is the one VALUE-
+    # affecting change (bounce-rate (ts,event_id) tie-break,
+    # advisor medium); 2-5 are the round-11 plan rewrites
+    # (item_cf AQE-gate+persist-count, kcore action fusion,
+    # repeated-lines broadcast boilerplate, naive-bayes one-
+    # scan pivot-argmax); 6-7 carry the decimal(38,0) cross-
+    # moment widening. bounce_rate and ridge are ALSO two of
+    # the 20 never-checked wave-24..27 queries, so their
+    # first-ever verdicts cover the post-change code.
+    "events_bounce_rate_by_entry",
     "ml_item_item_cf",
+    "graph_kcore_peel",
     "dedup_repeated_lines_corpus",
     "pipeline_naive_bayes_spam",
-    # ---- end of the 50-slot window ----
-    # trailing = the round-11 standing queue, oldest-first: the 2
-    # displaced r2-era entries, then the 43 r3-era verdicts, then
-    # the r4 cohort in registration order
+    "ml_ols_normal_equations",
+    "ml_ridge_normal_equations",
+    # slots 8-9: the r2-era cohort burns to ZERO
     "subquery_in_high_qty",
     "subquery_not_exists_customers",
+    # slots 10-27: the remaining 18 never-checked wave-24..27
+    # queries (never-checked cohort burns to zero again)
+    "agg_levene_variance_homogeneity",
+    "agg_jarque_bera_normality",
+    "agg_cramers_v",
+    "graph_ktruss_edge_support",
+    "events_exp_gap_fit",
+    "text_word_burstiness",
+    "timeseries_spectral_entropy",
+    "window_hampel_outliers",
+    "agg_mann_kendall_trend",
+    "agg_wilcoxon_signed_rank",
+    "agg_robust_moments_octiles",
+    "text_yule_k",
+    "pipeline_neyman_allocation",
+    "quality_l_diversity",
+    "events_decayed_engagement",
+    "agg_grubbs_outlier",
+    "timeseries_var_expected_shortfall",
+    "agg_hodges_lehmann_shift",
+    # slots 28-50: the 23 oldest r3-era verdicts from the
+    # standing queue
     "agg_heavy_hitters_countmin",
     "agg_hll_partitioned_union",
     "dedup_incremental_new_docs",
@@ -168,6 +145,16 @@ CHECK_ORDER: list[str] = [
     "stream_late_data_accounting",
     "stream_session_window_30m",
     "stream_sliding_hourly_30m",
+    # ---- end of the 50-slot window ----
+    # trailing = the round-12 standing queue, oldest-first:
+    # the 20 remaining r3-era verdicts, then the r4 cohort
+    # in registration order. NOTE the deviation from the r10
+    # verdict's arithmetic (hoped <=15 r3 left; actual 20):
+    # 7 slots went to round-11 changed code. The 56 audit
+    # fan-out flips are plan-only (values identical by
+    # construction), verified by the full sf0.01 parity sweep
+    # + vanilla-session driver-contract runs this round; they
+    # do NOT consume slots.
     "stream_stateful_sessions",
     "text_c4_line_filter",
     "text_gopher_quality_rules",
