@@ -1817,3 +1817,223 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------- wave 28: t-closeness audit
+
+T_CLOSENESS_ORACLE = """
+-- t-closeness audit on the SAME quasi-identifier classes as the
+-- k-anonymity / l-diversity gates (nation, balance band, market
+-- segment; order priority sensitive): l-diversity counts distinct
+-- sensitive values but a class can hold >= l values in WILDLY
+-- skewed proportions and still leak (the skewness attack);
+-- t-closeness bounds the total-variation distance between each
+-- class's sensitive DISTRIBUTION and the global one. EXACT device:
+-- all class terms share denominator 2*N_g*N, so
+--   TV_g = (N*N_g + SUM_obs(|c_gi*N - C_i*N_g| - C_i*N_g))
+--          / (2*N_g*N)
+-- (missing-priority terms contribute C_i*N_g, folded in via
+-- SUM_all C_i = N, so no dense class x sensitive completion is ever
+-- built); the numerator is an exact HUGEINT and TV is one fixed
+-- division, snapped. t = 0.2.
+WITH base AS (
+  SELECT c.c_nationkey,
+         CAST(FLOOR(c.c_acctbal / 2000) AS INT) AS bal_band,
+         c.c_mktsegment, o.o_orderpriority AS sens
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), gd AS (
+  SELECT sens, CAST(COUNT(*) AS BIGINT) AS ci FROM base GROUP BY sens
+), nt AS (
+  SELECT CAST(SUM(ci) AS BIGINT) AS nn FROM gd
+), obs AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, sens,
+         CAST(COUNT(*) AS BIGINT) AS cgi
+  FROM base GROUP BY 1, 2, 3, 4
+), ngt AS (
+  SELECT c_nationkey, bal_band, c_mktsegment,
+         CAST(SUM(cgi) AS BIGINT) AS ng
+  FROM obs GROUP BY 1, 2, 3
+), cls AS (
+  SELECT o.c_nationkey, o.bal_band, o.c_mktsegment, g2.ng,
+         SUM(ABS(CAST(o.cgi AS HUGEINT) * nt.nn
+                 - CAST(g.ci AS HUGEINT) * g2.ng)
+             - CAST(g.ci AS HUGEINT) * g2.ng) AS adj
+  FROM obs o
+  JOIN gd g USING (sens)
+  JOIN ngt g2 USING (c_nationkey, bal_band, c_mktsegment)
+  CROSS JOIN nt
+  GROUP BY 1, 2, 3, 4
+), tv AS (
+  SELECT c_nationkey,
+         FLOOR(((CAST(nt.nn AS HUGEINT) * ng + adj) * 1.0
+                / (2.0 * ng * nt.nn)) * 1000000 + 0.5)
+           / 1000000 AS tvd,
+         ng
+  FROM cls CROSS JOIN nt
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN tvd > 0.2 THEN ng ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       FLOOR(MAX(tvd) * 1000000 + 0.5) / 1000000 AS max_tvd
+FROM tv GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register("quality_t_closeness", oracle=T_CLOSENESS_ORACLE)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.2, total-variation distance) over the
+    k-anonymity QI classes with order priority sensitive (see
+    oracle) — the release gate above l-diversity: >= l distinct
+    values in skewed proportions still leak.
+
+    Scale shape: one custkey-co-partitioned join, one aggregation to
+    (QI class, sensitive) cells, the 5-row global distribution
+    broadcasts back, one class-keyed aggregation. The shared-
+    denominator algebra keeps every per-cell term an exact
+    decimal(38,0) product (HUGEINT in the oracle) — no float until
+    the final snapped division. Missing-cell terms fold in
+    algebraically (SUM_all C_i = N), so no dense class x sensitive
+    completion is ever materialized — the same device as
+    text_word_burstiness."""
+    c = load_table(spark, sf_dir, "customer", parallel=False)
+    o = load_table(spark, sf_dir, "orders", parallel=False)
+    base = c.join(o, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        "c_mktsegment",
+        F.col("o_orderpriority").alias("sens"),
+    )
+    obs = base.groupBy(
+        "c_nationkey", "bal_band", "c_mktsegment", "sens"
+    ).agg(F.count(F.lit(1)).alias("cgi"))
+    glob = obs.groupBy("sens").agg(F.sum("cgi").cast("long").alias("ci"))
+    nn = glob.agg(F.sum("ci").cast("long").alias("nn"))
+    wd = (
+        obs.join(F.broadcast(glob), "sens")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "ngw",
+            F.sum("cgi").over(
+                Window.partitionBy(
+                    "c_nationkey", "bal_band", "c_mktsegment"
+                )
+            ),
+        )
+    )
+    term = F.abs(
+        F.col("cgi").cast("decimal(38,0)") * F.col("nn")
+        - F.col("ci").cast("decimal(38,0)") * F.col("ngw")
+    ) - F.col("ci").cast("decimal(38,0)") * F.col("ngw")
+    cls = wd.groupBy(
+        "c_nationkey", "bal_band", "c_mktsegment", "ngw", "nn"
+    ).agg(F.sum(term).alias("adj"))
+    tvd = F.floor(
+        (
+            (
+                F.col("nn").cast("decimal(38,0)") * F.col("ngw")
+                + F.col("adj")
+            )
+            * 1.0
+            / (2.0 * F.col("ngw") * F.col("nn"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    tv = cls.select(
+        "c_nationkey", tvd.alias("tvd"), F.col("ngw").alias("ng")
+    )
+    return (
+        tv.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("tvd") > 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("tvd") > 0.2, F.col("ng")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            (F.floor(F.max("tvd") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "max_tvd"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------- wave 28: hash train/test split
+
+SPLIT_HASH_ORACLE = """
+-- Deterministic train/test split by portable multiplicative hash
+-- (Knuth 2654435761 on doc_id, mod 1000; < 800 -> train): THE
+-- pipeline primitive every training run starts with — splits must
+-- be reproducible across engines/runs/machines, which rules out
+-- rand() and engine-builtin hashes. doc_id * 2654435761 stays exact
+-- in BIGINT to doc_id ~ 3.5e9 (documented cutover to a 128-bit
+-- device beyond). Per-source accounting so sampling skew across
+-- sources is visible at a glance.
+WITH tagged AS (
+  SELECT source,
+         (doc_id * 2654435761) % 1000 < 800 AS is_train,
+         n_chars
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_test,
+       CAST(SUM(CASE WHEN is_train THEN n_chars ELSE 0 END) AS BIGINT)
+         AS train_chars,
+       FLOOR(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS train_frac
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_train_test_split_hash", oracle=SPLIT_HASH_ORACLE)
+def pipeline_train_test_split_hash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reproducible 80/20 train/test split via portable
+    multiplicative hash of doc_id, with per-source accounting (see
+    oracle) — rand()/engine hashes can never be re-verified across
+    engines or runs; a fixed integer hash can.
+
+    Scale shape: one map-only expression per row, one source-keyed
+    partial aggregation — nothing fact-sized ever shuffles. The
+    split column is exactly what a writer would partition on
+    (.partitionBy('is_train')), making the split a property of the
+    LAYOUT rather than of a run."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    is_train = (F.col("doc_id") * F.lit(2654435761)) % 1000 < 800
+    tagged = docs.select(
+        "source", is_train.alias("is_train"), "n_chars"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_test"),
+            F.sum(F.when(F.col("is_train"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("train_chars"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+                    * 1.0
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("train_frac"),
+        )
+        .orderBy("source")
+    )

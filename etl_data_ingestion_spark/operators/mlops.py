@@ -2828,3 +2828,111 @@ def ml_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("intercept_cents"),
     ).orderBy("lambda_per_obs")
+
+
+# --------------------------------- wave 28: ROC curve points
+
+ROC_ORACLE = """
+-- ROC operating points at the 9 decile thresholds for the
+-- deterministic score p = value/(value+50) against
+-- event_type='purchase' (the same score/label contract as
+-- ml_log_loss / ml_average_precision, so the metric family reads
+-- side by side): per threshold, exact TP/FP/TN/FN counts and
+-- snapped TPR/FPR — the curve the scalar AUC summarizes, needed
+-- whenever an operating point must be CHOSEN (quality-classifier
+-- cutoffs in a curation pipeline).
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         value / (value + 50.0) AS p
+  FROM events WHERE value IS NOT NULL AND value >= 0
+), th AS (
+  SELECT i * 0.1 AS t FROM UNNEST(range(1, 10)) u(i)
+), cell AS (
+  SELECT th.t,
+         CAST(SUM(CASE WHEN p >= th.t AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN p >= th.t AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM scored CROSS JOIN th GROUP BY th.t
+)
+SELECT FLOOR(t * 10 + 0.5) / 10 AS threshold,
+       tp AS n_tp, fp AS n_fp,
+       FLOOR(tp * 1.0 / pos * 1000000 + 0.5) / 1000000 AS tpr,
+       FLOOR(fp * 1.0 / neg * 1000000 + 0.5) / 1000000 AS fpr
+FROM cell ORDER BY threshold
+"""
+
+
+@register("ml_roc_curve_points", oracle=ROC_ORACLE)
+def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points at decile thresholds over the house
+    score/label contract (see oracle) — the curve behind the AUC
+    scalar, for choosing classifier cutoffs.
+
+    Scale shape: ONE pass over the fact scan with 18 conditional
+    partial aggregates (2 per threshold) plus the two margins — the
+    threshold fan-out happens on the 9-row literal side AFTER
+    map-side combine, so the exchange carries 9 rows per task, not
+    9x the corpus (the crossJoin-then-group form the oracle states
+    would scan-multiply at scale; the conditional-sum form is the
+    100 TB shape and yields identical exact counts)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    scored = ev.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.col("value") / (F.col("value") + 50.0)).alias("p"),
+    )
+    ths = [round(i * 0.1, 1) for i in range(1, 10)]
+    aggs = [
+        F.sum(F.when((F.col("p") >= t) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias(f"tp{i}")
+        for i, t in enumerate(ths)
+    ] + [
+        F.sum(F.when((F.col("p") >= t) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias(f"fp{i}")
+        for i, t in enumerate(ths)
+    ] + [
+        F.sum(F.col("y")).cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    ]
+    m = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"tp{i}").alias("n_tp"),
+                F.col(f"fp{i}").alias("n_fp"),
+            )
+            for i, t in enumerate(ths)
+        ]
+    )
+    return (
+        m.select("pos", "neg", F.explode(rows).alias("r"))
+        .select(
+            (F.floor(F.col("r.threshold") * 10 + F.lit(0.5)) / 10).alias(
+                "threshold"
+            ),
+            F.col("r.n_tp").alias("n_tp"),
+            F.col("r.n_fp").alias("n_fp"),
+            (
+                F.floor(
+                    F.col("r.n_tp") * 1.0 / F.col("pos") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("tpr"),
+            (
+                F.floor(
+                    F.col("r.n_fp") * 1.0 / F.col("neg") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("fpr"),
+        )
+        .orderBy("threshold")
+    )

@@ -2266,3 +2266,98 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("yule_k"),
     ).orderBy("source")
+
+
+# --------------------------------- wave 28: MATTR lexical diversity
+
+MATTR_ORACLE = """
+-- Segmented type-token ratio (the fixed-window form of MATTR):
+-- raw TTR shrinks with document length (Heaps' law), so corpus
+-- quality work compares diversity on FIXED 50-token segments —
+-- distinct types per full segment / 50, averaged per source. The
+-- lexical-diversity gate beside Yule's K / burstiness: repetitive
+-- machine-generated text scores low MATTR at any length. Exact
+-- device: distinct-per-segment * 20000 is an exact integer
+-- (d/50 * 1e6), so the per-source mean is one integer sum and one
+-- snapped division; partial trailing segments are EXCLUDED in both
+-- engines (they would inflate TTR).
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, source, ts[i] AS w,
+         CAST((i - 1) // 50 AS BIGINT) AS seg,
+         CAST(len(ts) // 50 AS BIGINT) AS full_segs
+  FROM toks, UNNEST(range(1, len(ts) + 1)) u(i)
+), per_seg AS (
+  SELECT source, doc_id, seg,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS d
+  FROM ex WHERE seg < full_segs
+  GROUP BY source, doc_id, seg
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       FLOOR(SUM(d * 20000) * 1.0 / COUNT(*) / 1000000
+             * 1000000 + 0.5) / 1000000 AS mean_mattr_micro
+FROM per_seg GROUP BY source ORDER BY source
+"""
+
+
+@register("text_mattr_lexical_diversity", oracle=MATTR_ORACLE)
+def text_mattr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Segmented type-token ratio (MATTR, 50-token windows) per
+    source (see oracle) — length-invariant lexical diversity, the
+    repetition gate beside Yule's K.
+
+    Scale shape: one posexplode over the token split (the fan-out-
+    eligible per-row regex family — and the first aggregation keys
+    on (source, doc, seg), so the exchange carries per-segment
+    partial distinct sets, never raw token order); everything after
+    the per-segment distinct is |segments|-domain integer math.
+    mean_mattr_micro is the snapped micro-unit mean (d*20000 exact
+    per segment)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    ex = docs.select(
+        "doc_id",
+        "source",
+        (F.floor(F.size(ts) / 50)).cast("long").alias("full_segs"),
+        F.posexplode(ts).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("pos") / 50).cast("long").alias("seg"),
+        "full_segs",
+    )
+    per_seg = (
+        ex.filter(F.col("seg") < F.col("full_segs"))
+        .groupBy("source", "doc_id", "seg")
+        .agg(F.count_distinct("w").cast("long").alias("d"))
+    )
+    return (
+        per_seg.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(F.col("d") * 20000)
+                    * 1.0
+                    / F.count(F.lit(1))
+                    / 1000000
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_mattr_micro"),
+        )
+        .orderBy("source")
+    )

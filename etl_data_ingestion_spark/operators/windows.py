@@ -3458,3 +3458,127 @@ def timeseries_var_expected_shortfall(
             / 100
         ).alias("es95_cents"),
     )
+
+
+# --------------------------------- wave 28: EWMA crossover signals
+
+EWMA_ORACLE = """
+-- EWMA fast/slow crossover on daily revenue (the moving-average
+-- trading-signal primitive, and the smoothing tier above the
+-- Bollinger/rolling-zscore family): bias-corrected EWMA_k =
+-- SUM_i<=k y_i*(1-a)^(k-i) / SUM_i<=k (1-a)^(k-i) for fast a=0.5
+-- and slow a=0.1; a crossover is a sign change of the SNAPPED
+-- fast-slow spread between consecutive days (snap-before-compare
+-- makes the sign cross-engine stable; POWER chains are the
+-- documented device of ml_feature_hash_collisions). |days|^2
+-- weighted pairs — calendar-quadratic like Mann-Kendall /
+-- Hodges-Lehmann, quadratic in DAYS, not in data.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+), ew AS (
+  SELECT a.k, a.d,
+         FLOOR(SUM(b.y * POWER(0.5, a.k - b.k))
+               / SUM(POWER(0.5, a.k - b.k)) / 100 * 10000 + 0.5) / 10000
+           AS fast,
+         FLOOR(SUM(b.y * POWER(0.9, a.k - b.k))
+               / SUM(POWER(0.9, a.k - b.k)) / 100 * 10000 + 0.5) / 10000
+           AS slow
+  FROM idx a JOIN idx b ON b.k <= a.k
+  GROUP BY a.k, a.d
+), sig AS (
+  SELECT k, d, fast, slow,
+         CASE WHEN fast > slow THEN 1 ELSE 0 END AS s,
+         LAG(CASE WHEN fast > slow THEN 1 ELSE 0 END)
+           OVER (ORDER BY k) AS prev_s
+  FROM ew
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossovers,
+       MAX(CASE WHEN k = (SELECT MAX(k) FROM sig)
+                THEN CASE WHEN s = 1 THEN 'fast_above' ELSE 'slow_above' END
+           END) AS last_signal,
+       MAX(CASE WHEN k = (SELECT MAX(k) FROM sig) THEN fast END)
+         AS last_fast_dollars,
+       MAX(CASE WHEN k = (SELECT MAX(k) FROM sig) THEN slow END)
+         AS last_slow_dollars
+FROM sig
+"""
+
+
+@register("timeseries_ewma_crossover", oracle=EWMA_ORACLE)
+def timeseries_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA fast/slow crossover signals on daily revenue (see
+    oracle) — smoothing + regime detection over the day domain (beside
+    timeseries_holt_trend's level+trend model: Holt forecasts, the
+    crossover DETECTS regime flips).
+
+    Scale shape: facts collapse map-side to |days|; the weighted-
+    pair expansion is |days|^2 (calendar-quadratic — the documented
+    Mann-Kendall / Hodges-Lehmann family: quadratic in DAYS, never
+    in data; the O(n) recursive form is the streaming alternative,
+    stated here as the cutover). Snap-before-compare pins the
+    crossover signs cross-engine; the POWER(0.5,...) weights are
+    exact binary, POWER(0.9,...) rides the accepted POWER-chain
+    precedent."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    idx = daily.select(
+        "d", "y", F.row_number().over(Window.orderBy("d")).cast("long").alias("k")
+    )
+    a = idx.select(F.col("d").alias("da"), F.col("k").alias("ka"))
+    b = idx.select(F.col("y").alias("yb"), F.col("k").alias("kb"))
+    snap4 = lambda c: F.floor(c / 100 * 10000 + F.lit(0.5)) / 10000
+    ew = (
+        a.join(b, F.col("kb") <= F.col("ka"))
+        .groupBy("ka", "da")
+        .agg(
+            snap4(
+                F.sum(F.col("yb") * F.pow(F.lit(0.5), F.col("ka") - F.col("kb")))
+                / F.sum(F.pow(F.lit(0.5), F.col("ka") - F.col("kb")))
+            ).alias("fast"),
+            snap4(
+                F.sum(F.col("yb") * F.pow(F.lit(0.9), F.col("ka") - F.col("kb")))
+                / F.sum(F.pow(F.lit(0.9), F.col("ka") - F.col("kb")))
+            ).alias("slow"),
+        )
+    )
+    s = F.when(F.col("fast") > F.col("slow"), 1).otherwise(0)
+    wk = Window.orderBy("ka")
+    sig = ew.select(
+        "ka", "fast", "slow", s.alias("s"), F.lag(s).over(wk).alias("prev_s")
+    )
+    maxk = sig.agg(F.max("ka").alias("mk"))
+    last = F.col("ka") == F.col("mk")
+    return (
+        sig.crossJoin(F.broadcast(maxk))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_crossovers"),
+            F.max(
+                F.when(
+                    last,
+                    F.when(F.col("s") == 1, "fast_above").otherwise(
+                        "slow_above"
+                    ),
+                )
+            ).alias("last_signal"),
+            F.max(F.when(last, F.col("fast"))).alias("last_fast_dollars"),
+            F.max(F.when(last, F.col("slow"))).alias("last_slow_dollars"),
+        )
+    )
