@@ -2936,3 +2936,248 @@ def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------- wave 29: decision stump (exact Gini)
+
+STUMP_ORACLE = """
+-- Exact best decision stump: the single quantity threshold that
+-- best separates returned (l_returnflag = 'R') from kept line
+-- items by weighted Gini impurity — the base learner of every
+-- boosted-tree pipeline, and the first thing a feature-triage pass
+-- computes for a candidate signal. EXACT device: the fact table
+-- collapses to the 50-value quantity DOMAIN (n, positives per
+-- value), cumulative sums over that domain give every split's
+-- left/right counts, and each split's impurity is one fixed-order
+-- chain over exact BIGINT counts (binary Gini = 2p(1-p), so the
+-- weighted impurity needs only pl*(nl-pl)/nl-style terms). The
+-- max-quantity split (empty right side) is excluded; argmin ties
+-- break on the smaller threshold.
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         COUNT(*) AS nq,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pq
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT q,
+         CAST(SUM(nq) OVER (ORDER BY q) AS BIGINT) AS nl,
+         CAST(SUM(pq) OVER (ORDER BY q) AS BIGINT) AS pl,
+         CAST(SUM(nq) OVER () AS BIGINT) AS n,
+         CAST(SUM(pq) OVER () AS BIGINT) AS p
+  FROM hist
+), scored AS (
+  SELECT q, nl, pl, n - nl AS nr, p - pl AS pr, n, p,
+         2.0 * ((pl * (nl - pl)) * 1.0 / nl
+              + ((p - pl) * ((n - nl) - (p - pl))) * 1.0 / (n - nl)) / n
+           AS gini
+  FROM cum WHERE nl < n
+)
+SELECT CAST(q AS BIGINT)  AS threshold_qty,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left,
+       CAST(pr AS BIGINT) AS pos_right,
+       FLOOR(gini * 1000000 + 0.5) / 1000000 AS weighted_gini,
+       FLOOR(2.0 * ((p * (n - p)) * 1.0 / n) / n * 1000000 + 0.5)
+         / 1000000 AS root_gini
+FROM scored
+ORDER BY gini, q LIMIT 1
+"""
+
+
+@register("ml_decision_stump_gini", oracle=STUMP_ORACLE)
+def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split decision stump on quantity vs return flag
+    (see oracle for the domain-histogram device).
+
+    Scale shape: ONE fact pass with map-side combine reduces
+    lineitem to the 50-row quantity histogram; cumulative sums,
+    impurity scoring, and the argmin all run on that domain table
+    (the ORDER BY window covers 50 rows — never fact-sized). At
+    100 TB the only corpus work is still the first partial
+    aggregation; a continuous feature swaps the value domain for
+    equi-depth quantile boundaries (the house approx_percentile
+    operator), same shape. Count products stay inside int64 to
+    ~3e9 rows per side; past that the impurity terms move to the
+    oracle-mirrored double path (documented cutover)."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "pq"
+        ),
+    )
+    wq = Window.orderBy("q")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "q",
+        F.sum("nq").over(wq).cast("long").alias("nl"),
+        F.sum("pq").over(wq).cast("long").alias("pl"),
+        F.sum("nq").over(wall).cast("long").alias("n"),
+        F.sum("pq").over(wall).cast("long").alias("p"),
+    )
+    nl, pl, n, p = (F.col(c) for c in ["nl", "pl", "n", "p"])
+    gini = (
+        2.0
+        * (
+            (pl * (nl - pl)) * 1.0 / nl
+            + ((p - pl) * ((n - nl) - (p - pl))) * 1.0 / (n - nl)
+        )
+        / n
+    )
+    scored = cum.filter(nl < n).select(
+        "q", "nl", "pl", "n", "p",
+        (n - nl).alias("nr"),
+        (p - pl).alias("pr"),
+        gini.alias("gini"),
+    )
+    best = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy("gini", "q"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("q").alias("threshold_qty"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        F.col("pr").alias("pos_right"),
+        snap(F.col("gini"), 6).alias("weighted_gini"),
+        snap(2.0 * ((p * (n - p)) * 1.0 / n) / n, 6).alias("root_gini"),
+    )
+
+
+# --------------------------- wave 30: Fisher LDA (closed-form, 2 features)
+
+FISHER_LDA_ORACLE = """
+-- Fisher linear discriminant, closed form on two features: does
+-- (order value, line count) linearly separate urgent-priority
+-- orders from the rest, and along which direction? The 2x2 case
+-- has an exact solution w = Sw^-1 (m1 - m0) — the one discriminant
+-- every feature-triage pass can afford at warehouse scale because
+-- it needs only per-class sufficient statistics (counts, sums,
+-- WIDE squared/cross sums), never an iterative solver. Output is
+-- the UNIT direction (scale-free — the raw w magnitude is
+-- meaningless) and the Mahalanobis separation d' Sw_pooled^-1 d
+-- under the pooled (n-2)-denominator covariance.
+WITH feat AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS f1,
+         l.cnt AS f2
+  FROM orders o
+  JOIN (SELECT l_orderkey, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey
+), m AS (
+  SELECT y, COUNT(*) AS n,
+         CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+         SUM(f1 * f1) AS q11, SUM(f2 * f2) AS q22, SUM(f1 * f2) AS q12
+  FROM feat GROUP BY y
+), pooled AS (
+  SELECT SUM(n) AS n,
+         MAX(CASE WHEN y = 0 THEN n END) AS n0,
+         MAX(CASE WHEN y = 1 THEN n END) AS n1,
+         SUM(q11 * 1.0 - (s1 * 1.0 / n) * s1) AS sw11,
+         SUM(q22 * 1.0 - (s2 * 1.0 / n) * s2) AS sw22,
+         SUM(q12 * 1.0 - (s1 * 1.0 / n) * s2) AS sw12,
+         MAX(CASE WHEN y = 1 THEN s1 * 1.0 / n END)
+           - MAX(CASE WHEN y = 0 THEN s1 * 1.0 / n END) AS d1,
+         MAX(CASE WHEN y = 1 THEN s2 * 1.0 / n END)
+           - MAX(CASE WHEN y = 0 THEN s2 * 1.0 / n END) AS d2
+  FROM m
+), solved AS (
+  SELECT n0, n1,
+         (sw22 / (n - 2) * d1 - sw12 / (n - 2) * d2)
+           / (sw11 / (n - 2) * (sw22 / (n - 2))
+              - (sw12 / (n - 2)) * (sw12 / (n - 2))) AS w1,
+         (sw11 / (n - 2) * d2 - sw12 / (n - 2) * d1)
+           / (sw11 / (n - 2) * (sw22 / (n - 2))
+              - (sw12 / (n - 2)) * (sw12 / (n - 2))) AS w2,
+         d1, d2
+  FROM pooled
+)
+SELECT CAST(n0 AS BIGINT) AS n_class0,
+       CAST(n1 AS BIGINT) AS n_class1,
+       FLOOR(w1 / SQRT(w1 * w1 + w2 * w2) * 1000000 + 0.5) / 1000000
+         AS unit_w1,
+       FLOOR(w2 / SQRT(w1 * w1 + w2 * w2) * 1000000 + 0.5) / 1000000
+         AS unit_w2,
+       FLOOR((d1 * w1 + d2 * w2) * 1000000 + 0.5) / 1000000
+         AS mahalanobis_sq
+FROM solved
+"""
+
+
+@register("ml_fisher_lda_closed_form", oracle=FISHER_LDA_ORACLE)
+def ml_fisher_lda_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Fisher discriminant on (order cents, line count)
+    vs urgent priority (see oracle for the 2x2 inverse device).
+
+    Scale shape: the line-count aggregation and the orders join are
+    the corpus-sized work (both key on orderkey — co-partitioned,
+    one exchange each); everything after is a 2-row-per-class
+    sufficient-statistics table and a 1-row solve. Cross/squared
+    cents sums accumulate WIDE (decimal(38,0) / HUGEINT) per the
+    summed-WIDE rule; the scalar chain is written in the identical
+    fixed order in both engines, and the direction is published as
+    a unit vector so the statistic is scale-free."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    od = load_table(spark, sf_dir, "orders", parallel=False)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    feat = od.join(cnt, od.o_orderkey == cnt.l_orderkey).select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("f1"),
+        F.col("cnt").alias("f2"),
+    )
+    wide = lambda c: F.col(c).cast("decimal(38,0)")
+    m = feat.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f1").cast("long").alias("s1"),
+        F.sum("f2").cast("long").alias("s2"),
+        F.sum(wide("f1") * F.col("f1")).alias("q11"),
+        F.sum(wide("f2") * F.col("f2")).alias("q22"),
+        F.sum(wide("f1") * F.col("f2")).alias("q12"),
+    )
+    n_, y = F.col("n"), F.col("y")
+    pooled = m.agg(
+        F.sum("n").alias("n"),
+        F.max(F.when(y == 0, n_)).alias("n0"),
+        F.max(F.when(y == 1, n_)).alias("n1"),
+        F.sum(F.col("q11") * 1.0 - (F.col("s1") * 1.0 / n_) * F.col("s1")).alias("sw11"),
+        F.sum(F.col("q22") * 1.0 - (F.col("s2") * 1.0 / n_) * F.col("s2")).alias("sw22"),
+        F.sum(F.col("q12") * 1.0 - (F.col("s1") * 1.0 / n_) * F.col("s2")).alias("sw12"),
+        (
+            F.max(F.when(y == 1, F.col("s1") * 1.0 / n_))
+            - F.max(F.when(y == 0, F.col("s1") * 1.0 / n_))
+        ).alias("d1"),
+        (
+            F.max(F.when(y == 1, F.col("s2") * 1.0 / n_))
+            - F.max(F.when(y == 0, F.col("s2") * 1.0 / n_))
+        ).alias("d2"),
+    )
+    n, d1, d2 = F.col("n"), F.col("d1"), F.col("d2")
+    c11, c22, c12 = (
+        F.col("sw11") / (n - 2),
+        F.col("sw22") / (n - 2),
+        F.col("sw12") / (n - 2),
+    )
+    det = c11 * c22 - c12 * c12
+    w1 = (c22 * d1 - c12 * d2) / det
+    w2 = (c11 * d2 - c12 * d1) / det
+    norm = F.sqrt(w1 * w1 + w2 * w2)
+    return pooled.select(
+        F.col("n0").cast("long").alias("n_class0"),
+        F.col("n1").cast("long").alias("n_class1"),
+        snap(w1 / norm, 6).alias("unit_w1"),
+        snap(w2 / norm, 6).alias("unit_w2"),
+        snap(d1 * w1 + d2 * w2, 6).alias("mahalanobis_sq"),
+    )

@@ -1485,3 +1485,380 @@ def agg_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl_shift_cents"
         ),
     )
+
+
+# ------------------------------- wave 29: Friedman blocked rank test
+
+FRIEDMAN_ORACLE = """
+-- Friedman test: does daily revenue differ systematically by DAY OF
+-- WEEK once week-to-week volume drift is removed? The k-treatment
+-- generalization of the Wilcoxon signed-rank operator (which pairs
+-- two treatments): each complete ISO week is a BLOCK, the seven
+-- weekdays are TREATMENTS, and revenue is ranked WITHIN each block,
+-- so between-week drift never touches the statistic. Same 2x-scaled
+-- tie-averaged integer rank device as Kruskal/Wilcoxon: on day rows,
+-- r2 = 2*RANK() + t - 1 (t = size of the day's tie group) is exactly
+-- twice the tie-averaged rank, so every rank sum is exact BIGINT.
+-- Tie-robust form: Q = (k-1) * SUM_j (R_j - n(k+1)/2)^2 / (A - C)
+-- with A = SUM r^2, C = n*k*(k+1)^2/4; in the 2x domain the /4s
+-- cancel: Q = 6 * SUM_j (R2_j - 8n)^2 / (A4 - 448n) for k = 7.
+WITH cell AS (
+  SELECT date_trunc('week', ts) AS w, isodow(ts) AS dow,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), full_w AS (
+  SELECT w FROM cell GROUP BY w HAVING COUNT(*) = 7
+), c2 AS (
+  SELECT cell.* FROM cell JOIN full_w USING (w)
+), ranked AS (
+  SELECT dow,
+         2 * RANK() OVER (PARTITION BY w ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY w, y) - 1 AS r2
+  FROM c2
+), nst AS (
+  SELECT COUNT(*) AS n FROM full_w
+), rj AS (
+  SELECT dow, CAST(SUM(r2) AS BIGINT) AS r2j FROM ranked GROUP BY dow
+), a4 AS (
+  SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a4 FROM ranked
+), num AS (
+  SELECT CAST(SUM((r2j - 8 * n) * (r2j - 8 * n)) AS BIGINT) AS sq
+  FROM rj, nst
+)
+SELECT CAST(n AS BIGINT) AS n_weeks,
+       CAST(7 AS BIGINT) AS k_treatments,
+       FLOOR(6.0 * sq / (a4 - 448 * n) * 1000000 + 0.5) / 1000000
+         AS q_stat
+FROM nst, a4, num
+"""
+
+
+@register("agg_friedman_test", oracle=FRIEDMAN_ORACLE)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank test: weekday effect on daily revenue
+    with ISO weeks as blocks (see oracle for the exact device).
+
+    Scale shape: facts collapse map-side to the (week, weekday) cell
+    domain in ONE partial-aggregated pass; completeness filtering,
+    within-block ranking (windows partitioned BY WEEK — parallel
+    across blocks, never a single global sort), and the three
+    sufficient statistics all run on the |weeks|x7 domain table. At
+    100 TB the cell domain is still calendar-bounded; every rank sum
+    is exact BIGINT via the 2x device, and Q is one snapped scalar
+    chain. Degenerate guard: A4 == 448n (all seven days tied in
+    every week) cannot occur with continuous revenue; documented
+    rather than branched."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    cell = ev.groupBy(
+        F.date_trunc("week", "ts").alias("w"),
+        (F.expr("weekday(ts)") + F.lit(1)).alias("dow"),
+    ).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    c2 = (
+        cell.withColumn(
+            "ndow", F.count(F.lit(1)).over(Window.partitionBy("w"))
+        )
+        .filter(F.col("ndow") == 7)
+        .drop("ndow")
+        .persist()
+    )
+    ranked = c2.select(
+        "dow",
+        (
+            2 * F.rank().over(Window.partitionBy("w").orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("w", "y"))
+            - 1
+        ).alias("r2"),
+    ).persist()
+    nst = c2.select(F.count_distinct("w").alias("n"))
+    rj = ranked.groupBy("dow").agg(F.sum("r2").cast("long").alias("r2j"))
+    a4 = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4")
+    )
+    num = rj.crossJoin(F.broadcast(nst)).agg(
+        F.sum(
+            (F.col("r2j") - 8 * F.col("n")) * (F.col("r2j") - 8 * F.col("n"))
+        )
+        .cast("long")
+        .alias("sq"),
+        F.max("n").alias("n"),
+    )
+    q = 6.0 * F.col("sq") / (F.col("a4") - 448 * F.col("n"))
+    return num.crossJoin(F.broadcast(a4)).select(
+        F.col("n").cast("long").alias("n_weeks"),
+        F.lit(7).cast("long").alias("k_treatments"),
+        snap(q, 6).alias("q_stat"),
+    )
+
+
+# ------------------------------ wave 29: Cronbach's alpha reliability
+
+CRONBACH_ORACLE = """
+-- Cronbach's alpha over the three order-status spend components
+-- (O/F/P cents) per customer: do the components move together
+-- enough that "customer spend" is a coherent single scale? The
+-- internal-consistency coefficient every metrics platform computes
+-- before averaging sub-scores into one index:
+--   alpha = k/(k-1) * (1 - SUM_i var_i / var_total),
+-- population variances, k = 3 items. Sufficient statistics only:
+-- per-item sums and WIDE squared sums (HUGEINT here, decimal(38,0)
+-- in Spark — cents^2 crosses int64 past ~sf1000), then one
+-- fixed-order double chain, snapped.
+WITH items AS (
+  SELECT o_custkey,
+         CAST(FLOOR(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                             ELSE 0 END) * 100 + 0.5) AS BIGINT) AS s1,
+         CAST(FLOOR(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                             ELSE 0 END) * 100 + 0.5) AS BIGINT) AS s2,
+         CAST(FLOOR(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
+                             ELSE 0 END) * 100 + 0.5) AS BIGINT) AS s3
+  FROM orders GROUP BY o_custkey
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(s1) AS BIGINT) AS a1, SUM(s1 * s1) AS q1,
+         CAST(SUM(s2) AS BIGINT) AS a2, SUM(s2 * s2) AS q2,
+         CAST(SUM(s3) AS BIGINT) AS a3, SUM(s3 * s3) AS q3,
+         CAST(SUM(s1 + s2 + s3) AS BIGINT) AS at,
+         SUM((s1 + s2 + s3) * (s1 + s2 + s3)) AS qt
+  FROM items
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(3 AS BIGINT) AS k_items,
+       FLOOR((3.0 / 2.0) * (1.0 -
+               ((q1 * 1.0 / n - (a1 * 1.0 / n) * (a1 * 1.0 / n))
+              + (q2 * 1.0 / n - (a2 * 1.0 / n) * (a2 * 1.0 / n))
+              + (q3 * 1.0 / n - (a3 * 1.0 / n) * (a3 * 1.0 / n)))
+             / (qt * 1.0 / n - (at * 1.0 / n) * (at * 1.0 / n)))
+             * 1000000 + 0.5) / 1000000 AS cronbach_alpha
+FROM m
+"""
+
+
+@register("agg_cronbach_alpha", oracle=CRONBACH_ORACLE)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha: internal consistency of the three
+    order-status spend components as one customer-spend scale.
+
+    Scale shape: ONE fact pass pivots orders to per-customer item
+    cents (map-side combine on o_custkey), then ONE aggregation
+    reduces the customer table to nine sufficient statistics; the
+    alpha chain runs on a single row. Squared-cents sums are
+    accumulated WIDE (decimal(38,0), mirroring the oracle's HUGEINT)
+    per the module's summed-WIDE rule; the final integer-to-double
+    conversions are IEEE round-to-nearest of identical exact
+    integers in both engines, so the snapped chain is
+    deterministic."""
+    od = load_table(spark, sf_dir, "orders", parallel=False)
+
+    def bucket(status: str):
+        return (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == status, F.col("o_totalprice")
+                    ).otherwise(0.0)
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+        )
+
+    items = od.groupBy("o_custkey").agg(
+        bucket("O").alias("s1"), bucket("F").alias("s2"), bucket("P").alias("s3")
+    )
+    wide = lambda c: F.col(c).cast("decimal(38,0)")
+    tot = F.col("s1") + F.col("s2") + F.col("s3")
+    m = items.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s1").cast("long").alias("a1"),
+        F.sum(wide("s1") * F.col("s1")).alias("q1"),
+        F.sum("s2").cast("long").alias("a2"),
+        F.sum(wide("s2") * F.col("s2")).alias("q2"),
+        F.sum("s3").cast("long").alias("a3"),
+        F.sum(wide("s3") * F.col("s3")).alias("q3"),
+        F.sum(tot).cast("long").alias("at"),
+        F.sum(tot.cast("decimal(38,0)") * tot).alias("qt"),
+    )
+    n = F.col("n")
+
+    def pvar(q, a):
+        return F.col(q) * 1.0 / n - (F.col(a) * 1.0 / n) * (F.col(a) * 1.0 / n)
+
+    alpha = (3.0 / 2.0) * (
+        1.0
+        - (pvar("q1", "a1") + pvar("q2", "a2") + pvar("q3", "a3"))
+        / pvar("qt", "at")
+    )
+    return m.select(
+        n.cast("long").alias("n_customers"),
+        F.lit(3).cast("long").alias("k_items"),
+        snap(alpha, 6).alias("cronbach_alpha"),
+    )
+
+
+# -------------------------- wave 30: Gumbel block-maxima (EVT) fit
+
+GUMBEL_ORACLE = """
+-- Gumbel block-maxima fit on WEEKLY maxima of daily revenue: the
+-- extreme-value complement of the Hill operator (Hill estimates the
+-- tail exponent from the top order statistics; block maxima fit the
+-- max-domain distribution itself — the capacity-planning question
+-- 'how big can a peak day get?'). Method-of-moments closed form:
+-- beta = s * sqrt(6)/pi, mu = mean - gamma*beta (gamma = the
+-- Euler-Mascheroni literal, pinned identically in both engines),
+-- then the fitted exceedance probability of the historically worst
+-- day. EXACT device: daily cents collapse to |weeks| maxima
+-- (weekly, not monthly, blocks: the synthetic fixture spans ~5
+-- weeks at every sf — at production time horizons the block would
+-- be monthly/quarterly, same shape); mean/var from exact BIGINT
+-- sums (sample variance, n-1); the fit is one fixed-order double
+-- chain, snapped.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), blocks AS (
+  SELECT date_trunc('week', d) AS w, MAX(y) AS mx FROM daily GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(mx) AS BIGINT) AS s1,
+         SUM(mx * mx) AS s2,
+         CAST(MAX(mx) AS BIGINT) AS worst
+  FROM blocks
+), fit AS (
+  SELECT n, worst,
+         s1 * 1.0 / n AS mean_mx,
+         SQRT((s2 * 1.0 - (s1 * 1.0 / n) * s1) / (n - 1)) * SQRT(6.0)
+           / PI() AS beta
+  FROM stats
+)
+SELECT CAST(n AS BIGINT) AS n_weeks,
+       CAST(FLOOR((mean_mx - 0.5772156649015329 * beta) * 1.0 + 0.5)
+            AS BIGINT) AS mu_cents,
+       CAST(FLOOR(beta + 0.5) AS BIGINT) AS beta_cents,
+       FLOOR((1.0 - EXP(-EXP(-(worst - (mean_mx
+                 - 0.5772156649015329 * beta)) / beta)))
+             * 1000000 + 0.5) / 1000000 AS p_exceed_worst
+FROM fit
+"""
+
+
+@register("agg_gumbel_block_maxima", oracle=GUMBEL_ORACLE)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit to weekly block maxima of daily revenue (see
+    oracle for the method-of-moments device).
+
+    Scale shape: ONE fact pass collapses to |days| map-side, a
+    domain aggregation to |months| maxima, and the fit is a 1-row
+    chain on three exact sufficient statistics (mx*mx summed WIDE —
+    Spark decimal(38,0), DuckDB HUGEINT). At 100 TB nothing after
+    the first partial aggregation grows; the integer-to-double
+    conversions feed identical exact integers to both engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    blocks = daily.groupBy(F.date_trunc("week", "d").alias("w")).agg(
+        F.max("y").alias("mx")
+    )
+    stats = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("s2"),
+        F.max("mx").cast("long").alias("worst"),
+    )
+    n, s1, s2, worst = (F.col(c) for c in ["n", "s1", "s2", "worst"])
+    mean_mx = s1 * 1.0 / n
+    beta = (
+        F.sqrt((s2 * 1.0 - (s1 * 1.0 / n) * s1) / (n - 1))
+        * F.sqrt(F.lit(6.0))
+        / F.lit(3.141592653589793)
+    )
+    mu = mean_mx - 0.5772156649015329 * beta
+    return stats.select(
+        n.cast("long").alias("n_weeks"),
+        F.floor(mu * 1.0 + F.lit(0.5)).alias("mu_cents"),
+        F.floor(beta + F.lit(0.5)).alias("beta_cents"),
+        (
+            F.floor(
+                (1.0 - F.exp(-F.exp(-(worst - mu) / beta))) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("p_exceed_worst"),
+    )
+
+
+# ----------------------------- wave 30: Cochran's Q (k-treatment)
+
+COCHRAN_Q_ORACLE = """
+-- Cochran's Q: across the three order-status 'treatments' (O/F/P),
+-- do customers participate at systematically different rates? The
+-- k-treatment generalization of the McNemar operator (k = 2) over
+-- matched binary responses: block = customer, response = 'has at
+-- least one order in that status'. EXACT device: the fact table
+-- collapses to per-customer 0/1 indicator triples in ONE pass;
+-- Q = (k-1) * (k * SUM C_j^2 - T^2) / (k * T - SUM R_i^2) is all
+-- exact BIGINT arithmetic (the T/k fractions multiply away), so
+-- the statistic is one snapped division.
+WITH resp AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS x1,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x2,
+         MAX(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS x3
+  FROM orders GROUP BY o_custkey
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS c1,
+         CAST(SUM(x2) AS BIGINT) AS c2,
+         CAST(SUM(x3) AS BIGINT) AS c3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2
+  FROM resp
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(t AS BIGINT) AS t_total,
+       FLOOR(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t)
+             / (3 * t - sr2) * 1000000 + 0.5) / 1000000 AS q_stat
+FROM m
+"""
+
+
+@register("agg_cochran_q_test", oracle=COCHRAN_Q_ORACLE)
+def agg_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the three status participation indicators
+    (see oracle for the fraction-free integer form).
+
+    Scale shape: ONE fact pass with map-side combine to per-customer
+    indicator triples, ONE reduction to six exact counts, one
+    snapped scalar. Column sums c_j <= |customers| keep every
+    product inside int64 to ~1.7e9 customers; past that the
+    quadratic terms move WIDE per the module rule (documented
+    cutover). Degenerate guard: 3T == SUM R^2 iff every responding
+    customer responds in all three statuses — impossible to divide
+    on real mixes; documented rather than branched."""
+    od = load_table(spark, sf_dir, "orders", parallel=False)
+    ind = lambda s: F.max(
+        F.when(F.col("o_orderstatus") == s, 1).otherwise(0)
+    )
+    resp = od.groupBy("o_custkey").agg(
+        ind("O").alias("x1"), ind("F").alias("x2"), ind("P").alias("x3")
+    )
+    tot = F.col("x1") + F.col("x2") + F.col("x3")
+    m = resp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.sum(tot).cast("long").alias("t"),
+        F.sum(tot * tot).cast("long").alias("sr2"),
+    )
+    c1, c2, c3, t, sr2 = (F.col(c) for c in ["c1", "c2", "c3", "t", "sr2"])
+    q = 2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t) / (3 * t - sr2)
+    return m.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        t.alias("t_total"),
+        snap(q, 6).alias("q_stat"),
+    )

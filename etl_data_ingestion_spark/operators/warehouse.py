@@ -976,3 +976,116 @@ def quality_unreferenced_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rels[1:]:
         out = out.unionByName(r)
     return out.orderBy("relation")
+
+
+# -------------------- wave 30: functional-dependency violation profile
+
+FD_PROFILE_ORACLE = """
+-- Functional-dependency profile: for four candidate FDs over the
+-- warehouse tables, how many LHS groups violate X -> Y (more than
+-- one distinct RHS value), and how bad is the worst group? The
+-- schema-discovery / DQ primitive behind key inference and
+-- denormalization safety checks. In THIS fixture exactly one FD
+-- is a true key (o_orderkey -> o_custkey); the composite
+-- (l_orderkey, l_linenumber) -> l_partkey would be a key in real
+-- TPC-H but the synthetic generator duplicates line numbers, so
+-- its violation profile is itself a data-quality finding — which
+-- is the point of the operator.
+WITH fd1 AS (
+  SELECT 'o_orderkey->o_custkey' AS fd, COUNT(*) AS n_groups,
+         SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS n_violations,
+         MAX(v) AS max_rhs_variants
+  FROM (SELECT COUNT(DISTINCT o_custkey) AS v
+        FROM orders GROUP BY o_orderkey)
+), fd2 AS (
+  SELECT 'l_orderkey->l_suppkey' AS fd, COUNT(*) AS n_groups,
+         SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS n_violations,
+         MAX(v) AS max_rhs_variants
+  FROM (SELECT COUNT(DISTINCT l_suppkey) AS v
+        FROM lineitem GROUP BY l_orderkey)
+), fd3 AS (
+  SELECT 'o_custkey->o_orderpriority' AS fd, COUNT(*) AS n_groups,
+         SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS n_violations,
+         MAX(v) AS max_rhs_variants
+  FROM (SELECT COUNT(DISTINCT o_orderpriority) AS v
+        FROM orders GROUP BY o_custkey)
+), fd4 AS (
+  SELECT 'l_orderkey,l_linenumber->l_partkey' AS fd, COUNT(*) AS n_groups,
+         SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS n_violations,
+         MAX(v) AS max_rhs_variants
+  FROM (SELECT COUNT(DISTINCT l_partkey) AS v
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+)
+SELECT fd, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(max_rhs_variants AS BIGINT) AS max_rhs_variants,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS holds
+FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+ORDER BY fd
+"""
+
+
+@register("quality_functional_dependencies", oracle=FD_PROFILE_ORACLE)
+def quality_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-FD violation profile over orders/lineitem (see
+    oracle for the four dependencies and why each is interesting).
+
+    Scale shape: each FD is ONE groupBy on its LHS with a partial
+    count-distinct on the RHS (two-level hash aggregation — the
+    exchange carries (LHS, partial-distinct-set) pairs, and for
+    true keys the per-group set is a singleton), then a reduction
+    to a single profile row; the four profiles union to a 4-row
+    result. Two scans per table (different LHS keys cannot share
+    one aggregation without a dense LHS x FD expansion, which would
+    double the corpus — stated trade, not an accident). At 100 TB
+    each FD is exactly one shuffle keyed on its LHS."""
+    od = load_table(spark, sf_dir, "orders", parallel=False)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+
+    def profile(df: DataFrame, name: str, lhs: list, rhs: str) -> DataFrame:
+        v = F.col("v")
+        return (
+            df.groupBy(*lhs)
+            .agg(F.count_distinct(F.col(rhs)).alias("v"))
+            .agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(v > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+                F.max(v).cast("long").alias("max_rhs_variants"),
+            )
+            .select(
+                "fd", "n_groups", "n_violations", "max_rhs_variants",
+                F.when(F.col("n_violations") == 0, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("holds"),
+            )
+        )
+
+    out = (
+        profile(od, "o_orderkey->o_custkey", ["o_orderkey"], "o_custkey")
+        .unionByName(
+            profile(li, "l_orderkey->l_suppkey", ["l_orderkey"], "l_suppkey")
+        )
+        .unionByName(
+            profile(
+                od, "o_custkey->o_orderpriority", ["o_custkey"],
+                "o_orderpriority",
+            )
+        )
+        .unionByName(
+            profile(
+                li,
+                "l_orderkey,l_linenumber->l_partkey",
+                ["l_orderkey", "l_linenumber"],
+                "l_partkey",
+            )
+        )
+    )
+    return out.orderBy("fd")

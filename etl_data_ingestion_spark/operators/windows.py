@@ -3582,3 +3582,222 @@ def timeseries_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(last, F.col("slow"))).alias("last_slow_dollars"),
         )
     )
+
+
+# ----------------------- wave 29: permutation entropy (ordinal patterns)
+
+PERMUTATION_ENTROPY_ORACLE = """
+-- Permutation entropy (Bandt-Pompe, order 3) of the daily revenue
+-- series: the Shannon entropy of the distribution of ORDINAL
+-- patterns among consecutive day triples — the standard
+-- model-free complexity monitor (low: trending/periodic dynamics;
+-- near log 6: indistinguishable from noise). Complements the
+-- spectral-entropy operator (frequency-domain) with a rank-domain
+-- reading that is immune to any monotone transform of the values.
+-- EXACT device: each triple maps to the SIGN TRIPLE of its three
+-- pairwise comparisons (ties get their own symbol, so tied
+-- patterns are counted deterministically rather than broken
+-- arbitrarily); counts are exact integers on a <= 13-symbol
+-- domain; entropy is normalized by log(6), the tie-free pattern
+-- count.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tri AS (
+  SELECT y AS y0,
+         LEAD(y, 1) OVER (ORDER BY d) AS y1,
+         LEAD(y, 2) OVER (ORDER BY d) AS y2
+  FROM daily
+), pat AS (
+  SELECT (CASE WHEN y1 > y0 THEN '>' WHEN y1 < y0 THEN '<' ELSE '=' END)
+      || (CASE WHEN y2 > y0 THEN '>' WHEN y2 < y0 THEN '<' ELSE '=' END)
+      || (CASE WHEN y2 > y1 THEN '>' WHEN y2 < y1 THEN '<' ELSE '=' END)
+         AS code
+  FROM tri WHERE y2 IS NOT NULL
+), cnt AS (
+  SELECT code, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS n FROM pat GROUP BY code
+)
+SELECT CAST(MAX(n) AS BIGINT)      AS n_triples,
+       CAST(COUNT(*) AS BIGINT)    AS n_patterns,
+       FLOOR(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)) * 1000000 + 0.5)
+         / 1000000                 AS entropy_nats,
+       FLOOR(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)) / LN(6.0)
+             * 1000000 + 0.5) / 1000000 AS entropy_normalized
+FROM cnt
+"""
+
+
+@register("timeseries_permutation_entropy", oracle=PERMUTATION_ENTROPY_ORACLE)
+def timeseries_permutation_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-3 permutation entropy of daily revenue (see oracle for
+    the sign-triple device and the tie policy).
+
+    Scale shape: facts collapse map-side to |days|; the LEAD windows
+    run on the calendar-bounded day table (the single-partition sort
+    is over |days| rows — the house-audited domain-window case, never
+    fact-sized); pattern counting reduces a <= 13-row symbol domain.
+    At 100 TB only the first aggregation grows. For minute-grained
+    series the day table becomes |minutes| — still sub-million rows
+    per year; past that, partition the embedding windows by coarse
+    time bucket with 2-row overlap stitching (documented cutover,
+    same family as the sessionize operator's)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    tri = daily.select(
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+
+    def cmp(hi, lo):
+        return (
+            F.when(F.col(hi) > F.col(lo), F.lit(">"))
+            .when(F.col(hi) < F.col(lo), F.lit("<"))
+            .otherwise(F.lit("="))
+        )
+
+    pat = tri.select(
+        F.concat(cmp("y1", "y0"), cmp("y2", "y0"), cmp("y2", "y1")).alias(
+            "code"
+        )
+    )
+    cnt = pat.groupBy("code").agg(F.count(F.lit(1)).alias("c"))
+    cnt = cnt.withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    pterm = (F.col("c") * 1.0 / F.col("n")) * F.log(
+        F.col("c") * 1.0 / F.col("n")
+    )
+    return cnt.agg(
+        F.max("n").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        (F.floor(-F.sum(pterm) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "entropy_nats"
+        ),
+        (
+            F.floor(
+                -F.sum(pterm) / F.log(F.lit(6.0)) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("entropy_normalized"),
+    )
+
+
+# ----------------------------- wave 30: sample entropy (SampEn m=2)
+
+SAMPLE_ENTROPY_ORACLE = """
+-- Sample entropy SampEn(m=2, r=0.2*sigma) of daily revenue: the
+-- amplitude-domain regularity monitor (permutation entropy reads
+-- ORDINAL structure; SampEn asks whether similar 2-day shapes stay
+-- similar on day 3, in actual value space). Richman-Moorman
+-- convention: both template lengths use starts 1..n-2, B counts
+-- pairs matching on (y_i, y_i+1) within tolerance r (Chebyshev),
+-- A additionally on y_i+2; SampEn = -ln(A/B). EXACT device: the
+-- day-domain pair join is calendar-quadratic (the Mann-Kendall
+-- family — quadratic in DAYS, never in facts); A and B are exact
+-- integer counts; r is one double computed from exact BIGINT
+-- population-variance sums, identical in both engines, so every
+-- |diff| <= r comparison lands the same side.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), var_ AS (
+  SELECT 0.2 * SQRT(SUM(y * y) * 1.0 / COUNT(*)
+                    - (SUM(y) * 1.0 / COUNT(*))
+                      * (SUM(y) * 1.0 / COUNT(*))) AS r
+  FROM daily
+), emb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, y AS x0,
+         LEAD(y, 1) OVER (ORDER BY d) AS x1,
+         LEAD(y, 2) OVER (ORDER BY d) AS x2
+  FROM daily
+), tpl AS (
+  SELECT i, x0, x1, x2 FROM emb WHERE x2 IS NOT NULL
+), cnt AS (
+  SELECT COUNT(*) FILTER (WHERE ABS(a.x0 - b.x0) <= r
+                            AND ABS(a.x1 - b.x1) <= r) AS b_cnt,
+         COUNT(*) FILTER (WHERE ABS(a.x0 - b.x0) <= r
+                            AND ABS(a.x1 - b.x1) <= r
+                            AND ABS(a.x2 - b.x2) <= r) AS a_cnt
+  FROM tpl a JOIN tpl b ON a.i < b.i, var_
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(b_cnt AS BIGINT) AS b_matches,
+       CAST(a_cnt AS BIGINT) AS a_matches,
+       CASE WHEN a_cnt > 0 AND b_cnt > 0
+            THEN FLOOR(-LN(a_cnt * 1.0 / b_cnt) * 1000000 + 0.5)
+                 / 1000000
+            ELSE NULL END AS sampen
+FROM cnt
+"""
+
+
+@register("timeseries_sample_entropy", oracle=SAMPLE_ENTROPY_ORACLE)
+def timeseries_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SampEn(2, 0.2 sigma) of daily revenue (see oracle for the
+    Richman-Moorman convention and the exact-count device).
+
+    Scale shape: facts collapse map-side to |days|; the LEAD
+    embedding runs on the calendar-bounded day table; the template
+    pair join is day-domain quadratic (broadcastable small side,
+    ~9M pairs at ten years of days) and reduces to two exact
+    counts. At 100 TB only the first aggregation grows; for
+    minute-grained series the standard KD-bucketing on floor(x0/r)
+    bounds the pair join to neighbor buckets (documented cutover)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    ).persist()
+    y, cnt = F.col("y"), F.count(F.lit(1))
+    var_ = daily.agg(
+        (
+            0.2
+            * F.sqrt(
+                F.sum(y * y) * 1.0 / cnt
+                - (F.sum(y) * 1.0 / cnt) * (F.sum(y) * 1.0 / cnt)
+            )
+        ).alias("r")
+    )
+    w = Window.orderBy("d")
+    tpl = (
+        daily.select(
+            F.row_number().over(w).alias("i"),
+            y.alias("x0"),
+            F.lead("y", 1).over(w).alias("x1"),
+            F.lead("y", 2).over(w).alias("x2"),
+        )
+        .filter(F.col("x2").isNotNull())
+        .persist()
+    )
+    a, b = tpl.alias("a"), tpl.alias("b")
+    r = F.col("r")
+    bmatch = (F.abs(F.col("a.x0") - F.col("b.x0")) <= r) & (
+        F.abs(F.col("a.x1") - F.col("b.x1")) <= r
+    )
+    amatch = bmatch & (F.abs(F.col("a.x2") - F.col("b.x2")) <= r)
+    pairs = a.join(F.broadcast(b), F.col("a.i") < F.col("b.i")).crossJoin(
+        F.broadcast(var_)
+    )
+    counted = pairs.agg(
+        F.sum(F.when(bmatch, 1).otherwise(0)).cast("long").alias("b_cnt"),
+        F.sum(F.when(amatch, 1).otherwise(0)).cast("long").alias("a_cnt"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    a_c, b_c = F.col("a_cnt"), F.col("b_cnt")
+    return counted.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        b_c.alias("b_matches"),
+        a_c.alias("a_matches"),
+        F.when(
+            (a_c > 0) & (b_c > 0),
+            F.floor(-F.log(a_c * 1.0 / b_c) * 1000000 + F.lit(0.5))
+            / 1000000,
+        ).alias("sampen"),
+    )
