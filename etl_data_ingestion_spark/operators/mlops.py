@@ -3181,3 +3181,238 @@ def ml_fisher_lda_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap(w2 / norm, 6).alias("unit_w2"),
         snap(d1 * w1 + d2 * w2, 6).alias("mahalanobis_sq"),
     )
+
+
+# ------------------- wave 31: delete-1 jackknife variance of a ratio
+
+JACKKNIFE_RATIO_ORACLE = """
+-- Delete-1 jackknife standard error of the revenue-per-unit RATIO
+-- estimator over lineitem: the distribution-free answer to 'how
+-- stable is this ratio metric?' that every experimentation platform
+-- needs for ratio KPIs (mean-per-user, revenue-per-item), where the
+-- naive SE formula is biased. EXACT device: each leave-one-out
+-- replicate has the closed form r_i = (A - a_i)/(B - b_i), so the
+-- jackknife runs in ONE additional pass — no resampling. The
+-- replicates are CENTERED on the snapped full-sample ratio and
+-- snapped to exact 1e-9 integers (variance is shift-invariant), so
+-- the variance sums are order-free BIGINT/HUGEINT algebra with no
+-- catastrophic cancellation: r_i deviations are ~1e-5 of r_i, and
+-- raw sum-of-squares would lose ~10 digits in doubles.
+WITH it AS (
+  SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS a,
+         CAST(SUM(qty) AS BIGINT) AS b
+  FROM it
+), center AS (
+  SELECT n, a, b,
+         FLOOR(a * 1.0 / b * 1000000 + 0.5) / 1000000 AS c
+  FROM tot
+), dev AS (
+  SELECT n, a, b, c,
+         CAST(FLOOR(((a - rev) * 1.0 / (b - qty) - c) * 1000000000
+                    + 0.5) AS BIGINT) AS d9
+  FROM it, center
+), s AS (
+  SELECT MAX(n) AS n, MAX(a) AS a, MAX(b) AS b,
+         CAST(SUM(d9) AS BIGINT) AS sd,
+         SUM(CAST(d9 AS HUGEINT) * d9) AS sd2
+  FROM dev
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       FLOOR(a * 1.0 / b * 1000000 + 0.5) / 1000000 AS theta_ratio,
+       FLOOR(SQRT((n - 1.0) / n * (sd2 * 1.0 - (sd * 1.0 / n) * sd))
+             / 1000000000 * 1000000000 + 0.5) / 1000000000
+         AS jackknife_se
+FROM s
+"""
+
+
+@register("ml_jackknife_ratio_variance", oracle=JACKKNIFE_RATIO_ORACLE)
+def ml_jackknife_ratio_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-1 jackknife SE of revenue-per-unit (see oracle for the
+    closed-form replicate + centered-integer-sum device).
+
+    Scale shape: two fact passes (the totals pass, then the
+    replicate pass with the 1-row totals broadcast) — the jackknife
+    needs A and B before any replicate exists, so two scans is the
+    floor, stated. Both passes are map-side partial aggregations;
+    nothing fact-sized survives either exchange. The centered 1e-9
+    deviations keep |d9| ~ 1e7, so sd fits int64 to ~1e11 rows and
+    sd2 accumulates WIDE (decimal(38,0)/HUGEINT) — exact at any
+    scale the engines reach."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+    it = li.select(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    tot = it.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("long").alias("a"),
+        F.sum("qty").cast("long").alias("b"),
+    )
+    center = tot.select(
+        "n",
+        "a",
+        "b",
+        (
+            F.floor(F.col("a") * 1.0 / F.col("b") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("c"),
+    )
+    dev = it.crossJoin(F.broadcast(center)).select(
+        "n",
+        "a",
+        "b",
+        F.floor(
+            (
+                (F.col("a") - F.col("rev"))
+                * 1.0
+                / (F.col("b") - F.col("qty"))
+                - F.col("c")
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d9"),
+    )
+    s = dev.agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.sum("d9").cast("long").alias("sd"),
+        F.sum(F.col("d9").cast("decimal(38,0)") * F.col("d9")).alias("sd2"),
+    )
+    n, a, b, sd, sd2 = (F.col(c) for c in ["n", "a", "b", "sd", "sd2"])
+    se = F.sqrt(
+        (n - 1.0) / n * (sd2 * 1.0 - (sd * 1.0 / n) * sd)
+    ) / 1000000000
+    return s.select(
+        n.cast("long").alias("n_items"),
+        (F.floor(a * 1.0 / b * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "theta_ratio"
+        ),
+        (F.floor(se * 1000000000 + F.lit(0.5)) / 1000000000).alias(
+            "jackknife_se"
+        ),
+    )
+
+
+# ------------------------------ wave 31: Poisson deviance (rate model)
+
+POISSON_DEVIANCE_ORACLE = """
+-- Poisson deviance of the constant-rate forecast per event type:
+-- train on days 1-20 (mu = mean daily count), score days 21-30,
+-- D = 2 * SUM(y*ln(y/mu) - (y - mu)) with the y=0 term collapsing
+-- to 2*mu. The count-data analogue of the log-loss/Brier operators
+-- (which grade probability models) — this grades RATE models, the
+-- volumetric-forecast counterpart of the Poisson anomaly gate.
+-- EXACT device: facts collapse to (type, day) counts; the eval
+-- grid is completed DENSELY (missing cells ARE y=0 evidence, via
+-- the type x eval-day domain cross join); each deviance term is
+-- snapped to an exact 1e-9 integer so the per-type sum is
+-- order-free BIGINT.
+WITH cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT event_type,
+         SUM(CASE WHEN day(d) <= 20 THEN y ELSE 0 END) / 20.0 AS mu
+  FROM cnt GROUP BY event_type
+), grid AS (
+  SELECT m.event_type, dd.d, m.mu
+  FROM mu m CROSS JOIN (SELECT DISTINCT d FROM cnt WHERE day(d) >= 21) dd
+), scored AS (
+  SELECT g.event_type, g.mu,
+         COALESCE(c.y, 0) AS y
+  FROM grid g LEFT JOIN cnt c
+    ON c.event_type = g.event_type AND c.d = g.d
+), terms AS (
+  SELECT event_type, mu,
+         CAST(FLOOR((CASE WHEN y > 0
+                          THEN 2.0 * (y * LN(y * 1.0 / mu) - (y - mu))
+                          ELSE 2.0 * mu END) * 1000000000 + 0.5)
+              AS BIGINT) AS t9
+  FROM scored
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       FLOOR(MAX(mu) * 1000000 + 0.5) / 1000000 AS mu_daily,
+       FLOOR(SUM(t9) / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS poisson_deviance
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("ml_poisson_deviance", oracle=POISSON_DEVIANCE_ORACLE)
+def ml_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson deviance of the constant-rate daily forecast per
+    event type (see oracle for the dense-grid + snapped-term
+    device).
+
+    Scale shape: ONE fact pass to the (type, day) domain; the rate
+    table, the dense eval grid (|types| x |eval days|), the left
+    join, and the per-type reduction are all domain-sized. The
+    dense completion is deliberate — a missing (type, day) cell is
+    y=0 EVIDENCE for a rate model, not absence of data — and is
+    bounded by the calendar times the type domain at any corpus
+    size."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y")).persist()
+    mu = cnt.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.when(F.dayofmonth("d") <= 20, F.col("y")).otherwise(0)
+            )
+            / 20.0
+        ).alias("mu")
+    )
+    eval_days = cnt.filter(F.dayofmonth("d") >= 21).select("d").distinct()
+    grid = mu.crossJoin(F.broadcast(eval_days))
+    scored = grid.join(cnt, ["event_type", "d"], "left").select(
+        "event_type",
+        "mu",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    y, m = F.col("y"), F.col("mu")
+    term = F.when(
+        y > 0, 2.0 * (y * F.log(y * 1.0 / m) - (y - m))
+    ).otherwise(2.0 * m)
+    terms = scored.select(
+        "event_type",
+        "mu",
+        F.floor(term * 1000000000 + F.lit(0.5)).cast("long").alias("t9"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+            (F.floor(F.max("mu") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "mu_daily"
+            ),
+            (
+                F.floor(
+                    F.sum("t9") / 1000000000.0 * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("poisson_deviance"),
+        )
+        .orderBy("event_type")
+    )

@@ -1862,3 +1862,93 @@ def agg_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_total"),
         snap(q, 6).alias("q_stat"),
     )
+
+
+# ------------------- wave 31: Chapman capture-recapture estimator
+
+CHAPMAN_ORACLE = """
+-- Chapman capture-recapture estimate of the active-user population
+-- from two observation windows (days 1-15 vs days 16-30): treat
+-- each half-month as a 'capture' sample; the overlap estimates the
+-- unseen mass. N_hat = (n1+1)(n2+1)/(m+1) - 1 with the standard
+-- variance estimator — the coverage-estimation primitive behind
+-- 'how many users/entities exist that we have not logged yet'
+-- (same question the species-richness estimators answer for
+-- vocabulary). EXACT device: one fact pass to per-user presence
+-- flags; n1/n2/m are exact integer counts; the estimator is one
+-- fixed-order chain, snapped. The TRUE distinct count is published
+-- beside the estimate — in a capture-recapture validation study the
+-- truth is observable, and the estimator's miss is the reading.
+WITH pres AS (
+  SELECT user_id,
+         MAX(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS in2
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT COUNT(*) AS total,
+         CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(in1 * in2) AS BIGINT) AS nb
+  FROM pres
+)
+SELECT CAST(n1 AS BIGINT) AS n_first,
+       CAST(n2 AS BIGINT) AS n_second,
+       CAST(nb AS BIGINT) AS n_both,
+       CAST(total AS BIGINT) AS n_true_distinct,
+       FLOOR(((n1 + 1.0) * (n2 + 1.0) / (nb + 1.0) - 1.0) * 100
+             + 0.5) / 100 AS n_hat_chapman,
+       FLOOR(SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - nb)
+                  * (n2 - nb)
+                  / ((nb + 1.0) * (nb + 1.0) * (nb + 2.0)))
+             * 100 + 0.5) / 100 AS se_chapman
+FROM m
+"""
+
+
+@register("agg_capture_recapture_chapman", oracle=CHAPMAN_ORACLE)
+def agg_capture_recapture_chapman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture population estimate from the two
+    half-month activity windows (see oracle).
+
+    Scale shape: ONE fact pass with map-side combine to per-user
+    presence flags (the exchange carries user_id + two bits), one
+    reduction to four exact counts, one snapped 1-row chain. At
+    100 TB the presence aggregation is the only corpus work; with
+    user cardinality beyond memory-per-task nothing changes — it is
+    a plain two-level hash aggregation."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    pres = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("in1"),
+        F.max(
+            F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0)
+        ).alias("in2"),
+    )
+    m = pres.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("both"),
+    )
+    n1, n2, b, total = (
+        F.col(c) for c in ["n1", "n2", "both", "total"]
+    )
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (b + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - b)
+        * (n2 - b)
+        / ((b + 1.0) * (b + 1.0) * (b + 2.0))
+    )
+    return m.select(
+        n1.alias("n_first"),
+        n2.alias("n_second"),
+        b.alias("n_both"),
+        total.cast("long").alias("n_true_distinct"),
+        (F.floor(n_hat * 100 + F.lit(0.5)) / 100).alias("n_hat_chapman"),
+        (F.floor(se * 100 + F.lit(0.5)) / 100).alias("se_chapman"),
+    )

@@ -2361,3 +2361,172 @@ def text_mattr_lexical_diversity(
         )
         .orderBy("source")
     )
+
+
+# ----------------------- wave 31: Burrows' Delta (stylometric distance)
+
+BURROWS_DELTA_ORACLE = """
+-- Burrows' Delta between document sources over the 30 most frequent
+-- words: the classic stylometric distance (authorship attribution /
+-- 'which crawls share a template') — z-score each source's relative
+-- frequency of every top word across sources, then Delta(s1,s2) =
+-- mean |z1 - z2|. Reads STYLE (function-word mix) where the TF-IDF
+-- and vocabulary-Jaccard operators read topic. EXACT device: the
+-- source x top-word grid is completed DENSELY (a missing word is
+-- 0-frequency evidence); relative frequencies snap to exact 1e-9
+-- integers before the cross-source moments, and each |z1 - z2|
+-- snaps to 1e-9 before the pair sum, so every aggregation is an
+-- order-free BIGINT sum. Output: the 10 closest (most stylistically
+-- similar) source pairs.
+WITH toks AS (
+  SELECT source, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), top AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ORDER BY c DESC, w LIMIT 30
+  )
+), tot AS (
+  SELECT source, COUNT(*) AS tot FROM toks GROUP BY source
+), cnt AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM toks WHERE w IN (SELECT w FROM top) GROUP BY source, w
+), grid AS (
+  SELECT s.source, t.w FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN top t
+), f AS (
+  SELECT g.source, g.w,
+         CAST(FLOOR(COALESCE(c.c, 0) * 1.0 / tot.tot * 1000000000
+                    + 0.5) AS BIGINT) AS f9
+  FROM grid g
+  LEFT JOIN cnt c ON c.source = g.source AND c.w = g.w
+  JOIN tot ON tot.source = g.source
+), stats AS (
+  SELECT w, COUNT(*) AS ns,
+         CAST(SUM(f9) AS BIGINT) AS s1,
+         CAST(SUM(f9 * f9) AS BIGINT) AS s2
+  FROM f GROUP BY w
+), z AS (
+  SELECT f.source, f.w,
+         (f.f9 - s1 * 1.0 / ns)
+           / SQRT(s2 * 1.0 / ns - (s1 * 1.0 / ns) * (s1 * 1.0 / ns))
+           AS z
+  FROM f JOIN stats ON stats.w = f.w
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(FLOOR(ABS(a.z - b.z) * 1000000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS d9,
+         COUNT(*) AS nw
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       FLOOR(d9 / nw / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS burrows_delta
+FROM pairs
+ORDER BY burrows_delta, source_a, source_b LIMIT 10
+"""
+
+
+@register("text_burrows_delta", oracle=BURROWS_DELTA_ORACLE)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources (see
+    oracle for the dense-grid + double-snap device).
+
+    Scale shape: the token explode + two counting aggregations are
+    the corpus-sized work (each map-side combined); the top-30 word
+    list broadcasts; everything after runs on the |sources| x 30
+    grid (dense by construction), the per-word moment table, and
+    the |sources|^2/2 x 30 pair expansion — all domain-sized. At
+    100 TB with millions of sources the pair stage switches to
+    LSH-bucketed blocking on the z-vectors (the house similarity
+    machinery); stated cutover, same statistic."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    ).persist()
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(30)
+        .select("w")
+    )
+    tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    cnt = (
+        toks.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(top))
+    f = (
+        grid.join(cnt, ["source", "w"], "left")
+        .join(tot, "source")
+        .select(
+            "source",
+            "w",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0))
+                * 1.0
+                / F.col("tot")
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("f9"),
+        )
+        .persist()
+    )
+    stats = f.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f9").cast("long").alias("s1"),
+        F.sum(F.col("f9") * F.col("f9")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("ns")
+    z = f.join(F.broadcast(stats), "w").select(
+        "source",
+        "w",
+        (
+            (F.col("f9") - mu)
+            / F.sqrt(F.col("s2") * 1.0 / F.col("ns") - mu * mu)
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.abs(F.col("a.z") - F.col("b.z")) * 1000000000
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("d9"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    delta = (
+        F.floor(
+            F.col("d9") / F.col("nw") / 1000000000.0 * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return (
+        pairs.select("source_a", "source_b", delta.alias("burrows_delta"))
+        .orderBy("burrows_delta", "source_a", "source_b")
+        .limit(10)
+    )

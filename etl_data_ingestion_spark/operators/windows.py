@@ -3801,3 +3801,152 @@ def timeseries_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("sampen"),
     )
+
+
+# -------------------- wave 31: Engle-Granger cointegration (2-step)
+
+ENGLE_GRANGER_ORACLE = """
+-- Engle-Granger two-step cointegration test between CUMULATIVE
+-- daily views and CUMULATIVE daily purchases: do the two level
+-- series share a long-run equilibrium (their spread mean-reverts),
+-- or do they drift apart? Complements the granger_lag1 operator
+-- (short-run increment prediction) with the LEVELS question that
+-- decides whether a spread-based monitor is even meaningful.
+-- Step 1: OLS of cum-purchases on cum-views from exact integer
+-- sums. Step 2: each day's residual is SNAPPED to an exact 1e-6
+-- integer (the house order-free-sum device), so the no-drift ADF
+-- regression Delta e = rho * e_lag is pure BIGINT algebra:
+-- rho = S_el_de / S_el2, and the error sum collapses to
+-- S_de2 - S_el_de^2 / S_el2 exactly (no per-row double sums
+-- anywhere). The ADF t is one fixed-order chain, snapped.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS dv,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS dp
+  FROM events GROUP BY 1
+), lvl AS (
+  SELECT d,
+         CAST(SUM(dv) OVER (ORDER BY d) AS BIGINT) AS x,
+         CAST(SUM(dp) OVER (ORDER BY d) AS BIGINT) AS y
+  FROM daily
+), ols AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lvl
+), fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS beta,
+         sy * 1.0 / n
+           - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+             * (sx * 1.0 / n) AS alpha
+  FROM ols
+), resid AS (
+  SELECT d,
+         CAST(FLOOR((y - alpha - beta * x) * 1000000 + 0.5) AS BIGINT)
+           AS e6
+  FROM lvl, fit
+), adf AS (
+  SELECT e6 - LAG(e6) OVER (ORDER BY d) AS de,
+         LAG(e6) OVER (ORDER BY d) AS el
+  FROM resid
+), s AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(el * de) AS BIGINT) AS s_eld,
+         CAST(SUM(el * el) AS BIGINT) AS s_el2,
+         CAST(SUM(de * de) AS BIGINT) AS s_de2
+  FROM adf WHERE el IS NOT NULL
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM ols) AS n_days,
+       FLOOR((SELECT beta FROM fit) * 1000000 + 0.5) / 1000000 AS beta,
+       FLOOR(s_eld * 1.0 / s_el2 * 1000000 + 0.5) / 1000000 AS rho,
+       FLOOR(s_eld * 1.0 / s_el2
+             / SQRT(((s_de2 * 1.0 - (s_eld * 1.0 / s_el2) * s_eld)
+                     / (m - 1)) / s_el2)
+             * 10000 + 0.5) / 10000 AS adf_t
+FROM s
+"""
+
+
+@register("timeseries_engle_granger_coint", oracle=ENGLE_GRANGER_ORACLE)
+def timeseries_engle_granger_coint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engle-Granger cointegration of cumulative views vs purchases
+    (see oracle for the snapped-residual exact-ADF device).
+
+    Scale shape: facts collapse map-side to |days|; the cumulative
+    and lag windows run on the calendar-bounded day table; OLS and
+    ADF consume exact BIGINT sufficient statistics only — the one
+    double in the pipeline (the per-day residual) is snapped to a
+    1e-6 integer before any aggregation, so no summation-order
+    epsilon exists in either engine. Integer headroom: cumulative
+    counts to ~3e9 events/type keep sxx inside int64; past that the
+    OLS moments move to decimal(38,0) (documented cutover)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "dv"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("dp"),
+    )
+    w = Window.orderBy("d")
+    lvl = daily.select(
+        "d",
+        F.sum("dv").over(w).cast("long").alias("x"),
+        F.sum("dp").over(w).cast("long").alias("y"),
+    ).persist()
+    ols = lvl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"])
+    beta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    alpha = sy * 1.0 / n - beta * (sx * 1.0 / n)
+    fit = ols.select(n.alias("n"), beta.alias("beta"), alpha.alias("alpha"))
+    resid = lvl.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "n",
+        "beta",
+        F.floor(
+            (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e6"),
+    )
+    adf = resid.select(
+        "n",
+        "beta",
+        (F.col("e6") - F.lag("e6").over(w.orderBy("d"))).alias("de"),
+        F.lag("e6").over(w.orderBy("d")).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    s = adf.groupBy("n", "beta").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("el") * F.col("de")).cast("long").alias("s_eld"),
+        F.sum(F.col("el") * F.col("el")).cast("long").alias("s_el2"),
+        F.sum(F.col("de") * F.col("de")).cast("long").alias("s_de2"),
+    )
+    rho = F.col("s_eld") * 1.0 / F.col("s_el2")
+    adf_t = rho / F.sqrt(
+        (
+            (F.col("s_de2") * 1.0 - rho * F.col("s_eld"))
+            / (F.col("m") - 1)
+        )
+        / F.col("s_el2")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.floor(F.col("beta") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "beta"
+        ),
+        (F.floor(rho * 1000000 + F.lit(0.5)) / 1000000).alias("rho"),
+        (F.floor(adf_t * 10000 + F.lit(0.5)) / 10000).alias("adf_t"),
+    )
