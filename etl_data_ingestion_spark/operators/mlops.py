@@ -3416,3 +3416,298 @@ def ml_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------- wave 32: empirical-Bayes (beta-binomial) shrinkage
+
+EB_SHRINKAGE_ORACLE = """
+-- Empirical-Bayes shrinkage of per-brand return rates under a beta
+-- prior fit by method of moments across brands: the small-sample
+-- brands get pulled toward the global rate in proportion to their
+-- evidence — the ranking-safe version of 'sort by rate' that every
+-- leaderboard/alerting surface needs (a 3-item brand at 100% must
+-- not outrank a 10k-item brand at 52%). EXACT device: per-brand
+-- (n, positives) are exact counts; raw rates snap to 1e-9 integers
+-- BEFORE the cross-brand moment sums (the order-free-sum rule);
+-- the prior (a+b) = m(1-m)/v - 1 and each shrunk rate
+-- (pos + a)/(n + a + b) are fixed-order chains, snapped.
+WITH br AS (
+  SELECT p.p_brand AS brand,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), snapped AS (
+  SELECT brand, n, pos,
+         CAST(FLOOR(pos * 1.0 / n * 1000000000 + 0.5) AS BIGINT) AS r9
+  FROM br
+), mom AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(r9) AS BIGINT) AS s1,
+         SUM(CAST(r9 AS HUGEINT) * r9) AS s2
+  FROM snapped
+), prior AS (
+  SELECT (s1 * 1.0 / k) / 1000000000.0 AS m,
+         (s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k))
+           / 1000000000.0 / 1000000000.0 AS v
+  FROM mom
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_items,
+       FLOOR(pos * 1.0 / n * 1000000 + 0.5) / 1000000 AS raw_rate,
+       FLOOR((pos + (m * (1 - m) / v - 1) * m)
+             / (n + (m * (1 - m) / v - 1))
+             * 1000000 + 0.5) / 1000000 AS shrunk_rate
+FROM snapped, prior
+ORDER BY brand
+"""
+
+
+@register("ml_empirical_bayes_shrinkage", oracle=EB_SHRINKAGE_ORACLE)
+def ml_empirical_bayes_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrinkage of per-brand return
+    rates (see oracle for the method-of-moments prior).
+
+    Scale shape: ONE fact pass (lineitem joined to the broadcast
+    part dim, partial-aggregated on brand); the moment fit and the
+    shrinkage run on the |brands| domain. Raw rates snap to 1e-9
+    integers before the cross-brand sums so the prior is order-free;
+    r9^2 accumulates WIDE. The brand-domain 1-row prior broadcasts
+    back — no second fact scan."""
+    from etl_data_ingestion_spark.functions.numeric import snap
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
+        "l_partkey", "l_returnflag"
+    )
+    pt = load_table(spark, sf_dir, "part", parallel=False).select(
+        "p_partkey", "p_brand"
+    )
+    br = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    snapped = br.select(
+        "brand",
+        "n",
+        "pos",
+        F.floor(F.col("pos") * 1.0 / F.col("n") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("r9"),
+    )
+    mom = snapped.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("r9").cast("long").alias("s1"),
+        F.sum(F.col("r9").cast("decimal(38,0)") * F.col("r9")).alias("s2"),
+    )
+    m_ = (F.col("s1") * 1.0 / F.col("k")) / 1000000000.0
+    v_ = (
+        (
+            F.col("s2") * 1.0 / F.col("k")
+            - (F.col("s1") * 1.0 / F.col("k"))
+            * (F.col("s1") * 1.0 / F.col("k"))
+        )
+        / 1000000000.0
+        / 1000000000.0
+    )
+    prior = mom.select(m_.alias("m"), v_.alias("v"))
+    ab = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    return (
+        snapped.crossJoin(F.broadcast(prior))
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_items"),
+            (
+                F.floor(
+                    F.col("pos") * 1.0 / F.col("n") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("raw_rate"),
+            (
+                F.floor(
+                    (F.col("pos") + ab * F.col("m"))
+                    / (F.col("n") + ab)
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------- wave 32: split-conformal interval + coverage
+
+CONFORMAL_ORACLE = """
+-- Split-conformal prediction interval for daily event counts per
+-- type: train the rate on days 1-15, take the ceil((n+1)*0.75)-th
+-- smallest absolute residual on the CALIBRATION days 16-23 as the
+-- finite-sample 75% radius, then report the EMPIRICAL coverage on
+-- the held-out days 24-30. The distribution-free uncertainty layer
+-- on top of the Poisson-deviance rate model — conformal coverage
+-- holds regardless of whether counts are actually Poisson. EXACT
+-- device: dense (type x day) grids in all three windows (missing
+-- day = y=0 evidence); residuals snap to 1e-6 integers, the
+-- conformal quantile is an exact order statistic (ties broken by
+-- day so both engines pick the identical element), and coverage is
+-- an exact comparison count.
+WITH cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, dd.d, COALESCE(c.y, 0) AS y
+  FROM types t CROSS JOIN days dd
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = dd.d
+), mu AS (
+  SELECT event_type,
+         SUM(CASE WHEN day(d) <= 15 THEN y ELSE 0 END) / 15.0 AS mu
+  FROM grid GROUP BY event_type
+), calib AS (
+  SELECT g.event_type,
+         CAST(FLOOR(ABS(g.y - m.mu) * 1000000 + 0.5) AS BIGINT) AS r6,
+         g.d,
+         COUNT(*) OVER (PARTITION BY g.event_type) AS n_cal
+  FROM grid g JOIN mu m ON m.event_type = g.event_type
+  WHERE day(g.d) BETWEEN 16 AND 23
+), qhat AS (
+  SELECT event_type, r6 AS q6 FROM (
+    SELECT event_type, r6, n_cal,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY r6, d) AS rk
+    FROM calib
+  ) WHERE rk = CAST(CEIL((n_cal + 1) * 0.75) AS BIGINT)
+), eval_ AS (
+  SELECT g.event_type,
+         SUM(CASE WHEN CAST(FLOOR(ABS(g.y - m.mu) * 1000000 + 0.5)
+                       AS BIGINT) <= q.q6
+                  THEN 1 ELSE 0 END) AS n_covered,
+         COUNT(*) AS n_eval
+  FROM grid g
+  JOIN mu m ON m.event_type = g.event_type
+  JOIN qhat q ON q.event_type = g.event_type
+  WHERE day(g.d) >= 24
+  GROUP BY g.event_type
+)
+SELECT e.event_type,
+       FLOOR(m.mu * 1000000 + 0.5) / 1000000 AS mu_daily,
+       FLOOR(q.q6 / 1000000.0 * 1000000 + 0.5) / 1000000
+         AS conformal_radius,
+       CAST(e.n_eval AS BIGINT) AS n_eval_days,
+       CAST(e.n_covered AS BIGINT) AS n_covered,
+       FLOOR(e.n_covered * 1.0 / e.n_eval * 10000 + 0.5) / 10000
+         AS coverage
+FROM eval_ e
+JOIN mu m ON m.event_type = e.event_type
+JOIN qhat q ON q.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("ml_conformal_interval_coverage", oracle=CONFORMAL_ORACLE)
+def ml_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal 75% interval radius per event type and its
+    held-out coverage (see oracle for the windows and the exact
+    order-statistic device).
+
+    Scale shape: ONE fact pass to (type, day) counts; the dense
+    grid, rate fit, calibration order statistic (windows partitioned
+    BY TYPE — parallel across types), and coverage count are all
+    calendar x type domain work. Residual snapping makes the
+    quantile selection and the coverage comparisons exact in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    cnt = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+        .persist()
+    )
+    mu = grid.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.dayofmonth("d") <= 15, F.col("y")).otherwise(0))
+            / 15.0
+        ).alias("mu")
+    )
+    r6 = F.floor(
+        F.abs(F.col("y") - F.col("mu")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    calib = (
+        grid.join(F.broadcast(mu), "event_type")
+        .filter(F.dayofmonth("d").between(16, 23))
+        .select(
+            "event_type",
+            r6.alias("r6"),
+            "d",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n_cal"),
+        )
+    )
+    qhat = (
+        calib.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("r6", "d")
+            ),
+        )
+        .filter(
+            F.col("rk")
+            == F.ceil((F.col("n_cal") + 1) * 0.75).cast("long")
+        )
+        .select("event_type", F.col("r6").alias("q6"))
+    )
+    ev_ = (
+        grid.join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .filter(F.dayofmonth("d") >= 24)
+        .groupBy("event_type", "mu", "q6")
+        .agg(
+            F.sum(F.when(r6 <= F.col("q6"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+        )
+    )
+    return ev_.select(
+        "event_type",
+        (F.floor(F.col("mu") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mu_daily"
+        ),
+        (
+            F.floor(F.col("q6") / 1000000.0 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("conformal_radius"),
+        F.col("n_eval").alias("n_eval_days"),
+        "n_covered",
+        (
+            F.floor(
+                F.col("n_covered") * 1.0 / F.col("n_eval") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("coverage"),
+    ).orderBy("event_type")

@@ -1395,3 +1395,88 @@ def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+LOO_1NN_ORACLE = """
+-- Leave-one-out 1-nearest-neighbor accuracy of the embedding LABELS
+-- under cosine: the standard no-training yardstick for 'does this
+-- embedding space separate the classes at all' — run before anyone
+-- spends GPU time probing it. Every vector's nearest OTHER vector
+-- votes; per-label accuracy exposes which classes bleed together.
+-- Ties on cosine break on the smaller neighbor id (the house ANN
+-- tie rule).
+WITH scored AS (
+  SELECT a.vec_id, a.label,
+         b.label AS nbr_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                    DESC, b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       FLOOR(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 10000 + 0.5) / 10000 AS loo_accuracy
+FROM scored WHERE rnk = 1
+GROUP BY label ORDER BY label
+"""
+
+
+@register("ml_loo_1nn_embedding_accuracy", oracle=LOO_1NN_ORACLE)
+def ml_loo_1nn_embedding_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy over the embedding corpus
+    (see oracle for the vote and tie rule).
+
+    Scale shape: the all-pairs cosine is corpus-quadratic by
+    definition of LOO — fine at the fixture's corpus and bounded by
+    a broadcast self-join here; at real scale the exact LOO swaps in
+    the house LSH/IVF candidate generation (same vote over the
+    candidate set, documented recall trade — the operators next to
+    this one). The per-vector top-1 reduces inside the one q-side
+    exchange (WindowGroupLimit keeps per-partition heaps); the
+    accuracy rollup is label-domain-sized."""
+    from etl_data_ingestion_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=False)
+    a = emb.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding")
+    ).alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("b_emb"),
+    ).alias("b")
+    scored = a.join(F.broadcast(b), F.col("vec_id") != F.col("b_id")).select(
+        "vec_id",
+        "label",
+        "nbr_label",
+        "b_id",
+        cosine_similarity("embedding", "b_emb").alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("b_id"))
+    top1 = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    hit = F.sum(
+        F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)
+    )
+    return (
+        top1.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            hit.cast("long").alias("n_correct"),
+            (
+                F.floor(
+                    hit * 1.0 / F.count(F.lit(1)) * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("loo_accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -3950,3 +3950,122 @@ def timeseries_engle_granger_coint(
         (F.floor(rho * 1000000 + F.lit(0.5)) / 1000000).alias("rho"),
         (F.floor(adf_t * 10000 + F.lit(0.5)) / 10000).alias("adf_t"),
     )
+
+
+# ---------------------- wave 32: KPSS level-stationarity test (q=3)
+
+KPSS_ORACLE = """
+-- KPSS level-stationarity test on daily revenue with a Bartlett
+-- long-run variance (lag q=3): the null-reversed complement of the
+-- ADF step inside the Engle-Granger operator — KPSS's NULL is
+-- stationarity, so 'fails KPSS' and 'fails ADF' bracket the
+-- trending/stationary verdict from both sides. EXACT device: the
+-- demeaned series is kept in n-SCALED integers (u_t = n*y_t - S,
+-- so no division happens before the final chain); partial sums,
+-- their squares, and the four autocovariance terms are exact
+-- HUGEINT/decimal(38,0) sums; the Bartlett weights (1 - j/4)
+-- multiply through by 4, so eta = 4*SUM(S_t^2) /
+-- (n * (4*G0 + 2*(3*G1 + 2*G2 + G3))) is ONE exact-integer ratio
+-- evaluated in doubles at the very end, snapped.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy FROM daily
+), u AS (
+  SELECT d, n, CAST(n * y - sy AS BIGINT) AS u
+  FROM daily, tot
+), parts AS (
+  SELECT d, n, u,
+         CAST(SUM(u) OVER (ORDER BY d) AS BIGINT) AS s,
+         LAG(u, 1) OVER (ORDER BY d) AS u1,
+         LAG(u, 2) OVER (ORDER BY d) AS u2,
+         LAG(u, 3) OVER (ORDER BY d) AS u3
+  FROM u
+), m AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(s AS HUGEINT) * s) AS ss2,
+         SUM(CAST(u AS HUGEINT) * u) AS g0,
+         SUM(CASE WHEN u1 IS NULL THEN 0
+                  ELSE CAST(u AS HUGEINT) * u1 END) AS g1,
+         SUM(CASE WHEN u2 IS NULL THEN 0
+                  ELSE CAST(u AS HUGEINT) * u2 END) AS g2,
+         SUM(CASE WHEN u3 IS NULL THEN 0
+                  ELSE CAST(u AS HUGEINT) * u3 END) AS g3
+  FROM parts
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR(4.0 * ss2
+             / (n * (4.0 * g0 + 2.0 * (3.0 * g1 + 2.0 * g2 + g3)))
+             * 1000000 + 0.5) / 1000000 AS kpss_eta
+FROM m
+"""
+
+
+@register("timeseries_kpss_stationarity", oracle=KPSS_ORACLE)
+def timeseries_kpss_stationarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KPSS level-stationarity statistic, Bartlett lag 3 (see oracle
+    for the n-scaled integer device).
+
+    Scale shape: facts collapse map-side to |days|; the running-sum
+    and LAG windows run on the calendar-bounded day table; all five
+    sufficient statistics accumulate WIDE (decimal(38,0) in Spark,
+    HUGEINT in DuckDB — u ~ n * daily cents crosses int64 in the
+    PRODUCT already at modest scales, which is why the casts sit on
+    the multiplicands, not the sums); eta is one snapped division."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("u"),
+    )
+    w = Window.orderBy("d")
+    parts = u.select(
+        "n",
+        "u",
+        F.sum("u").over(w).cast("long").alias("s"),
+        F.lag("u", 1).over(w).alias("u1"),
+        F.lag("u", 2).over(w).alias("u2"),
+        F.lag("u", 3).over(w).alias("u3"),
+    )
+    wide = lambda c: F.col(c).cast("decimal(38,0)")
+
+    def gamma(lagcol: str):
+        return F.sum(
+            F.when(F.col(lagcol).isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(wide("u") * F.col(lagcol))
+        )
+
+    m = parts.agg(
+        F.max("n").alias("n"),
+        F.sum(wide("s") * F.col("s")).alias("ss2"),
+        F.sum(wide("u") * F.col("u")).alias("g0"),
+        gamma("u1").alias("g1"),
+        gamma("u2").alias("g2"),
+        gamma("u3").alias("g3"),
+    )
+    n = F.col("n")
+    eta = (
+        4.0
+        * F.col("ss2")
+        / (
+            n
+            * (
+                4.0 * F.col("g0")
+                + 2.0 * (3.0 * F.col("g1") + 2.0 * F.col("g2") + F.col("g3"))
+            )
+        )
+    )
+    return m.select(
+        n.cast("long").alias("n_days"),
+        (F.floor(eta * 1000000 + F.lit(0.5)) / 1000000).alias("kpss_eta"),
+    )
