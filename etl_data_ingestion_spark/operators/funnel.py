@@ -1041,3 +1041,167 @@ def events_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ------------------- wave 33: post-stratified lift (activity terciles)
+
+POST_STRATIFIED_ORACLE = """
+-- Post-stratified A/B lift on user conversion (even/odd cohorts,
+-- converted = any purchase), stratified by activity terciles: the
+-- variance-reduction step the plain z-test operator skips — when
+-- activity correlates with conversion, stratifying on it shrinks
+-- the SE without changing the estimand. EXACT device: per-user
+-- rows collapse to (stratum, cohort) cells; tercile cutoffs are
+-- exact PERCENTILE_DISC order statistics on event counts; the
+-- naive and stratified lifts, the per-stratum weights, and the
+-- stratified SE are per-stratum rationals snapped to 1e-12
+-- integers (order-free sums over the 3-stratum domain), then one
+-- fixed chain.
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS g, COUNT(*) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), cuts AS (
+  SELECT PERCENTILE_DISC(0.3333333333333333)
+           WITHIN GROUP (ORDER BY n_ev) AS q1,
+         PERCENTILE_DISC(0.6666666666666666)
+           WITHIN GROUP (ORDER BY n_ev) AS q2
+  FROM per_user
+), strat AS (
+  SELECT g, conv,
+         CASE WHEN n_ev <= q1 THEN 0
+              WHEN n_ev <= q2 THEN 1 ELSE 2 END AS s
+  FROM per_user, cuts
+), cells AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(SUM(1) AS BIGINT) AS ns,
+         CAST(SUM(SUM(1)) OVER () AS BIGINT) AS nn
+  FROM strat GROUP BY s
+), terms AS (
+  SELECT n1, x1, n0, x0, ns, nn,
+         CAST(FLOOR(ns * 1.0 / nn * (x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                    * 1000000000000 + 0.5) AS BIGINT) AS lift12,
+         CAST(FLOOR((ns * 1.0 / nn) * (ns * 1.0 / nn)
+                    * ((x1 * 1.0 / n1) * (1 - x1 * 1.0 / n1) / n1
+                       + (x0 * 1.0 / n0) * (1 - x0 * 1.0 / n0) / n0)
+                    * 1000000000000 + 0.5) AS BIGINT) AS var12
+  FROM cells
+), s AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS tn1, CAST(SUM(x1) AS BIGINT) AS tx1,
+         CAST(SUM(n0) AS BIGINT) AS tn0, CAST(SUM(x0) AS BIGINT) AS tx0,
+         CAST(SUM(lift12) AS BIGINT) AS l12, CAST(SUM(var12) AS BIGINT) AS v12
+  FROM terms
+)
+SELECT CAST(tn1 + tn0 AS BIGINT) AS n_users,
+       FLOOR((tx1 * 1.0 / tn1 - tx0 * 1.0 / tn0) * 1000000 + 0.5)
+         / 1000000 AS naive_lift,
+       FLOOR(l12 / 1000000000000.0 * 1000000 + 0.5) / 1000000
+         AS stratified_lift,
+       FLOOR(SQRT(v12 / 1000000000000.0) * 1000000 + 0.5) / 1000000
+         AS stratified_se,
+       FLOOR(l12 / 1000000000000.0 / SQRT(v12 / 1000000000000.0)
+             * 10000 + 0.5) / 10000 AS z_score
+FROM s
+"""
+
+
+@register("events_post_stratified_lift", oracle=POST_STRATIFIED_ORACLE)
+def events_post_stratified_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-stratified conversion lift between the even/odd cohorts
+    with activity-tercile strata (see oracle).
+
+    Scale shape: ONE fact pass to per-user rows; the tercile cutoffs
+    are two exact order statistics; the (stratum, cohort) cells and
+    every later step are 3-row domain work. Per-stratum lift and
+    variance terms snap to 1e-12 integers so the domain sums are
+    order-free."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("g"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cuts = per_user.agg(
+        F.expr(
+            "percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY n_ev)"
+        ).alias("q1"),
+        F.expr(
+            "percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY n_ev)"
+        ).alias("q2"),
+    )
+    strat = per_user.crossJoin(F.broadcast(cuts)).select(
+        "g",
+        "conv",
+        F.when(F.col("n_ev") <= F.col("q1"), 0)
+        .when(F.col("n_ev") <= F.col("q2"), 1)
+        .otherwise(2)
+        .alias("s"),
+    )
+    cells = strat.groupBy("s").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    cells = cells.withColumn(
+        "nn", F.sum("ns").over(Window.partitionBy())
+    )
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    p0 = F.col("x0") * 1.0 / F.col("n0")
+    w = F.col("ns") * 1.0 / F.col("nn")
+    lift12 = F.floor(
+        w * (p1 - p0) * 1000000000000 + F.lit(0.5)
+    ).cast("long")
+    var12 = F.floor(
+        w * w * (p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0"))
+        * 1000000000000
+        + F.lit(0.5)
+    ).cast("long")
+    s = cells.select(
+        "n1", "x1", "n0", "x0",
+        lift12.alias("lift12"),
+        var12.alias("var12"),
+    ).agg(
+        F.sum("n1").cast("long").alias("tn1"),
+        F.sum("x1").cast("long").alias("tx1"),
+        F.sum("n0").cast("long").alias("tn0"),
+        F.sum("x0").cast("long").alias("tx0"),
+        F.sum("lift12").cast("long").alias("l12"),
+        F.sum("var12").cast("long").alias("v12"),
+    )
+    tn1, tx1, tn0, tx0 = (
+        F.col(c) for c in ["tn1", "tx1", "tn0", "tx0"]
+    )
+    sl = F.col("l12") / 1000000000000.0
+    sv = F.col("v12") / 1000000000000.0
+    return s.select(
+        (tn1 + tn0).alias("n_users"),
+        (
+            F.floor(
+                (tx1 * 1.0 / tn1 - tx0 * 1.0 / tn0) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("naive_lift"),
+        (F.floor(sl * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "stratified_lift"
+        ),
+        (F.floor(F.sqrt(sv) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "stratified_se"
+        ),
+        (F.floor(sl / F.sqrt(sv) * 10000 + F.lit(0.5)) / 10000).alias(
+            "z_score"
+        ),
+    )

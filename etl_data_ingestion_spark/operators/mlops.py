@@ -3711,3 +3711,341 @@ def ml_conformal_interval_coverage(
             / 10000
         ).alias("coverage"),
     ).orderBy("event_type")
+
+
+# ----------------------------- wave 33: log-rank test (censored survival)
+
+LOGRANK_ORACLE = """
+-- Log-rank test between the even/odd user cohorts on time-to-first-
+-- purchase WITH right censoring: users who never purchase are
+-- censored at the end of the observation window instead of being
+-- dropped — the inferential companion of the survival-curve
+-- operator (which only describes one group, uncensored). At each
+-- distinct event day: O-E accumulates group 1's observed vs
+-- expected deaths given the at-risk sets; the variance is the
+-- hypergeometric term. EXACT device: lifetimes and at-risk counts
+-- are exact integers from a DENSE (day x group) grid with suffix
+-- sums (at-risk must be defined at every event day, even where a
+-- group has no row); E and V terms are per-day rationals snapped to
+-- 1e-9 integers (the order-free-sum rule), so the chi-square is one
+-- fixed chain.
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS g,
+         MIN(CAST(ts AS DATE)) AS f,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS p
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(CAST(ts AS DATE)) AS mx FROM events
+), life AS (
+  SELECT g,
+         CASE WHEN p IS NULL THEN DATEDIFF('day', f, mx)
+              ELSE DATEDIFF('day', f, p) END AS t,
+         CASE WHEN p IS NULL THEN 0 ELSE 1 END AS ev
+  FROM per_user, horizon
+), cells AS (
+  SELECT t, g, SUM(ev) AS d, SUM(1 - ev) AS c
+  FROM life GROUP BY t, g
+), grid AS (
+  SELECT tt.t, gg.g, COALESCE(cells.d, 0) AS d, COALESCE(cells.c, 0) AS c
+  FROM (SELECT UNNEST(GENERATE_SERIES(0,
+          (SELECT DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           FROM events))) AS t) tt
+  CROSS JOIN (VALUES (0), (1)) gg(g)
+  LEFT JOIN cells ON cells.t = tt.t AND cells.g = gg.g
+), risk AS (
+  SELECT t, g, d,
+         SUM(d + c) OVER (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM grid
+), byday AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(d) AS BIGINT) AS dt,
+         CAST(SUM(CASE WHEN g = 1 THEN n_at_risk ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(n_at_risk) AS BIGINT) AS nt
+  FROM risk GROUP BY t HAVING SUM(d) > 0
+), terms AS (
+  SELECT d1,
+         CAST(FLOOR(dt * 1.0 * n1 / nt * 1000000000 + 0.5) AS BIGINT)
+           AS e9,
+         CASE WHEN nt > 1
+              THEN CAST(FLOOR(dt * 1.0 * n1 * (nt - n1) * (nt - dt)
+                              / (nt * 1.0 * nt * (nt - 1))
+                              * 1000000000 + 0.5) AS BIGINT)
+              ELSE 0 END AS v9
+  FROM byday
+), s AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e9) AS BIGINT) AS e1_9,
+         CAST(SUM(v9) AS BIGINT) AS v_9
+  FROM terms
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user) AS n_users,
+       CAST(o1 AS BIGINT) AS observed_g1,
+       FLOOR(e1_9 / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS expected_g1,
+       FLOOR((o1 - e1_9 / 1000000000.0) * (o1 - e1_9 / 1000000000.0)
+             / (v_9 / 1000000000.0) * 10000 + 0.5) / 10000
+         AS chi2_logrank
+FROM s
+"""
+
+
+@register("ml_logrank_test", oracle=LOGRANK_ORACLE)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test on censored time-to-first-purchase between the
+    even/odd user cohorts (see oracle for the dense-grid at-risk
+    device).
+
+    Scale shape: ONE fact pass to per-user (first event, first
+    purchase); everything after runs on the |days| x 2 grid —
+    suffix-sum windows PARTITIONED BY GROUP, day-domain term table,
+    1-row chain. E/V terms snap to 1e-9 integers so the sums are
+    order-free. Censoring is at the global horizon — the honest
+    treatment of never-purchasers that a naive conversion-latency
+    comparison silently drops."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("g"),
+        F.min(F.to_date("ts")).alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p"),
+    )
+    horizon = ev.agg(
+        F.max(F.to_date("ts")).alias("mx"),
+        F.min(F.to_date("ts")).alias("mn"),
+    )
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        "g",
+        F.when(
+            F.col("p").isNull(), F.datediff("mx", "f")
+        )
+        .otherwise(F.datediff("p", "f"))
+        .alias("t"),
+        F.when(F.col("p").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    cells = life.groupBy("t", "g").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    span = horizon.select(
+        (F.datediff("mx", "mn") + 1).cast("long").alias("ndays")
+    )
+    tt = (
+        span.select(F.explode(F.sequence(F.lit(0), F.col("ndays") - 1)).alias("t"))
+    )
+    gg = life.sparkSession.range(0, 2).select(F.col("id").alias("g"))
+    grid = (
+        tt.crossJoin(F.broadcast(gg))
+        .join(cells, ["t", "g"], "left")
+        .select(
+            "t",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wrisk = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = grid.select(
+        "t",
+        "g",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(wrisk).alias("n_at_risk"),
+    )
+    byday = (
+        risk.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum("d").cast("long").alias("dt"),
+            F.sum(
+                F.when(F.col("g") == 1, F.col("n_at_risk")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n1"),
+            F.sum("n_at_risk").cast("long").alias("nt"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    dt, n1, nt = F.col("dt"), F.col("n1"), F.col("nt")
+    e9 = F.floor(
+        dt * 1.0 * n1 / nt * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    v9 = F.when(
+        nt > 1,
+        F.floor(
+            dt
+            * 1.0
+            * n1
+            * (nt - n1)
+            * (nt - dt)
+            / (nt * 1.0 * nt * (nt - 1))
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    s = byday.select(F.col("d1"), e9.alias("e9"), v9.alias("v9")).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e9").cast("long").alias("e1_9"),
+        F.sum("v9").cast("long").alias("v_9"),
+    )
+    nu = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    o1 = F.col("o1")
+    e1 = F.col("e1_9") / 1000000000.0
+    chi2 = (o1 - e1) * (o1 - e1) / (F.col("v_9") / 1000000000.0)
+    return s.crossJoin(F.broadcast(nu)).select(
+        "n_users",
+        o1.alias("observed_g1"),
+        (F.floor(e1 * 1000000 + F.lit(0.5)) / 1000000).alias("expected_g1"),
+        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2_logrank"),
+    )
+
+
+# -------------------- wave 34: SPRT sequential test (Bernoulli rates)
+
+SPRT_ORACLE = """
+-- Wald SPRT on the daily purchase-conversion rate: H0 p=0.19 vs
+-- H1 p=0.21 at alpha=beta=0.05, replayed day by day over the
+-- window — the sequential-testing primitive behind 'can we stop
+-- this experiment early', complementing the fixed-horizon z-test
+-- operator. The log-likelihood-ratio walk accumulates
+-- s*ln(p1/p0) + (t-s)*ln((1-p1)/(1-p0)) per day and stops at the
+-- first crossing of ln((1-beta)/alpha) / ln(beta/(1-alpha)).
+-- EXACT-PARITY device: per-day increments are doubles of exact
+-- integer (successes, trials) pairs snapped to 1e-9 integers, so
+-- the cumulative walk and the boundary comparisons are exact
+-- BIGINT arithmetic; the boundaries are snapped the same way from
+-- the same literals.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s,
+         COUNT(*) AS t
+  FROM events GROUP BY 1
+), inc AS (
+  SELECT d,
+         CAST(FLOOR((s * LN(0.21 / 0.19)
+                     + (t - s) * LN(0.79 / 0.81)) * 1000000000 + 0.5)
+              AS BIGINT) AS i9
+  FROM daily
+), walk AS (
+  SELECT d, SUM(i9) OVER (ORDER BY d) AS c9,
+         CAST(FLOOR(LN(0.95 / 0.05) * 1000000000 + 0.5) AS BIGINT) AS a9,
+         CAST(FLOOR(LN(0.05 / 0.95) * 1000000000 + 0.5) AS BIGINT) AS b9
+  FROM inc
+), crossing AS (
+  SELECT MIN(d) AS cross_day,
+         MIN(CASE WHEN c9 >= a9 THEN d END) AS up_day,
+         MIN(CASE WHEN c9 <= b9 THEN d END) AS dn_day
+  FROM walk WHERE c9 >= a9 OR c9 <= b9
+), final AS (
+  SELECT c9 AS f9 FROM walk ORDER BY d DESC LIMIT 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       FLOOR(f9 / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS final_llr,
+       CASE
+         WHEN cross_day IS NULL THEN 'continue'
+         WHEN up_day IS NOT NULL
+              AND (dn_day IS NULL OR up_day <= dn_day) THEN 'accept_h1'
+         ELSE 'accept_h0'
+       END AS decision,
+       CASE WHEN cross_day IS NULL THEN NULL
+            ELSE STRFTIME(cross_day, '%Y-%m-%d') END AS crossing_day
+FROM final LEFT JOIN crossing ON TRUE
+"""
+
+
+@register("ml_sprt_sequential_test", oracle=SPRT_ORACLE)
+def ml_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay on daily conversion (see oracle for the
+    snapped-increment walk device).
+
+    Scale shape: one fact pass to |days|; the walk is a running-sum
+    window on the day table; crossings and the final LLR are
+    domain-sized. The per-day 1e-9 snap makes walk and boundary
+    comparisons exact in both engines (the two LN literals are
+    single constants — a 1-ulp libm divergence flips a 1e-9 floor
+    with probability ~1e-7, and on two constants, not per row)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    i9 = F.floor(
+        (
+            F.col("s") * F.log(F.lit(0.21) / F.lit(0.19))
+            + (F.col("t") - F.col("s")) * F.log(F.lit(0.79) / F.lit(0.81))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    a9 = F.floor(
+        F.log(F.lit(0.95) / F.lit(0.05)) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    b9 = F.floor(
+        F.log(F.lit(0.05) / F.lit(0.95)) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    walk = daily.select(
+        "d",
+        F.sum(i9).over(Window.orderBy("d")).alias("c9"),
+        a9.alias("a9"),
+        b9.alias("b9"),
+    ).persist()
+    crossed = walk.filter(
+        (F.col("c9") >= F.col("a9")) | (F.col("c9") <= F.col("b9"))
+    )
+    crossing = crossed.agg(
+        F.min("d").alias("cross_day"),
+        F.min(F.when(F.col("c9") >= F.col("a9"), F.col("d"))).alias(
+            "up_day"
+        ),
+        F.min(F.when(F.col("c9") <= F.col("b9"), F.col("d"))).alias(
+            "dn_day"
+        ),
+    )
+    final = walk.orderBy(F.desc("d")).limit(1).select(
+        F.col("c9").alias("f9")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    decision = (
+        F.when(F.col("cross_day").isNull(), F.lit("continue"))
+        .when(
+            F.col("up_day").isNotNull()
+            & (
+                F.col("dn_day").isNull()
+                | (F.col("up_day") <= F.col("dn_day"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+    )
+    return (
+        final.crossJoin(F.broadcast(crossing))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            (
+                F.floor(F.col("f9") / 1000000000.0 * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("final_llr"),
+            decision.alias("decision"),
+            F.when(
+                F.col("cross_day").isNull(), F.lit(None).cast("string")
+            )
+            .otherwise(F.date_format("cross_day", "yyyy-MM-dd"))
+            .alias("crossing_day"),
+        )
+    )

@@ -1952,3 +1952,526 @@ def agg_capture_recapture_chapman(
         (F.floor(n_hat * 100 + F.lit(0.5)) / 100).alias("n_hat_chapman"),
         (F.floor(se * 100 + F.lit(0.5)) / 100).alias("se_chapman"),
     )
+
+
+# ------------------- wave 33: two-sample energy distance (daily)
+
+ENERGY_DISTANCE_ORACLE = """
+-- Two-sample energy distance between WEEKDAY and WEEKEND daily
+-- revenue distributions: D^2 = 2*E|X-Y| - E|X-X'| - E|Y-Y'| — the
+-- distribution-equality statistic that is zero iff the two
+-- distributions coincide, sensitive to ANY difference (location,
+-- scale, shape), where the KS operator reads only the max CDF gap
+-- and Mann-Whitney only stochastic order. EXACT device: daily cents
+-- are exact integers; all three expectation terms are exact BIGINT
+-- |difference| sums over the day-domain pair grid (the Mann-Kendall
+-- calendar-quadratic family — V-statistic convention, all n^2
+-- ordered pairs including self-pairs); the plug-in statistic and
+-- the n1*n2/(n1+n2) scaling are one snapped chain.
+WITH daily AS (
+  SELECT CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS we,
+         CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 2, 1
+), pairs AS (
+  SELECT a.we AS wa, b.we AS wb, ABS(a.y - b.y) AS ad
+  FROM daily a CROSS JOIN daily b
+), sums AS (
+  SELECT CAST(SUM(CASE WHEN wa = 0 AND wb = 1 THEN ad ELSE 0 END)
+              AS BIGINT) AS sxy,
+         CAST(SUM(CASE WHEN wa = 0 AND wb = 0 THEN ad ELSE 0 END)
+              AS BIGINT) AS sxx,
+         CAST(SUM(CASE WHEN wa = 1 AND wb = 1 THEN ad ELSE 0 END)
+              AS BIGINT) AS syy
+  FROM pairs
+), ns AS (
+  SELECT CAST(SUM(1 - we) AS BIGINT) AS n1,
+         CAST(SUM(we) AS BIGINT) AS n2
+  FROM daily
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       FLOOR((2.0 * sxy / (n1 * n2) - sxx * 1.0 / (n1 * n1)
+              - syy * 1.0 / (n2 * n2)) / 100 * 10000 + 0.5) / 10000
+         AS energy_dist_dollars,
+       FLOOR(n1 * 1.0 * n2 / (n1 + n2)
+             * (2.0 * sxy / (n1 * n2) - sxx * 1.0 / (n1 * n1)
+                - syy * 1.0 / (n2 * n2)) / 100 * 10000 + 0.5) / 10000
+         AS energy_test_stat_dollars
+FROM sums, ns
+"""
+
+
+@register("agg_energy_distance_weekend", oracle=ENERGY_DISTANCE_ORACLE)
+def agg_energy_distance_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy distance between weekday and weekend daily revenue
+    (see oracle for the exact pair-sum device).
+
+    Scale shape: facts collapse map-side to |days|; the pair grid is
+    calendar-quadratic (never data-quadratic), one crossJoin over a
+    broadcast day table with three conditional exact sums; the
+    statistic is a 1-row chain. |diff| sums stay inside int64 to
+    ~1e5 days x 1e12-cent days (documented WIDE cutover past
+    that)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    ).select(
+        F.when(F.expr("weekday(d)") >= 5, 1).otherwise(0).alias("we"),
+        "y",
+    ).persist()
+    a = daily.select(
+        F.col("we").alias("wa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("we").alias("wb"), F.col("y").alias("yb")
+    )
+    ad = F.abs(F.col("ya") - F.col("yb"))
+    sums = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.when((F.col("wa") == 0) & (F.col("wb") == 1), ad).otherwise(0))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.when((F.col("wa") == 0) & (F.col("wb") == 0), ad).otherwise(0))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.when((F.col("wa") == 1) & (F.col("wb") == 1), ad).otherwise(0))
+        .cast("long")
+        .alias("syy"),
+    )
+    ns = daily.agg(
+        F.sum(1 - F.col("we")).cast("long").alias("n1"),
+        F.sum("we").cast("long").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d2 = (
+        2.0 * F.col("sxy") / (n1 * n2)
+        - F.col("sxx") * 1.0 / (n1 * n1)
+        - F.col("syy") * 1.0 / (n2 * n2)
+    )
+    return sums.crossJoin(F.broadcast(ns)).select(
+        n1.alias("n_weekday"),
+        n2.alias("n_weekend"),
+        (F.floor(d2 / 100 * 10000 + F.lit(0.5)) / 10000).alias(
+            "energy_dist_dollars"
+        ),
+        (
+            F.floor(
+                n1 * 1.0 * n2 / (n1 + n2) * d2 / 100 * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("energy_test_stat_dollars"),
+    )
+
+
+# --------------------- wave 33: circular statistics (hour of day)
+
+CIRCULAR_ORACLE = """
+-- Circular (directional) statistics of event time-of-day: treating
+-- each event's minute-of-day as an angle on the 24h circle, the
+-- mean direction (peak hour), the resultant length R (0 = uniform
+-- around the clock, 1 = fully concentrated), and the Rayleigh
+-- z = n*R^2 uniformity test. LINEAR hour averages are wrong at the
+-- midnight wrap (23:00 and 01:00 average to 12:00); circular stats
+-- are the correct tool, and none of the calendar operators reads
+-- direction. EXACT-PARITY device: facts collapse to the 1440-row
+-- minute-of-day histogram FIRST; cos/sin are evaluated once per
+-- minute and snapped to 1e-6 integers (libm cos is not guaranteed
+-- bit-identical across engines — snapping 1440 domain values at
+-- 1e-6 makes a boundary flip ~1e-10 probable, vs per-row snapping
+-- which would flip somewhere at corpus scale); the weighted sums
+-- are exact BIGINT.
+WITH mins AS (
+  -- FLOOR before the BIGINT cast (DuckDB CAST(double AS BIGINT)
+  -- ROUNDS, Spark's unix_timestamp truncates) and integer //
+  -- division (DuckDB / on integers is float division)
+  SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400) // 60 AS m,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), trig AS (
+  SELECT cnt,
+         CAST(FLOOR(COS(2 * PI() * m / 1440.0) * 1000000 + 0.5)
+              AS BIGINT) AS c6,
+         CAST(FLOOR(SIN(2 * PI() * m / 1440.0) * 1000000 + 0.5)
+              AS BIGINT) AS s6
+  FROM mins
+), s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * c6) AS BIGINT) AS cc,
+         CAST(SUM(cnt * s6) AS BIGINT) AS ss
+  FROM trig
+), ang AS (
+  SELECT n, cc, ss,
+         ATAN2(ss * 1.0, cc * 1.0) AS a,
+         SQRT(cc * 1.0 * cc + ss * 1.0 * ss) / (n * 1000000.0) AS r
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       FLOOR((a + CASE WHEN a < 0 THEN 2 * PI() ELSE 0 END)
+             / (2 * PI()) * 24 * 10000 + 0.5) / 10000 AS mean_hour,
+       FLOOR(r * 1000000 + 0.5) / 1000000 AS resultant_r,
+       FLOOR(n * r * r * 100 + 0.5) / 100 AS rayleigh_z
+FROM ang
+"""
+
+
+@register("agg_circular_hour_stats", oracle=CIRCULAR_ORACLE)
+def agg_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean hour, resultant length, and Rayleigh z over
+    event times-of-day (see oracle for the minute-domain snap
+    device and why it exists).
+
+    Scale shape: ONE fact pass with map-side combine to the 1440-row
+    minute histogram; trig runs 1440 times total regardless of
+    corpus size; the weighted sums are exact (cnt*c6 <= ~4e3 * 1e6
+    per minute at sf1 — int64 headroom to ~1e12 events). The
+    snapped-trig contract is stated in the oracle; at 1e-6 snap over
+    1440 values the cross-libm flip probability is ~1e-10."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    mins = ev.groupBy(
+        ((F.unix_timestamp("ts") % 86400) / 60)
+        .cast("long")
+        .alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    theta = 2 * F.lit(3.141592653589793) * F.col("m") / 1440.0
+    trig = mins.select(
+        "cnt",
+        F.floor(F.cos(theta) * 1000000 + F.lit(0.5)).cast("long").alias("c6"),
+        F.floor(F.sin(theta) * 1000000 + F.lit(0.5)).cast("long").alias("s6"),
+    )
+    s = trig.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("c6")).cast("long").alias("cc"),
+        F.sum(F.col("cnt") * F.col("s6")).cast("long").alias("ss"),
+    )
+    n, cc, ss = F.col("n"), F.col("cc"), F.col("ss")
+    aa = F.atan2(ss * 1.0, cc * 1.0)
+    r = F.sqrt(cc * 1.0 * cc + ss * 1.0 * ss) / (n * 1000000.0)
+    two_pi = 2 * F.lit(3.141592653589793)
+    return s.select(
+        n.alias("n_events"),
+        (
+            F.floor(
+                (aa + F.when(aa < 0, two_pi).otherwise(F.lit(0.0)))
+                / two_pi
+                * 24
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mean_hour"),
+        (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("resultant_r"),
+        (F.floor(n * r * r * 100 + F.lit(0.5)) / 100).alias("rayleigh_z"),
+    )
+
+
+# ----------------- wave 34: Chatterjee's xi (rank dependence)
+
+XI_CORRELATION_ORACLE = """
+-- Chatterjee's xi coefficient between daily view count and daily
+-- revenue: the modern rank-based dependence measure that converges
+-- to 0 iff independent and 1 iff y is a measurable FUNCTION of x —
+-- detecting oscillating/non-monotone relationships that Pearson
+-- (linear), Spearman, and Kendall (both monotone) all read as
+-- zero. xi = 1 - 3 * SUM|r_{i+1} - r_i| / (n^2 - 1), ranks taken
+-- after sorting by x. EXACT device: ranks are peer-inclusive
+-- RANGE-frame counts (exact integers); the x-sort tie-breaks on
+-- day (Chatterjee's randomized tie-break made deterministic —
+-- stated convention, applied identically in both engines); the
+-- statistic is one exact-integer ratio, snapped.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT d, x,
+         COUNT(*) OVER (ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS r
+  FROM daily
+), walked AS (
+  SELECT ABS(r - LAG(r) OVER (ORDER BY x, d)) AS dr
+  FROM ranked
+), s AS (
+  SELECT CAST(SUM(dr) AS BIGINT) AS sdr,
+         COUNT(*) + 1 AS n
+  FROM walked WHERE dr IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR((1.0 - 3.0 * sdr / (n * 1.0 * n - 1)) * 1000000 + 0.5)
+         / 1000000 AS xi_coefficient
+FROM s
+"""
+
+
+@register("ml_xi_correlation", oracle=XI_CORRELATION_ORACLE)
+def ml_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi between daily views and daily revenue (see
+    oracle for the rank walk and the deterministic tie policy).
+
+    Scale shape: facts collapse map-side to |days|; the rank and
+    walk windows run on the calendar-bounded day table; the
+    statistic is one exact-integer chain. For sub-day grains the
+    rank window partitions by coarse bucket with boundary stitching
+    (the sessionize family's cutover)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    wr = (
+        Window.orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = daily.select(
+        "d", "x", F.count(F.lit(1)).over(wr).alias("r")
+    )
+    walked = ranked.select(
+        F.abs(
+            F.col("r") - F.lag("r").over(Window.orderBy("x", "d"))
+        ).alias("dr")
+    ).filter(F.col("dr").isNotNull())
+    s = walked.agg(
+        F.sum("dr").cast("long").alias("sdr"),
+        (F.count(F.lit(1)) + 1).alias("n"),
+    )
+    n, sdr = F.col("n"), F.col("sdr")
+    return s.select(
+        n.cast("long").alias("n_days"),
+        (
+            F.floor(
+                (1.0 - 3.0 * sdr / (n * 1.0 * n - 1)) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("xi_coefficient"),
+    )
+
+
+# ------------------ wave 34: tail-dependence coefficient (extremes)
+
+TAIL_DEPENDENCE_ORACLE = """
+-- Empirical tail-dependence between daily view volume and daily
+-- revenue: given a day is in the top decile of views, how often is
+-- it also in the top decile of revenue (lambda_upper), and the
+-- mirrored bottom-decile question (lambda_lower)? Correlation
+-- operators read AVERAGE co-movement; capacity planning cares
+-- about the EXTREMES, and a bivariate pair can be highly
+-- correlated yet tail-independent (Gaussian copula) or the
+-- reverse. EXACT device: decile thresholds are PERCENTILE_DISC
+-- order statistics; memberships and the conditional fractions are
+-- exact integer counts, snapped once.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), cuts AS (
+  SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY x) AS qx_hi,
+         PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY y) AS qy_hi,
+         PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY x) AS qx_lo,
+         PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY y) AS qy_lo
+  FROM daily
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN x > qx_hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS nx_hi,
+         CAST(SUM(CASE WHEN x > qx_hi AND y > qy_hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS nj_hi,
+         CAST(SUM(CASE WHEN x < qx_lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS nx_lo,
+         CAST(SUM(CASE WHEN x < qx_lo AND y < qy_lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS nj_lo
+  FROM daily, cuts
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       nx_hi AS n_upper_cond, nj_hi AS n_upper_joint,
+       CASE WHEN nx_hi > 0
+            THEN FLOOR(nj_hi * 1.0 / nx_hi * 10000 + 0.5) / 10000
+            ELSE NULL END AS lambda_upper,
+       nx_lo AS n_lower_cond, nj_lo AS n_lower_joint,
+       CASE WHEN nx_lo > 0
+            THEN FLOOR(nj_lo * 1.0 / nx_lo * 10000 + 0.5) / 10000
+            ELSE NULL END AS lambda_lower
+FROM m
+"""
+
+
+@register("agg_tail_dependence_extremes", oracle=TAIL_DEPENDENCE_ORACLE)
+def agg_tail_dependence_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical upper/lower tail dependence between daily views and
+    revenue (see oracle).
+
+    Scale shape: one fact pass to |days|; exact order-statistic
+    thresholds; exact conditional counts; 1-row chain. Nothing
+    grows past the first aggregation at any corpus size."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    ).persist()
+    cuts = daily.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)").alias(
+            "qx_hi"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY y)").alias(
+            "qy_hi"
+        ),
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY x)").alias(
+            "qx_lo"
+        ),
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY y)").alias(
+            "qy_lo"
+        ),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = daily.crossJoin(F.broadcast(cuts)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(x > F.col("qx_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("nx_hi"),
+        F.sum(
+            F.when((x > F.col("qx_hi")) & (y > F.col("qy_hi")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("nj_hi"),
+        F.sum(F.when(x < F.col("qx_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("nx_lo"),
+        F.sum(
+            F.when((x < F.col("qx_lo")) & (y < F.col("qy_lo")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("nj_lo"),
+    )
+    lam = lambda nj, nx: F.when(
+        F.col(nx) > 0,
+        F.floor(F.col(nj) * 1.0 / F.col(nx) * 10000 + F.lit(0.5)) / 10000,
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("nx_hi").alias("n_upper_cond"),
+        F.col("nj_hi").alias("n_upper_joint"),
+        lam("nj_hi", "nx_hi").alias("lambda_upper"),
+        F.col("nx_lo").alias("n_lower_cond"),
+        F.col("nj_lo").alias("n_lower_joint"),
+        lam("nj_lo", "nx_lo").alias("lambda_lower"),
+    )
+
+
+# ------------------- wave 34: partial correlation (confounder control)
+
+PARTIAL_CORR_ORACLE = """
+-- Partial correlation of daily views and purchases CONTROLLING for
+-- clicks: is the view-purchase co-movement real, or is it all
+-- driven by overall click traffic? The corr-matrix operator reads
+-- the raw pairwise structure; this is the first-order causal
+-- control on top of it: r_xy.z = (r_xy - r_xz*r_yz) /
+-- sqrt((1 - r_xz^2) * (1 - r_yz^2)). EXACT device: all nine
+-- moments are exact BIGINT sums of integer daily counts from ONE
+-- rollup; the three Pearson r's and the partial chain are
+-- fixed-order doubles, snapped.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS z
+  FROM events GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * z) AS BIGINT) AS syz
+  FROM daily
+), r AS (
+  SELECT n,
+         (n * sxy - sx * sy) * 1.0
+           / (SQRT(n * 1.0 * sxx - sx * 1.0 * sx)
+              * SQRT(n * 1.0 * syy - sy * 1.0 * sy)) AS rxy,
+         (n * sxz - sx * sz) * 1.0
+           / (SQRT(n * 1.0 * sxx - sx * 1.0 * sx)
+              * SQRT(n * 1.0 * szz - sz * 1.0 * sz)) AS rxz,
+         (n * syz - sy * sz) * 1.0
+           / (SQRT(n * 1.0 * syy - sy * 1.0 * sy)
+              * SQRT(n * 1.0 * szz - sz * 1.0 * sz)) AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR(rxy * 1000000 + 0.5) / 1000000 AS r_view_purchase,
+       FLOOR((rxy - rxz * ryz)
+             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))
+             * 1000000 + 0.5) / 1000000 AS r_partial_given_clicks
+FROM r
+"""
+
+
+@register("agg_partial_correlation", oracle=PARTIAL_CORR_ORACLE)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of views and purchases given clicks (see
+    oracle for the moment device).
+
+    Scale shape: one fact pass to the day domain, nine exact-integer
+    moments in one reduction, a 1-row fixed chain. Count products
+    stay inside int64 to ~3e9 events/type/day (WIDE cutover
+    documented)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    cnt = lambda t: F.sum(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        cnt("view").alias("x"),
+        cnt("purchase").alias("y"),
+        cnt("click").alias("z"),
+    )
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(z).cast("long").alias("sz"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(z * z).cast("long").alias("szz"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * z).cast("long").alias("sxz"),
+        F.sum(y * z).cast("long").alias("syz"),
+    )
+    n = F.col("n")
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            * 1.0
+            / (
+                F.sqrt(n * 1.0 * F.col(saa) - F.col(sa) * 1.0 * F.col(sa))
+                * F.sqrt(n * 1.0 * F.col(sbb) - F.col(sb) * 1.0 * F.col(sb))
+            )
+        )
+
+    rxy = pearson("sxy", "sx", "sy", "sxx", "syy")
+    rxz = pearson("sxz", "sx", "sz", "sxx", "szz")
+    ryz = pearson("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    return m.select(
+        n.cast("long").alias("n_days"),
+        (F.floor(rxy * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "r_view_purchase"
+        ),
+        (F.floor(partial * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "r_partial_given_clicks"
+        ),
+    )
