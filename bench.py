@@ -291,6 +291,51 @@ EXTENDED = [
     # round 10 wave 27
     "agg_hodges_lehmann_shift",
     "events_bounce_rate_by_entry",
+    # round 11 wave 28 (added late — the first round-11 session
+    # registered these but missed the enter-EXTENDED step; gap
+    # closed here per the tier policy above)
+    "quality_t_closeness",
+    "pipeline_train_test_split_hash",
+    "timeseries_ewma_crossover",
+    "text_mattr_lexical_diversity",
+    "ml_roc_curve_points",
+    # round 11 wave 29
+    "agg_friedman_test",
+    "agg_cronbach_alpha",
+    "ml_decision_stump_gini",
+    "timeseries_permutation_entropy",
+    "graph_rich_club_coefficient",
+    # round 11 wave 30
+    "agg_gumbel_block_maxima",
+    "agg_cochran_q_test",
+    "ml_fisher_lda_closed_form",
+    "timeseries_sample_entropy",
+    "quality_functional_dependencies",
+    # round 11 wave 31
+    "timeseries_engle_granger_coint",
+    "ml_jackknife_ratio_variance",
+    "agg_capture_recapture_chapman",
+    "ml_poisson_deviance",
+    "text_burrows_delta",
+    # round 11 wave 32
+    "timeseries_kpss_stationarity",
+    "ml_loo_1nn_embedding_accuracy",
+    "ml_empirical_bayes_shrinkage",
+    "ml_conformal_interval_coverage",
+    # round 11 wave 33
+    "ml_logrank_test",
+    "agg_energy_distance_weekend",
+    "agg_circular_hour_stats",
+    "events_post_stratified_lift",
+    # round 11 wave 34
+    "ml_xi_correlation",
+    "agg_tail_dependence_extremes",
+    "agg_partial_correlation",
+    "ml_sprt_sequential_test",
+    # round 11 wave 35
+    "events_cuped_adjusted_lift",
+    "agg_lmoments_daily",
+    "pipeline_dedup_threshold_curve",
 ]
 
 

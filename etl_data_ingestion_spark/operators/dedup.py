@@ -1637,3 +1637,179 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+THRESHOLD_CURVE_ORACLE = """
+-- Near-dup threshold operating curve: the SAME capped 3-gram
+-- Jaccard pair computation as dedup_ngram_jaccard, swept across
+-- candidate thresholds 0.3/0.5/0.7/0.8/0.9 in ONE pass — for each
+-- threshold, how many pairs fire, how many docs would be removed
+-- under the keep-smallest-id policy, and how many characters that
+-- saves. This is the knob-tuning readout every dedup deployment
+-- produces before fixing a threshold: pairs/docs/bytes vs t, not a
+-- yes/no at one t. The pair set is computed ONCE; the sweep joins
+-- the 5-row threshold table against the pair list (never rescans
+-- the corpus).
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 1000000,
+         text || ' appended tail marker words'
+  FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0
+), tokenized AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
+), grams_all AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ))) AS gram
+  FROM tokenized
+  WHERE len(toks) >= 3
+), grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS j
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), lens AS (
+  SELECT doc_id, LENGTH(text) AS nch FROM corpus
+), ts AS (
+  SELECT UNNEST([0.3, 0.5, 0.7, 0.8, 0.9]) AS t
+), fired AS (
+  SELECT ts.t, s.doc_a, s.doc_b FROM ts JOIN scored s ON s.j >= ts.t
+), removed AS (
+  SELECT DISTINCT t, doc_b FROM fired
+)
+SELECT CAST(ts.t AS DOUBLE) AS threshold,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_docs_removed,
+       CAST(COALESCE(r.chars_saved, 0) AS BIGINT) AS chars_saved
+FROM ts
+LEFT JOIN (SELECT t, COUNT(*) AS n_pairs FROM fired GROUP BY t) p
+  ON p.t = ts.t
+LEFT JOIN (SELECT removed.t, COUNT(*) AS n_removed,
+                  SUM(lens.nch) AS chars_saved
+           FROM removed JOIN lens ON lens.doc_id = removed.doc_b
+           GROUP BY removed.t) r
+  ON r.t = ts.t
+ORDER BY threshold
+"""
+
+
+@register("pipeline_dedup_threshold_curve", oracle=THRESHOLD_CURVE_ORACLE)
+def pipeline_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup threshold operating curve over the capped 3-gram
+    Jaccard pair set (see oracle; same synthetic near-dup corpus and
+    posting-list cap as dedup_ngram_jaccard, cited there).
+
+    Scale shape: the pair set is computed ONCE with the same
+    bounded device (posting-list cap kills the quadratic boilerplate
+    blowup); the 5-threshold sweep joins a literal table against the
+    |pairs| relation and the removed-doc rollup — no corpus rescans.
+    At 100 TB the curve costs the same as one thresholded dedup run
+    plus domain-sized joins."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    near = (
+        docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" appended tail marker words")
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(near).persist()
+    toks = corpus.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams_all = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, 3)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    ).distinct()
+    keep = (
+        grams_all.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("gram")
+    )
+    grams = grams_all.join(F.broadcast(keep), "gram").persist()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("j"),
+        )
+        .persist()
+    )
+    ts = corpus.sparkSession.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "t double"
+    )
+    fired = ts.join(F.broadcast(scored), F.col("j") >= F.col("t")).select(
+        "t", "doc_a", "doc_b"
+    ).persist()
+    lens = corpus.select("doc_id", F.length("text").alias("nch"))
+    p = fired.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    removed = fired.select("t", "doc_b").distinct()
+    r = (
+        removed.join(
+            F.broadcast(lens.withColumnRenamed("doc_id", "doc_b")), "doc_b"
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("nch").alias("chars_saved"),
+        )
+    )
+    return (
+        ts.join(p, "t", "left")
+        .join(r, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            F.coalesce(F.col("chars_saved"), F.lit(0))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .orderBy("threshold")
+    )

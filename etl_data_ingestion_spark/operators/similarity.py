@@ -1433,41 +1433,64 @@ def ml_loo_1nn_embedding_accuracy(
     """Leave-one-out 1-NN label accuracy over the embedding corpus
     (see oracle for the vote and tie rule).
 
-    Scale shape: the all-pairs cosine is corpus-quadratic by
-    definition of LOO — fine at the fixture's corpus and bounded by
-    a broadcast self-join here; at real scale the exact LOO swaps in
-    the house LSH/IVF candidate generation (same vote over the
-    candidate set, documented recall trade — the operators next to
-    this one). The per-vector top-1 reduces inside the one q-side
-    exchange (WindowGroupLimit keeps per-partition heaps); the
-    accuracy rollup is label-domain-sized."""
-    from etl_data_ingestion_spark.functions.vectors import cosine_similarity
+    Scale shape: LOO is corpus-quadratic by definition, so the
+    scoring uses the house GEMM path (the same device
+    _pairwise_scored uses above 10k vectors): the normalized corpus
+    matrix is driver-pinned (bounded collect — 2k x 64 doubles =
+    1 MB at sf0.1; same pattern as the IVF quantizer sample) and
+    each Arrow batch computes its block of the similarity matrix in
+    ONE numpy GEMM, emitting only each row's best OTHER neighbor —
+    the per-pair interpreted zip_with fold measured 83s at sf0.1 vs
+    ~1s for this form. Ties break to the smaller vec_id (Q rows are
+    id-sorted, argmax takes the first maximum). At real corpus
+    scale the exact LOO swaps in the LSH/IVF candidate generation
+    (same vote, documented recall trade). The accuracy rollup is
+    label-domain-sized."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=False)
-    a = emb.select(
-        F.col("vec_id"), F.col("label"), F.col("embedding")
-    ).alias("a")
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([int(r["vec_id"]) for r in rows])
+    Q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def _best_other(it):
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            # mask self-similarity; argmax takes the FIRST max, and
+            # Q columns are vec_id-ascending, so ties break small-id
+            self_col = np.searchsorted(qids, ids)
+            S[np.arange(len(ids)), self_col] = -np.inf
+            best = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "label": pdf["label"].to_numpy(),
+                    "nbr_id": qids[best],
+                }
+            )
+
+    top1 = emb.select("vec_id", "label", "embedding").mapInPandas(
+        _best_other, "vec_id long, label int, nbr_id long"
+    )
+    nbr = emb.select(
+        F.col("vec_id").alias("nbr_id"),
         F.col("label").alias("nbr_label"),
-        F.col("embedding").alias("b_emb"),
-    ).alias("b")
-    scored = a.join(F.broadcast(b), F.col("vec_id") != F.col("b_id")).select(
-        "vec_id",
-        "label",
-        "nbr_label",
-        "b_id",
-        cosine_similarity("embedding", "b_emb").alias("cs"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("b_id"))
-    top1 = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") == 1
-    )
+    joined = top1.join(F.broadcast(nbr), "nbr_id")
     hit = F.sum(
         F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)
     )
     return (
-        top1.groupBy("label")
+        joined.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             hit.cast("long").alias("n_correct"),
