@@ -336,6 +336,9 @@ EXTENDED = [
     "events_cuped_adjusted_lift",
     "agg_lmoments_daily",
     "pipeline_dedup_threshold_curve",
+    # round 11 wave 36
+    "agg_ledoit_wolf_shrinkage",
+    "ml_power_analysis_two_prop",
 ]
 
 

@@ -4049,3 +4049,141 @@ def ml_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("crossing_day"),
         )
     )
+
+
+# ------------------------ wave 36: power analysis / sample size
+
+POWER_ORACLE = """
+-- Two-proportion power analysis from the OBSERVED experiment data:
+-- given the even/odd cohorts' measured conversion rates, how many
+-- users per arm would a FUTURE experiment need to detect this same
+-- lift at alpha=0.05 (two-sided) with 80% power, and what is the
+-- post-hoc power of the experiment we actually ran? The design
+-- companion of the z-test operator — the number every experiment
+-- review asks for next. Closed Normal-approximation forms with the
+-- z quantiles as pinned literals (1.959963984540054,
+-- 0.8416212335729143); all inputs are exact integer counts; the
+-- chain is fixed-order, snapped.
+WITH cells AS (
+  -- event-level rates (the z-test operator's framing): per-user
+  -- conversion saturates at 1.0 on this fixture (every user
+  -- purchases), which degenerates delta to 0 — found by the device
+  -- test at sf0.001 and stated here
+  SELECT user_id % 2 AS g,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), m AS (
+  SELECT MAX(CASE WHEN g = 0 THEN n END) AS n0,
+         MAX(CASE WHEN g = 0 THEN x END) AS x0,
+         MAX(CASE WHEN g = 1 THEN n END) AS n1,
+         MAX(CASE WHEN g = 1 THEN x END) AS x1
+  FROM cells
+), p AS (
+  SELECT n0, n1,
+         x0 * 1.0 / n0 AS p0, x1 * 1.0 / n1 AS p1,
+         (x0 + x1) * 1.0 / (n0 + n1) AS pbar
+  FROM m
+), f AS (
+  SELECT n0, n1, p0, p1,
+         ABS(p1 - p0) AS delta,
+         (1.959963984540054 * SQRT(2 * pbar * (1 - pbar))
+          + 0.8416212335729143
+            * SQRT(p0 * (1 - p0) + p1 * (1 - p1))) AS num,
+         SQRT(p0 * (1 - p0) / n0 + p1 * (1 - p1) / n1) AS se
+  FROM p
+)
+SELECT CAST(n0 + n1 AS BIGINT) AS n_events,
+       FLOOR(p0 * 1000000 + 0.5) / 1000000 AS rate_control,
+       FLOOR(p1 * 1000000 + 0.5) / 1000000 AS rate_treatment,
+       CASE WHEN delta > 0
+            THEN CAST(CEIL(num * num / (delta * delta)) AS BIGINT)
+            ELSE NULL END AS n_per_arm_for_80pct_power,
+       -- post-hoc power Phi(z), z = delta/se - z_alpha/2, via the
+       -- Abramowitz-Stegun 7.1.26 erf polynomial written IDENTICALLY
+       -- in both engines (Spark has no erf builtin; the only libm
+       -- call left is one exp, a single scalar under a 1e-4 snap)
+       FLOOR((0.5 * (1 + (CASE WHEN delta / se - 1.959963984540054 < 0
+                               THEN -1.0 ELSE 1.0 END)
+         * (1 - (0.254829592 * (1 / (1 + 0.3275911
+                * ABS(delta / se - 1.959963984540054) / 1.4142135623730951))
+               - 0.284496736 * POWER(1 / (1 + 0.3275911
+                * ABS(delta / se - 1.959963984540054) / 1.4142135623730951), 2)
+               + 1.421413741 * POWER(1 / (1 + 0.3275911
+                * ABS(delta / se - 1.959963984540054) / 1.4142135623730951), 3)
+               - 1.453152027 * POWER(1 / (1 + 0.3275911
+                * ABS(delta / se - 1.959963984540054) / 1.4142135623730951), 4)
+               + 1.061405429 * POWER(1 / (1 + 0.3275911
+                * ABS(delta / se - 1.959963984540054) / 1.4142135623730951), 5))
+              * EXP(-(ABS(delta / se - 1.959963984540054) / 1.4142135623730951)
+                    * (ABS(delta / se - 1.959963984540054) / 1.4142135623730951)))))
+             * 10000 + 0.5) / 10000 AS posthoc_power
+FROM f
+"""
+
+
+@register("ml_power_analysis_two_prop", oracle=POWER_ORACLE)
+def ml_power_analysis_two_prop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion sample-size requirement and post-hoc power
+    from the observed cohort rates (see oracle for the pinned
+    quantile literals).
+
+    Scale shape: ONE fact pass with map-side combine to four exact
+    counts; the design chain is one row. The erf-based
+    Normal CDF is a single scalar evaluation in each engine (libm
+    erf 1-ulp divergence sits under a 1e-4 snap on one value —
+    stated, same class as the circular operator's note)."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    cells = ev.groupBy((F.col("user_id") % 2).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    m = cells.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("x"))).alias("x1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    p0 = F.col("x0") * 1.0 / n0
+    p1 = F.col("x1") * 1.0 / n1
+    pbar = (F.col("x0") + F.col("x1")) * 1.0 / (n0 + n1)
+    delta = F.abs(p1 - p0)
+    za, zb = F.lit(1.959963984540054), F.lit(0.8416212335729143)
+    num = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
+        p0 * (1 - p0) + p1 * (1 - p1)
+    )
+    se = F.sqrt(p0 * (1 - p0) / n0 + p1 * (1 - p1) / n1)
+    z = delta / se - za
+    xa = F.abs(z) / F.lit(1.4142135623730951)
+    t = 1 / (1 + F.lit(0.3275911) * xa)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * F.pow(t, 2)
+        + F.lit(1.421413741) * F.pow(t, 3)
+        - F.lit(1.453152027) * F.pow(t, 4)
+        + F.lit(1.061405429) * F.pow(t, 5)
+    )
+    erf_abs = 1 - poly * F.exp(-xa * xa)
+    power = 0.5 * (
+        1 + F.when(z < 0, F.lit(-1.0)).otherwise(F.lit(1.0)) * erf_abs
+    )
+    return m.select(
+        (n0 + n1).cast("long").alias("n_events"),
+        (F.floor(p0 * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "rate_control"
+        ),
+        (F.floor(p1 * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "rate_treatment"
+        ),
+        F.when(
+            delta > 0, F.ceil(num * num / (delta * delta)).cast("long")
+        ).alias("n_per_arm_for_80pct_power"),
+        (F.floor(power * 10000 + F.lit(0.5)) / 10000).alias(
+            "posthoc_power"
+        ),
+    )

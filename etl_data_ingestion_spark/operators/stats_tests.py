@@ -2574,3 +2574,173 @@ def agg_lmoments_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_kurtosis"
         ),
     )
+
+
+# ------------------ wave 36: Ledoit-Wolf shrinkage intensity (5x5)
+
+LEDOIT_WOLF_ORACLE = """
+-- Ledoit-Wolf shrinkage intensity for the 5x5 covariance of the
+-- daily event-type count vector: how far should the sample
+-- covariance be pulled toward the scaled identity before anything
+-- downstream inverts it? With only |days| observations of a p=5
+-- vector the raw S is noisy, and LW gives the closed-form optimal
+-- blend weight — the regularization step in front of the Fisher
+-- LDA / Mahalanobis operators. EXACT device via two identities:
+-- SUM_t ||y_t y_t' - S||_F^2 = SUM_t (|y_t|^2)^2 - n*||S||_F^2 and
+-- ||S - mu*I||_F^2 = ||S||_F^2 - p*mu^2, so everything reduces to
+-- n-scaled integer moments: U_ti = n*x_ti - SUM_t x_ti, the 15
+-- cross sums C_ij = SUM_t U_ti*U_tj (exact BIGINT), and the
+-- per-day squared norms Q_t = SUM_i U_ti^2 whose squares sum WIDE
+-- (HUGEINT/decimal(38,0)). lambda* = min(1, bbar2/d2) is one
+-- snapped chain.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x4,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x5
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS t1, CAST(SUM(x2) AS BIGINT) AS t2,
+         CAST(SUM(x3) AS BIGINT) AS t3, CAST(SUM(x4) AS BIGINT) AS t4,
+         CAST(SUM(x5) AS BIGINT) AS t5
+  FROM daily
+), u AS (
+  SELECT n,
+         CAST(n * x1 - t1 AS BIGINT) AS u1,
+         CAST(n * x2 - t2 AS BIGINT) AS u2,
+         CAST(n * x3 - t3 AS BIGINT) AS u3,
+         CAST(n * x4 - t4 AS BIGINT) AS u4,
+         CAST(n * x5 - t5 AS BIGINT) AS u5
+  FROM daily, tot
+), m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(u1*u1) AS BIGINT) AS c11, CAST(SUM(u2*u2) AS BIGINT) AS c22,
+         CAST(SUM(u3*u3) AS BIGINT) AS c33, CAST(SUM(u4*u4) AS BIGINT) AS c44,
+         CAST(SUM(u5*u5) AS BIGINT) AS c55,
+         CAST(SUM(u1*u2) AS BIGINT) AS c12, CAST(SUM(u1*u3) AS BIGINT) AS c13,
+         CAST(SUM(u1*u4) AS BIGINT) AS c14, CAST(SUM(u1*u5) AS BIGINT) AS c15,
+         CAST(SUM(u2*u3) AS BIGINT) AS c23, CAST(SUM(u2*u4) AS BIGINT) AS c24,
+         CAST(SUM(u2*u5) AS BIGINT) AS c25, CAST(SUM(u3*u4) AS BIGINT) AS c34,
+         CAST(SUM(u3*u5) AS BIGINT) AS c35, CAST(SUM(u4*u5) AS BIGINT) AS c45,
+         SUM(CAST(u1*u1 + u2*u2 + u3*u3 + u4*u4 + u5*u5 AS HUGEINT)
+             * (u1*u1 + u2*u2 + u3*u3 + u4*u4 + u5*u5)) AS sq2
+  FROM u
+), f AS (
+  SELECT n,
+         (c11 + c22 + c33 + c44 + c55) * 1.0
+           / (n * 1.0 * n * n) / 5 AS mu,
+         (c11*1.0*c11 + c22*1.0*c22 + c33*1.0*c33 + c44*1.0*c44
+          + c55*1.0*c55
+          + 2 * (c12*1.0*c12 + c13*1.0*c13 + c14*1.0*c14 + c15*1.0*c15
+                 + c23*1.0*c23 + c24*1.0*c24 + c25*1.0*c25
+                 + c34*1.0*c34 + c35*1.0*c35 + c45*1.0*c45))
+           / (n*1.0*n*n * n*1.0*n*n) AS frob2,
+         sq2 * 1.0 / (n*1.0*n*n * n*1.0*n*n) AS sumq2
+  FROM m
+)
+-- bbar2 = (1/n^2) SUM_t ||y y' - S||^2 = SUM_t q_t^2 / n^2 - ||S||^2/n
+--       = sq2/n^6 - frob2/n   (q_t = Q_t/n^2, so SUM q^2 = sq2/n^4).
+-- The first cut divided by one extra n; caught by the dense
+-- brute-force device test, fixed in BOTH engines.
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR(mu * 1000000 + 0.5) / 1000000 AS mu_diag,
+       FLOOR((frob2 - 5 * mu * mu) * 1000000 + 0.5) / 1000000 AS d2,
+       FLOOR((sumq2 - frob2 / n) * 1000000 + 0.5) / 1000000
+         AS bbar2_uncapped,
+       FLOOR(LEAST(1.0, (sumq2 - frob2 / n)
+                        / (frob2 - 5 * mu * mu))
+             * 1000000 + 0.5) / 1000000 AS shrinkage_lambda
+FROM f
+"""
+
+
+@register("agg_ledoit_wolf_shrinkage", oracle=LEDOIT_WOLF_ORACLE)
+def agg_ledoit_wolf_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ledoit-Wolf shrinkage intensity for the daily count
+    covariance (see oracle for the two Frobenius identities that
+    make it exact).
+
+    Scale shape: facts collapse map-side to |days| x 5; the n-scaled
+    integer demeaning (same device as the KPSS operator) keeps every
+    moment exact — 15 BIGINT cross sums plus ONE WIDE sum of squared
+    norms; the lambda chain runs on one row. Nothing after the first
+    aggregation grows with the corpus."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    types = ["view", "click", "purchase", "signup", "error"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"x{i+1}")
+            for i, t in enumerate(types)
+        ]
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(f"x{i}").cast("long").alias(f"t{i}")
+            for i in range(1, 6)
+        ],
+    )
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        *[
+            (F.col("n") * F.col(f"x{i}") - F.col(f"t{i}"))
+            .cast("long")
+            .alias(f"u{i}")
+            for i in range(1, 6)
+        ],
+    )
+    us = [F.col(f"u{i}") for i in range(1, 6)]
+    qnorm = sum(ui * ui for ui in us)
+    aggs = [F.max("n").alias("n")]
+    for i in range(1, 6):
+        aggs.append(
+            F.sum(F.col(f"u{i}") * F.col(f"u{i}"))
+            .cast("long")
+            .alias(f"c{i}{i}")
+        )
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            aggs.append(
+                F.sum(F.col(f"u{i}") * F.col(f"u{j}"))
+                .cast("long")
+                .alias(f"c{i}{j}")
+            )
+    aggs.append(
+        F.sum(qnorm.cast("decimal(38,0)") * qnorm).alias("sq2")
+    )
+    m = u.agg(*aggs)
+    n = F.col("n")
+    n3 = n * 1.0 * n * n
+    diag = [F.col(f"c{i}{i}") for i in range(1, 6)]
+    offs = [
+        F.col(f"c{i}{j}") for i in range(1, 6) for j in range(i + 1, 6)
+    ]
+    mu = sum(diag[1:], diag[0]) * 1.0 / n3 / 5
+    frob2 = (
+        sum((c * 1.0 * c for c in diag[1:]), diag[0] * 1.0 * diag[0])
+        + 2 * sum((c * 1.0 * c for c in offs[1:]), offs[0] * 1.0 * offs[0])
+    ) / (n3 * n3)
+    sumq2 = F.col("sq2") * 1.0 / (n3 * n3)
+    d2 = frob2 - 5 * mu * mu
+    bbar2 = sumq2 - frob2 / n
+    return m.select(
+        n.cast("long").alias("n_days"),
+        (F.floor(mu * 1000000 + F.lit(0.5)) / 1000000).alias("mu_diag"),
+        (F.floor(d2 * 1000000 + F.lit(0.5)) / 1000000).alias("d2"),
+        (F.floor(bbar2 * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "bbar2_uncapped"
+        ),
+        (
+            F.floor(
+                F.least(F.lit(1.0), bbar2 / d2) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("shrinkage_lambda"),
+    )

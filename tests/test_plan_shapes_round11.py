@@ -111,3 +111,19 @@ def test_audit_keeps_still_fan_out(spark, sf_dir):
     plan = _plan(spark, "text_lang_bigram_score", sf_dir)
     assert "RoundRobinPartitioning" in plan, plan[:2000]
     spark.catalog.clearCache()
+
+
+def test_loo_1nn_uses_gemm_not_fold(spark, sf_dir):
+    """The wave-35 rewrite replaced the interpreted all-pairs
+    zip_with cosine fold (83s at sf0.1) with one GEMM per Arrow
+    batch: the plan must carry a Python map stage (MapInPandas /
+    ArrowEvalPython) and must NOT contain the broadcast
+    nested-loop self-join + aggregate-fold shape the old form
+    compiled to."""
+    from etl_data_ingestion_spark.plans import registry as reg
+
+    df = reg.QUERIES["ml_loo_1nn_embedding_accuracy"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "zip_with" not in plan, plan[:2000]
