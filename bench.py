@@ -339,6 +339,9 @@ EXTENDED = [
     # round 11 wave 36
     "agg_ledoit_wolf_shrinkage",
     "ml_power_analysis_two_prop",
+    # round 11 wave 37
+    "timeseries_turning_points_test",
+    "timeseries_peak_prominence",
 ]
 
 

@@ -4069,3 +4069,241 @@ def timeseries_kpss_stationarity(
         n.cast("long").alias("n_days"),
         (F.floor(eta * 1000000 + F.lit(0.5)) / 1000000).alias("kpss_eta"),
     )
+
+
+# -------------------- wave 37: turning-points test + peak prominence
+
+TURNING_POINTS_ORACLE = """
+-- Turning-points test for serial randomness of daily revenue: count
+-- interior days that are strict local extrema (peak or trough); in
+-- an i.i.d. series T ~ Normal(2(n-2)/3, (16n-29)/90), so the
+-- z-score flags smoothness (too few turns: trending/autocorrelated)
+-- or oscillation (too many: alternating). Complements the runs
+-- test (median crossings) and ACF (linear memory) with the
+-- local-extrema reading. EXACT device: extrema are strict integer
+-- comparisons via LAG/LEAD on the day table (ties break NO turn —
+-- stated); T is an exact count and z is one snapped chain.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), w AS (
+  SELECT y,
+         LAG(y) OVER (ORDER BY d) AS yp,
+         LEAD(y) OVER (ORDER BY d) AS yn
+  FROM daily
+), t AS (
+  SELECT COUNT(*) + 2 AS n,
+         CAST(SUM(CASE WHEN (y > yp AND y > yn)
+                         OR (y < yp AND y < yn)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS turns
+  FROM w WHERE yp IS NOT NULL AND yn IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       turns AS n_turning_points,
+       FLOOR(2.0 * (n - 2) / 3 * 10000 + 0.5) / 10000 AS expected,
+       FLOOR((turns - 2.0 * (n - 2) / 3)
+             / SQRT((16.0 * n - 29) / 90) * 10000 + 0.5) / 10000
+         AS z_score
+FROM t
+"""
+
+
+@register("timeseries_turning_points_test", oracle=TURNING_POINTS_ORACLE)
+def timeseries_turning_points_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Turning-points randomness test on daily revenue (see oracle).
+
+    Scale shape: facts collapse map-side to |days|; LAG/LEAD on the
+    calendar-bounded day table; one exact count and one snapped
+    chain."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    mid = daily.select(
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    ).filter(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+    y, yp, yn = F.col("y"), F.col("yp"), F.col("yn")
+    t = mid.agg(
+        (F.count(F.lit(1)) + 2).alias("n"),
+        F.sum(
+            F.when(((y > yp) & (y > yn)) | ((y < yp) & (y < yn)), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("turns"),
+    )
+    n, turns = F.col("n"), F.col("turns")
+    exp_ = 2.0 * (n - 2) / 3
+    z = (turns - exp_) / F.sqrt((16.0 * n - 29) / 90)
+    return t.select(
+        n.cast("long").alias("n_days"),
+        turns.alias("n_turning_points"),
+        (F.floor(exp_ * 10000 + F.lit(0.5)) / 10000).alias("expected"),
+        (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z_score"),
+    )
+
+
+PEAK_PROMINENCE_ORACLE = """
+-- Topographic peak prominence of daily revenue: for each STRICT
+-- interior local maximum, how far does it rise above the highest
+-- saddle connecting it to higher ground? The signal-processing
+-- peak-picking criterion (a 'spike' flagged by z-score operators
+-- may be a foothill of a bigger move; prominence separates real
+-- peaks from shoulders). Convention stated: plateaus are not peaks
+-- (strict > on both sides); on a side with no strictly higher day,
+-- the reference extent runs to that end of the series. EXACT
+-- device: peaks via LAG/LEAD; nearest-higher boundaries and the
+-- saddle minima are exact integer aggregations over day-domain
+-- range joins (calendar-quadratic family); prominence = height -
+-- GREATEST(min_left, min_right). Top-5 by (prominence, day).
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, d, y FROM daily
+), peaks AS (
+  SELECT i, d, y FROM (
+    SELECT i, d, y,
+           LAG(y) OVER (ORDER BY i) AS yp,
+           LEAD(y) OVER (ORDER BY i) AS yn
+    FROM idx
+  ) WHERE yp IS NOT NULL AND yn IS NOT NULL AND y > yp AND y > yn
+), bounds AS (
+  SELECT p.i, p.d, p.y,
+         COALESCE(MAX(CASE WHEN o.i < p.i AND o.y > p.y
+                           THEN o.i END), 0) AS bl,
+         COALESCE(MIN(CASE WHEN o.i > p.i AND o.y > p.y
+                           THEN o.i END),
+                  (SELECT MAX(i) + 1 FROM idx)) AS br
+  FROM peaks p CROSS JOIN idx o
+  GROUP BY p.i, p.d, p.y
+), saddles AS (
+  SELECT b.i, b.d, b.y,
+         MIN(CASE WHEN o.i > b.bl AND o.i < b.i THEN o.y END) AS min_l,
+         MIN(CASE WHEN o.i > b.i AND o.i < b.br THEN o.y END) AS min_r
+  FROM bounds b CROSS JOIN idx o
+  GROUP BY b.i, b.d, b.y, b.bl, b.br
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       FLOOR(y / 100.0 * 100 + 0.5) / 100 AS height_dollars,
+       FLOOR((y - GREATEST(min_l, min_r)) / 100.0 * 100 + 0.5) / 100
+         AS prominence_dollars
+FROM saddles
+ORDER BY y - GREATEST(min_l, min_r) DESC, day LIMIT 5
+"""
+
+
+@register("timeseries_peak_prominence", oracle=PEAK_PROMINENCE_ORACLE)
+def timeseries_peak_prominence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 daily-revenue peaks by topographic prominence (see
+    oracle for the convention).
+
+    Scale shape: facts collapse map-side to |days|; peak detection
+    is LAG/LEAD on the day table; the nearest-higher boundaries and
+    saddle minima are day-domain crossJoin aggregations (the
+    Mann-Kendall calendar-quadratic family — bounded by the
+    calendar, never by facts); the final ranking sorts <= |days|/2
+    peaks."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        F.row_number().over(w).alias("i"), "d", "y"
+    ).persist()
+    peaks = (
+        idx.select(
+            "i",
+            "d",
+            "y",
+            F.lag("y").over(Window.orderBy("i")).alias("yp"),
+            F.lead("y").over(Window.orderBy("i")).alias("yn"),
+        )
+        .filter(
+            F.col("yp").isNotNull()
+            & F.col("yn").isNotNull()
+            & (F.col("y") > F.col("yp"))
+            & (F.col("y") > F.col("yn"))
+        )
+        .select("i", "d", "y")
+    )
+    o = idx.select(
+        F.col("i").alias("oi"), F.col("y").alias("oy")
+    )
+    nmax = idx.agg((F.max("i") + 1).alias("nmax"))
+    bounds = (
+        peaks.crossJoin(F.broadcast(o))
+        .groupBy("i", "d", "y")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("oi") < F.col("i"))
+                        & (F.col("oy") > F.col("y")),
+                        F.col("oi"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("bl"),
+            F.min(
+                F.when(
+                    (F.col("oi") > F.col("i"))
+                    & (F.col("oy") > F.col("y")),
+                    F.col("oi"),
+                )
+            ).alias("br_raw"),
+        )
+        .crossJoin(F.broadcast(nmax))
+        .select(
+            "i",
+            "d",
+            "y",
+            "bl",
+            F.coalesce(F.col("br_raw"), F.col("nmax")).alias("br"),
+        )
+    )
+    saddles = (
+        bounds.crossJoin(F.broadcast(o))
+        .groupBy("i", "d", "y")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("oi") > F.col("bl")) & (F.col("oi") < F.col("i")),
+                    F.col("oy"),
+                )
+            ).alias("min_l"),
+            F.min(
+                F.when(
+                    (F.col("oi") > F.col("i")) & (F.col("oi") < F.col("br")),
+                    F.col("oy"),
+                )
+            ).alias("min_r"),
+        )
+    )
+    prom = F.col("y") - F.greatest("min_l", "min_r")
+    # prominence is exact integer CENTS, so /100 loses nothing and
+    # ordering by the published dollars equals ordering by the exact
+    # value (the oracle's ORDER BY is the same quantity)
+    return (
+        saddles.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (
+                F.floor(F.col("y") / 100.0 * 100 + F.lit(0.5)) / 100
+            ).alias("height_dollars"),
+            (F.floor(prom / 100.0 * 100 + F.lit(0.5)) / 100).alias(
+                "prominence_dollars"
+            ),
+        )
+        .orderBy(F.desc("prominence_dollars"), "day")
+        .limit(5)
+    )

@@ -155,10 +155,10 @@ CHECK_ORDER: list[str] = [
     # construction), verified by the full sf0.01 parity sweep
     # + vanilla-session driver-contract runs this round; they
     # do NOT consume slots.
-    # Round-11 continuation ALSO added waves 28-34 (+32 new
-    # queries, 388 -> 420); they enter the never-checked cohort
+    # Round-11 continuation ALSO added waves 28-37 (+39 new
+    # queries, 388 -> 427); they enter the never-checked cohort
     # behind this queue in registration order — the r12 recut
-    # should burn the 20 r3 first, then as many of the 32 new
+    # should burn the 20 r3 first, then as many of the 39 new
     # as fit, with the remainder leading r13.
     "stream_stateful_sessions",
     "text_c4_line_filter",
