@@ -1718,7 +1718,15 @@ def pipeline_dedup_threshold_curve(
     blowup); the 5-threshold sweep joins a literal table against the
     |pairs| relation and the removed-doc rollup — no corpus rescans.
     At 100 TB the curve costs the same as one thresholded dedup run
-    plus domain-sized joins."""
+    plus domain-sized joins.
+
+    Round-12: the single-use `scored` persist is dropped; an AQE
+    gate + eager-materialization variant was built and
+    interleave-A/B'd at sf0.1 — a wash (4.00 vs 4.01 min-of-4), so
+    the gate was NOT kept (plan complexity must buy a measured
+    win). The remaining gap to the oracle is decomposed in
+    PLANS.md: a ~15-stage chain of tiny broadcast joins pays the
+    per-job/per-stage floor, not data costs."""
     docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     near = (
@@ -1775,7 +1783,6 @@ def pipeline_dedup_threshold_curve(
                 F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
             ).alias("j"),
         )
-        .persist()
     )
     ts = corpus.sparkSession.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "t double"

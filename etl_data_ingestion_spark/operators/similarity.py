@@ -18,6 +18,8 @@ Scale ladder:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1405,12 +1407,16 @@ LOO_1NN_ORACLE = """
 -- votes; per-label accuracy exposes which classes bleed together.
 -- Ties on cosine break on the smaller neighbor id (the house ANN
 -- tie rule).
+-- The rank key is the cosine SNAPPED to 1e-9 (same snap as the
+-- Spark GEMM side): near-ties within 1e-9 resolve on vec_id in
+-- BOTH engines instead of on each engine's last-ulp rounding.
 WITH scored AS (
   SELECT a.vec_id, a.label,
          b.label AS nbr_label,
          ROW_NUMBER() OVER (
            PARTITION BY a.vec_id
-           ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+           ORDER BY FLOOR(list_cosine_similarity(a.embedding, b.embedding)
+                          * 1000000000 + 0.5)
                     DESC, b.vec_id
          ) AS rnk
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -1435,35 +1441,54 @@ def ml_loo_1nn_embedding_accuracy(
 
     Scale shape: LOO is corpus-quadratic by definition, so the
     scoring uses the house GEMM path (the same device
-    _pairwise_scored uses above 10k vectors): the normalized corpus
-    matrix is driver-pinned (bounded collect — 2k x 64 doubles =
-    1 MB at sf0.1; same pattern as the IVF quantizer sample) and
-    each Arrow batch computes its block of the similarity matrix in
-    ONE numpy GEMM, emitting only each row's best OTHER neighbor —
-    the per-pair interpreted zip_with fold measured 83s at sf0.1 vs
-    ~1s for this form. Ties break to the smaller vec_id (Q rows are
-    id-sorted, argmax takes the first maximum). At real corpus
+    _pairwise_scored uses above 10k vectors): each Arrow batch
+    computes its block of the similarity matrix in ONE numpy GEMM,
+    emitting only each row's best OTHER neighbor — the per-pair
+    interpreted zip_with fold measured 83s at sf0.1 vs ~1s for this
+    form. The corpus matrix is loaded LAZILY, executor-side, by a
+    direct pyarrow read of the embeddings parquet inside the
+    mapInPandas closure (r12 advisor fix: the previous driver-side
+    collect ran eagerly at DataFrame-construction time, so every
+    plan build — explain, registration sweep — paid it; now nothing
+    runs until the plan executes, and with parallel=False the
+    single task reads the 1 MB file once). Still a corpus-sized
+    in-memory matrix, i.e. a bounded-corpus device: at real corpus
     scale the exact LOO swaps in the LSH/IVF candidate generation
-    (same vote, documented recall trade). The accuracy rollup is
-    label-domain-sized."""
+    (same vote, documented recall trade; README lists this as a
+    deliberate exception).
+
+    Tie rule: similarities are SNAPPED to 1e-9 before the argmax
+    (matching the oracle's FLOOR(cos*1e9+0.5) rank key), so
+    near-ties resolve on the smaller vec_id in both engines rather
+    than on last-ulp libm rounding (Q columns are vec_id-ascending,
+    argmax takes the first maximum). Residual assumption, same as
+    the house cent-snap (stats_tests.py module docstring): the two
+    engines' doubles agree to well under the 1e-9 snap width except
+    exactly at a snap boundary."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=False)
-    rows = sorted(
-        emb.select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    qids = np.array([int(r["vec_id"]) for r in rows])
-    Q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
 
     def _best_other(it):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        qids = tbl["vec_id"].to_numpy()
+        order = np.argsort(qids, kind="stable")
+        qids = qids[order]
+        Q = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in tbl["embedding"].to_pylist()
+            ]
+        )[order]
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         for pdf in it:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = Xn @ Qn.T
+            S = np.floor(Xn @ Qn.T * 1e9 + 0.5)
             ids = pdf["vec_id"].to_numpy()
             # mask self-similarity; argmax takes the FIRST max, and
             # Q columns are vec_id-ascending, so ties break small-id

@@ -16,6 +16,24 @@ waves applies throughout:
 - the final scalar chain is written as the SAME fixed-order IEEE
   expression in the operator and its oracle, snapped with the floor
   device at a fixed scale.
+
+On the FLOOR(x*scale + 0.5) snap device (stated once here rather
+than per operator — this is the house-wide assumption every
+cent-snap and output-snap in the repo relies on): the snapped input
+is a partition-order-dependent double sum, so a value landing
+within one ulp of a half-unit boundary could floor differently in
+the two engines (or across Spark shuffle orders). The device does
+not remove that residual nondeterminism; it narrows it to the
+measure-zero boundary set. The repo's mitigations, in order of
+preference: (1) sum exact INTEGERS upstream (cents, counts,
+2x-scaled ranks) so the snapped quantity is order-free and the
+snap is exact — the stats waves do this everywhere a sufficient
+statistic allows; (2) where a double sum is unavoidable (revenue
+aggregates feeding a ratio), snap at a scale coarse enough that
+both engines' sums agree to well under half a unit at every sweep
+scale — verified empirically by the 5-scale parity sweep, not
+proven; a boundary hit would surface as a hash mismatch there
+first. No operator treats the snap as a proof.
 """
 
 from __future__ import annotations
@@ -1751,7 +1769,7 @@ def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for the method-of-moments device).
 
     Scale shape: ONE fact pass collapses to |days| map-side, a
-    domain aggregation to |months| maxima, and the fit is a 1-row
+    domain aggregation to |weeks| maxima, and the fit is a 1-row
     chain on three exact sufficient statistics (mx*mx summed WIDE —
     Spark decimal(38,0), DuckDB HUGEINT). At 100 TB nothing after
     the first partial aggregation grows; the integer-to-double

@@ -74,92 +74,95 @@ def register(name: str, oracle: Optional[str] = None):
 # START remain never-checked, and the r2 cohort is 2. Round 10 ALSO
 # added 20 new queries (waves 24-27) — new evidence debt, ledgered
 # in COVERAGE.md.
-# ROUND-11 RECUT (executed; see window comments inside the list):
-#   7 changed-code slots + 2 r2 (cohort -> 0) + 18 never-checked
-#   (cohort -> 0) + 23 oldest r3. After this window nothing r2-era
-#   remains and no query has never been checked; the remaining r3
-#   cohort leads round 12.
+# ROUND-11 RECUT (executed): 7 changed-code slots + 2 r2 (cohort
+#   -> 0) + 18 never-checked (cohort -> 0) + 23 oldest r3 — all
+#   50/50 green (CORRECTNESS_r11).
+# ROUND-12 RECUT (exactly the r11 verdict's prescription #1, with
+# the judge's ordering — changed code, then the 39 never-checked
+# wave-28..37 additions, then oldest r3 to fill 50):
+#   slots 1-2    the round-12 rewrites of queries that already
+#                carry verdicts (changed code must not coast —
+#                the displacement rule every round since r9):
+#                graph_assortativity (degree-moment algebraic
+#                collapse: -14..33% A/B'd), graph_community_
+#                modularity (contingency-table fusion: -3%).
+#                graph_pagerank_bipartite and graph_rich_club_
+#                coefficient were ALSO rewritten but their
+#                rewrites measured SLOWER in interleaved A/Bs
+#                (single-checkpoint fusion +20%; basket pair
+#                build +74% at sf1) and were REVERTED to the r11
+#                code — docstring-only diffs keep their verdicts;
+#   slots 3-41   the 39 wave-28..37 queries, in wave order —
+#                the cohort that has NEVER had a driver verdict
+#                burns to zero. TWO of them are also round-12
+#                changed code, so their first-ever verdicts cover
+#                the post-change form: ml_loo_1nn_embedding_
+#                accuracy (lazy executor-side corpus load + 1e-9
+#                similarity snap, advisor item),
+#                pipeline_dedup_threshold_curve (single-use
+#                persist dropped; gate variant rejected as a
+#                wash);
+#   slots 42-50  the 9 oldest r3-era refreshes from the standing
+#                queue.
+# After this window: never-checked = 0 again; 12 r3-era remain
+# (trailing queue below) and lead round 13 together with the 56
+# plan-only fan-out flips + 2 AQE-gate changes from round 11
+# (queued per the r11 verdict's #5 — plan-only, value-safe by
+# construction and sweep-verified, but changed plans should get
+# driver re-verdicts once the never-checked cohort is burned).
 CHECK_ORDER: list[str] = [
-    # slots 1-7: round-11 changed code first (the displacement
-    # rule every round since r9). Slot 1 is the one VALUE-
-    # affecting change (bounce-rate (ts,event_id) tie-break,
-    # advisor medium); 2-5 are the round-11 plan rewrites
-    # (item_cf AQE-gate+persist-count, kcore action fusion,
-    # repeated-lines broadcast boilerplate, naive-bayes one-
-    # scan pivot-argmax); 6-7 carry the decimal(38,0) cross-
-    # moment widening. bounce_rate and ridge are ALSO two of
-    # the 20 never-checked wave-24..27 queries, so their
-    # first-ever verdicts cover the post-change code.
-    "events_bounce_rate_by_entry",
-    "ml_item_item_cf",
-    "graph_kcore_peel",
-    "dedup_repeated_lines_corpus",
-    "pipeline_naive_bayes_spam",
-    "ml_ols_normal_equations",
-    "ml_ridge_normal_equations",
-    # slots 8-9: the r2-era cohort burns to ZERO
-    "subquery_in_high_qty",
-    "subquery_not_exists_customers",
-    # slots 10-27: the remaining 18 never-checked wave-24..27
-    # queries (never-checked cohort burns to zero again)
-    "agg_levene_variance_homogeneity",
-    "agg_jarque_bera_normality",
-    "agg_cramers_v",
-    "graph_ktruss_edge_support",
-    "events_exp_gap_fit",
-    "text_word_burstiness",
-    "timeseries_spectral_entropy",
-    "window_hampel_outliers",
-    "agg_mann_kendall_trend",
-    "agg_wilcoxon_signed_rank",
-    "agg_robust_moments_octiles",
-    "text_yule_k",
-    "pipeline_neyman_allocation",
-    "quality_l_diversity",
-    "events_decayed_engagement",
-    "agg_grubbs_outlier",
-    "timeseries_var_expected_shortfall",
-    "agg_hodges_lehmann_shift",
-    # slots 28-50: the 23 oldest r3-era verdicts from the
-    # standing queue
-    "agg_heavy_hitters_countmin",
-    "agg_hll_partitioned_union",
-    "dedup_incremental_new_docs",
-    "dedup_semantic_clusters",
-    "embedding_l2_quantize",
-    "multimodal_binary_metadata",
-    "multimodal_byte_entropy",
-    "pipeline_chunk_documents",
-    "pipeline_domain_mixture_weights",
-    "profile_table_stats",
-    "scalar_math_funcs",
-    "scan_binary_files",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_parquet_schema_evolution",
-    "scan_text_lines",
-    "setop_except_all",
-    "setop_intersect_all",
-    "stream_interval_join",
-    "stream_late_data_accounting",
-    "stream_session_window_30m",
-    "stream_sliding_hourly_30m",
-    # ---- end of the 50-slot window ----
-    # trailing = the round-12 standing queue, oldest-first:
-    # the 20 remaining r3-era verdicts, then the r4 cohort
-    # in registration order. NOTE the deviation from the r10
-    # verdict's arithmetic (hoped <=15 r3 left; actual 20):
-    # 7 slots went to round-11 changed code. The 56 audit
-    # fan-out flips are plan-only (values identical by
-    # construction), verified by the full sf0.01 parity sweep
-    # + vanilla-session driver-contract runs this round; they
-    # do NOT consume slots.
-    # Round-11 continuation ALSO added waves 28-37 (+39 new
-    # queries, 388 -> 427); they enter the never-checked cohort
-    # behind this queue in registration order — the r12 recut
-    # should burn the 20 r3 first, then as many of the 39 new
-    # as fit, with the remainder leading r13.
+    # slots 1-2: round-12 changed code with existing verdicts
+    "graph_assortativity",
+    "graph_community_modularity",
+    # slots 3-7: wave 28
+    "quality_t_closeness",
+    "pipeline_train_test_split_hash",
+    "timeseries_ewma_crossover",
+    "text_mattr_lexical_diversity",
+    "ml_roc_curve_points",
+    # slots 9-18: waves 29-30
+    "agg_friedman_test",
+    "agg_cronbach_alpha",
+    "ml_decision_stump_gini",
+    "timeseries_permutation_entropy",
+    "graph_rich_club_coefficient",
+    "agg_gumbel_block_maxima",
+    "agg_cochran_q_test",
+    "ml_fisher_lda_closed_form",
+    "timeseries_sample_entropy",
+    "quality_functional_dependencies",
+    # slots 19-23: wave 31
+    "timeseries_engle_granger_coint",
+    "ml_jackknife_ratio_variance",
+    "agg_capture_recapture_chapman",
+    "ml_poisson_deviance",
+    "text_burrows_delta",
+    # slots 24-27: wave 32
+    "timeseries_kpss_stationarity",
+    "ml_loo_1nn_embedding_accuracy",
+    "ml_empirical_bayes_shrinkage",
+    "ml_conformal_interval_coverage",
+    # slots 28-31: wave 33
+    "ml_logrank_test",
+    "agg_energy_distance_weekend",
+    "agg_circular_hour_stats",
+    "events_post_stratified_lift",
+    # slots 32-35: wave 34
+    "ml_xi_correlation",
+    "agg_tail_dependence_extremes",
+    "agg_partial_correlation",
+    "ml_sprt_sequential_test",
+    # slots 36-38: wave 35
+    "events_cuped_adjusted_lift",
+    "agg_lmoments_daily",
+    "pipeline_dedup_threshold_curve",
+    # slots 39-40: wave 36
+    "agg_ledoit_wolf_shrinkage",
+    "ml_power_analysis_two_prop",
+    # slots 41-42: wave 37
+    "timeseries_turning_points_test",
+    "timeseries_peak_prominence",
+    # slots 42-50: the 9 oldest r3-era refreshes
     "stream_stateful_sessions",
     "text_c4_line_filter",
     "text_gopher_quality_rules",
@@ -169,6 +172,13 @@ CHECK_ORDER: list[str] = [
     "timeseries_zscore_outliers",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
+    # ---- end of the 50-slot window ----
+    # trailing = the round-13 standing queue, oldest-first: the
+    # 12 remaining r3-era verdicts, then the r4 cohort in
+    # registration order. ALSO queued for r13 (do not coast):
+    # driver re-verdicts for the 56 round-11 fan-out flips and
+    # the 2 AQE-gate eager-materialization changes — plan-only,
+    # locally parity-verified, zero driver rows on the new plans.
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue",
     "tpch_q1_pricing_summary",
