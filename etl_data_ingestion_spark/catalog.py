@@ -197,7 +197,7 @@ def table_path(sf_dir: str, name: str) -> str:
 @contextlib.contextmanager
 def small_fact_aqe_gate(
     spark: SparkSession, sf_dir: str, table: str = "lineitem",
-    threshold: int = 2_000_000_000,
+    threshold: int = 2_000_000_000, scale_shuffle: bool = False,
 ):
     """AQE gate for iterative / multi-consumer small-input queries
     (extracted from graph_kcore_peel's round-10 device, generalized in
@@ -231,7 +231,9 @@ def small_fact_aqe_gate(
         return total if total > 0 else 1 << 60
 
     aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(aqe_key, "true")
+    prev_parts = None
     try:
         fact_bytes = _tree_bytes(table_path(sf_dir, table))
     except OSError:
@@ -239,11 +241,32 @@ def small_fact_aqe_gate(
     toggle = fact_bytes < threshold and prev == "true"
     if toggle:
         spark.conf.set(aqe_key, "false")
+        # Opt-in (round 12): with AQE off there is no runtime
+        # coalescing, so a tiny fact under the static 32-partition
+        # default pays 32 shuffle tasks per Exchange for kilobyte
+        # partitions. Size the static partition count A PRIORI from
+        # the known fact footprint (~4 MiB of input per partition,
+        # never above the session default, floor 8): item_cf
+        # interleaved A/B measured 1.46 -> 1.24s at sf0.1 (10.8 MB
+        # -> 8 partitions) while sf1 (137 MB) derives the session
+        # default and measures stock — the override self-retires as
+        # data grows, which is the cluster-scale-safe direction.
+        if scale_shuffle and fact_bytes < (1 << 59):
+            try:
+                default_parts = int(spark.conf.get(parts_key, "32"))
+            except ValueError:
+                default_parts = 32
+            sized = max(8, min(default_parts, fact_bytes // (4 << 20)))
+            if sized < default_parts:
+                prev_parts = spark.conf.get(parts_key)
+                spark.conf.set(parts_key, str(sized))
     try:
         yield toggle
     finally:
         if toggle:
             spark.conf.set(aqe_key, prev)
+            if prev_parts is not None:
+                spark.conf.set(parts_key, prev_parts)
 
 
 def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:

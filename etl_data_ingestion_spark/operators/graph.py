@@ -615,7 +615,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedes the first persist() and the collect runs inside it.
     from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
 
-    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem", scale_shuffle=True):
         li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
             "l_orderkey", "l_suppkey"
         )
@@ -750,7 +750,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
     from etl_data_ingestion_spark.functions.numeric import snap
 
-    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem", scale_shuffle=True):
         li = load_table(spark, sf_dir, "lineitem", parallel=False).select(
             "l_orderkey", "l_suppkey"
         )

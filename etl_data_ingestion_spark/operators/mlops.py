@@ -1894,7 +1894,7 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_kcore_peel."""
     from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
 
-    with small_fact_aqe_gate(spark, sf_dir, "lineitem"):
+    with small_fact_aqe_gate(spark, sf_dir, "lineitem", scale_shuffle=True):
         li = load_table(spark, sf_dir, "lineitem")
         baskets = (
             li.groupBy("l_orderkey")

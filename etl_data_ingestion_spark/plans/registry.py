@@ -80,19 +80,24 @@ def register(name: str, oracle: Optional[str] = None):
 # ROUND-12 RECUT (exactly the r11 verdict's prescription #1, with
 # the judge's ordering — changed code, then the 39 never-checked
 # wave-28..37 additions, then oldest r3 to fill 50):
-#   slots 1-2    the round-12 rewrites of queries that already
+#   slots 1-4    the round-12 rewrites of queries that already
 #                carry verdicts (changed code must not coast —
 #                the displacement rule every round since r9):
 #                graph_assortativity (degree-moment algebraic
-#                collapse: -14..33% A/B'd), graph_community_
-#                modularity (contingency-table fusion: -3%).
+#                collapse -14..33% A/B'd, + scale_shuffle gate),
+#                graph_community_modularity (contingency-table
+#                fusion -3%), graph_kcore_peel and ml_item_item_cf
+#                (gate scale_shuffle=True — a priori static
+#                shuffle-partition sizing from the fact footprint;
+#                kcore 7.9 -> 4.4s, item_cf 1.46 -> 1.28s
+#                interleaved at sf0.1, self-retiring at sf1).
 #                graph_pagerank_bipartite and graph_rich_club_
 #                coefficient were ALSO rewritten but their
 #                rewrites measured SLOWER in interleaved A/Bs
 #                (single-checkpoint fusion +20%; basket pair
 #                build +74% at sf1) and were REVERTED to the r11
 #                code — docstring-only diffs keep their verdicts;
-#   slots 3-41   the 39 wave-28..37 queries, in wave order —
+#   slots 5-43   the 39 wave-28..37 queries, in wave order —
 #                the cohort that has NEVER had a driver verdict
 #                burns to zero. TWO of them are also round-12
 #                changed code, so their first-ever verdicts cover
@@ -102,7 +107,7 @@ def register(name: str, oracle: Optional[str] = None):
 #                pipeline_dedup_threshold_curve (single-use
 #                persist dropped; gate variant rejected as a
 #                wash);
-#   slots 42-50  the 9 oldest r3-era refreshes from the standing
+#   slots 44-50  the 7 oldest r3-era refreshes from the standing
 #                queue.
 # After this window: never-checked = 0 again; 12 r3-era remain
 # (trailing queue below) and lead round 13 together with the 56
@@ -111,10 +116,12 @@ def register(name: str, oracle: Optional[str] = None):
 # construction and sweep-verified, but changed plans should get
 # driver re-verdicts once the never-checked cohort is burned).
 CHECK_ORDER: list[str] = [
-    # slots 1-2: round-12 changed code with existing verdicts
+    # slots 1-4: round-12 changed code with existing verdicts
     "graph_assortativity",
     "graph_community_modularity",
-    # slots 3-7: wave 28
+    "graph_kcore_peel",
+    "ml_item_item_cf",
+    # slots 5-9: wave 28
     "quality_t_closeness",
     "pipeline_train_test_split_hash",
     "timeseries_ewma_crossover",
@@ -162,7 +169,7 @@ CHECK_ORDER: list[str] = [
     # slots 41-42: wave 37
     "timeseries_turning_points_test",
     "timeseries_peak_prominence",
-    # slots 42-50: the 9 oldest r3-era refreshes
+    # slots 44-50: the 7 oldest r3-era refreshes
     "stream_stateful_sessions",
     "text_c4_line_filter",
     "text_gopher_quality_rules",
@@ -170,8 +177,6 @@ CHECK_ORDER: list[str] = [
     "text_repetition_stats",
     "timeseries_gap_fill_hourly",
     "timeseries_zscore_outliers",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
     # ---- end of the 50-slot window ----
     # trailing = the round-13 standing queue, oldest-first: the
     # 12 remaining r3-era verdicts, then the r4 cohort in
@@ -179,6 +184,8 @@ CHECK_ORDER: list[str] = [
     # driver re-verdicts for the 56 round-11 fan-out flips and
     # the 2 AQE-gate eager-materialization changes — plan-only,
     # locally parity-verified, zero driver rows on the new plans.
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue",
     "tpch_q1_pricing_summary",
