@@ -342,6 +342,12 @@ EXTENDED = [
     # round 11 wave 37
     "timeseries_turning_points_test",
     "timeseries_peak_prominence",
+    # round 12 wave 38
+    "agg_wasserstein_weekend",
+    "agg_cramer_von_mises_weekend",
+    "agg_durbin_watson_daily",
+    "text_good_turing_estimates",
+    "ml_km_survival_curve",
 ]
 
 

@@ -4187,3 +4187,122 @@ def ml_power_analysis_two_prop(
             "posthoc_power"
         ),
     )
+
+
+KM_CURVE_ORACLE = """
+-- Kaplan-Meier survival curve of customer lifetime (first to last
+-- order), right-censored at the dataset horizon: customers whose
+-- last order is within 90 days of the horizon are censored (still
+-- alive), others' lifetimes ended (churn). The DESCRIPTIVE
+-- companion of ml_logrank_test (which compares two cohorts but
+-- publishes no curve): S(t) = prod_{t_i <= t} (1 - d_i / n_i) at
+-- each distinct event time, n_i = at-risk = subjects with
+-- lifetime >= t_i. EXACT-PARITY device: d and n are exact integers
+-- from a suffix-sum over the grouped lifetime table; each log term
+-- ln(1 - d/n) is snapped to 1e-9 BEFORE the cumulative sum (the
+-- order-free-sum rule, and the cross-libm bound is paid once per
+-- EVENT TIME — a domain, not the corpus); the exp is snapped at
+-- 1e-6 on <=30 published rows (the circular-stats domain-snap
+-- stance). d = n (everyone at risk dies) maps to a -100 log
+-- sentinel -> survival 0, identically in both engines (Spark's
+-- ln(0) is NULL while DuckDB's is -inf, so the sentinel replaces
+-- the divergent builtin behavior). First 30 event times.
+WITH per_cust AS (
+  SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+  FROM orders GROUP BY 1
+), hz AS (
+  SELECT MAX(o_orderdate) AS mx FROM orders
+), life AS (
+  SELECT DATEDIFF('day', f, l) AS t,
+         CASE WHEN DATEDIFF('day', l, mx) > 90 THEN 1 ELSE 0 END AS ev
+  FROM per_cust, hz
+), cells AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS a
+  FROM life GROUP BY t
+), risk AS (
+  SELECT t, d, SUM(a) OVER (ORDER BY t DESC) AS n_at_risk FROM cells
+), evd AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d >= n_at_risk THEN -100000000000
+              ELSE FLOOR(LN(1.0 - d * 1.0 / n_at_risk) * 1000000000 + 0.5)
+         END AS lterm
+  FROM risk WHERE d > 0
+), curve AS (
+  SELECT t, n_at_risk, d,
+         SUM(lterm) OVER (ORDER BY t) AS cum
+  FROM evd
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       d AS d_events,
+       FLOOR(EXP(cum / 1000000000.0) * 1000000 + 0.5) / 1000000
+         AS survival
+FROM curve ORDER BY t_days LIMIT 30
+"""
+
+
+@register("ml_km_survival_curve", oracle=KM_CURVE_ORACLE)
+def ml_km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime with right
+    censoring (see oracle for the snapped-log product device and
+    the d=n sentinel).
+
+    Scale shape: ONE fact pass collapses orders to per-customer
+    (first, last); lifetimes group to the <=|days| event-time
+    domain; the at-risk suffix sum, the snapped-log cumulative
+    product, and the 30-row curve are all domain work. At 100 TB
+    only the per-customer rollup grows — the same bound as
+    ml_logrank_test, which shares the lifetime build."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    hz = orders.agg(F.max("o_orderdate").alias("mx"))
+    life = per_cust.crossJoin(F.broadcast(hz)).select(
+        F.datediff("l", "f").cast("long").alias("t"),
+        F.when(F.datediff("mx", "l") > 90, 1).otherwise(0).alias("ev"),
+    )
+    cells = life.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("a"),
+    )
+    risk = cells.select(
+        "t",
+        "d",
+        F.sum("a").over(Window.orderBy(F.desc("t"))).alias("n_at_risk"),
+    )
+    d, n = F.col("d"), F.col("n_at_risk")
+    evd = risk.filter(d > 0).select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.when(d >= n, F.lit(-100000000000))
+        .otherwise(
+            F.floor(
+                F.log(1.0 - d * 1.0 / n) * 1000000000 + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("lterm"),
+    )
+    curve = evd.select(
+        "t",
+        "n_at_risk",
+        "d",
+        F.sum("lterm").over(Window.orderBy("t")).alias("cum"),
+    )
+    return (
+        curve.select(
+            F.col("t").alias("t_days"),
+            "n_at_risk",
+            F.col("d").alias("d_events"),
+            (
+                F.floor(
+                    F.exp(F.col("cum") / 1000000000.0) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+        .limit(30)
+    )

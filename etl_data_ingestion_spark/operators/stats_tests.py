@@ -2762,3 +2762,392 @@ def agg_ledoit_wolf_shrinkage(
             / 1000000
         ).alias("shrinkage_lambda"),
     )
+
+
+# --------------------------- wave 38: Wasserstein-1 (earth mover)
+
+WASSERSTEIN_ORACLE = """
+-- Wasserstein-1 (earth mover's) distance between the WEEKDAY and
+-- WEEKEND daily-revenue distributions: the integral of |F1 - F2|
+-- over the value axis — the average dollars each weekday-day would
+-- have to 'move' to look like a weekend-day. Complements the energy
+-- distance (expected pairwise gaps) and KS (max CDF gap) with the
+-- L1 transport reading, and unlike both it is in DOLLARS, directly
+-- actionable. EXACT device: over the pooled DISTINCT daily cents
+-- v_1 < ... < v_K, W1 = sum_k |F1(v_k) - F2(v_k)| * (v_{k+1}-v_k);
+-- with integer cumulative counts c1,c2 the integrand is
+-- |c1*n2 - c2*n1| / (n1*n2) — an exact integer numerator — so the
+-- whole sum is ONE exact integer (summed WIDE) divided once at the
+-- end. No pair grid: K <= |days| segments.
+WITH daily AS (
+  SELECT CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS we,
+         CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 2, 1
+), ns AS (
+  SELECT CAST(SUM(1 - we) AS BIGINT) AS n1,
+         CAST(SUM(we) AS BIGINT) AS n2
+  FROM daily
+), vals AS (
+  SELECT y,
+         CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM daily GROUP BY y
+), cum AS (
+  SELECT y,
+         SUM(c1) OVER (ORDER BY y) AS f1,
+         SUM(c2) OVER (ORDER BY y) AS f2,
+         LEAD(y) OVER (ORDER BY y) AS ynext
+  FROM vals
+), segs AS (
+  SELECT CAST(ABS(f1 * (SELECT n2 FROM ns) - f2 * (SELECT n1 FROM ns))
+              AS HUGEINT) * (ynext - y) AS seg
+  FROM cum WHERE ynext IS NOT NULL
+)
+SELECT (SELECT n1 FROM ns) AS n_weekday,
+       (SELECT n2 FROM ns) AS n_weekend,
+       FLOOR(CAST(SUM(seg) AS DOUBLE)
+             / ((SELECT n1 FROM ns) * 1.0 * (SELECT n2 FROM ns))
+             / 100 * 10000 + 0.5) / 10000 AS wasserstein_dollars
+FROM segs
+"""
+
+
+@register("agg_wasserstein_weekend", oracle=WASSERSTEIN_ORACLE)
+def agg_wasserstein_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance between weekday and weekend daily
+    revenue (see oracle for the exact segment-sum device).
+
+    Scale shape: facts collapse map-side to |days|; the CDF walk is
+    ONE window pass over the <=|days| distinct-cent table (no pair
+    grid — this is the linear-cost cousin of the energy distance);
+    the statistic is a single division on one row. The segment sum
+    is summed WIDE (decimal(38,0) / HUGEINT): each term is bounded
+    by n1*n2*gap and the sum telescopes to n1*n2*range, ~1e13 at
+    fixture scale but WIDE keeps the headroom explicit."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.floor(F.sum("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.when(F.expr("weekday(d)") >= 5, 1).otherwise(0).alias("we"),
+            "y",
+        )
+        .persist()
+    )
+    ns = daily.agg(
+        F.sum(1 - F.col("we")).cast("long").alias("n1"),
+        F.sum("we").cast("long").alias("n2"),
+    )
+    vals = daily.groupBy("y").agg(
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("y")
+    cum = vals.select(
+        "y",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.lead("y").over(w).alias("ynext"),
+    )
+    segs = cum.filter(F.col("ynext").isNotNull()).crossJoin(
+        F.broadcast(ns)
+    ).select(
+        (
+            F.abs(
+                F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+            ).cast("decimal(38,0)")
+            * (F.col("ynext") - F.col("y"))
+        ).alias("seg"),
+        "n1",
+        "n2",
+    )
+    return segs.groupBy("n1", "n2").agg(
+        (
+            F.floor(
+                F.sum("seg").cast("double")
+                / (F.col("n1") * 1.0 * F.col("n2"))
+                / 100
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("wasserstein_dollars")
+    ).select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        "wasserstein_dollars",
+    )
+
+
+# ------------------- wave 38: Cramér–von Mises two-sample test
+
+CVM_ORACLE = """
+-- Two-sample Cramér–von Mises criterion between WEEKDAY and WEEKEND
+-- daily revenue: T integrates the SQUARED gap between the two
+-- empirical CDFs over the pooled sample — sensitive across the
+-- whole distribution where KS reads only the max gap and the
+-- energy distance reads expected pairwise distances. EXACT device
+-- (Anderson 1962 rank form, house 2x-scaled tie-averaged ranks):
+-- U = n*sum_i (r_i - i)^2 + m*sum_j (s_j - j)^2 over own-sample
+-- order statistics with pooled average ranks; per distinct value
+-- with t1 own ties sharing 2x-rank R2 and b1 own predecessors,
+-- sum_k (R2 - 2*b1 - 2k)^2 expands to a closed cubic in integers —
+-- tripled to keep the /3 exact, so SX3 = 12*sum(r_i - i)^2 terms
+-- stay BIGINT-exact (summed WIDE) and T is one snapped chain:
+-- T = U/(N*n*m) - (4mn - 1)/(6N), U = (n*SX3 + m*SY3)/12.
+WITH daily AS (
+  SELECT CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS we,
+         CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 2, 1
+), vals AS (
+  SELECT y,
+         CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+  FROM daily GROUP BY y
+), r AS (
+  SELECT t1, t2,
+         2 * (SUM(t1 + t2) OVER (ORDER BY y) - (t1 + t2))
+           + (t1 + t2) + 1 AS r2,
+         SUM(t1) OVER (ORDER BY y) - t1 AS b1,
+         SUM(t2) OVER (ORDER BY y) - t2 AS b2
+  FROM vals
+), contrib AS (
+  SELECT CAST(3 * t1 * (r2 - 2 * b1) * (r2 - 2 * b1)
+              - 6 * (r2 - 2 * b1) * t1 * (t1 + 1)
+              + 2 * t1 * (t1 + 1) * (2 * t1 + 1) AS HUGEINT) AS sx3,
+         CAST(3 * t2 * (r2 - 2 * b2) * (r2 - 2 * b2)
+              - 6 * (r2 - 2 * b2) * t2 * (t2 + 1)
+              + 2 * t2 * (t2 + 1) * (2 * t2 + 1) AS HUGEINT) AS sy3
+  FROM r
+), ns AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n, CAST(SUM(t2) AS BIGINT) AS m
+  FROM vals
+), s AS (
+  SELECT SUM(sx3) AS sx3, SUM(sy3) AS sy3 FROM contrib
+)
+SELECT n AS n_weekday, m AS n_weekend,
+       FLOOR((CAST(n * sx3 + m * sy3 AS DOUBLE)
+                / (12.0 * (n + m) * n * m)
+              - (4.0 * m * n - 1) / (6.0 * (n + m)))
+             * 1000000 + 0.5) / 1000000 AS cvm_t
+FROM ns, s
+"""
+
+
+@register("agg_cramer_von_mises_weekend", oracle=CVM_ORACLE)
+def agg_cramer_von_mises_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises T between weekday and weekend
+    daily revenue (see oracle for the exact tripled-cubic rank
+    device).
+
+    Scale shape: facts collapse map-side to |days|; ranks and the
+    per-value cubic run in ONE window pass over the <=|days|
+    distinct-cent table; the statistic is one snapped chain on two
+    WIDE integer sums. The closed-form tie expansion means no
+    per-observation rows exist after the day collapse — the same
+    bound as every rank operator in this module."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    ).select(
+        F.when(F.expr("weekday(d)") >= 5, 1).otherwise(0).alias("we"),
+        "y",
+    )
+    vals = daily.groupBy("y").agg(
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    w = Window.orderBy("y")
+    t1, t2 = F.col("t1"), F.col("t2")
+    r = vals.select(
+        "t1",
+        "t2",
+        (2 * (F.sum(t1 + t2).over(w) - (t1 + t2)) + (t1 + t2) + 1).alias(
+            "r2"
+        ),
+        (F.sum(t1).over(w) - t1).alias("b1"),
+        (F.sum(t2).over(w) - t2).alias("b2"),
+    )
+    a1 = F.col("r2") - 2 * F.col("b1")
+    a2 = F.col("r2") - 2 * F.col("b2")
+    contrib = r.select(
+        (
+            3 * t1 * a1 * a1
+            - 6 * a1 * t1 * (t1 + 1)
+            + 2 * t1 * (t1 + 1) * (2 * t1 + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("sx3"),
+        (
+            3 * t2 * a2 * a2
+            - 6 * a2 * t2 * (t2 + 1)
+            + 2 * t2 * (t2 + 1) * (2 * t2 + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("sy3"),
+    )
+    s = contrib.agg(
+        F.sum("sx3").alias("sx3"), F.sum("sy3").alias("sy3")
+    )
+    ns = vals.agg(
+        F.sum("t1").cast("long").alias("n"),
+        F.sum("t2").cast("long").alias("m"),
+    )
+    n, m = F.col("n"), F.col("m")
+    u12 = (n * F.col("sx3") + m * F.col("sy3")).cast("double")
+    t_stat = u12 / (12.0 * (n + m) * n * m) - (4.0 * m * n - 1) / (
+        6.0 * (n + m)
+    )
+    return ns.crossJoin(F.broadcast(s)).select(
+        n.alias("n_weekday"),
+        m.alias("n_weekend"),
+        (F.floor(t_stat * 1000000 + F.lit(0.5)) / 1000000).alias("cvm_t"),
+    )
+
+
+# ---------------------- wave 38: Durbin-Watson autocorrelation
+
+DURBIN_WATSON_ORACLE = """
+-- Durbin-Watson statistic of the residuals from the daily-revenue-
+-- on-time OLS trend: DW = sum (e_t - e_{t-1})^2 / sum e_t^2, the
+-- standard lag-1 autocorrelation read on a REGRESSION's residuals
+-- (the runs test reads signs around the median; Ljung-Box reads
+-- raw-series ACF — this is the 'is the trend model leaving serial
+-- structure behind' diagnostic, DW ~ 2(1 - rho)). EXACT device:
+-- the day index is the dense ROW_NUMBER over observed days (gaps
+-- documented as model choice); slope/intercept come from five
+-- exact BIGINT moments; residuals are snapped to 1e-3 cents
+-- (integer millicents) so both sums are exact WIDE integer sums —
+-- order-free — and DW is one snapped division.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM daily
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM idx
+), fit AS (
+  SELECT n,
+         (n * 1.0 * sty - st * 1.0 * sy)
+           / (n * 1.0 * stt - st * 1.0 * st) AS b,
+         (sy - (n * 1.0 * sty - st * 1.0 * sy)
+                 / (n * 1.0 * stt - st * 1.0 * st) * st) / n AS a
+  FROM mom
+), res AS (
+  SELECT t,
+         CAST(FLOOR((y - a - b * t) * 1000 + 0.5) AS BIGINT) AS e
+  FROM idx, fit
+), lagged AS (
+  SELECT e, LAG(e) OVER (ORDER BY t) AS ep FROM res
+), sums AS (
+  SELECT SUM(CAST((e - ep) AS HUGEINT) * (e - ep)) AS sd2,
+         (SELECT SUM(CAST(e AS HUGEINT) * e) FROM res) AS se2
+  FROM lagged WHERE ep IS NOT NULL
+)
+SELECT (SELECT n FROM fit) AS n_days,
+       FLOOR((SELECT b FROM fit) / 100 * 10000 + 0.5) / 10000
+         AS slope_dollars_per_day,
+       FLOOR(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS dw_stat
+FROM sums
+"""
+
+
+@register("agg_durbin_watson_daily", oracle=DURBIN_WATSON_ORACLE)
+def agg_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 residual autocorrelation of the daily
+    revenue trend fit (see oracle for the snapped-residual device).
+
+    Scale shape: facts collapse map-side to |days|; the OLS moments
+    reduce in one Exchange; residuals, the lag window, and both
+    WIDE squared sums run on the day table. The 1e-3-cent residual
+    snap turns both sums into exact integers (order-free in both
+    engines); a/b are doubles derived from exact integer moments by
+    the same fixed-order chain in both engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "y", (F.row_number().over(w) - 1).cast("long").alias("t")
+    )
+    t, y = F.col("t"), F.col("y")
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("st"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(t * t).cast("long").alias("stt"),
+        F.sum(t * y).cast("long").alias("sty"),
+    )
+    n, st, sy, stt, sty = (
+        F.col("n"),
+        F.col("st"),
+        F.col("sy"),
+        F.col("stt"),
+        F.col("sty"),
+    )
+    b = (n * 1.0 * sty - st * 1.0 * sy) / (n * 1.0 * stt - st * 1.0 * st)
+    fit = mom.select(
+        "n", b.alias("b"), ((sy - b * st) / n).alias("a")
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "b",
+        F.floor((y - F.col("a") - F.col("b") * t) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("e"),
+    )
+    lw = Window.orderBy("t")
+    lagged = res.select(
+        "n", "b", "e", F.lag("e").over(lw).alias("ep")
+    )
+    # multiplicand-side WIDE casts (wave-32 rule): the squares are
+    # widened BEFORE the multiply — a 1e10-millicent residual squares
+    # past int64, and the oracle's CAST(e - ep AS HUGEINT) * (e - ep)
+    # widens first too
+    e, ep = F.col("e"), F.col("ep")
+    de = (e - ep).cast("decimal(38,0)")
+    ew = e.cast("decimal(38,0)")
+    out = lagged.groupBy("n", "b").agg(
+        F.sum(F.when(ep.isNotNull(), de * de)).alias("sd2"),
+        F.sum(ew * ew).alias("se2"),
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        (F.floor(F.col("b") / 100 * 10000 + F.lit(0.5)) / 10000).alias(
+            "slope_dollars_per_day"
+        ),
+        (
+            F.floor(
+                F.col("sd2").cast("double")
+                / F.col("se2").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("dw_stat"),
+    )

@@ -2530,3 +2530,114 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("burrows_delta", "source_a", "source_b")
         .limit(10)
     )
+
+
+GOOD_TURING_ORACLE = """
+-- Good-Turing frequency-of-frequency estimates over the corpus
+-- 3-GRAM distribution: N_r = number of 3-gram types seen exactly r
+-- times, the Turing-smoothed count r* = (r+1) * N_{r+1} / N_r, and
+-- the smoothed probability r*/N — the classical answer to 'how
+-- much probability mass belongs to sequences we have (almost)
+-- never seen', i.e. the unseen-mass estimate every LM smoothing
+-- scheme (Katz, simple Good-Turing) starts from, and a direct
+-- corpus-coverage health readout for training-data curation.
+-- 3-grams (the dedup shingle unit), not unigrams: this fixture's
+-- unigram vocabulary is 31 words with min count 26 — a degenerate
+-- spectrum with NO rare classes — while its 3-gram spectrum is
+-- Zipfian at every scale (N_1 = 9402/207 at sf0.001/0.1; measured
+-- before choosing the unit). Rows r=1..8; r* is NULL where
+-- N_{r+1}=0 (the SGT regression fallback region, out of scope —
+-- stated). The r+1 lookup is an explicit self-join (LEAD would
+-- silently read the wrong row across gaps in r).
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+), tf AS (
+  SELECT array_to_string(list_slice(a, i, i + 2), ' ') AS term,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks, UNNEST(range(1, len(a) - 1)) t(i)
+  GROUP BY 1
+), fof AS (
+  SELECT freq AS r, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tf GROUP BY freq
+), total AS (
+  SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens FROM fof
+)
+SELECT f.r,
+       f.n_types,
+       CAST(f.r * f.n_types AS BIGINT) AS tokens_at_r,
+       FLOOR((f.r + 1) * 1.0 * f2.n_types / f.n_types * 1000000 + 0.5)
+         / 1000000 AS turing_rstar,
+       FLOOR((f.r + 1) * 1.0 * f2.n_types / f.n_types
+             / (SELECT n_tokens FROM total) * 1000000000 + 0.5)
+         / 1000000000 AS smoothed_prob
+FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1
+WHERE f.r <= 8
+ORDER BY f.r
+"""
+
+
+@register("text_good_turing_estimates", oracle=GOOD_TURING_ORACLE)
+def text_good_turing_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing smoothed count estimates from the corpus 3-gram
+    frequency-of-frequency table (see oracle, incl. why 3-grams and
+    not this fixture's degenerate unigrams).
+
+    Scale shape: ONE 3-gram-keyed count (map-side combine over the
+    HOF-expanded shingles — the dedup_ngram_jaccard gram build) is
+    the only corpus-sized Exchange; the frequency-of-frequency
+    rollup reduces |V| rows to the tiny r-domain, and the r+1
+    lookup / total-token scalar are domain joins. At 100 TB nothing
+    after the gram count grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).filter(F.size("a") >= 3)
+    tf = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("a") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("a"), i + 1, 3)
+                    ),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    fof = (
+        tf.groupBy(F.col("freq").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .persist()
+    )
+    total = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("long").alias("n_tokens")
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next")
+    )
+    r, n_types, n_next = F.col("r"), F.col("n_types"), F.col("n_next")
+    rstar = (r + 1) * 1.0 * n_next / n_types
+    return (
+        fof.filter(r <= 8)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_types",
+            (r * n_types).cast("long").alias("tokens_at_r"),
+            (F.floor(rstar * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "turing_rstar"
+            ),
+            (
+                F.floor(
+                    rstar / F.col("n_tokens") * 1000000000 + F.lit(0.5)
+                )
+                / 1000000000
+            ).alias("smoothed_prob"),
+        )
+        .orderBy("r")
+    )
