@@ -348,6 +348,11 @@ EXTENDED = [
     "agg_durbin_watson_daily",
     "text_good_turing_estimates",
     "ml_km_survival_curve",
+    # round 12 wave 39
+    "agg_bartlett_variance_test",
+    "agg_herfindahl_concentration",
+    "agg_poisson_overdispersion",
+    "events_page_hinkley_drift",
 ]
 
 

@@ -3216,3 +3216,114 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+HERFINDAHL_ORACLE = """
+-- Supplier market concentration per nation: the Herfindahl-
+-- Hirschman index (sum of squared revenue shares) and the CR4
+-- four-firm concentration ratio over each nation's suppliers —
+-- the antitrust-standard pair the Lorenz/Gini operator does not
+-- give (HHI weights the head quadratically; CR4 is the regulatory
+-- bright line). Data-engineering reading: nations with HHI near
+-- 1/n have uniform supplier keys (clean partitioning); high-HHI
+-- nations are the hot-key skew candidates. EXACT device: per-
+-- supplier revenue collapses to exact cents; HHI = sum(r_i^2) /
+-- (sum r_i)^2 — WIDE integer numerator and denominator, ONE
+-- division, snapped; CR4's top-4 sum is an exact integer via a
+-- deterministic (revenue, suppkey) rank.
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS sk,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sum_r2,
+         CAST(SUM(r) AS HUGEINT) AS tot
+  FROM rev GROUP BY 1
+), ranked AS (
+  SELECT nation, r,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY r DESC, sk) AS rnk
+  FROM rev
+), top4 AS (
+  SELECT nation, CAST(SUM(r) AS HUGEINT) AS r4
+  FROM ranked WHERE rnk <= 4 GROUP BY nation
+)
+SELECT CAST(a.nation AS BIGINT) AS nation,
+       a.n_suppliers,
+       FLOOR(CAST(a.sum_r2 AS DOUBLE)
+             / (CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS hhi,
+       FLOOR(CAST(t.r4 AS DOUBLE) / CAST(a.tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS cr4
+FROM agg a JOIN top4 t ON a.nation = t.nation
+ORDER BY nation
+"""
+
+
+@register("agg_herfindahl_concentration", oracle=HERFINDAHL_ORACLE)
+def agg_herfindahl_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl index + CR4 of supplier revenue per nation (see
+    oracle for the exact share device).
+
+    Scale shape: ONE fact pass collapses lineitem to the per-
+    (nation, supplier) cent table (map-side combine); HHI moments
+    and the CR4 rank window run on that supplier-domain table, 25
+    output rows. WIDE squared sums (r^2 passes int64 at ~1e9.5
+    cents per supplier — widened first, the multiplicand-side
+    rule)."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    rev = (
+        li.select("l_suppkey", cents.alias("c"))
+        .join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("c").cast("long").alias("r"))
+        .persist()
+    )
+    r = F.col("r")
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(r.cast("decimal(38,0)") * r).alias("sum_r2"),
+        F.sum(r).cast("decimal(38,0)").alias("tot"),
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("r"), F.asc("sk"))
+    top4 = (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .groupBy("nation")
+        .agg(F.sum("r").cast("decimal(38,0)").alias("r4"))
+    )
+    tot = F.col("tot").cast("double")
+    return (
+        agg.join(top4, "nation")
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            "n_suppliers",
+            (
+                F.floor(
+                    F.col("sum_r2").cast("double") / (tot * tot) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("hhi"),
+            (
+                F.floor(
+                    F.col("r4").cast("double") / tot * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cr4"),
+        )
+        .orderBy("nation")
+    )

@@ -3151,3 +3151,260 @@ def agg_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("dw_stat"),
     )
+
+
+# ----------------------- wave 39: Bartlett variance homogeneity
+
+BARTLETT_ORACLE = """
+-- Bartlett's test for equal order-total variances across the five
+-- order priorities: the LIKELIHOOD-RATIO variance-homogeneity test
+-- (most powerful under normality) — the parametric companion of
+-- the Levene operator, which trades power for robustness; running
+-- both is the standard practice (Levene robust screen, Bartlett
+-- when normality holds). chi2 = [ (N-k)*ln(sp2) - sum (n_i-1)*
+-- ln(si2) ] / C, C = 1 + (sum 1/(n_i-1) - 1/(N-k)) / (3(k-1)).
+-- EXACT device: per-group SSE from exact BIGINT cent moments
+-- (n*SS - S^2 form, summed WIDE); the ln calls are paid once per
+-- GROUP (k=5 + pooled — a domain, not the corpus) and snapped to
+-- 1e-9 integers so the chi2 chain is order-free in both engines.
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS ss
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT grp, n,
+         CAST(n * ss - s * s AS DOUBLE) / n / (n - 1) AS si2
+  FROM g
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM((n - 1) * 1.0 * (CAST(n * ss - s * s AS DOUBLE)
+                                   / n / (n - 1))) AS DOUBLE) AS sse,
+         SUM(1.0 / (n - 1)) AS sinv,
+         SUM(FLOOR(LN(CAST(n * ss - s * s AS DOUBLE) / n / (n - 1))
+                   * 1000000000 + 0.5)
+             * (n - 1)) AS wlog
+  FROM g
+)
+SELECT k AS n_groups, nn AS n_orders,
+       FLOOR(((nn - k) * FLOOR(LN(sse / (nn - k)) * 1000000000 + 0.5)
+              / 1000000000.0
+              - wlog / 1000000000.0)
+             / (1 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+             * 1000000 + 0.5) / 1000000 AS bartlett_chi2
+FROM tot
+"""
+
+
+@register("agg_bartlett_variance_test", oracle=BARTLETT_ORACLE)
+def agg_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity chi-square across the five
+    order priorities (see oracle; the parametric companion of
+    agg_levene_variance_homogeneity).
+
+    Scale shape: one fact pass to five exact (n, s, ss) cent-moment
+    rows (WIDE products — the s^2/n*ss terms pass int64 at ~1e7
+    orders); all logs are per-GROUP, snapped at 1e-9; the chi2 is a
+    1-row fixed chain on order-free integers and snapped logs."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).alias(
+            "ss"
+        ),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    si2 = (n * ss - s * s).cast("double") / n / (n - 1)
+    tot = g.agg(
+        F.sum(n).cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((n - 1) * 1.0 * si2).cast("double").alias("sse"),
+        F.sum(1.0 / (n - 1)).alias("sinv"),
+        F.sum(
+            F.floor(F.log(si2) * 1000000000 + F.lit(0.5)) * (n - 1)
+        ).alias("wlog"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    num = (nn - k) * F.floor(
+        F.log(F.col("sse") / (nn - k)) * 1000000000 + F.lit(0.5)
+    ) / 1000000000.0 - F.col("wlog") / 1000000000.0
+    c = 1 + (F.col("sinv") - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    return tot.select(
+        k.alias("n_groups"),
+        nn.alias("n_orders"),
+        (F.floor(num / c * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "bartlett_chi2"
+        ),
+    )
+
+
+# ------------------- wave 39: Poisson overdispersion index
+
+OVERDISPERSION_ORACLE = """
+-- Poisson overdispersion test on daily order counts: the variance-
+-- to-mean dispersion index D = s^2 / xbar and the chi-square
+-- dispersion statistic (n-1)*s^2/xbar ~ chi2(n-1) under a
+-- homogeneous Poisson arrival model. D >> 1 (clumped arrivals —
+-- batch jobs, campaigns) breaks every Poisson-based capacity
+-- model; D << 1 says arrivals are scheduled, not random. The
+-- exp-gap-fit operator reads inter-arrival TIMES; this reads
+-- per-bucket COUNTS — the two classical views of the same
+-- process. EXACT device: counts are integers, so n, sum, sum of
+-- squares are exact BIGINTs and both statistics are one snapped
+-- fixed-order chain (s^2 via the n*ss - s*s form, summed WIDE).
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM daily
+)
+SELECT n AS n_days,
+       FLOOR(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000
+         AS mean_orders_per_day,
+       FLOOR(CAST(n * ss - s * s AS DOUBLE) / n / (n - 1)
+             / (CAST(s AS DOUBLE) / n)
+             * 1000000 + 0.5) / 1000000 AS dispersion_index,
+       FLOOR((n - 1) * (CAST(n * ss - s * s AS DOUBLE) / n / (n - 1)
+                        / (CAST(s AS DOUBLE) / n))
+             * 10000 + 0.5) / 10000 AS dispersion_chi2
+FROM mom
+"""
+
+
+@register("agg_poisson_overdispersion", oracle=OVERDISPERSION_ORACLE)
+def agg_poisson_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-to-mean dispersion index of daily order counts with
+    the chi-square Poisson dispersion test (see oracle).
+
+    Scale shape: one fact pass collapses to |days| counts map-side;
+    three exact WIDE moments reduce in one Exchange; both
+    statistics are a 1-row chain."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    daily = orders.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c = F.col("c")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("s"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n
+    s2 = (n * ss - s * s).cast("double") / n / (n - 1)
+    d = s2 / mean
+    return mom.select(
+        n.alias("n_days"),
+        (F.floor(mean * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_orders_per_day"
+        ),
+        (F.floor(d * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "dispersion_index"
+        ),
+        (F.floor((n - 1) * d * 10000 + F.lit(0.5)) / 10000).alias(
+            "dispersion_chi2"
+        ),
+    )
+
+
+# ----------------------- wave 39: Page-Hinkley drift detection
+
+PAGE_HINKLEY_ORACLE = """
+-- Page-Hinkley drift statistic on daily revenue: the cumulative
+-- deviation walk m_t = sum_{s<=t}(x_s - xbar) and its running
+-- minimum; PH = max_t (m_t - min_{s<=t} m_s) with the detection
+-- day at the argmax. CUSUM (window_cusum_changepoint) locates the
+-- single most likely LEVEL SHIFT via argmax |S_t|; Page-Hinkley is
+-- the one-sided DRIFT detector — the running-minimum reset makes
+-- it fire on sustained upward drift even after earlier downward
+-- noise, which |S_t| dilutes. EXACT device: with exact daily cents
+-- the walk scaled by n is integer-exact: n*m_t = n*P_t - t*S
+-- (P_t prefix sum, S total), so the running min, the gap, and the
+-- argmax tie-break (earliest day) are exact integer comparisons in
+-- both engines; only the final dollars conversion divides.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+), walk AS (
+  SELECT d,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         CAST((SELECT n FROM ns) AS HUGEINT)
+           * SUM(y) OVER (ORDER BY d)
+           - CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT)
+             * (SELECT s FROM ns) AS nm
+  FROM daily
+), gaps AS (
+  SELECT d, nm - MIN(nm) OVER (ORDER BY d) AS gap FROM walk
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM ns) AS n_days,
+       STRFTIME(d, '%Y-%m-%d') AS detection_day,
+       FLOOR(CAST(gap AS DOUBLE) / (SELECT n FROM ns) / 100
+             * 10000 + 0.5) / 10000 AS ph_stat_dollars
+FROM gaps ORDER BY gap DESC, d LIMIT 1
+"""
+
+
+@register("events_page_hinkley_drift", oracle=PAGE_HINKLEY_ORACLE)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic + detection day on daily revenue
+    (see oracle for the n-scaled exact integer walk and the CUSUM
+    contrast).
+
+    Scale shape: facts collapse map-side to |days|; the walk, the
+    running minimum, and the argmax are window passes over the day
+    table; everything except the final dollars division is exact
+    integer arithmetic — order-free in both engines."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    ns = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    w = Window.orderBy("d")
+    walk = daily.crossJoin(F.broadcast(ns)).select(
+        "d",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.sum("y").over(w)
+            - F.row_number().over(w).cast("decimal(38,0)") * F.col("s")
+        ).alias("nm"),
+    )
+    gaps = walk.select(
+        "d",
+        "n",
+        (F.col("nm") - F.min("nm").over(w)).alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.desc("gap"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.date_format("d", "yyyy-MM-dd").alias("detection_day"),
+            (
+                F.floor(
+                    F.col("gap").cast("double") / F.col("n") / 100 * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("ph_stat_dollars"),
+        )
+    )
