@@ -353,6 +353,12 @@ EXTENDED = [
     "agg_herfindahl_concentration",
     "agg_poisson_overdispersion",
     "events_page_hinkley_drift",
+    # round 12 wave 40
+    "agg_jonckheere_terpstra",
+    "agg_cmh_stratified_test",
+    "agg_mood_median_test",
+    "similarity_ratio_margin",
+    "pipeline_length_weight_ess",
 ]
 
 

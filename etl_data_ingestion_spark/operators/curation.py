@@ -2037,3 +2037,98 @@ def pipeline_train_test_split_hash(
         )
         .orderBy("source")
     )
+
+
+ESS_WEIGHT_ORACLE = """
+-- Effective sample size (Kish) and concentration diagnostics of the
+-- corpus LENGTH-weight distribution: if documents are sampled (or
+-- packed, or loss-weighted) proportional to token count, ESS =
+-- (sum w)^2 / sum w^2 says how many EFFECTIVE documents the corpus
+-- contributes — the first number to check before trusting any
+-- length-weighted mixture (a few mega-documents can silently
+-- collapse a million-doc corpus to a few thousand effective ones).
+-- Published alongside: the max single-document share and the
+-- top-10-document share (deterministic (w, doc_id) tie-break).
+-- EXACT device: token counts are exact integers; sum w and the
+-- WIDE sum w^2 are order-free; every output is one snapped
+-- division.
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS tok
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS HUGEINT) AS s,
+         CAST(SUM(CAST(tok AS HUGEINT) * tok) AS HUGEINT) AS ss,
+         CAST(MAX(tok) AS BIGINT) AS mx
+  FROM w
+), top10 AS (
+  SELECT CAST(SUM(tok) AS HUGEINT) AS t10 FROM (
+    SELECT tok FROM w ORDER BY tok DESC, doc_id LIMIT 10
+  )
+)
+SELECT n_docs,
+       CAST(s AS BIGINT) AS total_tokens,
+       FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(ss AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS ess,
+       FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(ss AS DOUBLE)
+             / n_docs * 1000000 + 0.5) / 1000000 AS ess_ratio,
+       FLOOR(mx * 1.0 / CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS max_doc_share,
+       FLOOR(CAST(t10 AS DOUBLE) / CAST(s AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS top10_share
+FROM tot, top10
+"""
+
+
+@register("pipeline_length_weight_ess", oracle=ESS_WEIGHT_ORACLE)
+def pipeline_length_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size + concentration of the corpus
+    length-weight distribution (see oracle for why this gates any
+    length-weighted sampling/packing decision).
+
+    Scale shape: one corpus pass to per-doc token counts (map-side
+    size() on the split — no explode); the moments reduce in one
+    Exchange (WIDE sum of squares); top-10 is a bounded sort-limit.
+    Every published number is a snapped division of exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("tok"),
+    ).persist()
+    tok = F.col("tok")
+    tot = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tok).cast("decimal(38,0)").alias("s"),
+        F.sum(tok.cast("decimal(38,0)") * tok).alias("ss"),
+        F.max(tok).cast("long").alias("mx"),
+    )
+    top10 = (
+        w.orderBy(F.desc("tok"), F.asc("doc_id"))
+        .limit(10)
+        .agg(F.sum("tok").cast("decimal(38,0)").alias("t10"))
+    )
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    ess = s * s / ss
+    return tot.crossJoin(F.broadcast(top10)).select(
+        "n_docs",
+        F.col("s").cast("long").alias("total_tokens"),
+        (F.floor(ess * 10000 + F.lit(0.5)) / 10000).alias("ess"),
+        (
+            F.floor(ess / F.col("n_docs") * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("ess_ratio"),
+        (
+            F.floor(F.col("mx") * 1.0 / s * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("max_doc_share"),
+        (
+            F.floor(
+                F.col("t10").cast("double") / s * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("top10_share"),
+    )

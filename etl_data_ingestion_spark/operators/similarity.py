@@ -1415,7 +1415,8 @@ WITH scored AS (
          b.label AS nbr_label,
          ROW_NUMBER() OVER (
            PARTITION BY a.vec_id
-           ORDER BY FLOOR(list_cosine_similarity(a.embedding, b.embedding)
+           ORDER BY FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[])
                           * 1000000000 + 0.5)
                     DESC, b.vec_id
          ) AS rnk
@@ -1525,6 +1526,132 @@ def ml_loo_1nn_embedding_accuracy(
                 )
                 / 10000
             ).alias("loo_accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+RATIO_MARGIN_ORACLE = """
+-- Nearest-neighbor margin profile per label (Lowe's ratio-test
+-- statistic, aggregated): for every vector, the gap between its
+-- best and second-best OTHER cosine neighbor. Small margins mean
+-- ambiguous neighborhoods — retrieval results that flip under
+-- quantization or index approximation — so the per-label margin
+-- profile is the 'how safe is ANN on this space' readout that
+-- complements LOO accuracy (which only says whether the top-1
+-- LABEL is right). Snapped-cosine device shared with the LOO
+-- operator: both engines rank by FLOOR(cos*1e9+0.5) with small-id
+-- tie-break, so near-ties resolve identically; margins are then
+-- exact integers at the 1e-9 scale and their per-label mean/min
+-- are exact until one final division.
+-- embeddings are stored FLOAT; cast to DOUBLE[] so the cosine,
+-- the 1e-9 snap, and every downstream expression run in float64
+-- exactly like the Spark GEMM side (list_cosine_similarity on
+-- FLOAT[] stays float32 END-TO-END — 64-unit granularity at the
+-- 1e9 scale, and even the final /1e6 re-quantizes to float32;
+-- caught by the round-12 parity diff on min_margin).
+WITH scored AS (
+  SELECT a.vec_id, a.label,
+         FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+               * 1000000000 + 0.5) AS s9,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[])
+                          * 1000000000 + 0.5) DESC, b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), top2 AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN rnk = 1 THEN s9 END)
+           - MAX(CASE WHEN rnk = 2 THEN s9 END) AS margin9
+  FROM scored WHERE rnk <= 2 GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       FLOOR(SUM(margin9) * 1.0 / COUNT(*) / 1000000000 * 1000000 + 0.5)
+         / 1000000 AS mean_margin,
+       FLOOR(MIN(margin9) / 1000000000.0 * 1000000 + 0.5) / 1000000
+         AS min_margin
+FROM top2 GROUP BY label ORDER BY label
+"""
+
+
+@register("similarity_ratio_margin", oracle=RATIO_MARGIN_ORACLE)
+def similarity_ratio_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top1-vs-top2 neighbor margin profile (see oracle).
+
+    Scale shape: the same lazy executor-side GEMM device as
+    ml_loo_1nn_embedding_accuracy (bounded-corpus exception,
+    documented there and in README) — each Arrow batch computes its
+    similarity block in one numpy GEMM, snaps to 1e-9, masks self,
+    and emits only (top1 - top2) as an exact integer margin; the
+    per-label rollup is label-domain-sized. At real corpus scale
+    the candidate generation swaps to LSH/IVF with the same margin
+    definition."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings", parallel=False)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _margins(it):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        qids = tbl["vec_id"].to_numpy()
+        order = np.argsort(qids, kind="stable")
+        qids = qids[order]
+        Q = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in tbl["embedding"].to_pylist()
+            ]
+        )[order]
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.floor(Xn @ Qn.T * 1e9 + 0.5)
+            ids = pdf["vec_id"].to_numpy()
+            self_col = np.searchsorted(qids, ids)
+            S[np.arange(len(ids)), self_col] = -np.inf
+            # top-2 values; ties already resolved by the snap (equal
+            # snapped values give margin 0 regardless of id order)
+            part = np.partition(S, S.shape[1] - 2, axis=1)
+            top1 = part[:, -1]
+            top2 = part[:, -2]
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].to_numpy(),
+                    "margin9": (top1 - top2).astype(np.int64),
+                }
+            )
+
+    m = emb.select("vec_id", "label", "embedding").mapInPandas(
+        _margins, "label int, margin9 long"
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.floor(
+                    F.sum("margin9") * 1.0
+                    / F.count(F.lit(1))
+                    / 1000000000
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_margin"),
+            (
+                F.floor(
+                    F.min("margin9") / 1000000000.0 * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("min_margin"),
         )
         .orderBy("label")
     )

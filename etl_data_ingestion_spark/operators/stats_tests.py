@@ -3408,3 +3408,384 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ph_stat_dollars"),
         )
     )
+
+
+# ------------------ wave 40: Jonckheere-Terpstra ordered trend
+
+JONCKHEERE_ORACLE = """
+-- Jonckheere-Terpstra test for an ORDERED alternative across the
+-- five order priorities (1-URGENT < ... < 5-LOW, the natural string
+-- order): do order totals trend monotonically with urgency?
+-- Kruskal-Wallis asks 'any difference'; Cochran-Armitage reads a
+-- binary rate; JT is the k-group ordered-location test — strictly
+-- more powerful than KW when the alternative is a trend. EXACT
+-- device: JT = sum_{i<j} U_ij with U_ij = #(x_i < y_j) +
+-- 0.5 #(x_i = y_j); doubled (JT2) to keep ties integral. Per
+-- distinct cent value v with per-group counts c_i(v) and
+-- strictly-below cumulatives b_i(v), each (i<j) pair contributes
+-- 2*c_j(v)*b_i(v) + c_i(v)*c_j(v) — one window pass over the
+-- <=|distinct cents| pivot table, all BIGINT (summed WIDE). The
+-- z-score uses the classical NO-TIE null variance
+-- [N^2(2N+3) - sum n_i^2(2n_i+3)]/72 (cent totals are
+-- near-continuous; the tie correction is O(sum t^3/N^3) and
+-- omitted — stated).
+WITH s AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+), piv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM s GROUP BY v
+), cum AS (
+  SELECT *,
+         SUM(c1) OVER (ORDER BY v) - c1 AS b1,
+         SUM(c2) OVER (ORDER BY v) - c2 AS b2,
+         SUM(c3) OVER (ORDER BY v) - c3 AS b3,
+         SUM(c4) OVER (ORDER BY v) - c4 AS b4
+  FROM piv
+), jt AS (
+  SELECT SUM(CAST(
+           2 * (c2 * b1
+                + c3 * (b1 + b2)
+                + c4 * (b1 + b2 + b3)
+                + c5 * (b1 + b2 + b3 + b4))
+           + c1 * (c2 + c3 + c4 + c5)
+           + c2 * (c3 + c4 + c5)
+           + c3 * (c4 + c5)
+           + c4 * c5 AS HUGEINT)) AS jt2
+  FROM cum
+), ns AS (
+  SELECT CAST(SUM(c1 + c2 + c3 + c4 + c5) AS BIGINT) AS n,
+         CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c3) AS BIGINT) AS n3, CAST(SUM(c4) AS BIGINT) AS n4,
+         CAST(SUM(c5) AS BIGINT) AS n5
+  FROM piv
+)
+SELECT n AS n_orders,
+       CAST(jt2 AS BIGINT) AS jt2_stat,
+       FLOOR((CAST(jt2 AS DOUBLE) / 2
+              - (n * 1.0 * n
+                 - (n1 * 1.0 * n1 + n2 * 1.0 * n2 + n3 * 1.0 * n3
+                    + n4 * 1.0 * n4 + n5 * 1.0 * n5)) / 4)
+             / SQRT((n * 1.0 * n * (2.0 * n + 3)
+                     - (n1 * 1.0 * n1 * (2.0 * n1 + 3)
+                        + n2 * 1.0 * n2 * (2.0 * n2 + 3)
+                        + n3 * 1.0 * n3 * (2.0 * n3 + 3)
+                        + n4 * 1.0 * n4 * (2.0 * n4 + 3)
+                        + n5 * 1.0 * n5 * (2.0 * n5 + 3))) / 72)
+             * 1000000 + 0.5) / 1000000 AS jt_z
+FROM jt, ns
+"""
+
+
+@register("agg_jonckheere_terpstra", oracle=JONCKHEERE_ORACLE)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test across the five order
+    priorities (see oracle for the doubled pairwise-U device and
+    the stated no-tie variance).
+
+    Scale shape: one fact pass pivots to the <=|distinct cents|
+    (value x 5-group-count) table; the cumulative window and the
+    closed-form pair contributions run on that domain; JT2 is one
+    WIDE integer sum and z one snapped chain."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    s = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    piv = s.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in (1, 2, 3, 4, 5)
+        ]
+    )
+    w = Window.orderBy("v")
+    cum = piv.select(
+        "*",
+        *[
+            (F.sum(f"c{i}").over(w) - F.col(f"c{i}")).alias(f"b{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    c = {i: F.col(f"c{i}") for i in (1, 2, 3, 4, 5)}
+    b = {i: F.col(f"b{i}") for i in (1, 2, 3, 4)}
+    contrib = (
+        2
+        * (
+            c[2] * b[1]
+            + c[3] * (b[1] + b[2])
+            + c[4] * (b[1] + b[2] + b[3])
+            + c[5] * (b[1] + b[2] + b[3] + b[4])
+        )
+        + c[1] * (c[2] + c[3] + c[4] + c[5])
+        + c[2] * (c[3] + c[4] + c[5])
+        + c[3] * (c[4] + c[5])
+        + c[4] * c[5]
+    ).cast("decimal(38,0)")
+    jt = cum.agg(F.sum(contrib).alias("jt2"))
+    ns = piv.agg(
+        F.sum(c[1] + c[2] + c[3] + c[4] + c[5]).cast("long").alias("n"),
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in (1, 2, 3, 4, 5)],
+    )
+    n = F.col("n")
+    sum_n2 = sum(
+        F.col(f"n{i}") * 1.0 * F.col(f"n{i}") for i in (1, 2, 3, 4, 5)
+    )
+    sum_n2v = sum(
+        F.col(f"n{i}") * 1.0 * F.col(f"n{i}") * (2.0 * F.col(f"n{i}") + 3)
+        for i in (1, 2, 3, 4, 5)
+    )
+    mean = (n * 1.0 * n - sum_n2) / 4
+    var = (n * 1.0 * n * (2.0 * n + 3) - sum_n2v) / 72
+    z = (F.col("jt2").cast("double") / 2 - mean) / F.sqrt(var)
+    return jt.crossJoin(F.broadcast(ns)).select(
+        n.alias("n_orders"),
+        F.col("jt2").cast("long").alias("jt2_stat"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("jt_z"),
+    )
+
+
+# ------------- wave 40: Cochran-Mantel-Haenszel stratified 2x2
+
+CMH_ORACLE = """
+-- Cochran-Mantel-Haenszel test of the exposure-outcome association
+-- (positive account balance -> places an URGENT order) STRATIFIED
+-- by customer nation: the common-odds-ratio chi-square that
+-- controls for the stratum confounder — the textbook guard against
+-- Simpson's paradox that a pooled chi2 (agg_chi2_independence)
+-- cannot give. Per stratum k: a_k = exposed-with-outcome count,
+-- E_k = r1_k*c1_k/n_k, V_k = r1_k*r2_k*c1_k*c2_k/(n_k^2*(n_k-1));
+-- CMH = (sum(a-E))^2 / sum(V), no continuity correction (stated).
+-- EXACT device: all cell counts are exact integers; the per-stratum
+-- E and V rationals are snapped to 1e-9 integers so both sums are
+-- order-free; the chi2 is one snapped chain. Strata with n_k < 2
+-- contribute nothing (V undefined) — stated.
+WITH cust AS (
+  SELECT c_custkey, c_nationkey AS nation,
+         CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS exposed
+  FROM customer
+), outc AS (
+  SELECT DISTINCT o_custkey AS c_custkey, 1 AS outcome
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), tab AS (
+  SELECT nation, exposed, COALESCE(outcome, 0) AS outcome,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cust LEFT JOIN outc USING (c_custkey)
+  GROUP BY 1, 2, 3
+), strata AS (
+  SELECT nation,
+         CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1
+                       THEN cnt ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN exposed = 1 THEN cnt ELSE 0 END)
+              AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN outcome = 1 THEN cnt ELSE 0 END)
+              AS BIGINT) AS k1,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM tab GROUP BY nation
+), terms AS (
+  SELECT FLOOR((a - r1 * 1.0 * k1 / n) * 1000000000 + 0.5) AS num9,
+         FLOOR(r1 * 1.0 * (n - r1) * k1 * (n - k1)
+               / (n * 1.0 * n * (n - 1)) * 1000000000 + 0.5) AS v9
+  FROM strata WHERE n >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       FLOOR((SUM(num9) / 1000000000.0)
+             * (SUM(num9) / 1000000000.0)
+             / (SUM(v9) / 1000000000.0)
+             * 1000000 + 0.5) / 1000000 AS cmh_chi2
+FROM terms
+"""
+
+
+@register("agg_cmh_stratified_test", oracle=CMH_ORACLE)
+def agg_cmh_stratified_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 chi-square (see oracle
+    for the exposure/outcome/stratum definitions and the snapped
+    per-stratum rationals).
+
+    Scale shape: the outcome flag is one DISTINCT over the filtered
+    fact (map-side partial dedup); the 2x2xK table collapses the
+    customer dim to <=4 rows per stratum; E/V terms snap to 1e-9
+    integers on the |nations| domain so the two sums are order-free;
+    chi2 is a 1-row chain."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("exposed"),
+    )
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    outc = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("outcome", F.lit(1))
+    )
+    tab = (
+        cust.join(outc, "c_custkey", "left")
+        .fillna({"outcome": 0})
+        .groupBy("nation", "exposed", "outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cnt = F.col("cnt")
+    strata = tab.groupBy("nation").agg(
+        F.sum(
+            F.when(
+                (F.col("exposed") == 1) & (F.col("outcome") == 1), cnt
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("exposed") == 1, cnt).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("outcome") == 1, cnt).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(cnt).cast("long").alias("n"),
+    )
+    a, r1, k1, n = F.col("a"), F.col("r1"), F.col("k1"), F.col("n")
+    terms = strata.filter(n >= 2).select(
+        F.floor((a - r1 * 1.0 * k1 / n) * 1000000000 + F.lit(0.5)).alias(
+            "num9"
+        ),
+        F.floor(
+            r1 * 1.0 * (n - r1) * k1 * (n - k1)
+            / (n * 1.0 * n * (n - 1))
+            * 1000000000
+            + F.lit(0.5)
+        ).alias("v9"),
+    )
+    sn = F.sum("num9") / 1000000000.0
+    sv = F.sum("v9") / 1000000000.0
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        (F.floor(sn * sn / sv * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cmh_chi2"
+        ),
+    )
+
+
+# --------------------------- wave 40: Mood's median test
+
+MOOD_MEDIAN_ORACLE = """
+-- Mood's median test across the five order priorities: counts above
+-- vs at-or-below the POOLED lower median per group, chi2 on the 2xk
+-- table. The coarsest, most outlier-proof k-group location test —
+-- it reads ONLY each observation's side of the pooled median, so a
+-- single corrupted billion-dollar order moves it by one cell where
+-- Kruskal-Wallis moves a full rank range. The cheap cross-check
+-- when KW and ANOVA disagree. EXACT device: the pooled lower
+-- median is an exact order statistic (the ceil(N/2)-th smallest
+-- cent, PERCENTILE_DISC semantics); all 2xk cells are exact
+-- integers; expectations are per-cell rationals in one snapped
+-- chi2 chain (cells are a k-domain, so the chain is fixed-order).
+WITH s AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+), med AS (
+  SELECT v AS m FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+           COUNT(*) OVER () AS n
+    FROM s
+  ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN v > (SELECT m FROM med)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+         CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM s GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(ab) AS BIGINT) AS ta,
+         CAST(SUM(n_g) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+)
+SELECT k AS n_groups,
+       ta AS n_above_total,
+       FLOOR(SUM(
+           (ab - n_g * 1.0 * ta / nn) * (ab - n_g * 1.0 * ta / nn)
+             / (n_g * 1.0 * ta / nn)
+           + ((n_g - ab) - n_g * 1.0 * (nn - ta) / nn)
+             * ((n_g - ab) - n_g * 1.0 * (nn - ta) / nn)
+             / (n_g * 1.0 * (nn - ta) / nn)
+         ) * 1000000 + 0.5) / 1000000 AS mood_chi2
+FROM cells, tot GROUP BY k, ta, nn
+"""
+
+
+@register("agg_mood_median_test", oracle=MOOD_MEDIAN_ORACLE)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities (see
+    oracle for the exact order-statistic median and the 2xk chi2).
+
+    Scale shape: the pooled median is one exact order statistic
+    (sort-free at scale via approx->exact refinement is the
+    documented alternative; here a single window rank over the fact
+    suffices and matches the oracle's PERCENTILE_DISC semantics);
+    the 2xk cells collapse map-side; the chi2 chain runs on the
+    k-domain. The chi2 SUM spans k=5 cells — fixed order is
+    guaranteed by summing over the deterministic group domain in
+    both engines only after snapping... the cells are exact
+    integers and each cell's term is a fixed-order rational, so the
+    5-term sum's addition order is the only float freedom; at
+    1e-6 snap with terms O(1e2) the boundary risk is the module-
+    docstring epsilon assumption."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    s = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    ).persist()
+    w = Window.orderBy("v")
+    med = (
+        s.select(
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"))
+        .select(F.col("v").alias("m"))
+    )
+    cells = s.crossJoin(F.broadcast(med)).groupBy("g").agg(
+        F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+        .cast("long")
+        .alias("ab"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    tot = cells.agg(
+        F.sum("ab").cast("long").alias("ta"),
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ab, n_g = F.col("ab"), F.col("n_g")
+    ta, nn, k = F.col("ta"), F.col("nn"), F.col("k")
+    e1 = n_g * 1.0 * ta / nn
+    e0 = n_g * 1.0 * (nn - ta) / nn
+    term = (ab - e1) * (ab - e1) / e1 + (
+        (n_g - ab) - e0
+    ) * ((n_g - ab) - e0) / e0
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("k", "ta", "nn")
+        .agg(
+            (F.floor(F.sum(term) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "mood_chi2"
+            )
+        )
+        .select(
+            k.alias("n_groups"),
+            ta.alias("n_above_total"),
+            "mood_chi2",
+        )
+    )
