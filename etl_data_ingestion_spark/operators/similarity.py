@@ -18,12 +18,10 @@ Scale ladder:
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.catalog import load_table, table_path
 from etl_data_ingestion_spark.functions.vectors import cosine_similarity
 from etl_data_ingestion_spark.plans.registry import register
 
@@ -1399,6 +1397,166 @@ def ml_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------
+# Shared bounded-corpus GEMM device (LOO 1-NN accuracy + ratio
+# margin). Both operators need, per query vector, its best and
+# second-best OTHER cosine neighbor under the house snap/tie rule
+# (FLOOR(cos*1e9+0.5), ties to the smaller vec_id). Below
+# GEMM_EXACT_MAX_ROWS the scoring is the exact full GEMM — every
+# fixture/sweep scale (sf1 = 20k vectors) sits under the cap, so
+# parity vs the all-pairs DuckDB oracles is exact there. Above the
+# cap the same top-2 comes from IVF candidate generation: a
+# deterministic spherical k-means coarse index built once per task,
+# top-nprobe clusters probed per query, GEMM only against probed
+# members — per-query work drops from O(N) to O(N * probe_frac),
+# the standard recall-for-cost trade (documented in README's
+# deliberate-exception list). The swap threshold is captured at
+# plan-build time so tests can force the IVF path on fixture data
+# (tests/test_round13.py) and measure its recall against the exact
+# path.
+
+GEMM_EXACT_MAX_ROWS = 32768
+_IVF_PROBE_FRAC = 0.125  # probe ~1/8 of the coarse clusters
+
+
+def _corpus_matrix(emb_path: str):
+    """Executor-side lazy corpus load: (vec_id ascending, L2-normalized
+    float64 matrix). pyarrow read inside the task — no driver collect
+    at any plan-build time (r12 advisor fix, kept)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qids = tbl["vec_id"].to_numpy()
+    order = np.argsort(qids, kind="stable")
+    qids = qids[order]
+    Q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    if len(qids) < 3:
+        # degenerate corpus: top-2 margin is undefined on < 3 vectors
+        # (advisor item — fail loudly instead of silently diverging
+        # from the oracle's NULL margin)
+        raise ValueError(
+            "bounded-corpus GEMM devices require >= 3 corpus vectors; "
+            f"got {len(qids)} from {emb_path}"
+        )
+    return qids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
+def _ivf_coarse_index(Qn, probe_frac: float = _IVF_PROBE_FRAC, n_iter: int = 8):
+    """Deterministic spherical k-means coarse quantizer: init =
+    nlist evenly spaced rows of the id-sorted corpus (no RNG — the
+    same determinism discipline as the IVF/PQ operators' seeded
+    samples), Lloyd on cosine. Members of each cluster are kept in
+    ascending global-index order so block argmax preserves the
+    smaller-vec_id tie rule."""
+    import numpy as np
+
+    n = Qn.shape[0]
+    nlist = max(8, int(round(np.sqrt(n))))
+    seed_idx = np.round(np.linspace(0, n - 1, nlist)).astype(np.int64)
+    C = Qn[seed_idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(Qn @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Qn)
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        nonempty = norms[:, 0] > 0
+        C[nonempty] = sums[nonempty] / norms[nonempty]
+    assign = np.argmax(Qn @ C.T, axis=1)
+    order = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order], np.arange(nlist + 1))
+    members = [order[bounds[j] : bounds[j + 1]] for j in range(nlist)]
+    nprobe = max(2, int(round(nlist * probe_frac)))
+    return C, members, nprobe
+
+
+def _ivf_top2_other(Xn, self_col, qids, Qn, index):
+    """Snapped top-2 OTHER neighbors via the coarse index: returns
+    (nbr_global_idx, top1_s9, top2_s9). Cluster-major merge keeps
+    everything vectorized: for each probed cluster, one block GEMM +
+    block top-2, then a running 2-way merge per query (value desc,
+    global index asc on ties — identical to the exact path's
+    first-max argmax over the id-ascending corpus)."""
+    import numpy as np
+
+    C, members, nprobe = index
+    B = Xn.shape[0]
+    cs = Xn @ C.T
+    probe = np.argpartition(cs, -nprobe, axis=1)[:, -nprobe:]
+    b1v = np.full(B, -np.inf)
+    b1i = np.full(B, -1, dtype=np.int64)
+    b2v = np.full(B, -np.inf)
+    rows = np.repeat(np.arange(B), nprobe)
+    cols = probe.ravel()
+    order = np.argsort(cols, kind="stable")
+    rows, cols = rows[order], cols[order]
+    starts = np.searchsorted(cols, np.arange(len(members) + 1))
+    for j in range(len(members)):
+        lo, hi = starts[j], starts[j + 1]
+        M = members[j]
+        if lo == hi or len(M) == 0:
+            continue
+        q = rows[lo:hi]
+        S = np.floor(Xn[q] @ Qn[M].T * 1e9 + 0.5)
+        # mask self where it lives in this cluster (M is ascending)
+        pos = np.searchsorted(M, self_col[q])
+        hs = np.where(pos < len(M))[0]
+        hs = hs[M[pos[hs]] == self_col[q[hs]]]
+        S[hs, pos[hs]] = -np.inf
+        r = np.arange(S.shape[0])
+        t1c = S.argmax(axis=1)
+        t1v = S[r, t1c].copy()
+        t1i = M[t1c]
+        S[r, t1c] = -np.inf
+        t2v = S.max(axis=1) if S.shape[1] > 1 else np.full(len(r), -np.inf)
+        cur1v, cur1i, cur2v = b1v[q], b1i[q], b2v[q]
+        take = (t1v > cur1v) | ((t1v == cur1v) & (t1i < cur1i))
+        # the displaced best (whichever top-1 lost) is always the
+        # best remaining second candidate at its value level
+        new2 = np.where(
+            t1v > cur1v,
+            np.maximum(cur1v, t2v),
+            np.where(t1v < cur1v, np.maximum(t1v, cur2v), cur1v),
+        )
+        b2v[q] = new2
+        b1i[q] = np.where(take, t1i, cur1i)
+        b1v[q] = np.maximum(cur1v, t1v)
+    if not (np.isfinite(b1v).all() and np.isfinite(b2v).all()):
+        raise ValueError(
+            "IVF probe produced < 2 OTHER candidates for some query; "
+            "raise _IVF_PROBE_FRAC or lower nlist"
+        )
+    return b1i, b1v, b2v
+
+
+def _top2_other_stream(it, emb_path: str, exact_max_rows: int):
+    """Shared mapInPandas core: consume Arrow batches carrying
+    (vec_id, embedding[, ...]), yield (pdf, nbr_ids, top1_s9,
+    top2_s9) per batch under the snap/tie contract above."""
+    import numpy as np
+
+    qids, Qn = _corpus_matrix(emb_path)
+    index = None if len(qids) <= exact_max_rows else _ivf_coarse_index(Qn)
+    for pdf in it:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        self_col = np.searchsorted(qids, ids)
+        if index is None:
+            S = np.floor(Xn @ Qn.T * 1e9 + 0.5)
+            # argmax takes the FIRST max and Q columns are
+            # vec_id-ascending, so ties break on the smaller id
+            S[np.arange(len(ids)), self_col] = -np.inf
+            best = S.argmax(axis=1)
+            part = np.partition(S, S.shape[1] - 2, axis=1)
+            yield pdf, qids[best], part[:, -1], part[:, -2]
+        else:
+            b1i, b1v, b2v = _ivf_top2_other(Xn, self_col, qids, Qn, index)
+            yield pdf, qids[b1i], b1v, b2v
+
+
 LOO_1NN_ORACLE = """
 -- Leave-one-out 1-nearest-neighbor accuracy of the embedding LABELS
 -- under cosine: the standard no-training yardstick for 'does this
@@ -1452,11 +1610,10 @@ def ml_loo_1nn_embedding_accuracy(
     collect ran eagerly at DataFrame-construction time, so every
     plan build — explain, registration sweep — paid it; now nothing
     runs until the plan executes, and with parallel=False the
-    single task reads the 1 MB file once). Still a corpus-sized
-    in-memory matrix, i.e. a bounded-corpus device: at real corpus
-    scale the exact LOO swaps in the LSH/IVF candidate generation
-    (same vote, documented recall trade; README lists this as a
-    deliberate exception).
+    single task reads the 1 MB file once). Above
+    GEMM_EXACT_MAX_ROWS the scoring swaps to the IVF candidate
+    path (shared _top2_other_stream device — same vote, documented
+    recall trade; README lists this as a deliberate exception).
 
     Tie rule: similarities are SNAPPED to 1e-9 before the argmax
     (matching the oracle's FLOOR(cos*1e9+0.5) rank key), so
@@ -1466,41 +1623,21 @@ def ml_loo_1nn_embedding_accuracy(
     the house cent-snap (stats_tests.py module docstring): the two
     engines' doubles agree to well under the 1e-9 snap width except
     exactly at a snap boundary."""
-    import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=False)
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb_path = table_path(sf_dir, "embeddings")
+    cap = GEMM_EXACT_MAX_ROWS  # captured at plan-build time
 
     def _best_other(it):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        qids = tbl["vec_id"].to_numpy()
-        order = np.argsort(qids, kind="stable")
-        qids = qids[order]
-        Q = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in tbl["embedding"].to_pylist()
-            ]
-        )[order]
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        for pdf in it:
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = np.floor(Xn @ Qn.T * 1e9 + 0.5)
-            ids = pdf["vec_id"].to_numpy()
-            # mask self-similarity; argmax takes the FIRST max, and
-            # Q columns are vec_id-ascending, so ties break small-id
-            self_col = np.searchsorted(qids, ids)
-            S[np.arange(len(ids)), self_col] = -np.inf
-            best = S.argmax(axis=1)
+        for pdf, nbr_ids, _top1, _top2 in _top2_other_stream(
+            it, emb_path, cap
+        ):
             yield pd.DataFrame(
                 {
-                    "vec_id": ids,
+                    "vec_id": pdf["vec_id"].to_numpy(),
                     "label": pdf["label"].to_numpy(),
-                    "nbr_id": qids[best],
+                    "nbr_id": nbr_ids,
                 }
             )
 
@@ -1583,45 +1720,26 @@ def similarity_ratio_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label top1-vs-top2 neighbor margin profile (see oracle).
 
     Scale shape: the same lazy executor-side GEMM device as
-    ml_loo_1nn_embedding_accuracy (bounded-corpus exception,
-    documented there and in README) — each Arrow batch computes its
-    similarity block in one numpy GEMM, snaps to 1e-9, masks self,
-    and emits only (top1 - top2) as an exact integer margin; the
-    per-label rollup is label-domain-sized. At real corpus scale
-    the candidate generation swaps to LSH/IVF with the same margin
-    definition."""
+    ml_loo_1nn_embedding_accuracy (shared _top2_other_stream;
+    bounded-corpus exception, documented there and in README) —
+    each Arrow batch computes its similarity block in one numpy
+    GEMM, snaps to 1e-9, masks self, and emits only (top1 - top2)
+    as an exact integer margin; the per-label rollup is
+    label-domain-sized. Above GEMM_EXACT_MAX_ROWS the candidate
+    generation swaps to the shared IVF coarse index with the same
+    margin definition (ties already resolved by the snap: equal
+    snapped values give margin 0 regardless of id order)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings", parallel=False)
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb_path = table_path(sf_dir, "embeddings")
+    cap = GEMM_EXACT_MAX_ROWS  # captured at plan-build time
 
     def _margins(it):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        qids = tbl["vec_id"].to_numpy()
-        order = np.argsort(qids, kind="stable")
-        qids = qids[order]
-        Q = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in tbl["embedding"].to_pylist()
-            ]
-        )[order]
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        for pdf in it:
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = np.floor(Xn @ Qn.T * 1e9 + 0.5)
-            ids = pdf["vec_id"].to_numpy()
-            self_col = np.searchsorted(qids, ids)
-            S[np.arange(len(ids)), self_col] = -np.inf
-            # top-2 values; ties already resolved by the snap (equal
-            # snapped values give margin 0 regardless of id order)
-            part = np.partition(S, S.shape[1] - 2, axis=1)
-            top1 = part[:, -1]
-            top2 = part[:, -2]
+        for pdf, _nbr_ids, top1, top2 in _top2_other_stream(
+            it, emb_path, cap
+        ):
             yield pd.DataFrame(
                 {
                     "label": pdf["label"].to_numpy(),

@@ -3186,13 +3186,18 @@ WITH g AS (
          CAST(SUM((n - 1) * 1.0 * (CAST(n * ss - s * s AS DOUBLE)
                                    / n / (n - 1))) AS DOUBLE) AS sse,
          SUM(1.0 / (n - 1)) AS sinv,
-         SUM(FLOOR(LN(CAST(n * ss - s * s AS DOUBLE) / n / (n - 1))
-                   * 1000000000 + 0.5)
+         -- CAST ... AS HUGEINT before the multiply+sum: DuckDB's
+         -- FLOOR returns DOUBLE, and the wlog terms reach ~9e15
+         -- near sf1 (past 2^53) — the integer chain must stay
+         -- exact on BOTH sides, mirroring Spark's long sum.
+         SUM(CAST(FLOOR(LN(CAST(n * ss - s * s AS DOUBLE) / n / (n - 1))
+                        * 1000000000 + 0.5) AS HUGEINT)
              * (n - 1)) AS wlog
   FROM g
 )
 SELECT k AS n_groups, nn AS n_orders,
-       FLOOR(((nn - k) * FLOOR(LN(sse / (nn - k)) * 1000000000 + 0.5)
+       FLOOR(((nn - k) * CAST(FLOOR(LN(sse / (nn - k))
+                                    * 1000000000 + 0.5) AS HUGEINT)
               / 1000000000.0
               - wlog / 1000000000.0)
              / (1 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
@@ -3227,14 +3232,26 @@ def agg_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum((n - 1) * 1.0 * si2).cast("double").alias("sse"),
         F.sum(1.0 / (n - 1)).alias("sinv"),
+        # decimal(38,0) before the multiply+sum: the snapped-log
+        # terms reach ~9e15 near sf1 and ~9e18 at 1000x — the
+        # integer chain must not saturate int64 (oracle mirrors
+        # with HUGEINT).
         F.sum(
-            F.floor(F.log(si2) * 1000000000 + F.lit(0.5)) * (n - 1)
+            F.floor(F.log(si2) * 1000000000 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+            * (n - 1)
         ).alias("wlog"),
     )
     nn, k = F.col("nn"), F.col("k")
-    num = (nn - k) * F.floor(
-        F.log(F.col("sse") / (nn - k)) * 1000000000 + F.lit(0.5)
-    ) / 1000000000.0 - F.col("wlog") / 1000000000.0
+    num = (
+        (nn - k).cast("decimal(38,0)")
+        * F.floor(
+            F.log(F.col("sse") / (nn - k)) * 1000000000 + F.lit(0.5)
+        )
+    ).cast("double") / 1000000000.0 - F.col("wlog").cast(
+        "double"
+    ) / 1000000000.0
     c = 1 + (F.col("sinv") - 1.0 / (nn - k)) / (3.0 * (k - 1))
     return tot.select(
         k.alias("n_groups"),

@@ -109,7 +109,7 @@ def register(name: str, oracle: Optional[str] = None):
 #                wash);
 #   slots 44-50  the 7 oldest r3-era refreshes from the standing
 #                queue.
-# After this window: never-checked = 0 again; 12 r3-era remain
+# After this window: never-checked = 0 again; 13 r3-era remain
 # (trailing queue below) and lead round 13 together with the 56
 # plan-only fan-out flips + 2 AQE-gate changes from round 11
 # (queued per the r11 verdict's #5 — plan-only, value-safe by
@@ -127,7 +127,7 @@ CHECK_ORDER: list[str] = [
     "timeseries_ewma_crossover",
     "text_mattr_lexical_diversity",
     "ml_roc_curve_points",
-    # slots 9-18: waves 29-30
+    # slots 10-19: waves 29-30
     "agg_friedman_test",
     "agg_cronbach_alpha",
     "ml_decision_stump_gini",
@@ -138,35 +138,35 @@ CHECK_ORDER: list[str] = [
     "ml_fisher_lda_closed_form",
     "timeseries_sample_entropy",
     "quality_functional_dependencies",
-    # slots 19-23: wave 31
+    # slots 20-24: wave 31
     "timeseries_engle_granger_coint",
     "ml_jackknife_ratio_variance",
     "agg_capture_recapture_chapman",
     "ml_poisson_deviance",
     "text_burrows_delta",
-    # slots 24-27: wave 32
+    # slots 25-28: wave 32
     "timeseries_kpss_stationarity",
     "ml_loo_1nn_embedding_accuracy",
     "ml_empirical_bayes_shrinkage",
     "ml_conformal_interval_coverage",
-    # slots 28-31: wave 33
+    # slots 29-32: wave 33
     "ml_logrank_test",
     "agg_energy_distance_weekend",
     "agg_circular_hour_stats",
     "events_post_stratified_lift",
-    # slots 32-35: wave 34
+    # slots 33-36: wave 34
     "ml_xi_correlation",
     "agg_tail_dependence_extremes",
     "agg_partial_correlation",
     "ml_sprt_sequential_test",
-    # slots 36-38: wave 35
+    # slots 37-39: wave 35
     "events_cuped_adjusted_lift",
     "agg_lmoments_daily",
     "pipeline_dedup_threshold_curve",
-    # slots 39-40: wave 36
+    # slots 40-41: wave 36
     "agg_ledoit_wolf_shrinkage",
     "ml_power_analysis_two_prop",
-    # slots 41-42: wave 37
+    # slots 42-43: wave 37
     "timeseries_turning_points_test",
     "timeseries_peak_prominence",
     # slots 44-50: the 7 oldest r3-era refreshes
@@ -179,7 +179,7 @@ CHECK_ORDER: list[str] = [
     "timeseries_zscore_outliers",
     # ---- end of the 50-slot window ----
     # trailing = the round-13 standing queue, oldest-first: the
-    # 12 remaining r3-era verdicts, then the r4 cohort in
+    # 13 remaining r3-era verdicts, then the r4 cohort in
     # registration order. ALSO queued for r13 (do not coast):
     # driver re-verdicts for the 56 round-11 fan-out flips and
     # the 2 AQE-gate eager-materialization changes — plan-only,
