@@ -734,8 +734,19 @@ def dedup_repeated_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) is small by definition; if the >= 3-doc line set ever
     outgrew the broadcast threshold the fallback is the old
     line-keyed shuffle join — that cutover is the documented scale
-    path."""
-    docs = load_table(spark, sf_dir, "documents")
+    path.
+
+    Round-13 floor work (tools/ab_repeated_lines.py, interleaved
+    min-of-4): the interpreted line-building HOF is per-row CPU —
+    exactly the r11 audit's KEEP family — but this query never
+    opted into the scan fan-out, so the HOF serialized on the
+    fixture's 1-2 scan tasks. parallel=True: 2.11 -> 1.22s at
+    sf0.1, 8.80 -> 2.04s at sf1 (4.3x). A drop-by-VALUE rewrite
+    (only boiler hits shuffle to a per-doc drop-set agg, map-side
+    F.filter reassembly) measured SLOWER in both regimes (1.29 vs
+    1.22 fanned, 2.23 vs 2.04 at sf1) and was REJECTED — the
+    doc-side Exchange was never the cost, the serialized HOF was."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     ts = F.split(F.trim(F.col("text")), r"\s+")
     n_lines = F.ceil(F.size(ts) / F.lit(3.0)).cast("int")
     lines = F.transform(

@@ -1862,16 +1862,28 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitive the basket-rules operator's support/lift
     view doesn't give (cosine normalizes by BOTH margins).
 
-    Plan (round-10 map-side pair expansion + round-11 AQE gate):
-    ONE corpus shuffle groups each order's distinct parts into a
-    sorted array (collect_set; lineitem orders carry <= 7 lines),
-    then the <= C(7,2)=21 pairs per basket expand MAP-SIDE from the
-    array via a nested transform/flatten HOF — no distinct exchange,
-    no sort-merge self-join, no second corpus shuffle; the pair
-    count and the per-item margins both aggregate from that one
-    persisted grouped relation. At 100 TB the same bound holds per
-    basket; heavy-hitter baskets (retail carts of 1000s) would cap
-    or sample per basket before pairing — slice(parts, 1, K) on the
+    Plan (round-10 map-side pair expansion + round-11 AQE gate +
+    round-13 packed pair key): ONE corpus shuffle groups each
+    order's distinct parts into a sorted array (collect_set;
+    lineitem orders carry <= 7 lines), then the <= C(7,2)=21 pairs
+    per basket expand MAP-SIDE from the array via a nested
+    transform/flatten HOF — no distinct exchange, no sort-merge
+    self-join, no second corpus shuffle; the pair count and the
+    per-item margins both aggregate from that one persisted grouped
+    relation. The pair key is PACKED into one long before the
+    Exchange — shiftleft(pa,32)|pb — so the named residual cost
+    (the ~3M-row pair Exchange, floor table PLANS.md r12) carries a
+    single 8-byte key instead of a two-long struct row and the
+    partial hash-agg hashes one column; unpack is two bit ops after
+    the c_ab>=2 filter. Bound: partkey < 2^31 (sf1 max 199,999;
+    the struct form is the documented fallback past that).
+    Round-13 interleaved A/Bs (tools/ab_itemcf_pack.py): sf0.1 a
+    wash (1.41 vs 1.41 min-of-6), sf1 every packed sample beat
+    every stock sample (3.53 vs 3.85 min-of-4, -8..12%) — kept on
+    the sf1-is-the-direction-of-scale rule (the r11 KEEP(sf1)
+    precedent). At 100 TB the same bound holds per basket;
+    heavy-hitter baskets (retail carts of 1000s) would cap or
+    sample per basket before pairing — slice(parts, 1, K) on the
     sorted array is the documented cap. Integer counts -> one
     fixed-order cosine chain -> snapped ordering with full key
     tiebreak: deterministic top-20 in both engines. NO scan fan-out
@@ -1915,15 +1927,20 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i + F.lit(2),
                         F.size(F.col("parts")),
                     ),
-                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    lambda y: F.shiftleft(x, 32) + y,
                 ),
             )
         )
         pair = (
-            baskets.select(F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            baskets.select(F.explode(pair_arr).alias("pk"))
+            .groupBy("pk")
             .agg(F.count(F.lit(1)).alias("c_ab"))
             .filter(F.col("c_ab") >= 2)
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("pa"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("pb"),
+                "c_ab",
+            )
         )
         scored = (
             pair.join(

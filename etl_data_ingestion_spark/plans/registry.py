@@ -109,81 +109,64 @@ def register(name: str, oracle: Optional[str] = None):
 #                wash);
 #   slots 44-50  the 7 oldest r3-era refreshes from the standing
 #                queue.
-# After this window: never-checked = 0 again; 13 r3-era remain
-# (trailing queue below) and lead round 13 together with the 56
-# plan-only fan-out flips + 2 AQE-gate changes from round 11
-# (queued per the r11 verdict's #5 — plan-only, value-safe by
-# construction and sweep-verified, but changed plans should get
-# driver re-verdicts once the never-checked cohort is burned).
+# After the r12 window ran (CORRECTNESS_r12 50/50): never-checked =
+# 0 for wave<=37; 13 r3-era remained; waves 38-40 added 14 new
+# never-checked; 54 of the 56 r11 fan-out flips still lacked
+# re-verdicts (graph_assortativity and graph_kcore_peel got theirs
+# in r12 slots 1/3 on post-flip code).
+# ROUND-13 RECUT (the r12 verdict's prescription #1, judge's
+# ordering — changed code, then never-checked, then r3-era, then
+# flips to fill 50):
+#   slots 1-3    round-13 changed code with existing verdicts (the
+#                displacement rule): ml_loo_1nn_embedding_accuracy
+#                (refactor onto the shared _top2_other_stream GEMM
+#                core + IVF candidate path behind the 32k cap),
+#                ml_item_item_cf (pair key packed into one long
+#                before the Exchange — sf1 -8..12%, sf0.1 wash;
+#                <=1.4s claim RETIRED with a FLOOR row, PLANS.md),
+#                dedup_repeated_lines_corpus (scan fan-out landed:
+#                2.11 -> 1.22s sf0.1, 8.80 -> 2.04s sf1; the r11
+#                audit missed it because it had never opted in).
+#   slots 4-17   the 14 wave-38..40 queries in wave order — the
+#                never-checked cohort burns to zero again. TWO are
+#                also round-13 changed code, so their first-ever
+#                verdicts cover the post-change form:
+#                agg_bartlett_variance_test (HUGEINT/decimal
+#                widening of the snapped-log chain, advisor item)
+#                and similarity_ratio_margin (shared GEMM core).
+#   slots 18-30  the 13 r3-era refreshes (the whole trailing
+#                queue — r3-era cohort -> 0 after this window).
+#   slots 31-50  20 of the 54 pending r11 fan-out-flip re-verdicts,
+#                table order (PLANS.md r11 audit). Deviation from
+#                the verdict's "23 of 56" arithmetic: 3 changed-code
+#                slots displace 3 flips (the same displacement rule
+#                that created the deviation in r10), and 2 of the 56
+#                already got post-flip verdicts in r12 (slots 1/3).
+# After this window: never-checked = 0, r3-era = 0, flip backlog =
+# 34 (trailing queue below) — r14 closes it.
 CHECK_ORDER: list[str] = [
-    # slots 1-4: round-12 changed code with existing verdicts
-    "graph_assortativity",
-    "graph_community_modularity",
-    "graph_kcore_peel",
-    "ml_item_item_cf",
-    # slots 5-9: wave 28
-    "quality_t_closeness",
-    "pipeline_train_test_split_hash",
-    "timeseries_ewma_crossover",
-    "text_mattr_lexical_diversity",
-    "ml_roc_curve_points",
-    # slots 10-19: waves 29-30
-    "agg_friedman_test",
-    "agg_cronbach_alpha",
-    "ml_decision_stump_gini",
-    "timeseries_permutation_entropy",
-    "graph_rich_club_coefficient",
-    "agg_gumbel_block_maxima",
-    "agg_cochran_q_test",
-    "ml_fisher_lda_closed_form",
-    "timeseries_sample_entropy",
-    "quality_functional_dependencies",
-    # slots 20-24: wave 31
-    "timeseries_engle_granger_coint",
-    "ml_jackknife_ratio_variance",
-    "agg_capture_recapture_chapman",
-    "ml_poisson_deviance",
-    "text_burrows_delta",
-    # slots 25-28: wave 32
-    "timeseries_kpss_stationarity",
+    # slots 1-3: round-13 changed code with existing verdicts
     "ml_loo_1nn_embedding_accuracy",
-    "ml_empirical_bayes_shrinkage",
-    "ml_conformal_interval_coverage",
-    # slots 29-32: wave 33
-    "ml_logrank_test",
-    "agg_energy_distance_weekend",
-    "agg_circular_hour_stats",
-    "events_post_stratified_lift",
-    # slots 33-36: wave 34
-    "ml_xi_correlation",
-    "agg_tail_dependence_extremes",
-    "agg_partial_correlation",
-    "ml_sprt_sequential_test",
-    # slots 37-39: wave 35
-    "events_cuped_adjusted_lift",
-    "agg_lmoments_daily",
-    "pipeline_dedup_threshold_curve",
-    # slots 40-41: wave 36
-    "agg_ledoit_wolf_shrinkage",
-    "ml_power_analysis_two_prop",
-    # slots 42-43: wave 37
-    "timeseries_turning_points_test",
-    "timeseries_peak_prominence",
-    # slots 44-50: the 7 oldest r3-era refreshes
-    "stream_stateful_sessions",
-    "text_c4_line_filter",
-    "text_gopher_quality_rules",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "timeseries_gap_fill_hourly",
-    "timeseries_zscore_outliers",
-    # ---- end of the 50-slot window ----
-    # trailing = the round-13 standing queue, oldest-first: the
-    # 13 remaining r3-era verdicts, then the r4 cohort in
-    # registration order. ALSO queued for r13 (do not coast):
-    # driver re-verdicts for the 56 round-11 fan-out flips and
-    # the 2 AQE-gate eager-materialization changes — plan-only,
-    # locally parity-verified, zero driver rows on the new plans.
+    "ml_item_item_cf",
+    "dedup_repeated_lines_corpus",
+    # slots 4-8: wave 38
+    "agg_wasserstein_weekend",
+    "agg_cramer_von_mises_weekend",
+    "agg_durbin_watson_daily",
+    "text_good_turing_estimates",
+    "ml_km_survival_curve",
+    # slots 9-12: wave 39
+    "agg_bartlett_variance_test",
+    "agg_herfindahl_concentration",
+    "agg_poisson_overdispersion",
+    "events_page_hinkley_drift",
+    # slots 13-17: wave 40
+    "agg_jonckheere_terpstra",
+    "agg_cmh_stratified_test",
+    "agg_mood_median_test",
+    "similarity_ratio_margin",
+    "pipeline_length_weight_ess",
+    # slots 18-30: the 13 r3-era refreshes (cohort -> 0)
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
@@ -197,6 +180,66 @@ CHECK_ORDER: list[str] = [
     "udtf_sentence_split",
     "warehouse_upsert_latest",
     "window_percentile_bucket_scalable",
+    # slots 31-50: first 20 r11 fan-out-flip re-verdicts
+    "agg_abc_classification",
+    "agg_cochran_armitage_trend",
+    "agg_corr_matrix_daily",
+    "agg_countmin_width_sweep",
+    "agg_cramers_v",
+    "agg_grubbs_outlier",
+    "agg_hill_tail_index",
+    "agg_hodges_lehmann_shift",
+    "agg_lorenz_curve_deciles",
+    "agg_mann_kendall_trend",
+    "agg_mutual_information",
+    "agg_pareto_frontier",
+    "agg_theil_inequality",
+    "agg_wilcoxon_signed_rank",
+    "dedup_savings_by_source",
+    "events_anova_weekday",
+    "events_attribution_position_based",
+    "events_bot_regularity",
+    "events_bounce_rate_by_entry",
+    "events_churn_rate_weekly",
+    # ---- end of the 50-slot window ----
+    # trailing = the round-14 standing queue: the 34 remaining
+    # r11 fan-out-flip re-verdicts, table order (plan-only,
+    # value-safe by construction, sweep-verified — but changed
+    # plans must not coast).
+    "events_decayed_engagement",
+    "events_exp_gap_fit",
+    "graph_degree_distribution",
+    "ml_average_precision",
+    "ml_expected_calibration_error",
+    "ml_isotonic_calibration_bins",
+    "ml_kendall_tau_daily",
+    "ml_log_loss",
+    "ml_logreg_newton_probe",
+    "ml_mann_whitney_u",
+    "ml_mcnemar_test",
+    "ml_ols_normal_equations",
+    "ml_ridge_normal_equations",
+    "pandas_cogroup_reconcile",
+    "pipeline_source_cap_sample",
+    "quality_date_gaps",
+    "quality_l_diversity",
+    "subquery_not_in_null_semantics",
+    "timeseries_bollinger_bands",
+    "timeseries_cross_correlation",
+    "timeseries_dtw_distance",
+    "timeseries_granger_lag1",
+    "timeseries_hurst_rs",
+    "timeseries_ljung_box",
+    "timeseries_periodogram_fixed",
+    "timeseries_rolling_zscore_by_key",
+    "timeseries_runs_test",
+    "timeseries_sax_symbols",
+    "timeseries_spectral_entropy",
+    "timeseries_var_expected_shortfall",
+    "timeseries_variance_ratio",
+    "timeseries_wow_growth",
+    "window_gaps_islands_dates",
+    "window_hampel_outliers",
 ]
 
 

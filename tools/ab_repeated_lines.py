@@ -32,8 +32,8 @@ from etl_data_ingestion_spark.session import get_spark
 SF = os.environ.get("AB_SF", "/root/testdata/sf0.1")
 
 
-def repeated_lines_fused(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+def repeated_lines_fused(spark, sf_dir, parallel=False):
+    docs = load_table(spark, sf_dir, "documents", parallel=parallel)
     ts = F.split(F.trim(F.col("text")), r"\s+")
     n_lines = F.ceil(F.size(ts) / F.lit(3.0)).cast("int")
     lines = F.transform(
@@ -78,9 +78,31 @@ def main() -> None:
     registry.load_all()
     spark = get_spark()
     spark.range(4).write.mode("overwrite").format("noop").save()
+    def stock_fanout(spark, sf_dir):
+        """Stock plan but with the per-row line-building HOF fanned
+        out (parallel=True — the r11 KEEP family: interpreted
+        regex/HOF over documents)."""
+        import etl_data_ingestion_spark.operators.corpus as corpus_mod
+        from etl_data_ingestion_spark import catalog
+
+        orig = catalog.load_table
+
+        def patched(spark_, sf_, name, parallel=False):
+            return orig(spark_, sf_, name, parallel=True)
+
+        corpus_mod.load_table = patched
+        try:
+            return registry.QUERIES["dedup_repeated_lines_corpus"](
+                spark, sf_dir
+            )
+        finally:
+            corpus_mod.load_table = orig
+
     arms = {
         "stock": registry.QUERIES["dedup_repeated_lines_corpus"],
+        "stock_fan": stock_fanout,
         "fused": repeated_lines_fused,
+        "fused_fan": lambda s, d: repeated_lines_fused(s, d, parallel=True),
     }
     rows = {
         tag: sorted(tuple(r) for r in fn(spark, SF).collect())
