@@ -359,6 +359,11 @@ EXTENDED = [
     "agg_mood_median_test",
     "similarity_ratio_margin",
     "pipeline_length_weight_ess",
+    # round 13 wave 41
+    "text_yule_k_characteristic",
+    "pipeline_weighted_priority_sample",
+    "agg_bh_fdr_source_drift",
+    "similarity_label_mmd_drift",
 ]
 
 

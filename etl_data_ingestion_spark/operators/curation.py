@@ -2132,3 +2132,81 @@ def pipeline_length_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("top10_share"),
     )
+
+
+# ------------- wave 41: deterministic weighted priority sampling
+
+PRIORITY_SAMPLE_ORACLE = """
+-- Weighted sampling without replacement, Efraimidis-Spirakis form:
+-- each doc gets priority u^(1/w) with u uniform and w its token
+-- count; the top-k priorities ARE a w-weighted sample without
+-- replacement (the A-ES result) — the one-pass, merge-friendly way
+-- to draw a length-weighted training subset. Determinism device:
+-- u comes from the house portable polynomial hash of the doc id
+-- (acc*31 + codepoint mod 2^31-1 — the rolling-fingerprint family;
+-- engine RNGs and builtin hashes can never be oracle-checked), so
+-- both engines draw the SAME sample. Priorities snap to 1e-9
+-- integers before ranking (libm pow last-ulp rule), ties break on
+-- doc_id.
+WITH w AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                            i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+  FROM documents WHERE trim(text) <> ''
+), keyed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(POWER((h + 1) / 2147483648.0, 1.0 / n_tokens)
+                    * 1000000000 + 0.5) AS BIGINT) AS priority9
+  FROM w
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, priority9
+FROM keyed
+ORDER BY priority9 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("pipeline_weighted_priority_sample", oracle=PRIORITY_SAMPLE_ORACLE)
+def pipeline_weighted_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis length-weighted sample of
+    the corpus (see oracle for the statistic and the hash device).
+
+    Scale shape: ONE map-only pass computes each doc's priority
+    (token count + a fixed-order codepoint fold over the doc-id
+    string — pure JVM char math, no Python); the global top-20 is
+    TakeOrderedAndProject, i.e. per-partition top-k then a 20-row
+    driver merge — nothing corpus-sized ever shuffles, which is
+    exactly why A-ES is the standard distributed weighted sampler
+    (priorities merge across partitions/streams by simple max-k).
+    At 100 TB the same plan holds; k and the weight column are the
+    only knobs. Companion to pipeline_source_cap_sample (hash-mod
+    uniform caps) and pipeline_length_weight_ess (what a weighted
+    sample's effective size is)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idstr = F.col("doc_id").cast("string")
+    code = lambda ch: F.ascii(ch).cast("long")
+    h = F.aggregate(
+        F.split(idstr, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + code(ch)) % 2147483647,
+    )
+    n_tokens = F.size(tokens("text"))
+    keyed = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor(
+            F.pow((h + 1) / 2147483648.0, 1.0 / n_tokens)
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("priority9"),
+    )
+    return keyed.orderBy(F.col("priority9").desc(), "doc_id").limit(20)

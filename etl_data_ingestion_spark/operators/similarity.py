@@ -1773,3 +1773,120 @@ def similarity_ratio_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------- wave 41: linear-kernel MMD drift between labels
+
+MMD_DRIFT_ORACLE = """
+-- Embedding-distribution drift per label group: squared linear-
+-- kernel Maximum Mean Discrepancy between each label's embeddings
+-- and the REST of the corpus, MMD^2 = ||mean_g - mean_rest||^2 —
+-- the mean-embedding shift that flags a source/label whose vectors
+-- live somewhere else in the space (the first-order check before
+-- the quadratic-kernel MMDs; for Gaussian-ish clusters it IS the
+-- between-class signal Fisher LDA uses). EXACT device: every
+-- component snaps to a 1e-7 integer BEFORE summation, so the
+-- per-(label, dim) sums are order-free integers; the difference of
+-- means cross-multiplies to an exact integer numerator with a
+-- shared denominator n*(N-n) per label, so sum-of-squares is ONE
+-- exact HUGEINT aggregate and the only float step is the final
+-- division chain, snapped at 1e-6.
+WITH ev AS (
+  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+), comp AS (
+  SELECT label, i AS dim,
+         CAST(FLOOR(emb[i] * 10000000 + 0.5) AS BIGINT) AS v7
+  FROM ev, UNNEST(generate_series(1, len(emb))) u(i)
+), per AS (
+  SELECT label, dim, SUM(v7) AS s, COUNT(*) AS n
+  FROM comp GROUP BY label, dim
+), tot AS (
+  SELECT dim, SUM(s) AS s_all, SUM(n) AS n_all FROM per GROUP BY dim
+), num AS (
+  SELECT p.label, p.n,
+         CAST(p.s AS HUGEINT) * (t.n_all - p.n)
+           - (t.s_all - p.s) * CAST(p.n AS HUGEINT) AS nm
+  FROM per p JOIN tot t ON t.dim = p.dim
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       FLOOR(CAST(SUM(nm * nm) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * MAX(n))
+             / ((SELECT CAST(SUM(n) AS DOUBLE) FROM per WHERE dim = 1)
+                - MAX(n))
+             / ((SELECT CAST(SUM(n) AS DOUBLE) FROM per WHERE dim = 1)
+                - MAX(n))
+             / 1e14 * 1000000 + 0.5) / 1000000 AS mmd2_linear
+FROM num GROUP BY label ORDER BY label
+"""
+
+
+@register("similarity_label_mmd_drift", oracle=MMD_DRIFT_ORACLE)
+def similarity_label_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label linear-kernel MMD^2 against the rest of the corpus
+    (see oracle for the statistic and the exact-integer device).
+
+    Scale shape: posexplode to (label, dim, snapped component) —
+    a map-only 64x fan-out of an already-narrow projection — then
+    ONE (label, dim)-keyed Exchange with map-side combine; the
+    per-dim totals are a |dims|-row broadcast back onto the
+    |labels|x|dims| relation, and the final sum-of-squares is a
+    |labels|-domain aggregate. The cross-multiplied numerator
+    widens to decimal(38,0)/HUGEINT BEFORE the square (the
+    multiplicand-side rule): at 100 TB the snapped component sums
+    reach ~1e7*1e10 rows and their squared cross terms pass every
+    fixed-width integer except the wide lane."""
+    emb = load_table(spark, sf_dir, "embeddings", parallel=False)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v") * 10000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v7"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.sum("v7").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per.groupBy("dim").agg(
+        F.sum("s").alias("s_all"), F.sum("n").alias("n_all")
+    )
+    nm = F.col("s").cast("decimal(38,0)") * (
+        F.col("n_all") - F.col("n")
+    ) - (F.col("s_all") - F.col("s")) * F.col("n").cast("decimal(38,0)")
+    num = per.join(F.broadcast(tot), "dim").select(
+        "label", "n", nm.alias("nm")
+    )
+    n_d = F.max("n").cast("double")
+    n_all_d = F.max("n_all").cast("double")
+    # carry n_all onto the aggregate via the broadcast total of any
+    # one dim (n_all is dim-invariant: every vector has every dim)
+    num2 = num.crossJoin(
+        F.broadcast(
+            tot.filter(F.col("dim") == 0).select(
+                F.col("n_all").alias("n_all")
+            )
+        )
+    )
+    return (
+        num2.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            (
+                F.floor(
+                    F.sum(F.col("nm") * F.col("nm")).cast("double")
+                    / (n_d * n_d)
+                    / ((n_all_d - n_d) * (n_all_d - n_d))
+                    / 1e14
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mmd2_linear"),
+        )
+        .orderBy("label")
+    )

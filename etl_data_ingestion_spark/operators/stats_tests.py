@@ -3806,3 +3806,211 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mood_chi2",
         )
     )
+
+
+# ----------- wave 41: Benjamini-Hochberg FDR over source KS screens
+
+BH_FDR_ORACLE = """
+-- Multiple-testing control for the per-source drift screens: each
+-- source's doc-length distribution is KS-compared against the REST
+-- of the corpus on a fixed 16-bucket histogram, the one-term DKW
+-- bound p = min(1, 2*exp(-2 D^2 n1 n2/(n1+n2))) turns each D into
+-- a p-value, and Benjamini-Hochberg step-up at q=0.10 decides
+-- which sources are flagged. Running |sources| screens WITHOUT
+-- FDR control is how drift monitors cry wolf — this is the
+-- correction layer every per-source battery here feeds into.
+-- EXACT device: bucket counts and cumulative sums are integers, so
+-- D's numerator max|cum_s * n_rest - cum_rest * n_s| is an EXACT
+-- integer (cross-multiplied, no division until the final chain);
+-- p snaps to 1e-9 and the BH comparison runs on snapped integers
+-- (p9 <= floor(rank*q/m*1e9+0.5)) in both engines.
+WITH d AS (
+  -- integer division on BOTH sides (// here, floor in Spark):
+  -- DuckDB's CAST(double AS BIGINT) rounds half-away while Spark's
+  -- cast truncates — a off-by-one bucket class caught at build
+  SELECT source, LEAST(15, n_chars // 256) AS b
+  FROM documents
+), cnt AS (
+  SELECT source, b, COUNT(*) AS c FROM d GROUP BY source, b
+), scaffold AS (
+  SELECT s.source, g.b
+  FROM (SELECT DISTINCT source FROM d) s,
+       (SELECT UNNEST(range(0, 16)) AS b) g
+), cum AS (
+  SELECT sc.source, sc.b,
+         SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY sc.source ORDER BY sc.b
+         ) AS cum_s
+  FROM scaffold sc LEFT JOIN cnt c
+    ON c.source = sc.source AND c.b = sc.b
+), pers AS (
+  SELECT source, MAX(cum_s) AS n_s FROM cum GROUP BY source
+), alln AS (
+  SELECT SUM(n_s) AS nn, COUNT(*) AS m FROM pers
+), cumall AS (
+  SELECT b, SUM(cum_s) AS cum_all FROM cum GROUP BY b
+), dnum AS (
+  SELECT c.source,
+         MAX(ABS(c.cum_s * (a.nn - p.n_s) - (ca.cum_all - c.cum_s) * p.n_s))
+           AS d_num,
+         MAX(p.n_s) AS n_s, MAX(a.nn) AS nn, MAX(a.m) AS m
+  FROM cum c
+  JOIN pers p ON p.source = c.source
+  JOIN cumall ca ON ca.b = c.b
+  CROSS JOIN alln a
+  GROUP BY c.source
+), pval AS (
+  SELECT source, n_s, nn, m,
+         FLOOR(LEAST(1.0,
+                 2.0 * EXP(-2.0 * CAST(d_num AS DOUBLE) * d_num
+                           / (CAST(n_s AS DOUBLE) * (nn - n_s))
+                           / (CAST(n_s AS DOUBLE) * (nn - n_s))
+                           * (CAST(n_s AS DOUBLE) * (nn - n_s) / nn)))
+               * 1000000000 + 0.5) AS p9,
+         FLOOR(CAST(d_num AS DOUBLE) / (CAST(n_s AS DOUBLE) * (nn - n_s))
+               * 1000000 + 0.5) / 1000000 AS ks_d
+  FROM dnum
+), ranked AS (
+  SELECT source, n_s, m, ks_d, p9,
+         ROW_NUMBER() OVER (ORDER BY p9, source) AS bh_rank,
+         CASE WHEN p9 <= FLOOR(ROW_NUMBER() OVER (ORDER BY p9, source)
+                               * 0.10 / m * 1000000000 + 0.5)
+              THEN 1 ELSE 0 END AS under
+  FROM pval
+), kmax AS (
+  SELECT COALESCE(MAX(CASE WHEN under = 1 THEN bh_rank END), 0) AS k
+  FROM ranked
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_docs,
+       ks_d,
+       FLOOR(p9 / 1000000000.0 * 1000000 + 0.5) / 1000000 AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       bh_rank <= k AS rejected
+FROM ranked CROSS JOIN kmax
+ORDER BY source
+"""
+
+
+@register("agg_bh_fdr_source_drift", oracle=BH_FDR_ORACLE)
+def agg_bh_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift screens with Benjamini-Hochberg FDR
+    step-up at q=0.10 (see oracle for the device and why the
+    correction layer is the point).
+
+    Scale shape: ONE fact pass to (source, bucket) counts (map-side
+    combine; 16 buckets x |sources| rows out of the Exchange);
+    every downstream relation — scaffold fill, cumulative sums,
+    cross-multiplied D numerators, the BH ranking — is
+    |sources|x16-domain window/join math on exact integers. The
+    final exp/division chain runs once per source and snaps at
+    1e-9; the step-up comparison is integer-vs-integer in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.least(F.lit(15).cast("long"), F.floor(F.col("n_chars") / 256))
+    cnt = (
+        docs.select("source", b.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = cnt.select("source").distinct()
+    buckets = spark.range(16).select(F.col("id").alias("b"))
+    scaffold = sources.crossJoin(F.broadcast(buckets))
+    cum = (
+        scaffold.join(cnt, ["source", "b"], "left")
+        .select("source", "b", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn(
+            "cum_s",
+            F.sum("c").over(
+                Window.partitionBy("source").orderBy("b")
+            ),
+        )
+    )
+    pers = cum.groupBy("source").agg(F.max("cum_s").alias("n_s"))
+    alln = pers.agg(
+        F.sum("n_s").alias("nn"), F.count(F.lit(1)).alias("m")
+    )
+    cumall = cum.groupBy("b").agg(F.sum("cum_s").alias("cum_all"))
+    dnum = (
+        cum.join(F.broadcast(pers), "source")
+        .join(F.broadcast(cumall), "b")
+        .crossJoin(F.broadcast(alln))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("nn") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            ).alias("d_num"),
+            F.max("n_s").alias("n_s"),
+            F.max("nn").alias("nn"),
+            F.max("m").alias("m"),
+        )
+    )
+    ns, nn = F.col("n_s").cast("double"), F.col("nn")
+    neff_denom = ns * (nn - F.col("n_s"))
+    p9 = F.floor(
+        F.least(
+            F.lit(1.0),
+            2.0
+            * F.exp(
+                -2.0
+                * F.col("d_num").cast("double")
+                * F.col("d_num")
+                / neff_denom
+                / neff_denom
+                * (neff_denom / nn)
+            ),
+        )
+        * 1000000000
+        + F.lit(0.5)
+    )
+    pval = dnum.select(
+        "source",
+        "n_s",
+        "m",
+        p9.alias("p9"),
+        (
+            F.floor(
+                F.col("d_num").cast("double") / neff_denom * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ks_d"),
+    )
+    w = Window.orderBy("p9", "source")
+    ranked = pval.withColumn("bh_rank", F.row_number().over(w)).withColumn(
+        "under",
+        F.when(
+            F.col("p9")
+            <= F.floor(
+                F.col("bh_rank") * 0.10 / F.col("m") * 1000000000
+                + F.lit(0.5)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("under") == 1, F.col("bh_rank"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            "ks_d",
+            (
+                F.floor(
+                    F.col("p9") / 1000000000.0 * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("p_value"),
+            F.col("bh_rank").cast("long").alias("bh_rank"),
+            (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("source")
+    )

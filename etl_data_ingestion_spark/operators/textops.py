@@ -2641,3 +2641,76 @@ def text_good_turing_estimates(
         )
         .orderBy("r")
     )
+
+
+# --------------------------- wave 41: Yule's K characteristic
+
+YULE_K_ORACLE = """
+-- Yule's characteristic K per source: the classic frequency-
+-- spectrum second-moment measure of vocabulary REPETITIVENESS,
+-- K = 1e4 * (S2 - S1) / S1^2 with S1 = total tokens and
+-- S2 = sum of squared type frequencies. K is (asymptotically)
+-- length-invariant — unlike raw TTR — and high K flags template/
+-- boilerplate-heavy sources the way MATTR flags low diversity;
+-- the two disagree exactly on sources with a few very hot types,
+-- which is the signature worth alerting on in a training corpus.
+-- EXACT device: S1/S2 are integer sums (HUGEINT before the square
+-- — a type frequency squared passes 2^53 long before 100 TB);
+-- one snapped division per source at the end.
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+), freq AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       FLOOR(10000.0 * CAST(SUM(CAST(c AS HUGEINT) * c) - SUM(c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * SUM(c)) * 1000000 + 0.5)
+         / 1000000 AS yule_k
+FROM freq GROUP BY source ORDER BY source
+"""
+
+
+@register("text_yule_k_characteristic", oracle=YULE_K_ORACLE)
+def text_yule_k_characteristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K vocabulary-repetitiveness characteristic per source
+    (see oracle for the statistic and why it complements MATTR).
+
+    Scale shape: ONE (source, token)-keyed Exchange with map-side
+    combine builds the frequency table (the same shuffle class as
+    every corpus token aggregate here); the spectrum moments S1/S2
+    then aggregate source-wise — a |sources|-domain relation. The
+    square widens BEFORE multiplying (decimal(38,0) / HUGEINT — the
+    wave-32 multiplicand-side rule): a hot type's frequency squared
+    passes 2^53 long before 100 TB. One snapped division per source
+    ends the chain; everything upstream is exact integers."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    freq = (
+        docs.filter(F.trim("text") != "")
+        .select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    s1 = F.sum(c).cast("long")
+    s2 = F.sum(c.cast("decimal(38,0)") * c)
+    return (
+        freq.groupBy("source")
+        .agg(
+            s1.alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (
+                F.floor(
+                    10000.0
+                    * (s2 - F.sum(c)).cast("double")
+                    / (F.sum(c).cast("double") * F.sum(c))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
