@@ -2685,8 +2685,12 @@ def text_yule_k_characteristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     square widens BEFORE multiplying (decimal(38,0) / HUGEINT — the
     wave-32 multiplicand-side rule): a hot type's frequency squared
     passes 2^53 long before 100 TB. One snapped division per source
-    ends the chain; everything upstream is exact integers."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    ends the chain; everything upstream is exact integers. NO scan
+    fan-out: a single whitespace split is the CHEAP per-row class,
+    and the r13 interleaved A/B read OFF 0.38 vs ON 0.72 at sf0.1,
+    0.71 vs 0.73 at sf1 — the audit's flip rule (OFF wins-or-ties
+    at both scales) says OFF."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     freq = (
         docs.filter(F.trim("text") != "")
         .select("source", F.explode(tokens("text")).alias("t"))
