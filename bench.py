@@ -364,6 +364,9 @@ EXTENDED = [
     "pipeline_weighted_priority_sample",
     "agg_bh_fdr_source_drift",
     "similarity_label_mmd_drift",
+    # round 13 wave 42
+    "ml_cooks_distance_topk",
+    "agg_mahalanobis_outliers",
 ]
 
 

@@ -4323,3 +4323,163 @@ def ml_km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_days")
         .limit(30)
     )
+
+
+# ------------------- wave 42: Cook's distance influence diagnostics
+
+COOKS_DISTANCE_ORACLE = """
+-- Cook's distance for the daily-revenue-on-time regression: which
+-- DAYS exert outsized influence on the fitted trend (campaign
+-- spikes, outage holes, backfill bursts)? The OLS battery here
+-- fits and tests the line (ml_ols_normal_equations, Durbin-Watson
+-- on its residuals); Cook's D is the third leg — per-point
+-- influence h_i/(1-h_i)^2-weighted squared residuals — and the
+-- one that names WHICH rows to quarantine before refitting.
+-- EXACT device: x = epoch day (integer), y = day revenue in cents
+-- (integer); all five moments are exact wide-integer sums, the
+-- a/b/s2 chain is fixed-order on those exact moments, and ranking
+-- uses the 1e-6-SNAPPED D with date tiebreak so top-20 membership
+-- matches across engines.
+WITH day AS (
+  -- o_orderdate is parquet TIMESTAMP (midnight-aligned): cast to
+  -- DATE first so the subtraction yields integer days, not INTERVAL
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y,
+         STRFTIME(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders GROUP BY o_orderdate
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM day
+), fit AS (
+  SELECT n, sx, sy, sxx, sxy, syy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+         CAST(sx AS DOUBLE) / n AS xbar
+  FROM mom
+), fit2 AS (
+  SELECT *, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+  FROM fit
+), fit3 AS (
+  SELECT *,
+         (CAST(syy AS DOUBLE) - a * CAST(sy AS DOUBLE)
+          - b * CAST(sxy AS DOUBLE)) / (n - 2) AS s2
+  FROM fit2
+), scored AS (
+  SELECT d.d, d.x, d.y,
+         (d.y - f.a - f.b * d.x) AS e,
+         1.0 / f.n + (d.x - f.xbar) * (d.x - f.xbar) / f.sxx_c AS h,
+         f.s2
+  FROM day d CROSS JOIN fit3 f
+), cooks AS (
+  SELECT d, y,
+         FLOOR(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+               * 1000000 + 0.5) AS d6,
+         FLOOR(e / 100.0 * 100 + 0.5) / 100 AS residual_dollars
+  FROM scored
+)
+SELECT d AS day, CAST(y AS BIGINT) AS revenue_cents,
+       residual_dollars,
+       d6 / 1000000.0 AS cooks_d
+FROM cooks
+ORDER BY d6 DESC, day
+LIMIT 20
+"""
+
+
+@register("ml_cooks_distance_topk", oracle=COOKS_DISTANCE_ORACLE)
+def ml_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most influential days of the daily-revenue trend fit
+    by Cook's distance (see oracle for the device and why it
+    completes the OLS battery).
+
+    Scale shape: ONE date-keyed Exchange builds the |days|-domain
+    daily relation (map-side combined cent sums); the five
+    regression moments are a second aggregate OVER that domain
+    relation; the per-day influence chain is map-side math under a
+    broadcast 1-row fit, and the top-20 is TakeOrderedAndProject
+    on the SNAPPED statistic (rank key identical across engines).
+    Nothing fact-sized survives the first Exchange."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    day = orders.groupBy("o_orderdate").agg(
+        F.sum(cents).alias("y")
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+        "y",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mom = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    fit = mom.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "syy",
+        b.alias("b"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+        ).alias("sxx_c"),
+        (F.col("sx").cast("double") / n).alias("xbar"),
+    )
+    fit2 = fit.withColumn(
+        "a",
+        (F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+        / F.col("n"),
+    ).withColumn(
+        "s2",
+        (
+            F.col("syy").cast("double")
+            - F.col("a") * F.col("sy").cast("double")
+            - F.col("b") * F.col("sxy").cast("double")
+        )
+        / (F.col("n") - 2),
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("xbar")) * (
+        F.col("x") - F.col("xbar")
+    ) / F.col("sxx_c")
+    scored = day.crossJoin(F.broadcast(fit2)).select(
+        F.col("d").alias("day"),
+        F.col("y").cast("long").alias("revenue_cents"),
+        (F.floor(e / 100.0 * 100 + F.lit(0.5)) / 100).alias(
+            "residual_dollars"
+        ),
+        F.floor(
+            e * e * h
+            / (2.0 * F.col("s2") * (1.0 - h) * (1.0 - h))
+            * 1000000
+            + F.lit(0.5)
+        ).alias("d6"),
+    )
+    return (
+        scored.orderBy(F.col("d6").desc(), "day")
+        .limit(20)
+        .select(
+            "day",
+            "revenue_cents",
+            "residual_dollars",
+            (F.col("d6") / 1000000.0).alias("cooks_d"),
+        )
+    )

@@ -4014,3 +4014,125 @@ def agg_bh_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------- wave 42: Mahalanobis multivariate outlier screen
+
+MAHALANOBIS_ORACLE = """
+-- Mahalanobis-distance outlier screen on the customer
+-- (order count, total spend) plane: the multivariate companion of
+-- the univariate Grubbs/Hampel screens — a customer can be
+-- unremarkable on each margin yet far off the joint distribution
+-- (many tiny orders, one giant order), and covariance-aware
+-- distance is what catches it. d^2 = w' SIGMA^-1 w with the 2x2
+-- inverse in closed form. EXACT device: both features and all five
+-- covariance moments are exact integers (counts, cents) widened
+-- before products; the quadratic form is a fixed-order double
+-- chain on those exact moments; ranking uses the 1e-6-SNAPPED d^2
+-- with custkey tiebreak so top-20 membership matches.
+WITH feat AS (
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM feat
+), cov AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS cxx,
+         CAST(n * sxy - sx * sy AS DOUBLE) / n / n AS cxy,
+         CAST(n * syy - sy * sy AS DOUBLE) / n / n AS cyy
+  FROM mom
+), scored AS (
+  SELECT f.custkey, f.x, f.y,
+         FLOOR(((f.x - c.mx) * (f.x - c.mx) * c.cyy
+                - 2.0 * (f.x - c.mx) * (f.y - c.my) * c.cxy
+                + (f.y - c.my) * (f.y - c.my) * c.cxx)
+               / (c.cxx * c.cyy - c.cxy * c.cxy)
+               * 1000000 + 0.5) AS d6
+  FROM feat f CROSS JOIN cov c
+)
+SELECT custkey, CAST(x AS BIGINT) AS n_orders,
+       CAST(y AS BIGINT) AS spend_cents,
+       d6 / 1000000.0 AS mahalanobis_d2
+FROM scored
+ORDER BY d6 DESC, custkey
+LIMIT 20
+"""
+
+
+@register("agg_mahalanobis_outliers", oracle=MAHALANOBIS_ORACLE)
+def agg_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 joint (order count, spend) outlier customers by
+    Mahalanobis distance (see oracle for the closed-form 2x2
+    device and why the univariate screens miss these).
+
+    Scale shape: ONE custkey Exchange builds the customer feature
+    relation (map-side combined count + cent sum); the covariance
+    moments are a second aggregate over it (widened before every
+    product); the quadratic form is map-side math under a broadcast
+    1-row covariance, and the top-20 is TakeOrderedAndProject on
+    the SNAPPED d^2. The same shape covers any fixed feature pair;
+    a p-feature version swaps the closed-form inverse for a
+    broadcast p x p solve — still one Exchange."""
+    orders = load_table(spark, sf_dir, "orders", parallel=False)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    feat = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(cents).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mom = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = mom.select(
+        "n",
+        (F.col("sx").cast("double") / n).alias("mx"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        ((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / n / n).alias("cxx"),
+        ((n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / n / n).alias("cxy"),
+        ((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / n / n).alias("cyy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d6 = F.floor(
+        (
+            dx * dx * F.col("cyy")
+            - 2.0 * dx * dy * F.col("cxy")
+            + dy * dy * F.col("cxx")
+        )
+        / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"))
+        * 1000000
+        + F.lit(0.5)
+    )
+    scored = feat.crossJoin(F.broadcast(cov)).select(
+        "custkey",
+        F.col("x").alias("n_orders"),
+        F.col("y").alias("spend_cents"),
+        d6.alias("d6"),
+    )
+    return (
+        scored.orderBy(F.col("d6").desc(), "custkey")
+        .limit(20)
+        .select(
+            "custkey",
+            "n_orders",
+            "spend_cents",
+            (F.col("d6") / 1000000.0).alias("mahalanobis_d2"),
+        )
+    )
