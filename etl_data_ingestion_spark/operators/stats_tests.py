@@ -3898,55 +3898,82 @@ def agg_bh_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up at q=0.10 (see oracle for the device and why the
     correction layer is the point).
 
-    Scale shape: ONE fact pass to (source, bucket) counts (map-side
-    combine; 16 buckets x |sources| rows out of the Exchange);
-    every downstream relation — scaffold fill, cumulative sums,
-    cross-multiplied D numerators, the BH ranking — is
-    |sources|x16-domain window/join math on exact integers. The
-    final exp/division chain runs once per source and snaps at
-    1e-9; the step-up comparison is integer-vs-integer in both
-    engines."""
+    Scale shape (one-pass conditional-aggregate + window-fused
+    form — the ml_roc_curve_points device): ONE fact pass
+    aggregates each source's dense 16-bucket histogram as 16
+    conditional partial sums — the Exchange carries |sources| rows
+    of 16 longs, no (source, bucket) intermediate, no scaffold
+    join. EVERYTHING after is fused into single-partition windows
+    over that |sources|-row relation: column-wise totals, corpus
+    size and m come from one unbounded window (no second corpus
+    aggregate, no crossJoin broadcast), cumulative sums and the
+    cross-multiplied exact D numerator are array HOF math on the
+    16-wide rows, and the BH ranking + step-up cutoff are two more
+    window expressions. The exp/division chain runs once per
+    source and snaps at 1e-9; the step-up comparison is
+    integer-vs-integer in both engines. (First draft: scaffold
+    joins + per-bucket windows, 45 exchanges, 1.62s at sf0.1;
+    second draft: second aggregate + crossJoins, 11 exchanges,
+    1.44s; this form: 0.7s — the threshold_curve job-floor lesson,
+    applied before the query ever carried a verdict.)"""
     docs = load_table(spark, sf_dir, "documents")
     b = F.least(F.lit(15).cast("long"), F.floor(F.col("n_chars") / 256))
+    # corpus pass = the CHEAP (source, bucket) count; densifying to
+    # 16-wide rows happens on the |sources|x16-row result (running
+    # the 16 conditional sums against the corpus measured 3x the
+    # single-count scan — wide codegen on the fact side)
     cnt = (
         docs.select("source", b.alias("b"))
         .groupBy("source", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sources = cnt.select("source").distinct()
-    buckets = spark.range(16).select(F.col("id").alias("b"))
-    scaffold = sources.crossJoin(F.broadcast(buckets))
+    hist = cnt.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(16)
+        ]
+    )
+    harr = hist.select(
+        "source", F.array(*[f"c{i}" for i in range(16)]).alias("h")
+    )
+    # expression-STRING forms (F.expr): the deep lambda trees built
+    # through the Python Column API measured ~0.8s of py4j round
+    # trips at DataFrame-CONSTRUCTION time per call (plan-build is
+    # part of the driver's query path); one parsed SQL string per
+    # column is a single py4j call
+    wsum = ", ".join(
+        f"sum(h[{i}]) over (partition by 1)" for i in range(16)
+    )
+    withtot = harr.select(
+        "source",
+        "h",
+        F.expr(f"array({wsum})").alias("th"),
+        F.expr("count(1) over (partition by 1)").cast("long").alias("m"),
+    )
     cum = (
-        scaffold.join(cnt, ["source", "b"], "left")
-        .select("source", "b", F.coalesce("c", F.lit(0)).alias("c"))
-        .withColumn(
-            "cum_s",
-            F.sum("c").over(
-                Window.partitionBy("source").orderBy("b")
-            ),
-        )
+        "transform(sequence(0, 15), i -> "
+        "aggregate(slice({0}, 1, i + 1), 0L, (acc, x) -> acc + x))"
     )
-    pers = cum.groupBy("source").agg(F.max("cum_s").alias("n_s"))
-    alln = pers.agg(
-        F.sum("n_s").alias("nn"), F.count(F.lit(1)).alias("m")
+    joined = withtot.select(
+        "source",
+        "m",
+        F.expr(cum.format("h")).alias("cum_s"),
+        F.expr(cum.format("th")).alias("cum_all"),
+        F.expr("aggregate(h, 0L, (a, x) -> a + x)").alias("n_s"),
+        F.expr("aggregate(th, 0L, (a, x) -> a + x)").alias("nn"),
     )
-    cumall = cum.groupBy("b").agg(F.sum("cum_s").alias("cum_all"))
-    dnum = (
-        cum.join(F.broadcast(pers), "source")
-        .join(F.broadcast(cumall), "b")
-        .crossJoin(F.broadcast(alln))
-        .groupBy("source")
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("cum_s") * (F.col("nn") - F.col("n_s"))
-                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
-                )
-            ).alias("d_num"),
-            F.max("n_s").alias("n_s"),
-            F.max("nn").alias("nn"),
-            F.max("m").alias("m"),
-        )
+    dnum = joined.select(
+        "source",
+        "n_s",
+        "nn",
+        "m",
+        F.expr(
+            "aggregate(zip_with(cum_s, cum_all, (cs, ca) -> "
+            "abs(cs * (nn - n_s) - (ca - cs) * n_s)), 0L, "
+            "(acc, x) -> greatest(acc, x))"
+        ).alias("d_num"),
     )
     ns, nn = F.col("n_s").cast("double"), F.col("nn")
     neff_denom = ns * (nn - F.col("n_s"))
@@ -3991,14 +4018,20 @@ def agg_bh_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    kmax = ranked.agg(
+    wall2 = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withk = ranked.withColumn(
+        "k",
         F.coalesce(
-            F.max(F.when(F.col("under") == 1, F.col("bh_rank"))),
+            F.max(F.when(F.col("under") == 1, F.col("bh_rank"))).over(
+                wall2
+            ),
             F.lit(0),
-        ).alias("k")
+        ),
     )
     return (
-        ranked.crossJoin(F.broadcast(kmax))
+        withk
         .select(
             "source",
             F.col("n_s").cast("long").alias("n_docs"),

@@ -205,7 +205,9 @@ CHECK_ORDER: list[str] = [
     # trailing = the round-14 standing queue: the 34 remaining
     # r11 fan-out-flip re-verdicts, table order (plan-only,
     # value-safe by construction, sweep-verified — but changed
-    # plans must not coast).
+    # plans must not coast). Behind them, in registration order:
+    # the 6 wave-41/42 queries (new never-checked debt, ledgered
+    # in COVERAGE.md). 34 + 6 + r14 changed code fits one window.
     "events_decayed_engagement",
     "events_exp_gap_fit",
     "graph_degree_distribution",
