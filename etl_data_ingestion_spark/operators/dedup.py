@@ -1726,7 +1726,18 @@ def pipeline_dedup_threshold_curve(
     the gate was NOT kept (plan complexity must buy a measured
     win). The remaining gap to the oracle is decomposed in
     PLANS.md: a ~15-stage chain of tiny broadcast joins pays the
-    per-job/per-stage floor, not data costs."""
+    per-job/per-stage floor, not data costs.
+
+    Round-13 (kept, -8% sf0.1 / -16% sf1, values identical): the
+    5-threshold sweep no longer joins a literal threshold table
+    against the pair relation — the whole tail collapses into TWO
+    conditional aggregations over a persisted `scored` (the
+    ml_roc_curve_points device): n_pairs(t) as five conditional
+    sums in one pass, and removed-docs/chars via per-doc max-j then
+    five conditional (count, sum) pairs; the five output rows
+    materialize from one literal struct array. Kills the fired
+    persist, the ts join, and two left-joins — the job chain the
+    r12 floor table blamed."""
     docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     near = (
@@ -1773,50 +1784,73 @@ def pipeline_dedup_threshold_curve(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    thresholds = [0.3, 0.5, 0.7, 0.8, 0.9]
+    # two consumers (pair counts + per-doc max): persist the scored
+    # pair relation; everything after is conditional-sum domain math
     scored = (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
-            "doc_a",
             "doc_b",
             (
                 F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
             ).alias("j"),
         )
+        .persist()
     )
-    ts = corpus.sparkSession.createDataFrame(
-        [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "t double"
+    agg1 = scored.agg(
+        *[
+            F.sum(F.when(F.col("j") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"np{i}")
+            for i, t in enumerate(thresholds)
+        ]
     )
-    fired = ts.join(F.broadcast(scored), F.col("j") >= F.col("t")).select(
-        "t", "doc_a", "doc_b"
-    ).persist()
-    lens = corpus.select("doc_id", F.length("text").alias("nch"))
-    p = fired.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
-    removed = fired.select("t", "doc_b").distinct()
-    r = (
-        removed.join(
-            F.broadcast(lens.withColumnRenamed("doc_id", "doc_b")), "doc_b"
+    lens = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.length("text").alias("nch")
+    )
+    bmax = (
+        scored.groupBy("doc_b")
+        .agg(F.max("j").alias("jmax"))
+        .join(F.broadcast(lens), "doc_b")
+    )
+    agg2 = bmax.agg(
+        *(
+            [
+                F.sum(F.when(F.col("jmax") >= t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"nr{i}")
+                for i, t in enumerate(thresholds)
+            ]
+            + [
+                F.sum(
+                    F.when(F.col("jmax") >= t, F.col("nch")).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"cs{i}")
+                for i, t in enumerate(thresholds)
+            ]
         )
-        .groupBy("t")
-        .agg(
-            F.count(F.lit(1)).alias("n_removed"),
-            F.sum("nch").alias("chars_saved"),
-        )
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"np{i}").alias("n_pairs"),
+                F.col(f"nr{i}").alias("n_docs_removed"),
+                F.col(f"cs{i}").alias("chars_saved"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
     )
     return (
-        ts.join(p, "t", "left")
-        .join(r, "t", "left")
+        agg1.crossJoin(agg2)
+        .select(F.explode(rows).alias("r"))
         .select(
-            F.col("t").alias("threshold"),
-            F.coalesce(F.col("n_pairs"), F.lit(0))
-            .cast("long")
-            .alias("n_pairs"),
-            F.coalesce(F.col("n_removed"), F.lit(0))
-            .cast("long")
-            .alias("n_docs_removed"),
-            F.coalesce(F.col("chars_saved"), F.lit(0))
-            .cast("long")
-            .alias("chars_saved"),
+            "r.threshold",
+            "r.n_pairs",
+            "r.n_docs_removed",
+            "r.chars_saved",
         )
         .orderBy("threshold")
     )

@@ -117,7 +117,7 @@ def register(name: str, oracle: Optional[str] = None):
 # ROUND-13 RECUT (the r12 verdict's prescription #1, judge's
 # ordering — changed code, then never-checked, then r3-era, then
 # flips to fill 50):
-#   slots 1-3    round-13 changed code with existing verdicts (the
+#   slots 1-4    round-13 changed code with existing verdicts (the
 #                displacement rule): ml_loo_1nn_embedding_accuracy
 #                (refactor onto the shared _top2_other_stream GEMM
 #                core + IVF candidate path behind the 32k cap),
@@ -126,47 +126,52 @@ def register(name: str, oracle: Optional[str] = None):
 #                <=1.4s claim RETIRED with a FLOOR row, PLANS.md),
 #                dedup_repeated_lines_corpus (scan fan-out landed:
 #                2.11 -> 1.22s sf0.1, 8.80 -> 2.04s sf1; the r11
-#                audit missed it because it had never opted in).
-#   slots 4-17   the 14 wave-38..40 queries in wave order — the
+#                audit missed it because it had never opted in),
+#                pipeline_dedup_threshold_curve (threshold sweep
+#                collapsed to two conditional aggregations —
+#                -8% sf0.1 / -16% sf1, values identical, parity
+#                re-green at five scales).
+#   slots 5-18   the 14 wave-38..40 queries in wave order — the
 #                never-checked cohort burns to zero again. TWO are
 #                also round-13 changed code, so their first-ever
 #                verdicts cover the post-change form:
 #                agg_bartlett_variance_test (HUGEINT/decimal
 #                widening of the snapped-log chain, advisor item)
 #                and similarity_ratio_margin (shared GEMM core).
-#   slots 18-30  the 13 r3-era refreshes (the whole trailing
+#   slots 19-31  the 13 r3-era refreshes (the whole trailing
 #                queue — r3-era cohort -> 0 after this window).
-#   slots 31-50  20 of the 54 pending r11 fan-out-flip re-verdicts,
+#   slots 32-50  19 of the 54 pending r11 fan-out-flip re-verdicts,
 #                table order (PLANS.md r11 audit). Deviation from
-#                the verdict's "23 of 56" arithmetic: 3 changed-code
-#                slots displace 3 flips (the same displacement rule
+#                the verdict's "23 of 56" arithmetic: 4 changed-code
+#                slots displace 4 flips (the same displacement rule
 #                that created the deviation in r10), and 2 of the 56
 #                already got post-flip verdicts in r12 (slots 1/3).
 # After this window: never-checked = 0, r3-era = 0, flip backlog =
-# 34 (trailing queue below) — r14 closes it.
+# 35 (trailing queue below) — r14 closes it.
 CHECK_ORDER: list[str] = [
     # slots 1-3: round-13 changed code with existing verdicts
     "ml_loo_1nn_embedding_accuracy",
     "ml_item_item_cf",
     "dedup_repeated_lines_corpus",
-    # slots 4-8: wave 38
+    "pipeline_dedup_threshold_curve",
+    # slots 5-9: wave 38
     "agg_wasserstein_weekend",
     "agg_cramer_von_mises_weekend",
     "agg_durbin_watson_daily",
     "text_good_turing_estimates",
     "ml_km_survival_curve",
-    # slots 9-12: wave 39
+    # slots 10-13: wave 39
     "agg_bartlett_variance_test",
     "agg_herfindahl_concentration",
     "agg_poisson_overdispersion",
     "events_page_hinkley_drift",
-    # slots 13-17: wave 40
+    # slots 14-18: wave 40
     "agg_jonckheere_terpstra",
     "agg_cmh_stratified_test",
     "agg_mood_median_test",
     "similarity_ratio_margin",
     "pipeline_length_weight_ess",
-    # slots 18-30: the 13 r3-era refreshes (cohort -> 0)
+    # slots 19-31: the 13 r3-era refreshes (cohort -> 0)
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
@@ -180,7 +185,7 @@ CHECK_ORDER: list[str] = [
     "udtf_sentence_split",
     "warehouse_upsert_latest",
     "window_percentile_bucket_scalable",
-    # slots 31-50: first 20 r11 fan-out-flip re-verdicts
+    # slots 32-50: first 19 r11 fan-out-flip re-verdicts
     "agg_abc_classification",
     "agg_cochran_armitage_trend",
     "agg_corr_matrix_daily",
@@ -200,14 +205,14 @@ CHECK_ORDER: list[str] = [
     "events_attribution_position_based",
     "events_bot_regularity",
     "events_bounce_rate_by_entry",
-    "events_churn_rate_weekly",
     # ---- end of the 50-slot window ----
-    # trailing = the round-14 standing queue: the 34 remaining
+    # trailing = the round-14 standing queue: the 35 remaining
     # r11 fan-out-flip re-verdicts, table order (plan-only,
     # value-safe by construction, sweep-verified — but changed
     # plans must not coast). Behind them, in registration order:
     # the 6 wave-41/42 queries (new never-checked debt, ledgered
-    # in COVERAGE.md). 34 + 6 + r14 changed code fits one window.
+    # in COVERAGE.md). 35 + 6 + r14 changed code fits one window.
+    "events_churn_rate_weekly",
     "events_decayed_engagement",
     "events_exp_gap_fit",
     "graph_degree_distribution",
