@@ -1798,9 +1798,13 @@ def pipeline_dedup_threshold_curve(
         )
         .persist()
     )
+    # coalesce(…, 0): a global agg over an EMPTY scored relation
+    # yields one row of NULL sums; the oracle emits 0 there.
     agg1 = scored.agg(
         *[
-            F.sum(F.when(F.col("j") >= t, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("j") >= t, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"np{i}")
             for i, t in enumerate(thresholds)
@@ -1817,14 +1821,22 @@ def pipeline_dedup_threshold_curve(
     agg2 = bmax.agg(
         *(
             [
-                F.sum(F.when(F.col("jmax") >= t, 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("jmax") >= t, 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias(f"nr{i}")
                 for i, t in enumerate(thresholds)
             ]
             + [
-                F.sum(
-                    F.when(F.col("jmax") >= t, F.col("nch")).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("jmax") >= t, F.col("nch")).otherwise(
+                            0
+                        )
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"cs{i}")

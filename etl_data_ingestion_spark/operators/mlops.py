@@ -1908,9 +1908,27 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with small_fact_aqe_gate(spark, sf_dir, "lineitem", scale_shuffle=True):
         li = load_table(spark, sf_dir, "lineitem")
+        # Loud guard for the 64-bit pair pack below: pb occupies the
+        # low 32 bits, so any partkey outside [0, 2^31) would bleed
+        # into pa's bits and corrupt co-occurrence counts. raise_error
+        # inside the consumed column makes an out-of-range corpus FAIL
+        # the job (single codegen comparison, no extra Spark job)
+        # instead of returning wrong answers.
+        pk_guarded = F.when(
+            (F.col("l_partkey") >= 0)
+            & (F.col("l_partkey") < F.lit(2147483648)),
+            F.col("l_partkey"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "ml_item_item_cf: l_partkey outside [0, 2^31) breaks"
+                    " the packed pair key; repartition to wider keys"
+                )
+            )
+        )
         baskets = (
             li.groupBy("l_orderkey")
-            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+            .agg(F.sort_array(F.collect_set(pk_guarded)).alias("parts"))
             .persist()
         )
         item = (

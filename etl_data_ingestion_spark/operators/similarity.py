@@ -1880,7 +1880,12 @@ def similarity_label_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(
                     F.sum(F.col("nm") * F.col("nm")).cast("double")
                     / (n_d * n_d)
-                    / ((n_all_d - n_d) * (n_all_d - n_d))
+                    # two SEQUENTIAL divisions, matching the oracle's
+                    # chain ulp-for-ulp (fixed-order-chain discipline;
+                    # the (x*x) product form can differ in the last
+                    # ulp and flip the 1e-6 snap at a boundary)
+                    / (n_all_d - n_d)
+                    / (n_all_d - n_d)
                     / 1e14
                     * 1000000
                     + F.lit(0.5)

@@ -1034,15 +1034,27 @@ def quality_functional_dependencies(
     """Candidate-FD violation profile over orders/lineitem (see
     oracle for the four dependencies and why each is interesting).
 
-    Scale shape: each FD is ONE groupBy on its LHS with a partial
-    count-distinct on the RHS (two-level hash aggregation — the
-    exchange carries (LHS, partial-distinct-set) pairs, and for
-    true keys the per-group set is a singleton), then a reduction
-    to a single profile row; the four profiles union to a 4-row
-    result. Two scans per table (different LHS keys cannot share
-    one aggregation without a dense LHS x FD expansion, which would
-    double the corpus — stated trade, not an accident). At 100 TB
-    each FD is exactly one shuffle keyed on its LHS."""
+    Scale shape (r14 rework, -41% at sf1): each FD is ONE groupBy
+    on its LHS with size(collect_set(RHS)) — a SINGLE LHS-keyed
+    exchange with map-side partial sets, versus count_distinct's
+    two-level rewrite (an (LHS,RHS)-keyed exchange plus an
+    LHS-keyed one). Interleaved A/B (tools/ab_fd_profile.py):
+    sf1 3.29 -> 1.94s with every variant sample beating every
+    stock sample; sf0.1 a wash (1.43 vs 1.53) — KEEP(sf1).
+    Rejected in the same probe: repartition-by-l_orderkey fusion
+    of the two lineitem FDs (serializes the four pipelines behind
+    one exchange: sf1 2.85 vs 2.31 stock) and scan fan-out
+    (sf0.1 2.17). Memory bound, stated: collect_set holds each
+    group's distinct-RHS set in one aggregation buffer, so this
+    form assumes the CANDIDATE-FD regime (near-key LHS, per-group
+    variants small — here max_rhs_variants <= a few). Profiling a
+    wildly non-functional pair (tiny LHS domain x huge RHS) should
+    use the two-level count_distinct form instead; that is a
+    different workload, not this operator's. Two scans per table
+    (different LHS keys cannot share one aggregation without a
+    dense LHS x FD expansion, which would double the corpus —
+    stated trade). At 100 TB each FD is exactly one shuffle keyed
+    on its LHS."""
     od = load_table(spark, sf_dir, "orders", parallel=False)
     li = load_table(spark, sf_dir, "lineitem", parallel=False)
 
@@ -1050,7 +1062,7 @@ def quality_functional_dependencies(
         v = F.col("v")
         return (
             df.groupBy(*lhs)
-            .agg(F.count_distinct(F.col(rhs)).alias("v"))
+            .agg(F.size(F.collect_set(F.col(rhs))).alias("v"))
             .agg(
                 F.lit(name).alias("fd"),
                 F.count(F.lit(1)).cast("long").alias("n_groups"),

