@@ -438,28 +438,36 @@ def _simhash_fingerprints(corpus: DataFrame) -> DataFrame:
     64, vs 96.5% within 4 of 32), restoring the 97% contract with
     headroom. Bit i recombines via shiftleft+XOR, not SUM of
     literals: 1<<63 exceeds the long range as a Python literal but
-    is the correct sign-bit pattern via shiftleft."""
+    is the correct sign-bit pattern via shiftleft.
+
+    Construction note (r14): the 64 per-bit vote aggregates and the
+    64-term recombine chain are built as F.expr STRINGS — one py4j
+    parse call per column instead of ~6 Column-API round trips per
+    bit (the bh_fdr construction lesson, PLANS.md). The analyzed
+    plan is semantically identical to the Column-API form (device
+    test compares results; the build profile carries the before/
+    after numbers)."""
     toks = corpus.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1"
+                f" then 1 else -1 end) as b{i}"
+            )
             for i in range(64)
         ]
     )
-    fingerprint = None
-    for i in range(64):
-        bit = (
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return votes.select("doc_id", fingerprint.alias("simhash"))
+    fingerprint = " ^ ".join(
+        f"shiftleft(case when b{i} > 0 then cast(1 as bigint)"
+        f" else cast(0 as bigint) end, {i})"
+        for i in range(64)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"({fingerprint}) as simhash")
+    )
 
 
 # 64-bit band layout for the banded multi-probe tier: 10 bands

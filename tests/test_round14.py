@@ -80,6 +80,49 @@ def test_item_cf_guard_passes_in_range(spark):
     assert len(rows) > 0
 
 
+def test_simhash_expr_form_matches_column_api(spark):
+    # r14 construction-cost conversion: the F.expr-string form of
+    # _simhash_fingerprints must produce bit-identical fingerprints
+    # to the original Column-API tree (same SQL semantics)
+    from etl_data_ingestion_spark.catalog import load_table
+    from etl_data_ingestion_spark.operators.dedup import (
+        _simhash_fingerprints,
+    )
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: r.simhash
+        for r in _simhash_fingerprints(corpus).collect()
+    }
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    want = {
+        r.doc_id: r.simhash
+        for r in votes.select("doc_id", fp.alias("simhash")).collect()
+    }
+    assert got == want
+
+
 def test_fd_profile_collect_set_matches_count_distinct(spark):
     from etl_data_ingestion_spark.catalog import load_table
 

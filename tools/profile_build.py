@@ -22,7 +22,10 @@ Writes tools/out/build_profile.json and prints the top-N lazy
 builders by build time.
 
 Usage: python tools/profile_build.py [top_n] [query ...]
-  (AB_SF overrides the sf dir; default /root/testdata/sf0.1)
+  (AB_SF overrides the sf dir; default /root/testdata/sf0.1;
+  PROFILE_SLICE=i/n profiles the i-th of n registry slices and
+  writes tools/out/build_profile_{i}of{n}.json — merge with
+  tools/merge_build_profile.py)
 """
 
 from __future__ import annotations
@@ -72,13 +75,18 @@ def main() -> None:
     registry.load_all()
     spark = get_spark()
     spark.range(4).write.mode("overwrite").format("noop").save()
+    names = [n for n in registry.QUERIES if not only or n in only]
+    out_path = "tools/out/build_profile.json"
+    slc = os.environ.get("PROFILE_SLICE")
+    if slc:
+        i, n = (int(x) for x in slc.split("/"))
+        names = [nm for k, nm in enumerate(names) if k % n == i - 1]
+        out_path = f"tools/out/build_profile_{i}of{n}.json"
     rows = []
-    for name, fn in registry.QUERIES.items():
-        if only and name not in only:
-            continue
-        rows.append(profile_one(spark, name, fn))
+    for name in names:
+        rows.append(profile_one(spark, name, registry.QUERIES[name]))
     os.makedirs("tools/out", exist_ok=True)
-    with open("tools/out/build_profile.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump({"sf": SF, "rows": rows}, f, indent=1)
     ok = [r for r in rows if "err" not in r]
     total_build = sum(r["build"] for r in ok)
