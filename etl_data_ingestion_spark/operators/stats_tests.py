@@ -4169,3 +4169,438 @@ def agg_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d6") / 1000000.0).alias("mahalanobis_d2"),
         )
     )
+
+
+# ----------------- wave 43: effect size / structural break / het LM
+
+COHENS_D_ORACLE = """
+-- Cohen's d (pooled-SD standardized mean difference) with Hedges'
+-- small-sample correction, weekend vs weekday daily revenue: the
+-- EFFECT-SIZE companion to agg_welch_ttest (which answers "is there
+-- a difference" — this answers "how big, in SD units"). Sufficient
+-- statistics are exact integer (cents, cents^2 summed WIDE); the
+-- d / g chain is one fixed-order scalar expression, snapped 1e-6.
+WITH daily AS (
+  SELECT CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS we,
+         CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 2, 1
+), m AS (
+  SELECT CAST(SUM(1 - we) AS BIGINT) AS n0,
+         CAST(SUM(we) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN we = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN we = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+         SUM(CASE WHEN we = 0 THEN CAST(y AS HUGEINT) * y END) AS q0,
+         SUM(CASE WHEN we = 1 THEN CAST(y AS HUGEINT) * y END) AS q1
+  FROM daily
+), c AS (
+  SELECT n0, n1,
+         s1 * 1.0 / n1 - s0 * 1.0 / n0 AS diff,
+         (q0 * 1.0 - s0 * 1.0 * s0 / n0) AS ss0,
+         (q1 * 1.0 - s1 * 1.0 * s1 / n1) AS ss1
+  FROM m
+), e AS (
+  SELECT n0, n1, diff,
+         diff / SQRT((ss0 + ss1) / (n0 + n1 - 2)) AS d
+  FROM c
+)
+SELECT n0 AS n_weekday, n1 AS n_weekend,
+       FLOOR(diff / 100 * 10000 + 0.5) / 10000 AS mean_diff_dollars,
+       FLOOR(d * 1000000 + 0.5) / 1000000 AS cohens_d,
+       FLOOR(d * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)) * 1000000 + 0.5)
+         / 1000000 AS hedges_g
+FROM e
+"""
+
+
+@register("agg_cohens_d_weekend", oracle=COHENS_D_ORACLE)
+def agg_cohens_d_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size, weekend vs weekday daily
+    revenue (see oracle).
+
+    Scale shape: facts collapse map-side to |days| in one exchange;
+    the two-group sufficient statistics (n, sum, WIDE sum-of-
+    squares) are ONE conditional aggregation over the |days| table;
+    d and g are a single-row fixed-order scalar chain. Nothing
+    after the daily rollup is data-sized — the same envelope as the
+    welch/wasserstein weekend family it completes."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.floor(F.sum("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.when(F.expr("weekday(d)") >= 5, 1).otherwise(0).alias("we"),
+            "y",
+        )
+    )
+    m = daily.agg(
+        F.sum(1 - F.col("we")).cast("long").alias("n0"),
+        F.sum("we").cast("long").alias("n1"),
+        F.sum(F.when(F.col("we") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("we") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                F.col("we") == 0,
+                (F.col("y").cast("decimal(38,0)") * F.col("y")),
+            )
+        ).alias("q0"),
+        F.sum(
+            F.when(
+                F.col("we") == 1,
+                (F.col("y").cast("decimal(38,0)") * F.col("y")),
+            )
+        ).alias("q1"),
+    )
+    c = m.select(
+        "n0",
+        "n1",
+        (
+            F.col("s1") * 1.0 / F.col("n1")
+            - F.col("s0") * 1.0 / F.col("n0")
+        ).alias("diff"),
+        (
+            F.col("q0") * 1.0
+            - F.col("s0") * 1.0 * F.col("s0") / F.col("n0")
+        ).alias("ss0"),
+        (
+            F.col("q1") * 1.0
+            - F.col("s1") * 1.0 * F.col("s1") / F.col("n1")
+        ).alias("ss1"),
+    )
+    d = F.col("diff") / F.sqrt(
+        (F.col("ss0") + F.col("ss1")) / (F.col("n0") + F.col("n1") - 2)
+    )
+    e = c.select("n0", "n1", "diff", d.alias("d"))
+    return e.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        (F.floor(F.col("diff") / 100 * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_diff_dollars"
+        ),
+        (F.floor(F.col("d") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cohens_d"
+        ),
+        (
+            F.floor(
+                F.col("d")
+                * (
+                    F.lit(1.0)
+                    - F.lit(3.0)
+                    / (4.0 * (F.col("n0") + F.col("n1")) - F.lit(9.0))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("hedges_g"),
+    )
+
+
+CHOW_ORACLE = """
+-- Chow structural-break test on the daily-revenue time trend: fit
+-- y = a + b*t separately on the first and second half of the day
+-- range and pooled, then F = ((SSRp - SSR0 - SSR1)/2) /
+-- ((SSR0 + SSR1)/(n - 4)) — the classic "did the data-generating
+-- process change at the split" screen behind deploy/regime checks.
+-- The split is deterministic (t*2 <= n, t = 1-based day rank).
+-- Sufficient statistics per segment are exact integers (t small,
+-- y cents, y^2 WIDE); each SSR is the centered closed form
+-- Syy - Sty^2/Stt; the F chain is fixed-order, snapped 1e-6.
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         COUNT(*) OVER () AS k
+  FROM daily
+), seg AS (
+  SELECT CASE WHEN t * 2 <= k THEN 0 ELSE 1 END AS g, t, y FROM idx
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) AS BIGINT) AS sty,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM seg GROUP BY g
+), ssr AS (
+  SELECT g, n, st, sy, stt, sty, syy,
+         (syy * 1.0 - sy * 1.0 * sy / n)
+           - (sty * 1.0 - st * 1.0 * sy / n)
+             * (sty * 1.0 - st * 1.0 * sy / n)
+             / (stt * 1.0 - st * 1.0 * st / n) AS s
+  FROM m
+), pool AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(st) AS BIGINT) AS st,
+         CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(stt) AS BIGINT) AS stt,
+         CAST(SUM(sty) AS BIGINT) AS sty,
+         SUM(syy) AS syy,
+         SUM(s) AS s01,
+         SUM(CASE WHEN g = 0 THEN n ELSE 0 END) AS n0,
+         SUM(CASE WHEN g = 1 THEN n ELSE 0 END) AS n1
+  FROM ssr
+), f AS (
+  SELECT n0, n1, s01,
+         (syy * 1.0 - sy * 1.0 * sy / n)
+           - (sty * 1.0 - st * 1.0 * sy / n)
+             * (sty * 1.0 - st * 1.0 * sy / n)
+             / (stt * 1.0 - st * 1.0 * st / n) AS sp,
+         n
+  FROM pool
+)
+SELECT CAST(n0 AS BIGINT) AS n_pre, CAST(n1 AS BIGINT) AS n_post,
+       FLOOR(((sp - s01) / 2) / (s01 / (n - 4)) * 1000000 + 0.5)
+         / 1000000 AS chow_f
+FROM f
+"""
+
+
+@register("agg_chow_break_daily", oracle=CHOW_ORACLE)
+def agg_chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F on the daily-revenue trend (see
+    oracle for the split rule and closed-form SSRs).
+
+    Scale shape: facts collapse map-side to |days|; the day rank is
+    ONE single-partition window over the |days| table (domain-sized
+    by construction — same posture as every daily window in the
+    battery); per-segment sufficient statistics are one conditional
+    aggregation; pooled moments are SUMS of the segment moments, so
+    no second scan. The F statistic is a single-row fixed-order
+    chain. y^2 sums are WIDE (decimal(38,0)/HUGEINT) — daily cents
+    square past int64 at warehouse scale."""
+    ev = load_table(spark, sf_dir, "events", parallel=False)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("k"),
+    )
+    seg = idx.select(
+        F.when(F.col("t") * 2 <= F.col("k"), 0).otherwise(1).alias("g"),
+        "t",
+        "y",
+    )
+    m = seg.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    sty_c = F.col("sty") * 1.0 - F.col("st") * 1.0 * F.col("sy") / F.col("n")
+    ssr_expr = (
+        F.col("syy") * 1.0 - F.col("sy") * 1.0 * F.col("sy") / F.col("n")
+    ) - sty_c * sty_c / (
+        F.col("stt") * 1.0 - F.col("st") * 1.0 * F.col("st") / F.col("n")
+    )
+    ssr = m.select("g", "n", "st", "sy", "stt", "sty", "syy",
+                   ssr_expr.alias("s"))
+    pool = ssr.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("st").cast("long").alias("st"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("stt").cast("long").alias("stt"),
+        F.sum("sty").cast("long").alias("sty"),
+        F.sum("syy").alias("syy"),
+        F.sum("s").alias("s01"),
+        F.sum(F.when(F.col("g") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, F.col("n")).otherwise(0)).alias("n1"),
+    )
+    sty_cp = (
+        F.col("sty") * 1.0 - F.col("st") * 1.0 * F.col("sy") / F.col("n")
+    )
+    sp = (
+        F.col("syy") * 1.0 - F.col("sy") * 1.0 * F.col("sy") / F.col("n")
+    ) - sty_cp * sty_cp / (
+        F.col("stt") * 1.0 - F.col("st") * 1.0 * F.col("st") / F.col("n")
+    )
+    f = pool.select("n0", "n1", "s01", sp.alias("sp"), "n")
+    return f.select(
+        F.col("n0").cast("long").alias("n_pre"),
+        F.col("n1").cast("long").alias("n_post"),
+        (
+            F.floor(
+                ((F.col("sp") - F.col("s01")) / 2)
+                / (F.col("s01") / (F.col("n") - 4))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("chow_f"),
+    )
+
+
+BREUSCH_PAGAN_ORACLE = """
+-- Breusch-Pagan (Koenker studentized form) heteroscedasticity LM
+-- test on the univariate order-size regression: y = order total
+-- (cents) on x = line count. Fit by exact-integer moments, then
+-- regress the SNAPPED squared residuals e2 = floor(e^2 + 0.5) on x;
+-- LM = n * R^2_aux ~ chi^2(1) under homoscedasticity — the screen
+-- that says whether per-order variance grows with order size
+-- (it does, by construction of TPC-H-ish totals: more lines = more
+-- variance), i.e. whether OLS standard errors can be trusted.
+-- Devices: (a,b) come from one exact-integer moment row via a
+-- fixed-order float chain, so both engines compute bit-identical
+-- residuals; e2 snaps to integer cents^2 BEFORE the aux moments, so
+-- every aux sum is exact (e2^2 summed WIDE: ~1e20 per row at
+-- fixture scale, 1e26 aggregate - inside HUGEINT/DECIMAL(38,0)
+-- headroom, stated bound).
+WITH per AS (
+  SELECT o_orderkey AS ok,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders
+), cnt AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS x FROM lineitem GROUP BY 1
+), j AS (
+  SELECT x, y FROM per JOIN cnt USING (ok)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM j
+), fit AS (
+  -- every moment enters the float chain via an EXPLICIT double cast
+  -- (DuckDB's `* 1.0` is DECIMAL(2,1) math on HUGEINT sums — the
+  -- decimal product overflows 38 digits at sf >= 0.1; the MMD
+  -- oracle's CAST-to-DOUBLE pattern keeps both engines on the same
+  -- IEEE chain)
+  SELECT n, sx, sxx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS b,
+         CAST(sy AS DOUBLE) / n
+           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+             * (CAST(sx AS DOUBLE) / n) AS a
+  FROM m
+), scored AS (
+  SELECT x,
+         CAST(FLOOR((y * 1.0 - a - b * x) * (y * 1.0 - a - b * x) + 0.5)
+              AS BIGINT) AS e2
+  FROM j, fit
+), aux AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(e2 AS HUGEINT)) AS se2,
+         SUM(CAST(x AS HUGEINT) * e2) AS sxe2,
+         SUM(CAST(e2 AS HUGEINT) * e2) AS se2e2
+  FROM scored
+)
+SELECT n AS n_orders,
+       FLOOR((CAST(sxe2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE) / n)
+             * (CAST(sxe2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(se2 AS DOUBLE) / n)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(se2e2 AS DOUBLE) - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE) / n))
+             * n * 1000000 + 0.5) / 1000000 AS lm_koenker
+FROM aux
+"""
+
+
+@register("agg_breusch_pagan_order_size", oracle=BREUSCH_PAGAN_ORACLE)
+def agg_breusch_pagan_order_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch-Pagan/Koenker heteroscedasticity LM on the order-size
+    regression (see oracle for the statistic and the exact devices).
+
+    Scale shape: the per-order (x, y) relation is built once — the
+    lineitem count and the orders join are both keyed on orderkey
+    (co-partitioned, AQE-coalesced) — and persisted for its two
+    consumers: the 5-moment fit row and the residual pass. The fit
+    is a 1-row broadcast back onto the relation (house crossJoin
+    pattern), so the residual pass is map-side arithmetic + one
+    6-statistic reduction. Nothing iterates; nothing corpus-sized
+    shuffles twice. e2^2 accumulates WIDE with the stated 1e26
+    fixture-scale bound (1e38 ceiling reached only past ~1e12
+    orders x 1e5-cent residuals — flagged, not silent)."""
+    o = load_table(spark, sf_dir, "orders", parallel=False)
+    li = load_table(spark, sf_dir, "lineitem", parallel=False)
+    per = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    cnt = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    j = per.join(cnt, "ok").select("x", "y").persist()
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    sxy_d = F.col("sxy").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    b_expr = (sxy_d - sx_d * sy_d / F.col("n")) / (
+        sxx_d - sx_d * sx_d / F.col("n")
+    )
+    fit = m.select(
+        "n",
+        "sx",
+        "sxx",
+        b_expr.alias("b"),
+        (sy_d / F.col("n") - b_expr * (sx_d / F.col("n"))).alias("a"),
+    )
+    e = F.col("y") * 1.0 - F.col("a") - F.col("b") * F.col("x")
+    scored = j.crossJoin(F.broadcast(fit.select("a", "b"))).select(
+        "x",
+        F.floor(e * e + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    aux = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("e2").cast("decimal(38,0)")).alias("se2"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("e2")).alias("sxe2"),
+        F.sum(F.col("e2").cast("decimal(38,0)") * F.col("e2")).alias(
+            "se2e2"
+        ),
+    )
+    axe2_d = F.col("sxe2").cast("double")
+    ax_d = F.col("sx").cast("double")
+    ae2_d = F.col("se2").cast("double")
+    axx_d = F.col("sxx").cast("double")
+    ae2e2_d = F.col("se2e2").cast("double")
+    sxe2_c = axe2_d - ax_d * ae2_d / F.col("n")
+    return aux.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.floor(
+                sxe2_c
+                * sxe2_c
+                / (
+                    (axx_d - ax_d * ax_d / F.col("n"))
+                    * (ae2e2_d - ae2_d * ae2_d / F.col("n"))
+                )
+                * F.col("n")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("lm_koenker"),
+    )

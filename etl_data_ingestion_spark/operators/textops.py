@@ -2718,3 +2718,97 @@ def text_yule_k_characteristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------- wave 43: corpus n-gram diversity (distinct-n)
+
+NGRAM_DIVERSITY_ORACLE = """
+-- Distinct-n diversity per source: unique n-grams / total n-grams
+-- for n = 1, 2 — the corpus-level generation-diversity screen
+-- (low distinct-2 = template/boilerplate-heavy source; the
+-- distinct-n metric from the dialogue-generation literature applied
+-- as a training-data quality gate). Complements MATTR (per-doc
+-- windowed TTR) with a corpus-level reading that catches CROSS-doc
+-- repetition MATTR cannot see.
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT source, 1 AS n, UNNEST(tk) AS gram FROM toks
+), bi AS (
+  SELECT source, 2 AS n,
+         UNNEST(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS gram
+  FROM toks WHERE len(tk) >= 2
+), rel AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+)
+SELECT source, CAST(n AS BIGINT) AS ngram_n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       FLOOR(COUNT(DISTINCT gram) * 1.0 / COUNT(*) * 1000000 + 0.5)
+         / 1000000 AS diversity
+FROM rel GROUP BY source, n ORDER BY source, ngram_n
+"""
+
+
+@register("text_distinct_ngram_diversity", oracle=NGRAM_DIVERSITY_ORACLE)
+def text_distinct_ngram_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-1 / distinct-2 n-gram diversity per source (see
+    oracle for the screen and what it adds over MATTR).
+
+    Scale shape: ONE tokenize pass fans out to (source, n, gram)
+    rows — a map-only explode, no corpus re-scan for the bigram tier
+    (bigrams derive from the same token array) — then one
+    count-distinct aggregation keyed on (source, n). The exchange
+    carries (source, n, gram) distinct pairs, i.e. per-source
+    VOCABULARY size, not corpus size — the same envelope as TF-IDF's
+    document-frequency exchange. The bigram HOF guards size >= 2
+    (Spark's sequence() would DESCEND on a negative stop and emit
+    phantom grams)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    uni = toks.select(
+        "source", F.lit(1).alias("n"), F.explode("tk").alias("gram")
+    )
+    bi = toks.filter(F.size("tk") >= 2).select(
+        "source",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), i + 1, 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+    rel = uni.unionByName(bi)
+    return (
+        rel.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.count_distinct("gram").cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("ngram_n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.floor(
+                    F.col("distinct_ngrams")
+                    * 1.0
+                    / F.col("total_ngrams")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("diversity"),
+        )
+        .orderBy("source", "ngram_n")
+    )

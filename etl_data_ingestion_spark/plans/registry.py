@@ -146,72 +146,56 @@ def register(name: str, oracle: Optional[str] = None):
 #                slots displace 4 flips (the same displacement rule
 #                that created the deviation in r10), and 2 of the 56
 #                already got post-flip verdicts in r12 (slots 1/3).
+# After the r13 window ran (CORRECTNESS_r13 50/50): never-checked = 0
+# for waves <= 40, r3-era = 0; the 6 wave-41/42 queries and 35 r11
+# fan-out flips remained (the r14 standing queue, closed below).
+# ROUND-14 RECUT (the r13 verdict's prescription #1 — changed code,
+# then never-checked, then ALL remaining flips; the queue fits one
+# window EXACTLY, 6 + 5 + 4 + 35 = 50):
+#   slots 1-6    round-14 changed code: quality_functional_
+#                dependencies (count_distinct -> single-exchange
+#                size(collect_set) per FD, -41% sf1),
+#                pipeline_dedup_threshold_curve (coalesce-to-0 on an
+#                empty scored relation, advisor item),
+#                ml_item_item_cf (raise_error guard on the packed
+#                pair key's 2^31 bound, advisor item),
+#                similarity_label_mmd_drift (divisor matches the
+#                oracle's sequential division order, advisor item —
+#                ALSO wave-41 never-checked, so its first-ever
+#                verdict covers the post-change form),
+#                dedup_simhash + dedup_simhash_banded (the 64-bit
+#                fingerprint core rebuilt as F.expr strings —
+#                construction-only, values pinned bit-identical in
+#                tests/test_round14.py).
+#   slots 7-11   the remaining wave-41/42 never-checked, wave order.
+#   slots 12-15  wave 43 (new this round, 5-scale parity green).
+#   slots 16-50  ALL 35 remaining r11 fan-out-flip re-verdicts,
+#                table order (PLANS.md r11 audit) — the flip cohort
+#                goes to ZERO with this window.
 # After this window: never-checked = 0, r3-era = 0, flip backlog =
-# 35 (trailing queue below) — r14 closes it.
+# 0 — the first window since the r11 fan-out change with no standing
+# driver-evidence debt of any kind.
 CHECK_ORDER: list[str] = [
-    # slots 1-3: round-13 changed code with existing verdicts
-    "ml_loo_1nn_embedding_accuracy",
-    "ml_item_item_cf",
-    "dedup_repeated_lines_corpus",
+    # slots 1-6: round-14 changed code
+    "quality_functional_dependencies",
     "pipeline_dedup_threshold_curve",
-    # slots 5-9: wave 38
-    "agg_wasserstein_weekend",
-    "agg_cramer_von_mises_weekend",
-    "agg_durbin_watson_daily",
-    "text_good_turing_estimates",
-    "ml_km_survival_curve",
-    # slots 10-13: wave 39
-    "agg_bartlett_variance_test",
-    "agg_herfindahl_concentration",
-    "agg_poisson_overdispersion",
-    "events_page_hinkley_drift",
-    # slots 14-18: wave 40
-    "agg_jonckheere_terpstra",
-    "agg_cmh_stratified_test",
-    "agg_mood_median_test",
-    "similarity_ratio_margin",
-    "pipeline_length_weight_ess",
-    # slots 19-31: the 13 r3-era refreshes (cohort -> 0)
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "udtf_sentence_split",
-    "warehouse_upsert_latest",
-    "window_percentile_bucket_scalable",
-    # slots 32-50: first 19 r11 fan-out-flip re-verdicts
-    "agg_abc_classification",
-    "agg_cochran_armitage_trend",
-    "agg_corr_matrix_daily",
-    "agg_countmin_width_sweep",
-    "agg_cramers_v",
-    "agg_grubbs_outlier",
-    "agg_hill_tail_index",
-    "agg_hodges_lehmann_shift",
-    "agg_lorenz_curve_deciles",
-    "agg_mann_kendall_trend",
-    "agg_mutual_information",
-    "agg_pareto_frontier",
-    "agg_theil_inequality",
-    "agg_wilcoxon_signed_rank",
-    "dedup_savings_by_source",
-    "events_anova_weekday",
-    "events_attribution_position_based",
-    "events_bot_regularity",
-    "events_bounce_rate_by_entry",
-    # ---- end of the 50-slot window ----
-    # trailing = the round-14 standing queue: the 35 remaining
-    # r11 fan-out-flip re-verdicts, table order (plan-only,
-    # value-safe by construction, sweep-verified — but changed
-    # plans must not coast). Behind them, in registration order:
-    # the 6 wave-41/42 queries (new never-checked debt, ledgered
-    # in COVERAGE.md). 35 + 6 + r14 changed code fits one window.
+    "ml_item_item_cf",
+    "similarity_label_mmd_drift",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    # slots 7-9: wave 41 remainder (never-checked)
+    "text_yule_k_characteristic",
+    "pipeline_weighted_priority_sample",
+    "agg_bh_fdr_source_drift",
+    # slots 10-11: wave 42 (never-checked)
+    "ml_cooks_distance_topk",
+    "agg_mahalanobis_outliers",
+    # slots 12-15: wave 43 (new this round)
+    "agg_cohens_d_weekend",
+    "agg_chow_break_daily",
+    "agg_breusch_pagan_order_size",
+    "text_distinct_ngram_diversity",
+    # slots 16-50: all 35 remaining r11 fan-out-flip re-verdicts
     "events_churn_rate_weekly",
     "events_decayed_engagement",
     "events_exp_gap_fit",
@@ -247,6 +231,7 @@ CHECK_ORDER: list[str] = [
     "timeseries_wow_growth",
     "window_gaps_islands_dates",
     "window_hampel_outliers",
+    # ---- end of the 50-slot window ----
 ]
 
 
