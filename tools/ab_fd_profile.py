@@ -18,6 +18,18 @@ is scan-dedup vs exchange-dedup.
 
 In-session interleaved min-of-N, value check first. Usage:
 python tools/ab_fd_profile.py [rounds]   (AB_SF overrides sf dir)
+
+ADJUDICATED (r14): the collect_set form is the registry plan
+("stock" below now IS it). Measured and kept/rejected:
+- cset (KEPT): sf1 3.29 -> 1.94s min-of-4, every sample winning;
+  sf0.1 wash (1.43 vs 1.53) -> KEEP(sf1).
+- repartition-by-l_orderkey fusion (REJECTED): serializes the four
+  pipelines behind one exchange; sf1 2.85 vs 2.31, sf0.1 1.20 vs
+  1.01.
+- scan fan-out alone (REJECTED): sf0.1 2.17 vs 1.43.
+- cset + fan-out (REJECTED in a 6-round interleaved follow-up):
+  sf0.1 1.92 vs 1.74, sf1 2.44 vs 2.12 — the plain columnar scans
+  are not the HOF class fan-out helps.
 """
 
 from __future__ import annotations
