@@ -781,15 +781,22 @@ def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp_ok.alias("groups_within_5pct"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
     )
+    # coalesce-to-True: with zero groups both 5%-bound checks are
+    # vacuous — every() over 0 rows and the NULL-estimate comparison
+    # read NULL where the oracle asserts TRUE (empty-corpus sweep,
+    # round 14)
     return merged.crossJoin(F.broadcast(global_exact)).select(
         "n_groups",
         "sum_group_exact",
         "exact_global",
-        "groups_within_5pct",
-        (
+        F.coalesce("groups_within_5pct", F.lit(True)).alias(
+            "groups_within_5pct"
+        ),
+        F.coalesce(
             F.abs(F.col("union_est") - F.col("exact_global"))
             / F.col("exact_global")
-            <= 0.05
+            <= 0.05,
+            F.lit(True),
         ).alias("union_within_5pct"),
     )
 
@@ -989,14 +996,21 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     THETA_SETOPS_ORACLE — intersection/difference sketch error
     scales with |A∪B|, verified failing result-relative at sf1)."""
     orders = load_table(spark, sf_dir, "orders")
-    sk = (
-        orders.filter(F.col("o_orderstatus").isin("O", "F"))
-        .groupBy("o_orderstatus")
-        .agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+    # Both slice sketches fold in ONE conditional aggregation
+    # (theta_sketch_agg skips NULLs), replacing the round-5
+    # groupBy + two filters + crossJoin: one less exchange, and the
+    # 1-row shape survives an empty input, where the filtered-slice
+    # form emitted zero rows against the oracle's summary row
+    # (empty-corpus sweep, round 14). Sketches are order-independent,
+    # so the estimates are unchanged.
+    both = orders.filter(F.col("o_orderstatus").isin("O", "F")).agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("sk_b"),
     )
-    a = sk.filter(F.col("o_orderstatus") == "O").select(F.col("sk").alias("sk_a"))
-    b = sk.filter(F.col("o_orderstatus") == "F").select(F.col("sk").alias("sk_b"))
-    both = a.crossJoin(b)
 
     cust = orders.filter(F.col("o_orderstatus").isin("O", "F")).select(
         "o_custkey", "o_orderstatus"
@@ -1005,12 +1019,19 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("in_a"),
         F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("in_b"),
     )
+    # coalesce: the exact sums are NULL over a 0-row flag relation
+    # where the oracle's counts are 0 (empty-corpus sweep, round 14)
+    zero = F.lit(0).cast("long")
     exact = flags.groupBy().agg(
-        F.sum("in_a").cast("long").alias("exact_a"),
-        F.sum("in_b").cast("long").alias("exact_b"),
+        F.coalesce(F.sum("in_a").cast("long"), zero).alias("exact_a"),
+        F.coalesce(F.sum("in_b").cast("long"), zero).alias("exact_b"),
         F.count(F.lit(1)).alias("exact_union"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersect"),
-        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("exact_diff"),
+        F.coalesce(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long"), zero
+        ).alias("exact_intersect"),
+        F.coalesce(
+            F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long"), zero
+        ).alias("exact_diff"),
     )
 
     est_union = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
@@ -1025,9 +1046,17 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersect",
         "exact_diff",
-        within(est_union, "exact_union").alias("union_ok"),
-        within(est_inter, "exact_intersect").alias("intersect_ok"),
-        within(est_diff, "exact_diff").alias("diff_ok"),
+        # coalesce-to-True: empty-input sketches estimate NULL and
+        # the 5% bound is vacuous, where the oracle asserts TRUE
+        F.coalesce(within(est_union, "exact_union"), F.lit(True)).alias(
+            "union_ok"
+        ),
+        F.coalesce(
+            within(est_inter, "exact_intersect"), F.lit(True)
+        ).alias("intersect_ok"),
+        F.coalesce(within(est_diff, "exact_diff"), F.lit(True)).alias(
+            "diff_ok"
+        ),
     )
 
 
@@ -2690,8 +2719,10 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l_nano"),
         F.col("n"),
     )
+    # coalesce: max(n) over the 0-row term relation is NULL where the
+    # oracle's count is 0 (empty-corpus sweep, round 14)
     return terms.agg(
-        F.max("n").alias("n_customers"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("n_customers"),
         snap(F.sum("t_nano") * 1.0 / F.count(F.lit(1)) / 1000000000.0, 6).alias(
             "theil_t"
         ),

@@ -415,8 +415,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fb, "doc_b")
         .agg(
             F.count(F.lit(1)).alias("planted_total"),
-            F.sum(
-                F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+            # coalesce: sum over the 0-row pair relation is NULL where
+            # the oracle's COUNT is 0 (empty-corpus sweep, round 14)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("planted_found"),
         )
     )
@@ -975,6 +980,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = np.array(
         [r["embedding"] for r in emb.limit(2500).collect()], dtype=np.float64
     )
+    if sample.size == 0:
+        # empty corpus (empty-corpus sweep, round 14): there is
+        # nothing to cluster and the pandas_udf below never receives
+        # a row, but the driver-side Lloyd loop would crash on the
+        # 0-row sample. A well-formed dummy quantizer keeps the plan
+        # identical and the planted-recall contract degenerates to
+        # the oracle's (0, TRUE, TRUE) row.
+        sample = np.zeros((1, 1), dtype=np.float64)
     cents = sample[:k_centroids].copy()
     for _ in range(n_iter):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -990,6 +1003,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents64 = cents.copy()
 
     def _nearest(embs):
+        if len(embs) == 0:
+            # Arrow can hand a 0-row batch; np.stack raises on it
+            return pd.Series([], dtype="int32")
         X = np.stack(embs.to_numpy())
         d2 = (
             (X ** 2).sum(axis=1, keepdims=True)

@@ -845,7 +845,14 @@ def events_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum"),
     )
     fexp = 1 - F.exp(-(n * 1.0 / s) * gap)
-    ks = cum.groupBy("n", "s").agg(
+    # global aggregation, NOT groupBy(n, s): (n, s) are window
+    # constants so the group count is 1 on any populated input
+    # (identical values), but the grouped form emits ZERO rows on an
+    # empty corpus where the oracle's aggregate emits its n_gaps = 0
+    # summary row (empty-corpus sweep, round 14)
+    ks = cum.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
         F.max(
             F.floor((cumc * 1.0 / n - fexp) * 1000000000 + F.lit(0.5)).cast(
                 "long"
@@ -858,7 +865,7 @@ def events_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dminus9"),
     )
     return ks.select(
-        n.cast("long").alias("n_gaps"),
+        F.coalesce(n.cast("long"), F.lit(0)).alias("n_gaps"),
         (F.floor(n * 3600.0 / s * 1000000 + F.lit(0.5)) / 1000000).alias(
             "lambda_per_hour"
         ),

@@ -138,7 +138,12 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = outw.select("src", (F.lit(1.0) / n_nodes).alias("pr")).withColumnRenamed(
         "src", "node"
     )
-    base = 0.15 / n_nodes
+    # empty graph (empty-corpus sweep, round 14): every relation in
+    # the superstep chain is already 0 rows, so the result is the
+    # oracle's empty set — only this driver-side literal would
+    # divide by zero. Populated plans are bit-identical (base is the
+    # same literal whenever n_nodes > 0).
+    base = 0.15 / n_nodes if n_nodes else 0.0
     for _ in range(3):
         contribs = (
             norm_edges.join(F.broadcast(pr), norm_edges.src == F.col("node"))
@@ -796,7 +801,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             degm.crossJoin(F.broadcast(sjk))
             .select(
-                (n2 / 2).cast("long").alias("n_edges"),
+                # coalesce: sum(d) over the 0-row degree table is NULL
+                # where the oracle's count is 0 (empty-corpus sweep,
+                # round 14)
+                F.coalesce((n2 / 2).cast("long"), F.lit(0)).alias(
+                    "n_edges"
+                ),
                 "n_nodes",
                 snap(num / (den * den), 6).alias("assortativity"),
             )
@@ -938,7 +948,10 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm, intra = F.col("m"), F.col("intra")
     q = (4.0 * mm * intra - F.col("sum_dc2")) / (4.0 * mm * mm)
     return m.crossJoin(F.broadcast(sq)).select(
-        mm.cast("long").alias("n_edges"),
+        # coalesce: sum(cnt) over the 0-row pair-count relation is
+        # NULL where the oracle's count is 0; intra stays NULL to
+        # match the oracle (empty-corpus sweep, round 14)
+        F.coalesce(mm.cast("long"), F.lit(0)).alias("n_edges"),
         intra.cast("long").alias("intra_edges"),
         F.col("n_communities"),
         snap(q, 6).alias("modularity"),

@@ -2947,7 +2947,14 @@ def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        m.select("pos", "neg", F.explode(rows).alias("r"))
+        # pos IS NULL <=> the scored relation was empty: the oracle's
+        # threshold grid joins against it and yields NO rows, so the
+        # literal 9-threshold fan-out must vanish too instead of
+        # emitting all-NULL operating points (empty-corpus sweep,
+        # round 14). On any non-empty input pos is a real count and
+        # the filter is a no-op.
+        m.filter(F.col("pos").isNotNull())
+        .select("pos", "neg", F.explode(rows).alias("r"))
         .select(
             (F.floor(F.col("r.threshold") * 10 + F.lit(0.5)) / 10).alias(
                 "threshold"

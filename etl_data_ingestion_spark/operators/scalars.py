@@ -385,7 +385,11 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for c, (mn, mx) in cols.items():
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            # coalesce: sum over a 0-row table is NULL where the
+            # oracle's count is 0 (empty-corpus sweep, round 14)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"{c}__nulls"),
             F.count_distinct(c).alias(f"{c}__distinct"),
             mn.alias(f"{c}__min"),
             mx.alias(f"{c}__max"),

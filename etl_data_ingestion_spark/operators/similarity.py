@@ -220,7 +220,19 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="vec", outputCol="hashes", numHashTables=6, bucketLength=0.75,
         seed=42,
     )
-    model = lsh.fit(normed)
+    try:
+        model = lsh.fit(normed)
+    except Exception as e:
+        # Spark ML's BRP fit raises an opaque JVM error on a 0-row
+        # dataset; surface the documented degenerate-corpus contract
+        # instead (empty-corpus sweep, round 14). Checked only in the
+        # error path so populated runs pay no extra job.
+        if normed.isEmpty():
+            raise ValueError(
+                "similarity_topk_lsh requires a non-empty corpus to "
+                "fit the LSH model; got 0 embedding rows"
+            ) from e
+        raise
     queries = normed.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
@@ -265,6 +277,15 @@ def _train_quantizer(emb: DataFrame, k_centroids: int, n_iter: int):
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        # index-build contract (empty-corpus sweep, round 14): an ANN
+        # index over an empty corpus has no meaningful self-check
+        # result — fail loudly like the GEMM device does, instead of
+        # the accidental numpy shape error the Lloyd loop raises.
+        raise ValueError(
+            "IVF quantizer requires a non-empty corpus sample; "
+            "got 0 embedding rows"
+        )
     cents = sample[:k_centroids].copy()
     for _ in range(n_iter):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -507,6 +528,13 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        # same index-build contract as the IVF quantizer (empty-corpus
+        # sweep, round 14): fail loudly, not with a numpy axis error
+        raise ValueError(
+            "PQ codebook training requires a non-empty corpus sample; "
+            "got 0 embedding rows"
+        )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     # vectorized Lloyd (matmul distances + bincount means): 0.33s vs
     # 0.61s for the per-centroid loop at 500×8 per subspace — driver
@@ -1095,9 +1123,17 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     nrm = u2row.select(
         "uf", F.sqrt(fold_sum(F.transform("uf", lambda c: c * c))).alias("nrm")
     )
+    # empty corpus (empty-corpus sweep, round 14): the accumulated
+    # array is empty and posexplode would emit nothing, while the
+    # oracle's generated 64-component domain emits NULL loadings with
+    # a 0.0 eigenvalue; no-op whenever any embedding row exists
+    uf_dom = F.when(
+        F.size("uf") == 0,
+        F.array_repeat(F.lit(None).cast("double"), 64),
+    ).otherwise(F.col("uf"))
     return (
         nrm.select(
-            F.posexplode("uf").alias("pos", "c"), F.col("nrm")
+            F.posexplode(uf_dom).alias("pos", "c"), F.col("nrm")
         )
         .select(
             F.col("pos").alias("component"),
@@ -1428,19 +1464,22 @@ def _corpus_matrix(emb_path: str):
 
     tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     qids = tbl["vec_id"].to_numpy()
+    if len(qids) < 3:
+        # degenerate corpus: top-2 margin is undefined on < 3 vectors
+        # (advisor item — fail loudly instead of silently diverging
+        # from the oracle's NULL margin). Checked BEFORE np.stack:
+        # on a 0-row corpus the stack itself raises an accidental
+        # "need at least one array" instead of this contract error
+        # (empty-corpus sweep, round 14).
+        raise ValueError(
+            "bounded-corpus GEMM devices require >= 3 corpus vectors; "
+            f"got {len(qids)} from {emb_path}"
+        )
     order = np.argsort(qids, kind="stable")
     qids = qids[order]
     Q = np.stack(
         [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
     )[order]
-    if len(qids) < 3:
-        # degenerate corpus: top-2 margin is undefined on < 3 vectors
-        # (advisor item — fail loudly instead of silently diverging
-        # from the oracle's NULL margin)
-        raise ValueError(
-            "bounded-corpus GEMM devices require >= 3 corpus vectors; "
-            f"got {len(qids)} from {emb_path}"
-        )
     return qids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 

@@ -311,7 +311,15 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    part = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    # explicit schema: on populated data this only skips inference
+    # (same scan plan); on an EMPTY source the partitioned dir has no
+    # data files at all and inference raises UNABLE_TO_INFER_SCHEMA
+    # (empty-corpus sweep, round 14)
+    part = (
+        spark.read.schema(orders.schema)
+        .parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
     return (
         part.groupBy("o_orderstatus")
         .agg(
@@ -458,7 +466,9 @@ def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    fact = spark.read.parquet(path)
+    # explicit schema for the same reason as scan_partitioned_pruning:
+    # an empty source leaves the partitioned dir without data files
+    fact = spark.read.schema(orders.schema).parquet(path)
     dim = (
         orders.select("o_orderpriority")
         .distinct()

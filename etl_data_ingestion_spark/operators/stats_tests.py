@@ -827,12 +827,20 @@ def agg_levene_variance_homogeneity(
         (qi * 1.0 / ni / ni - (ui * 1.0 / ni) * (ui * 1.0 / ni) / ni) * 100
         + F.lit(0.5)
     ).cast("decimal(38,0)")
-    f = t2.groupBy("n", "k").agg(
-        F.sum(num2).alias("num"), F.sum(den2).alias("den")
+    # global aggregation, NOT groupBy(n, k): both are window
+    # constants (1 group on any populated input, identical values),
+    # but the grouped form emits ZERO rows on an empty corpus where
+    # the oracle emits its n_groups = 0 summary row (empty-corpus
+    # sweep, round 14)
+    f = t2.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(num2).alias("num"),
+        F.sum(den2).alias("den"),
     )
     return f.select(
         n.cast("long").alias("n_customers"),
-        k.cast("long").alias("n_groups"),
+        F.coalesce(k.cast("long"), F.lit(0)).alias("n_groups"),
         (
             F.floor(
                 (n - k) * 1.0 / (k - 1)
@@ -1603,8 +1611,10 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
     )
     q = 6.0 * F.col("sq") / (F.col("a4") - 448 * F.col("n"))
+    # coalesce: max(n) over the 0-row pair relation is NULL where the
+    # oracle's count is 0 (empty-corpus sweep, round 14)
     return num.crossJoin(F.broadcast(a4)).select(
-        F.col("n").cast("long").alias("n_weeks"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_weeks"),
         F.lit(7).cast("long").alias("k_treatments"),
         snap(q, 6).alias("q_stat"),
     )
@@ -2870,17 +2880,24 @@ def agg_wasserstein_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
     )
-    return segs.groupBy("n1", "n2").agg(
+    # global aggregation, NOT groupBy(n1, n2): both are broadcast
+    # constants (1 group on any populated input, identical values),
+    # but the grouped form emits ZERO rows on an empty corpus where
+    # the oracle emits one all-NULL summary row (empty-corpus sweep,
+    # round 14)
+    return segs.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
         (
             F.floor(
                 F.sum("seg").cast("double")
-                / (F.col("n1") * 1.0 * F.col("n2"))
+                / (F.max("n1") * 1.0 * F.max("n2"))
                 / 100
                 * 10000
                 + F.lit(0.5)
             )
             / 10000
-        ).alias("wasserstein_dollars")
+        ).alias("wasserstein_dollars"),
     ).select(
         F.col("n1").alias("n_weekday"),
         F.col("n2").alias("n_weekend"),
@@ -3132,12 +3149,19 @@ def agg_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, ep = F.col("e"), F.col("ep")
     de = (e - ep).cast("decimal(38,0)")
     ew = e.cast("decimal(38,0)")
-    out = lagged.groupBy("n", "b").agg(
+    # global aggregation, NOT groupBy(n, b): both are broadcast
+    # constants so the group count is 1 on any populated input
+    # (identical values), but the grouped form emits ZERO rows on an
+    # empty corpus where the oracle emits its n_days = 0 summary row
+    # (empty-corpus sweep, round 14)
+    out = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
         F.sum(F.when(ep.isNotNull(), de * de)).alias("sd2"),
         F.sum(ew * ew).alias("se2"),
     )
     return out.select(
-        F.col("n").alias("n_days"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_days"),
         (F.floor(F.col("b") / 100 * 10000 + F.lit(0.5)) / 10000).alias(
             "slope_dollars_per_day"
         ),

@@ -371,11 +371,18 @@ def quality_column_expectations(
         ).alias("orderline_unique"),
     )
     long = agg.unpivot([], None, "check_name", "n_violations")
-    return long.select(
-        "check_name",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        (F.col("n_violations") == 0).alias("passed"),
-    ).orderBy("check_name")
+    return (
+        long.select(
+            "check_name",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        # NULL violation counters only occur on a 0-row table, where
+        # the oracle's conditional-sum checks drop out of its report
+        # too (empty-corpus sweep, round 14); no-op on populated data
+        .filter(F.col("n_violations").isNotNull())
+        .orderBy("check_name")
+    )
 
 
 SNAPSHOT_DIFF_ORACLE = """
@@ -641,7 +648,11 @@ WITH coded AS (
          COUNT(*) AS total
   FROM probes p CROSS JOIN vstats v GROUP BY p.probe
 )
-SELECT CAST((SELECT MAX(total) FROM zskip) AS BIGINT) AS n_blocks,
+-- COALESCE: with zero events there are zero blocks and the scalar
+-- subquery is NULL, while the Spark side counts 0 (empty-corpus
+-- sweep, round 14); no-op whenever any block exists
+SELECT CAST(COALESCE((SELECT MAX(total) FROM zskip), 0) AS BIGINT)
+         AS n_blocks,
        ROUND((SELECT SUM(skipped) * 1.0 / SUM(total) FROM zskip), 4)
          AS zorder_skip_frac,
        ROUND((SELECT SUM(skipped) * 1.0 / SUM(total) FROM vskip), 4)

@@ -302,18 +302,34 @@ def window_percentile_bucket_scalable(spark: SparkSession, sf_dir: str) -> DataF
                 + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
             )
         ).alias("decile"),
+    )
+    counts = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    # The oracle is a pure 10-row contract (decile, TRUE), so the
+    # decile domain anchors on the always-1-row bounds relation and
+    # LEFT-joins the observed bucket counts: on an empty table the
+    # counts relation is empty and the 2% bound is vacuously TRUE
+    # (n_total = 0), where the previous grouped form emitted zero
+    # rows (empty-corpus sweep, round 14). Populated inputs take the
+    # non-NULL branch with values identical to the grouped form.
+    dom = bounds.select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, 11)])).alias(
+            "decile"
+        ),
         "n_total",
     )
     return (
-        assigned.groupBy("decile", "n_total")
-        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+        dom.join(counts, "decile", "left")
         .select(
             "decile",
-            (
+            F.coalesce(
                 F.abs(F.col("n_in_bucket") - F.col("n_total") / 10.0)
-                <= 0.02 * F.col("n_total")
+                <= 0.02 * F.col("n_total"),
+                F.col("n_total") == 0,
             ).alias("size_within_2pct"),
         )
+        .orderBy("decile")
     )
 
 
@@ -816,7 +832,10 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step 1 — so seed the accumulator with row 1 explicitly and fold
     # rows 2..n (the when(size==0) branches in step are then unreachable
     # but keep it total).
-    seeded = series.select(
+    # size(s) == 0 <=> zero days: the seed struct would explode into
+    # one all-NULL row where the oracle emits none (empty-corpus
+    # sweep, round 14); no-op on any non-empty series
+    seeded = series.filter(F.size("s") > 0).select(
         F.aggregate(
             F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
             F.array(
@@ -1564,8 +1583,10 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         # n_days = the largest day index seen as a pair's right end
         # (every day but the first is some pair's b) — keeps the
-        # plan single-pass instead of a second count() scan
-        F.max("ib").cast("long").alias("n_days"),
+        # plan single-pass instead of a second count() scan.
+        # coalesce: max over the 0-row pair relation is NULL where
+        # the oracle's count is 0 (empty-corpus sweep, round 14)
+        F.coalesce(F.max("ib").cast("long"), F.lit(0)).alias("n_days"),
         F.max("m").cast("long").alias("n_pairs"),
         snap(
             F.sum(F.when(is_mid, F.col("slope")))
@@ -3185,7 +3206,10 @@ SELECT CAST(k AS BIGINT) AS n_periods,
        CAST(s6 AS BIGINT) AS total_power6,
        FLOOR(-(e9 / 1000000000.0) / ln(k * 1.0) * 1000000 + 0.5)
          / 1000000 AS spectral_entropy
-FROM ent, tot
+-- k > 0: on a 0-row series the period table is empty and ln(k)
+-- would raise; the Spark side emits no rows there too
+-- (empty-corpus sweep, round 14). k = 29 on any non-empty input.
+FROM ent, tot WHERE k > 0
 """
 
 
@@ -3448,7 +3472,9 @@ def timeseries_var_expected_shortfall(
         )
     )
     return tail.select(
-        F.col("n").cast("long").alias("n_diffs"),
+        # coalesce: max(n) over the 0-row tail relation is NULL where
+        # the oracle's count is 0 (empty-corpus sweep, round 14)
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_diffs"),
         F.col("var95").cast("long").alias("var95_cents"),
         F.col("n_tail").cast("long").alias("n_tail"),
         (
@@ -3793,8 +3819,11 @@ def timeseries_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_c, b_c = F.col("a_cnt"), F.col("b_cnt")
     return counted.crossJoin(F.broadcast(nd)).select(
         "n_days",
-        b_c.alias("b_matches"),
-        a_c.alias("a_matches"),
+        # coalesce: the match sums are NULL over the 0-row template
+        # relation where the oracle's counts are 0 (empty-corpus
+        # sweep, round 14)
+        F.coalesce(b_c, F.lit(0)).alias("b_matches"),
+        F.coalesce(a_c, F.lit(0)).alias("a_matches"),
         F.when(
             (a_c > 0) & (b_c > 0),
             F.floor(-F.log(a_c * 1.0 / b_c) * 1000000 + F.lit(0.5))
@@ -3928,7 +3957,14 @@ def timeseries_engle_granger_coint(
         (F.col("e6") - F.lag("e6").over(w.orderBy("d"))).alias("de"),
         F.lag("e6").over(w.orderBy("d")).alias("el"),
     ).filter(F.col("el").isNotNull())
-    s = adf.groupBy("n", "beta").agg(
+    # global aggregation, NOT groupBy(n, beta): both are broadcast
+    # constants (1 group on any populated input, identical values),
+    # but the grouped form emits ZERO rows on an empty corpus where
+    # the oracle emits its n_days = 0 summary row (empty-corpus
+    # sweep, round 14)
+    s = adf.agg(
+        F.max("n").alias("n"),
+        F.max("beta").alias("beta"),
         F.count(F.lit(1)).alias("m"),
         F.sum(F.col("el") * F.col("de")).cast("long").alias("s_eld"),
         F.sum(F.col("el") * F.col("el")).cast("long").alias("s_el2"),
@@ -3943,7 +3979,7 @@ def timeseries_engle_granger_coint(
         / F.col("s_el2")
     )
     return s.select(
-        F.col("n").cast("long").alias("n_days"),
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_days"),
         (F.floor(F.col("beta") * 1000000 + F.lit(0.5)) / 1000000).alias(
             "beta"
         ),

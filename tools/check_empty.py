@@ -37,16 +37,45 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EMPTY_DIR = os.path.join(REPO, ".scaledata/sf_empty")
 
-# Documented loud-failure contracts on degenerate input: query-name
-# pattern -> substring that must appear in the raise message. Kept
-# deliberately narrow — a new query landing in here requires the
-# docstring to state the degenerate-input contract first.
+# Documented loud-failure contracts on degenerate input: query name
+# -> substring that must appear in the raise text. Kept deliberately
+# narrow — a new query landing in here requires the docstring to
+# state the degenerate-input contract first. These are the ANN
+# index-build operators (an index over an empty corpus has no
+# meaningful self-check result) and the bounded-corpus GEMM device
+# (top-2 margin undefined under 3 vectors) — the same loud-failure
+# convention the README's degenerate-corpus exception list names.
 EXPECTED_RAISES: dict[str, str] = {
-    # populated below as the sweep classifies real raises; see
-    # tests/test_empty_corpus.py for the pinned contracts
+    "similarity_ivf_topk": "IVF quantizer requires a non-empty corpus",
+    "similarity_index_persist_reuse": (
+        "IVF quantizer requires a non-empty corpus"
+    ),
+    "similarity_pq_rerank": (
+        "PQ codebook training requires a non-empty corpus"
+    ),
+    "similarity_topk_lsh": "requires a non-empty corpus to fit the LSH",
+    "similarity_ratio_margin": (
+        "GEMM devices require >= 3 corpus vectors"
+    ),
 }
 
-LINE = re.compile(r"^(OK|FAIL|ROWS-ONLY|ORACLE-TIMEOUT)\s+([\w.]+)(.*)")
+# Documented engine-semantic divergences (README "deliberate
+# deviations"): Spark's ROLLUP/CUBE/GROUPING SETS emit NO rows over
+# an empty input, where the SQL standard (and DuckDB) emit the
+# grand-total grouping-set row with zero-valued aggregates. Verified
+# against spark.sql directly (round 14) — it is the engine, not the
+# plan shape; matching it would require a second scan or a persist
+# on hot rollup plans, rejected for an empty-input edge. These
+# classify as DOCUMENTED-DIVERGENCE, not FAIL.
+ENGINE_SEMANTIC_DIVERGENCES: set[str] = {
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_grouping_id_rollup",
+}
+
+# Spark's console progress bar writes \r-terminated fragments, so a
+# status token is NOT always line-initial — search, don't anchor.
+LINE = re.compile(r"(OK|FAIL|ROWS-ONLY|ORACLE-TIMEOUT)\s{1,4}([\w.]+):?(.*)")
 
 
 def main() -> int:
@@ -69,29 +98,40 @@ def main() -> int:
         cwd=REPO,
         env=env,
     )
-    ok, fail, designed, rows_only = [], [], [], []
-    for raw in proc.stdout.splitlines():
-        m = LINE.match(raw.strip())
-        if not m:
-            continue
-        status, name, rest = m.groups()
+    # First pass: collect (status, name, start-line-index) triples;
+    # a FAIL's detail (executor tracebacks, value diffs) spans the
+    # lines up to the next status token.
+    lines = proc.stdout.replace("\r", "\n").splitlines()
+    marks: list[tuple[str, str, int]] = []
+    for i, raw in enumerate(lines):
+        m = LINE.search(raw)
+        if m and m.group(2) != "":
+            marks.append((m.group(1), m.group(2), i))
+    ok, fail, designed, rows_only, documented = [], [], [], [], []
+    for j, (status, name, i) in enumerate(marks):
         if status == "OK":
             ok.append(name)
         elif status == "ROWS-ONLY":
             rows_only.append(name)
         elif status == "FAIL":
+            end = marks[j + 1][2] if j + 1 < len(marks) else len(lines)
+            detail = "\n".join(lines[i:end])
             pat = EXPECTED_RAISES.get(name)
-            if pat and "spark raised" in rest and pat in rest:
+            if pat and "spark raised" in detail and pat in detail:
                 designed.append(name)
+            elif name in ENGINE_SEMANTIC_DIVERGENCES:
+                documented.append(name)
             else:
-                fail.append({"name": name, "detail": rest.strip()[:300]})
+                fail.append({"name": name, "detail": detail.strip()[:300]})
     out = {
         "tool": "check_empty",
         "n_ok": len(ok),
         "n_designed_raise": len(designed),
+        "n_documented_divergence": len(documented),
         "n_rows_only": len(rows_only),
         "n_fail": len(fail),
         "designed_raise": designed,
+        "documented_divergence": documented,
         "rows_only": rows_only,
         "failures": fail,
     }
@@ -100,6 +140,7 @@ def main() -> int:
         json.dump(out, f, indent=1)
     print(
         f"empty sweep: {len(ok)} ok, {len(designed)} designed-raise, "
+        f"{len(documented)} documented-divergence, "
         f"{len(rows_only)} rows-only, {len(fail)} FAIL"
     )
     for f_ in fail:
