@@ -143,6 +143,7 @@ def ab_one_sf(spark, sf: str, sf_dir: str, cpus: int) -> dict:
 def main() -> None:
     sfs = sys.argv[1:] or ["0.3", "1"]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    registry.load_all()
     spark = get_spark()
     out = {"tool": "ab_scale_interleaved", "cpus": cpus, "lanes": {}}
     for sf in sfs:
