@@ -367,6 +367,13 @@ EXTENDED = [
     # round 13 wave 42
     "ml_cooks_distance_topk",
     "agg_mahalanobis_outliers",
+    # round 14 wave 43 (added per the tier policy above: new operators
+    # enter EXTENDED in the round they land — the mid-build round-14
+    # session registered them but missed this step)
+    "agg_cohens_d_weekend",
+    "agg_chow_break_daily",
+    "agg_breusch_pagan_order_size",
+    "text_distinct_ngram_diversity",
 ]
 
 

@@ -821,7 +821,17 @@ def quality_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned by event_type — never an unpartitioned corpus sort),
     and the final max is domain-sized. The groupBy collapses tied
     values to one row per (type, value), so ROWS and RANGE cumulative
-    framing coincide — both engines accumulate identically."""
+    framing coincide — both engines accumulate identically.
+
+    Round-14 (kept, -24% sf0.1 / -12% sf1 interleaved, every fused
+    sample beating every stock sample; values identical): the `tot`
+    branch used to RE-SCAN events and re-run the perval aggregation
+    just to compute per-type totals, then broadcast-join them back
+    (two fact scans, two extra exchanges). na/nb are now
+    whole-partition window sums over the SAME event_type exchange
+    the CDF window already pays (guide §2.4: a window partitioned
+    like a preceding aggregation needs no second shuffle) — one
+    events scan total."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -833,20 +843,18 @@ def quality_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     perval = base.groupBy("event_type", "value").agg(
         F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
     )
-    tot = perval.groupBy("event_type").agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = perval.join(tot, "event_type").select(
+    wall = Window.partitionBy("event_type")
+    cum = perval.select(
         "event_type",
-        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
-        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
-        "na",
-        "nb",
+        (F.sum("ca").over(w) * 1.0 / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.sum("cb").over(wall)).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
     )
     d = F.max(F.abs(F.col("fa") - F.col("fb")))
     crit = 1.358 * F.sqrt(

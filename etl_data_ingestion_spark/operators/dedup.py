@@ -655,12 +655,22 @@ def connected_components(
 
     Each round is one shuffle-join (edges ⋈ labels) + one aggregate;
     localCheckpoint truncates the otherwise exponentially deepening
-    lineage (the classic iterative-Spark failure mode). The changed
-    check is `limit(1).count()` — it short-circuits at the first
-    changed label rather than counting them all. max_rounds bounds a
-    pathological diameter; for chain-heavy graphs at 100 TB use
-    connected_components_star below — O(log d) rounds of the same
+    lineage (the classic iterative-Spark failure mode). max_rounds
+    bounds a pathological diameter; for chain-heavy graphs at 100 TB
+    use connected_components_star below — O(log d) rounds of the same
     shuffle primitive, equivalence-tested against this loop.
+
+    Round-14 (optimization guide §1/§2.4, interleaved A/B −24% sf0.1
+    / −27% sf1 on dedup_end_to_end_canonical): the per-round changed
+    check used to run the round's full join DAG a SECOND time
+    (new_labels was not yet checkpointed when the changed-count
+    action executed, and the subsequent localCheckpoint re-executed
+    the same join) and paid a join against the old labels on top.
+    Now each round materializes ONCE — localCheckpoint FIRST, with a
+    per-row `chg` flag computed inside the round's own select (the
+    new label differs from the old iff the neighbor min is strictly
+    smaller, since labels only decrease) — and the convergence check
+    is a trivial filter+limit over the already-materialized rows.
 
     Returns (node, label) with label = min node id of the component.
     """
@@ -681,23 +691,19 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(
+        chk = labels.join(
             neighbor_min, labels.node == neighbor_min.a, "left"
         ).select(
             "node",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint()
-        if changed == 0:
+            (
+                F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+            ).alias("chg"),
+        ).localCheckpoint()
+        labels = chk.select("node", "label")
+        if chk.filter("chg").limit(1).count() == 0:
             converged = True
             break
     und.unpersist()
@@ -1365,7 +1371,38 @@ def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic), O(rounds) edge-sized joins for components
     (localCheckpoint per round), and the final keep is a map-side
     comparison — the corpus text itself is scanned once and never
-    shuffled."""
+    shuffled.
+
+    Round-14: the gram build + CC loop run inside
+    catalog.small_fact_aqe_gate (the kcore/item_cf device) — every
+    per-round action on this fixed tiny composite paid AQE's
+    per-stage materialization job submissions; with the fused CC
+    check (see connected_components) the interleaved A/B reads
+    stock 3.16 → 2.39 (fused) → gate+fused 2.48 at sf0.1 and
+    2.89 → 2.12 → 1.94 at sf1 (min-of-5/4; gate kept on the
+    KEEP(sf1) rule). The gate self-retires once the documents
+    footprint passes the threshold, so cluster scale keeps AQE."""
+    from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
+
+    with small_fact_aqe_gate(spark, sf_dir, "documents", scale_shuffle=True):
+        comp, corpus = _end_to_end_components(spark, sf_dir)
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical"),
+        )
+        .withColumn("kept", F.col("doc_id") == F.col("canonical"))
+        .orderBy("doc_id")
+    )
+
+
+def _end_to_end_components(spark: SparkSession, sf_dir: str):
+    """The gram build + verified-pair + CC portion of
+    dedup_end_to_end_canonical; every action it triggers (grams
+    localCheckpoint, the CC loop's per-round checkpoints) runs under
+    the caller's AQE gate. Returns (components, corpus)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     seeded = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = (
@@ -1437,17 +1474,9 @@ def dedup_end_to_end_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs)  # (node, label), label = min id
-    return (
-        corpus.select("doc_id")
-        .join(comp, corpus.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical"),
-        )
-        .withColumn("kept", F.col("doc_id") == F.col("canonical"))
-        .orderBy("doc_id")
-    )
+    # (node, label), label = min id; corpus returned for the caller's
+    # (ungated, |corpus|-sized) canonical-selection join
+    return connected_components(pairs), corpus
 
 
 CONTAINMENT_ORACLE = """
@@ -1761,7 +1790,19 @@ def pipeline_dedup_threshold_curve(
     five conditional (count, sum) pairs; the five output rows
     materialize from one literal struct array. Kills the fired
     persist, the ts join, and two left-joins — the job chain the
-    r12 floor table blamed."""
+    r12 floor table blamed.
+
+    Round-14 (kept, -19% sf0.1 / -12% sf1 interleaved, every fused
+    sample beating every stock sample; values identical): the two
+    conditional aggregations fuse into ONE — a doc_b-keyed
+    pre-aggregation carries BOTH the per-threshold pair counts (sum
+    of per-doc conditional counts == the global conditional count,
+    exactly, over integers) and the per-doc max j, so `scored`
+    becomes single-consumer and its persist, the second global
+    aggregation pass, and the agg1×agg2 crossJoin all disappear
+    (guide §2.4: two aggregations keyed the same way share one
+    exchange). The 15 coalesce-to-zero wrappers survive on the one
+    global aggregation (empty-relation parity with the oracle)."""
     docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     near = (
@@ -1809,8 +1850,7 @@ def pipeline_dedup_threshold_curve(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     thresholds = [0.3, 0.5, 0.7, 0.8, 0.9]
-    # two consumers (pair counts + per-doc max): persist the scored
-    # pair relation; everything after is conditional-sum domain math
+    # single consumer since the round-14 fusion below — no persist
     scored = (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -1820,31 +1860,34 @@ def pipeline_dedup_threshold_curve(
                 F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
             ).alias("j"),
         )
-        .persist()
-    )
-    # coalesce(…, 0): a global agg over an EMPTY scored relation
-    # yields one row of NULL sums; the oracle emits 0 there.
-    agg1 = scored.agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("j") >= t, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias(f"np{i}")
-            for i, t in enumerate(thresholds)
-        ]
     )
     lens = corpus.select(
         F.col("doc_id").alias("doc_b"), F.length("text").alias("nch")
     )
-    bmax = (
+    # ONE doc_b-keyed pre-aggregation carries both the per-threshold
+    # pair counts and the per-doc max j (round-14 fusion)
+    per_b = (
         scored.groupBy("doc_b")
-        .agg(F.max("j").alias("jmax"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("j") >= t, 1).otherwise(0)).alias(f"c{i}")
+                for i, t in enumerate(thresholds)
+            ],
+            F.max("j").alias("jmax"),
+        )
         .join(F.broadcast(lens), "doc_b")
     )
-    agg2 = bmax.agg(
+    # coalesce(…, 0): a global agg over an EMPTY scored relation
+    # yields one row of NULL sums; the oracle emits 0 there.
+    agg = per_b.agg(
         *(
             [
+                F.coalesce(F.sum(F.col(f"c{i}")), F.lit(0))
+                .cast("long")
+                .alias(f"np{i}")
+                for i in range(len(thresholds))
+            ]
+            + [
                 F.coalesce(
                     F.sum(F.when(F.col("jmax") >= t, 1).otherwise(0)),
                     F.lit(0),
@@ -1880,8 +1923,7 @@ def pipeline_dedup_threshold_curve(
         ]
     )
     return (
-        agg1.crossJoin(agg2)
-        .select(F.explode(rows).alias("r"))
+        agg.select(F.explode(rows).alias("r"))
         .select(
             "r.threshold",
             "r.n_pairs",

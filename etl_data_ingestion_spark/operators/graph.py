@@ -273,7 +273,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized work is the shared-customer edge build (one distinct
     + one count aggregate); orientation, wedges, and closure checks
     run on the |E|-sized edge list (checkpointed once for its three
-    consumers)."""
+    consumers).
+
+    Round-14 (guide §2.4, kept on the KEEP(sf1) rule: −10% sf1 /
+    wash sf0.1 interleaved, values identical): repartition(c) up
+    front — HashPartitioning(c) satisfies the (c,s) dedup, the cap
+    window, and the self-join, collapsing three fact-side exchanges
+    into one (see graph2._edges for the shared rationale)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cs0 = (
@@ -282,7 +288,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        .distinct()
+        .repartition(F.col("c"))
+        .dropDuplicates(["c", "s"])
     )
     # posting-list cap (same discipline as the dedup inverted index):
     # 20 smallest supplier ids per customer — deterministic, bounds
@@ -418,7 +425,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same bounded edge build as graph_triangle_count (posting-list
     cap + p90 order-statistic cut), wedge aggregation through the
     shared endpoint, anti-join against existing edges, top-10 with
-    full tie-break. All post-edge-build work is |E|-sized."""
+    full tie-break. All post-edge-build work is |E|-sized. Round-14:
+    the one-exchange cs chain (repartition(c) + dropDuplicates — see
+    graph2._edges)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cs0 = (
@@ -427,7 +436,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        .distinct()
+        .repartition(F.col("c"))
+        .dropDuplicates(["c", "s"])
     )
     wcap = Window.partitionBy("c").orderBy("s")
     cs = (

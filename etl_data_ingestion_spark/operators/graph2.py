@@ -56,14 +56,23 @@ WITH cs0 AS (
 def _edges(spark: SparkSession, sf_dir: str):
     """The graph_triangle_count edge build (graph.py:247 family):
     returns (pairs, und, deg) DataFrames. pairs is localCheckpointed
-    — it has multiple consumers in every caller."""
+    — it has multiple consumers in every caller.
+
+    Round-14 (guide §2.4, kept on the KEEP(sf1) rule: triangle A/B
+    −10% sf1 / wash sf0.1): one explicit repartition(c) replaces the
+    (c,s)-keyed distinct Exchange + the c-keyed window Exchange —
+    HashPartitioning(c) satisfies ClusteredDistribution for the
+    (c,s) dedup, the cap window, AND both sides of the per-customer
+    self-join, so the whole cs0→cs→allpairs chain runs on ONE fact
+    exchange."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cs0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_suppkey") < 1000)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition(F.col("c"))
+        .dropDuplicates(["c", "s"])
     )
     wcap = Window.partitionBy("c").orderBy("s")
     cs = (
@@ -401,11 +410,14 @@ def graph_hits_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence edge + one aggregation; the 1-row MAX broadcasts."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # round-14: one-exchange cs chain (repartition(c) +
+    # dropDuplicates — see _edges for the shared rationale)
     cs0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_suppkey") < 1000)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition(F.col("c"))
+        .dropDuplicates(["c", "s"])
     )
     wcap = Window.partitionBy("c").orderBy("s")
     cs = (
