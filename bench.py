@@ -909,11 +909,18 @@ def main() -> None:
     # always clips. The LAST line is therefore a short (<200 char)
     # summary that survives any tail capture; the full artifact
     # precedes it for humans/judges reading the whole log.
+    # Round-15 (r14 verdict item 2, additions only): the driver keys
+    # its per-query round-over-round comparison on THIS line's
+    # "queries" map — the full line above always clips in tail
+    # capture, so PERF_r14.per_query came out empty. The 16-entry
+    # headline map adds ~550 chars; the line stays under the ~2000
+    # char tail window.
     short = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
+            "queries": timings,
             "ratio_total_comparable": rtc,
             "value_resident": total_resident,
             "ratio_resident": rtc_resident,

@@ -1865,7 +1865,13 @@ def pipeline_dedup_threshold_curve(
         F.col("doc_id").alias("doc_b"), F.length("text").alias("nch")
     )
     # ONE doc_b-keyed pre-aggregation carries both the per-threshold
-    # pair counts and the per-doc max j (round-14 fusion)
+    # pair counts and the per-doc max j (round-14 fusion).
+    # INVARIANT (r14 advisor): every scored doc_b is a corpus doc_id
+    # by construction (pairs derive from corpus grams), so the inner
+    # lens join below cannot drop rows and the np{i} sums equal the
+    # old direct global conditional counts exactly. A future upstream
+    # corpus filter that breaks doc_b ⊆ corpus would silently shrink
+    # n_pairs here — keep the join inner only while that holds.
     per_b = (
         scored.groupBy("doc_b")
         .agg(
