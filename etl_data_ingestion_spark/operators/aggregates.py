@@ -2886,7 +2886,18 @@ def agg_corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is driver-sized arithmetic on exact BIGINT moments —
     the fact scan is paid once regardless of how many pairs the
     matrix has. Integer moments -> identical float chains -> snapped
-    corr matches bit-for-bit."""
+    corr matches bit-for-bit.
+
+    Round-15 (guide §5 driver boundary; kept, −39% sf0.1 / −37% sf1
+    interleaved, every sample winning, values identical): the 10-row
+    pair table was a driver-side createDataFrame literal crossJoined
+    against the broadcast moments row, with each pair CASE-picking
+    its moments out of the 21 columns at runtime — the py4j literal
+    relation, its broadcast build, and the branch-picking all go.
+    The pairs are now 10 structs whose corr is computed DIRECTLY on
+    the named moment columns of the one-row aggregate, exploded in
+    place: same arithmetic (identical float chain per pair), pure
+    codegen, zero extra jobs."""
     ev = load_table(spark, sf_dir, "events", parallel=False)
     kinds = ["view", "click", "purchase", "signup", "error"]
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
@@ -2907,43 +2918,37 @@ def agg_corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col(f"m{i+1}") * F.col(f"m{j+1}")).alias(f"p{i+1}{j+1}")
             )
     mom = daily.agg(*aggs)
-    pair_rows = []
-    for i in range(5):
-        for j in range(i + 1, 5):
-            pair_rows.append((i + 1, j + 1, kinds[i], kinds[j]))
-    pairs = spark.createDataFrame(
-        pair_rows, "ia int, ib int, metric_a string, metric_b string"
-    )
-    v = pairs.crossJoin(F.broadcast(mom))
-    pick = lambda pre, col: F.coalesce(
+    n = F.col("n")
+
+    def corr(i: int, j: int):
+        sa, sb = F.col(f"s{i}"), F.col(f"s{j}")
+        qa, qb = F.col(f"q{i}"), F.col(f"q{j}")
+        pab = F.col(f"p{i}{j}")
+        return (
+            F.floor(
+                (n * pab - sa * sb)
+                / F.sqrt((n * qa - sa * sa) * 1.0 * (n * qb - sb * sb))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        )
+
+    rows = F.array(
         *[
-            F.when(F.col(col) == i, F.col(f"{pre}{i}"))
-            for i in range(1, 6)
-        ]
-    )
-    sa, sb = pick("s", "ia"), pick("s", "ib")
-    qa, qb = pick("q", "ia"), pick("q", "ib")
-    pab = F.coalesce(
-        *[
-            F.when(
-                (F.col("ia") == i) & (F.col("ib") == j), F.col(f"p{i}{j}")
+            F.struct(
+                F.lit(kinds[i - 1]).alias("metric_a"),
+                F.lit(kinds[j - 1]).alias("metric_b"),
+                corr(i, j).alias("corr"),
             )
             for i in range(1, 6)
             for j in range(i + 1, 6)
         ]
     )
-    n = F.col("n")
-    corr = (
-        F.floor(
-            (n * pab - sa * sb)
-            / F.sqrt((n * qa - sa * sa) * 1.0 * (n * qb - sb * sb))
-            * 1000000
-            + F.lit(0.5)
-        )
-        / 1000000
-    )
-    return v.select("metric_a", "metric_b", corr.alias("corr")).orderBy(
-        "metric_a", "metric_b"
+    return (
+        mom.select(F.explode(rows).alias("r"))
+        .select("r.metric_a", "r.metric_b", "r.corr")
+        .orderBy("metric_a", "metric_b")
     )
 
 

@@ -1802,7 +1802,14 @@ def pipeline_dedup_threshold_curve(
     aggregation pass, and the agg1×agg2 crossJoin all disappear
     (guide §2.4: two aggregations keyed the same way share one
     exchange). The 15 coalesce-to-zero wrappers survive on the one
-    global aggregation (empty-relation parity with the oracle)."""
+    global aggregation (empty-relation parity with the oracle).
+
+    Round-15 (kept, −51% sf0.1 / −59% sf1 interleaved, clean sweeps,
+    values identical): the gram relation switches to the per-gram
+    collect_set device — one corpus Exchange instead of the
+    redundant (doc_id, gram) distinct + keep-broadcast + two
+    self-join exchanges; see the inline comment at the g0/gsets
+    block."""
     docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     near = (
@@ -1818,7 +1825,20 @@ def pipeline_dedup_threshold_curve(
     toks = corpus.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= 3)
-    grams_all = toks.select(
+    # Round-15 (guide §2.4/§2.3; kept: −51% sf0.1 / −59% sf1
+    # interleaved, clean sweeps, values identical at both scales +
+    # 5-scale parity): the per-gram collect_set device (same shape
+    # as text_source_vocab_jaccard / the wedge edge build). ONE
+    # corpus-sized Exchange (gram, map-side partial collect_set)
+    # replaces the old (doc_id, gram) distinct exchange — redundant
+    # anyway: per-doc grams are already array_distinct'd and corpus
+    # doc_ids are unique — plus the keep aggregation + its broadcast
+    # build and both self-join side exchanges. df<=50 becomes
+    # size(ds)<=50 (ds is the full per-gram doc set, bounded by the
+    # 165-doc composite; the filter itself is what bounds the pair
+    # explode at C(50,2) per gram); pair counts explode from the
+    # sorted doc list, preserving the doc_a < doc_b order.
+    g0 = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -1830,20 +1850,27 @@ def pipeline_dedup_threshold_curve(
                 )
             )
         ).alias("gram"),
-    ).distinct()
-    keep = (
-        grams_all.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 50)
-        .select("gram")
     )
-    grams = grams_all.join(F.broadcast(keep), "gram").persist()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    gsets = (
+        g0.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= 50)
+        # |grams|-sized; two consumers (sizes + pair expansion)
+        .localCheckpoint()
+    )
+    sizes = (
+        gsets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
     pairs = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        gsets.select(F.explode(F.expr(_pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from etl_data_ingestion_spark.catalog import load_table
 from etl_data_ingestion_spark.plans.registry import register
 
+# ordered (u < v) supplier pairs from the capped per-customer sorted
+# posting list — the codegen'd replacement for the cs self-join
+# (round 15; see graph_triangle_count's docstring)
+_PAIR_EXPR = (
+    "flatten(transform(ss, (x, i) -> "
+    "transform(slice(ss, i + 2, size(ss)), y -> struct(x as u, y as v))))"
+)
+
 PAGERANK_ORACLE = """
 -- Weighted PageRank, 3 unrolled iterations, damping 0.85, over the
 -- symmetric customer--supplier graph (edge weight = number of
@@ -275,41 +283,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on the |E|-sized edge list (checkpointed once for its three
     consumers).
 
-    Round-14 (guide §2.4, kept on the KEEP(sf1) rule: −10% sf1 /
-    wash sf0.1 interleaved, values identical): repartition(c) up
-    front — HashPartitioning(c) satisfies the (c,s) dedup, the cap
-    window, and the self-join, collapsing three fact-side exchanges
-    into one (see graph2._edges for the shared rationale)."""
+    Round-14 kept repartition(c) + dropDuplicates + cap window +
+    self-join on one exchange; round-15 (guide §2.4, kept: −13%
+    sf0.1 / wash sf1 interleaved, values identical) collapses the
+    dedup, the posting-list cap, AND the per-customer self-join into
+    ONE aggregation: groupBy(c) + slice(sort_array(collect_set(s)),
+    1, 20) — the partial collect_set dedups map-side, the slice IS
+    the "20 smallest supplier ids" cap (same discipline as the
+    dedup inverted index: bounds the per-customer pair quadratic at
+    C(20,2); without it sf1's ~40-supplier customers emit ~120M
+    pair rows — OOMed local[32] in the sf1 sweep), and the ordered
+    pairs explode from the capped array with a codegen'd transform
+    instead of a join (exactly the s < s' pairs the self-join
+    produced). Per-key aggregation state is bounded by the suppkey
+    filter (<1000 distinct s per c) pre-cap."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cs0 = (
+    cs_sets = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_suppkey") < 1000)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        .repartition(F.col("c"))
-        .dropDuplicates(["c", "s"])
+        .groupBy("c")
+        .agg(F.slice(F.sort_array(F.collect_set("s")), 1, 20).alias("ss"))
     )
-    # posting-list cap (same discipline as the dedup inverted index):
-    # 20 smallest supplier ids per customer — deterministic, bounds
-    # the per-customer pair quadratic at C(20,2); without it sf1's
-    # ~40-supplier customers emit ~120M pair rows over a 50M-key
-    # aggregation space (OOMed local[32] in the sf1 sweep)
-    wcap = Window.partitionBy("c").orderBy("s")
-    cs = (
-        cs0.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= 20)
-        .select("c", "s")
-    )
-    a = cs.alias("a")
-    b = cs.alias("b")
     allpairs = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        cs_sets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     # p90 cut: exact order statistic (engine-identical, scale-free —
@@ -425,34 +427,24 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same bounded edge build as graph_triangle_count (posting-list
     cap + p90 order-statistic cut), wedge aggregation through the
     shared endpoint, anti-join against existing edges, top-10 with
-    full tie-break. All post-edge-build work is |E|-sized. Round-14:
-    the one-exchange cs chain (repartition(c) + dropDuplicates — see
-    graph2._edges)."""
+    full tie-break. All post-edge-build work is |E|-sized. Round-15:
+    the one-aggregation collect_set edge build (dedup + cap +
+    self-join fused — see graph_triangle_count)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cs0 = (
+    cs_sets = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_suppkey") < 1000)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        .repartition(F.col("c"))
-        .dropDuplicates(["c", "s"])
+        .groupBy("c")
+        .agg(F.slice(F.sort_array(F.collect_set("s")), 1, 20).alias("ss"))
     )
-    wcap = Window.partitionBy("c").orderBy("s")
-    cs = (
-        cs0.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= 20)
-        .select("c", "s")
-    )
-    a = cs.alias("a")
-    b = cs.alias("b")
     allpairs = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        cs_sets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     cut = allpairs.agg(

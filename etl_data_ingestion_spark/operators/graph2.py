@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_data_ingestion_spark.catalog import load_table
+from etl_data_ingestion_spark.operators.graph import _PAIR_EXPR
 from etl_data_ingestion_spark.plans.registry import register
 
 # Shared SQL prefix: the graph_triangle_count edge build, verbatim
@@ -58,13 +59,14 @@ def _edges(spark: SparkSession, sf_dir: str):
     returns (pairs, und, deg) DataFrames. pairs is localCheckpointed
     — it has multiple consumers in every caller.
 
-    Round-14 (guide §2.4, kept on the KEEP(sf1) rule: triangle A/B
-    −10% sf1 / wash sf0.1): one explicit repartition(c) replaces the
-    (c,s)-keyed distinct Exchange + the c-keyed window Exchange —
-    HashPartitioning(c) satisfies ClusteredDistribution for the
-    (c,s) dedup, the cap window, AND both sides of the per-customer
-    self-join, so the whole cs0→cs→allpairs chain runs on ONE fact
-    exchange."""
+    Round-14 collapsed the chain onto one exchange (repartition(c));
+    round-15 (guide §2.4, kept: triangle A/B −13% sf0.1 / wash sf1,
+    values identical) fuses the (c,s) dedup, the 20-smallest cap,
+    and the per-customer self-join into ONE groupBy(c) aggregation:
+    slice(sort_array(collect_set(s)), 1, 20) + a codegen'd ordered-
+    pair transform replaces dropDuplicates + the row_number window +
+    the SMJ self-join (see graph_triangle_count for the full
+    rationale; per-key set size is bounded by the suppkey filter)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cs0 = (
@@ -410,20 +412,17 @@ def graph_hits_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence edge + one aggregation; the 1-row MAX broadcasts."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # round-14: one-exchange cs chain (repartition(c) +
-    # dropDuplicates — see _edges for the shared rationale)
-    cs0 = (
+    # round-15: dedup + 20-smallest cap fused into one groupBy(c)
+    # collect_set aggregation (see _edges / graph_triangle_count);
+    # hits consumes the capped (c, s) incidence list itself, so the
+    # capped sorted array just explodes back to rows
+    cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_suppkey") < 1000)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .repartition(F.col("c"))
-        .dropDuplicates(["c", "s"])
-    )
-    wcap = Window.partitionBy("c").orderBy("s")
-    cs = (
-        cs0.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= 20)
-        .select("c", "s")
+        .groupBy("c")
+        .agg(F.slice(F.sort_array(F.collect_set("s")), 1, 20).alias("ss"))
+        .select("c", F.explode("ss").alias("s"))
         .localCheckpoint()  # four join consumers below
     )
     auth = cs.select("s").distinct().select(

@@ -516,16 +516,24 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     M, K, SUB, SHORTLIST = 8, 256, 8, 400
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus_n = emb.count()  # once: reused by the exact-topk path choice
+    # ONE collect serves both the codebook sample and the query rows
+    # (round 15: two separate driver jobs fused — guide §5)
+    both = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.lit(1).alias("is_q"), "vec_id", "embedding")
+        .unionByName(
+            emb.sample(fraction=0.25, seed=42)
+            .limit(2500)
+            .select(F.lit(0).alias("is_q"), "vec_id", "embedding")
+        )
+        .collect()
+    )
     sample = np.array(
-        [
-            r["embedding"]
-            for r in emb.sample(fraction=0.25, seed=42).limit(2500).collect()
-        ],
+        [r["embedding"] for r in both if r["is_q"] == 0],
         dtype=np.float64,
     )
     if sample.size == 0:
@@ -563,7 +571,7 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the positional ADC index must pair with the SAME vec_id the
     # rerank join keys on
     qrows = sorted(
-        emb.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+        (r for r in both if r["is_q"] == 1), key=lambda r: r["vec_id"]
     )
     qids = [int(r["vec_id"]) for r in qrows]
     Q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in qrows])
@@ -571,30 +579,61 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_q = len(qrows)
     # ADC tables: dot(query subvector, codeword) per (query, subspace, code)
     tables = np.einsum("qmd,mkd->qmk", Qn.reshape(n_q, M, SUB), books)
+    b2 = (books ** 2).sum(axis=2)  # (M, K)
+    m_idx = np.arange(M)
+    qids_arr = np.array(qids, dtype=np.int64)
 
-    def _encode_adc(embs):
-        X = np.stack(embs.to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        Xs = Xn.reshape(len(X), M, SUB)
-        S = np.zeros((len(X), n_q))
-        for m in range(M):
-            d2 = ((Xs[:, m, None, :] - books[None, m, :, :]) ** 2).sum(axis=2)
-            codes_m = d2.argmin(axis=1)
+    # Round-15 (guide §2.5/§2.3/§4.2; kept — interleaved pass-wise
+    # sweep at sf1, values identical at both A/B scales + the 5-scale
+    # parity sweep): the stock shape posexploded |corpus| x n_q ADC
+    # rows into a row_number window partitioned by q_id — n_q
+    # partitions, so n_q single-threaded |corpus|-row sorts (the
+    # partition count IS the query count: unfixable skew). Each scan
+    # task now emits only its own top-SHORTLIST rows per query from
+    # inside the encode pass (cardinality changes, hence mapInPandas)
+    # under the same (adc DESC, vec_id ASC) total order — local-then-
+    # global top-k is exact — and the window sorts ~SHORTLIST x
+    # n_tasks rows instead of the corpus. The per-subspace encode
+    # loop also drops its (batch, K, SUB) broadcast-difference
+    # tensors for one batched einsum + codeword-norm expansion.
+    def _encode_topk(batches):
+        bufs = []
+        for b in batches:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            vid = b["vec_id"].to_numpy().astype(np.int64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            Xs = Xn.reshape(len(X), M, SUB)
+            dots = np.einsum("nms,mks->nmk", Xs, books)
+            d2 = (
+                (Xs ** 2).sum(axis=2)[:, :, None] - 2.0 * dots + b2[None, :, :]
+            )
+            codes = d2.argmin(axis=2)  # (n, M)
             for q in range(n_q):
-                S[:, q] += tables[q, m, codes_m]
-        return pd.Series(list(S))
+                s = tables[q][m_idx[None, :], codes].sum(axis=1)
+                keep = vid != qids_arr[q]
+                vq, sq = vid[keep], s[keep]
+                if len(vq) > SHORTLIST:
+                    idx = np.lexsort((vq, -sq))[:SHORTLIST]
+                    vq, sq = vq[idx], sq[idx]
+                bufs.append(
+                    pd.DataFrame(
+                        {"q_id": qids_arr[q], "vec_id": vq, "adc": sq}
+                    )
+                )
+        if bufs:
+            allb = pd.concat(bufs, ignore_index=True)
+            allb = (
+                allb.sort_values(
+                    ["q_id", "adc", "vec_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_id", sort=False)
+                .head(SHORTLIST)
+            )
+            yield allb
 
-    adc = pandas_udf(_encode_adc, "array<double>")
-    qid_map = F.array(*[F.lit(q) for q in qids])
-    approx = (
-        emb.select("vec_id", adc("embedding").alias("s"))
-        .select("vec_id", F.posexplode("s").alias("qi", "adc"))
-        .select(
-            F.element_at(qid_map, F.col("qi") + 1).cast("long").alias("q_id"),
-            "vec_id",
-            "adc",
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
+    approx = emb.mapInPandas(
+        _encode_topk, "q_id long, vec_id long, adc double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     short = (

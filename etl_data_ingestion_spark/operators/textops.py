@@ -1426,30 +1426,52 @@ def text_source_vocab_jaccard(
     source-redundancy matrix a mixture-weighting pass reads before
     deciding which sources genuinely diversify the corpus.
 
-    Scale shape: the corpus reduces once to the distinct (source,
-    token) grid (one Exchange, map-side distinct); the pairwise
-    intersection is a self-join ON THE TOKEN KEY, so per-token cost
-    is bounded by |sources|² (≤400 here) — never corpus-quadratic;
-    sizes broadcast back onto the |sources|² result. The 100 TB
+    Scale shape (round-15, guide §2.3/§2.4; kept, −21% sf0.1 /
+    −3% sf1 interleaved, values identical): the corpus reduces ONCE
+    to the per-token source-set relation via groupBy(tok) +
+    collect_set(source) — the partial collect_set dedups map-side,
+    so the one corpus-sized Exchange ships per-token partial sets
+    instead of raw occurrences. The pre-r15 form (captured in
+    plans/r15/*_before.txt) built a distinct (source, token) grid
+    and self-joined it on the token key: FOUR full scan+explode
+    branches (a-side, b-side, sizes×2 — no exchange reuse) and
+    three corpus-sized exchanges. Sizes and the pairwise
+    intersection now both derive from the |vocab|-sized token-set
+    relation (localCheckpointed once for its two consumers); the
+    per-token pair expansion is codegen'd array transform, bounded
+    by |sources-per-token|² exactly like the old join. The 100 TB
     width trick (hash the token key) applies as in
-    text_ngram_novelty."""
+    text_ngram_novelty; per-token set size is bounded by |sources|."""
     from etl_data_ingestion_spark.functions.numeric import snap
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    su = (
+    tsets = (
         docs.select(
             "source",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
         )
-        .select("source", F.lower("tok").alias("tok"))
-        .distinct()
+        .select(F.lower("tok").alias("tok"), "source")
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        # |vocab|-sized; two consumers (sizes + pair expansion) — the
+        # checkpoint stops a second full scan+explode+aggregation
+        .localCheckpoint()
     )
-    sizes = su.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = su.select(F.col("source").alias("src_a"), "tok")
-    b = su.select(F.col("source").alias("src_b"), "tok")
+    sizes = (
+        tsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # sorted srcs ⇒ x precedes y ⇔ x < y (binary string order, the
+    # same `<` the oracle's self-join applies)
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x as src_a, y as src_b))))"
+    )
     inter = (
-        a.join(b, "tok")
-        .filter(F.col("src_a") < F.col("src_b"))
+        tsets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

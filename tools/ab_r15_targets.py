@@ -349,7 +349,9 @@ def probe_lda(spark, rounds):
 
 # ------------------------------------------------------------------- pq
 
-def pq_rerank_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_rerank_vec(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -361,7 +363,9 @@ def pq_rerank_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     M, K, SUB, SHORTLIST = 8, 256, 8, 400
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(
+        spark, sf_dir, "embeddings", parallel=parallel
+    ).select("vec_id", "embedding")
     corpus_n = emb.count()
     # ONE collect serves both the codebook sample and the query rows
     both = (
@@ -465,8 +469,315 @@ def pq_rerank_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_rerank_topk(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """Vectorized encode + LOCAL top-k inside a mapInPandas pass: the
+    stock shape posexplodes |corpus| x n_q ADC rows into a window
+    partitioned by q_id — 3 partitions, so 3 single-threaded 600k-row
+    sorts at sf1 (§2.5 skew: the partition count IS the query count).
+    Here each scan task emits only its own top-SHORTLIST rows per
+    query (same (adc DESC, vec_id ASC) total order, so local-then-
+    global top-k is exact), and the global window sorts ~1200 rows
+    per task instead of everything (§2.3: shuffle decisions, not
+    payloads)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_data_ingestion_spark.functions.vectors import cosine_similarity
+    from etl_data_ingestion_spark.operators.similarity import (
+        _ann_selfcheck,
+        _exact_topk,
+    )
+
+    M, K, SUB, SHORTLIST = 8, 256, 8, 400
+    emb = load_table(
+        spark, sf_dir, "embeddings", parallel=parallel
+    ).select("vec_id", "embedding")
+    corpus_n = emb.count()
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.sample(fraction=0.25, seed=42).limit(2500).collect()
+        ],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        raise ValueError(
+            "PQ codebook training requires a non-empty corpus sample; "
+            "got 0 embedding rows"
+        )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = []
+    for m in range(M):
+        X = sample[:, m * SUB : (m + 1) * SUB]
+        C = X[:K].copy()
+        k_actual = len(C)
+        for _ in range(8):
+            d2 = (
+                (X ** 2).sum(1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C ** 2).sum(1)[None, :]
+            )
+            lab = d2.argmin(axis=1)
+            sums = np.zeros((k_actual, SUB))
+            np.add.at(sums, lab, X)
+            cnts = np.bincount(lab, minlength=k_actual)[:, None]
+            nz = cnts[:, 0] > 0
+            C[nz] = sums[nz] / cnts[nz]
+        books.append(C)
+    books = np.stack(books)
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    Q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    n_q = len(qrows)
+    tables = np.einsum("qmd,mkd->qmk", Qn.reshape(n_q, M, SUB), books)
+    b2 = (books ** 2).sum(axis=2)
+    m_idx = np.arange(M)
+    qids_arr = np.array(qids, dtype=np.int64)
+
+    def _encode_topk(batches):
+        # per-task buffers of per-batch local winners; final yield is
+        # the task's exact top-SHORTLIST per query under the global
+        # (adc DESC, vec_id ASC) order
+        bufs: list[pd.DataFrame] = []
+        for b in batches:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            vid = b["vec_id"].to_numpy().astype(np.int64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            Xs = Xn.reshape(len(X), M, SUB)
+            dots = np.einsum("nms,mks->nmk", Xs, books)
+            d2 = (Xs ** 2).sum(axis=2)[:, :, None] - 2.0 * dots + b2[None, :, :]
+            codes = d2.argmin(axis=2)
+            for q in range(n_q):
+                s = tables[q][m_idx[None, :], codes].sum(axis=1)
+                keep = vid != qids_arr[q]
+                vq, sq = vid[keep], s[keep]
+                if len(vq) > SHORTLIST:
+                    idx = np.lexsort((vq, -sq))[:SHORTLIST]
+                    vq, sq = vq[idx], sq[idx]
+                bufs.append(
+                    pd.DataFrame(
+                        {"q_id": qids_arr[q], "vec_id": vq, "adc": sq}
+                    )
+                )
+        if bufs:
+            allb = pd.concat(bufs, ignore_index=True)
+            allb = (
+                allb.sort_values(
+                    ["q_id", "adc", "vec_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_id", sort=False)
+                .head(SHORTLIST)
+            )
+            yield allb
+
+    approx = emb.mapInPandas(
+        _encode_topk, "q_id long, vec_id long, adc double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = (
+        approx.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ],
+        "q_id long, q_emb array<float>",
+    )
+    rerank = short.join(emb, "vec_id").join(F.broadcast(qdf), "q_id").select(
+        "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("cs")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    ann = (
+        rerank.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+    return _ann_selfcheck(
+        ann, _exact_topk(emb, corpus_count=corpus_n), floor=0.6
+    )
+
+
 def probe_pq(spark, rounds):
     return _mk_arms(spark, "similarity_pq_rerank", pq_rerank_vec)
+
+
+def probe_pq3(spark, rounds):
+    return _mk_arms(spark, "similarity_pq_rerank", pq_rerank_topk)
+
+
+def probe_pq4(spark, rounds):
+    return _mk_arms(
+        spark,
+        "similarity_pq_rerank",
+        lambda s, d: pq_rerank_topk(s, d, parallel=True),
+    )
+
+
+def probe_pq2(spark, rounds):
+    # vectorized encode + parallel scan (the r5 opt-in device: per-row
+    # Python CPU dwarfs a row's shuffle cost — the sf1 encode pass
+    # otherwise runs 2 tasks on a single-row-group fixture file)
+    return _mk_arms(
+        spark,
+        "similarity_pq_rerank",
+        lambda s, d: pq_rerank_vec(s, d, parallel=True),
+    )
+
+
+# ---------------------------------------------------------------- curve
+
+def curve_cset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold_curve with the per-gram collect_set device: ONE
+    corpus-sized Exchange (gram, map-side partial collect_set) where
+    stock pays the (doc_id,gram) distinct exchange [redundant — the
+    per-doc grams are already array_distinct'd], the keep aggregation
+    + broadcast, and the two self-join-side exchanges. The df<=50
+    filter becomes size(set)<=50; pair counts explode from the sorted
+    per-gram doc list (a<b order preserved)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
+    base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    near = (
+        docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" appended tail marker words")
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(near).persist()
+    toks = corpus.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    g0 = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, 3)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    gsets = (
+        g0.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= 50)
+        .localCheckpoint()
+    )
+    sizes = (
+        gsets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pe = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
+    pairs = (
+        gsets.select(F.explode(F.expr(pe)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    thresholds = [0.3, 0.5, 0.7, 0.8, 0.9]
+    scored = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_b",
+            (
+                F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("j"),
+        )
+    )
+    lens = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.length("text").alias("nch")
+    )
+    per_b = (
+        scored.groupBy("doc_b")
+        .agg(
+            *[
+                F.sum(F.when(F.col("j") >= t, 1).otherwise(0)).alias(f"c{i}")
+                for i, t in enumerate(thresholds)
+            ],
+            F.max("j").alias("jmax"),
+        )
+        .join(F.broadcast(lens), "doc_b")
+    )
+    agg = per_b.agg(
+        *(
+            [
+                F.coalesce(F.sum(F.col(f"c{i}")), F.lit(0))
+                .cast("long")
+                .alias(f"np{i}")
+                for i in range(len(thresholds))
+            ]
+            + [
+                F.coalesce(
+                    F.sum(F.when(F.col("jmax") >= t, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"nr{i}")
+                for i, t in enumerate(thresholds)
+            ]
+            + [
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("jmax") >= t, F.col("nch")).otherwise(
+                            0
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"cs{i}")
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"np{i}").alias("n_pairs"),
+                F.col(f"nr{i}").alias("n_docs_removed"),
+                F.col(f"cs{i}").alias("chars_saved"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select(
+            "r.threshold",
+            "r.n_pairs",
+            "r.n_docs_removed",
+            "r.chars_saved",
+        )
+        .orderBy("threshold")
+    )
+
+
+def probe_curve(spark, rounds):
+    return _mk_arms(spark, "pipeline_dedup_threshold_curve", curve_cset)
 
 
 # ---------------------------------------------------------------- elast
@@ -508,7 +819,11 @@ PROBES = {
     "vocab": probe_vocab,
     "tri": probe_tri,
     "lda": probe_lda,
+    "curve": probe_curve,
     "pq": probe_pq,
+    "pq2": probe_pq2,
+    "pq3": probe_pq3,
+    "pq4": probe_pq4,
     "elast": probe_elast,
 }
 
