@@ -176,61 +176,72 @@ def register(name: str, oracle: Optional[str] = None):
 # 0 — the first window since the r11 fan-out change with no standing
 # driver-evidence debt of any kind.
 CHECK_ORDER: list[str] = [
-    # slots 1-6: round-14 changed code
-    "quality_functional_dependencies",
+    # ================= ROUND-15 RECUT =================
+    # Priority per the standing displacement rule and the r14
+    # verdict's item 5: (1) round-15 changed code, (2) the ~29
+    # empty-corpus-sweep-touched queries whose plans changed in
+    # e1f3f39 with only pre-fix driver verdicts (incl. the four
+    # shared-helper members: _corpus_matrix guard reorder ->
+    # ratio_margin/loo_1nn; _train_quantizer empty-raise ->
+    # ivf_topk/index_persist_reuse), (3) the twice-drift-flagged
+    # resident, (4) the two round-15 FLOOR-row subjects, (5)
+    # refreshes of the r14 changed-code cohort. Exactly 50.
+    # slots 1-11: round-15 changed code (wave-1 rewrites)
+    "agg_corr_matrix_daily",
+    "text_source_vocab_jaccard",
+    "graph_triangle_count",
+    "graph_link_prediction",
+    "graph_hits_fixed_iter",
+    "graph_local_clustering_coeff",
+    "graph_adamic_adar_topk",
+    "graph_ktruss_edge_support",
+    "graph_label_propagation_2round",
+    "similarity_pq_rerank",
     "pipeline_dedup_threshold_curve",
+    # slots 12-40: the empty-corpus-sweep cohort (e1f3f39)
+    "agg_durbin_watson_daily",
+    "agg_friedman_test",
+    "agg_hll_partitioned_union",
+    "agg_levene_variance_homogeneity",
+    "agg_theil_inequality",
+    "agg_theta_sketch_setops",
+    "agg_wasserstein_weekend",
+    "dedup_semantic_clusters",
+    "embedding_pca_power_iteration",
+    "graph_assortativity",
+    "graph_community_modularity",
+    "graph_pagerank_bipartite",
+    "ml_roc_curve_points",
+    "pipeline_filter_funnel_report",
+    "profile_table_stats",
+    "quality_column_expectations",
+    "scan_partitioned_dpp",
+    "scan_partitioned_pruning",
+    "similarity_topk_lsh",
+    "text_compression_ratio",
+    "timeseries_engle_granger_coint",
+    "timeseries_holt_trend",
+    "timeseries_sample_entropy",
+    "timeseries_theil_sen",
+    "window_percentile_bucket_scalable",
+    "similarity_ratio_margin",
+    "ml_loo_1nn_embedding_accuracy",
+    "similarity_ivf_topk",
+    "similarity_index_persist_reuse",
+    # slot 41: drift-flagged in both the r14 and r15 baselines
+    "text_rake_keywords",
+    # slots 42-43: round-15 FLOOR-row subjects (PLANS.md)
+    "ml_price_elasticity_by_brand",
+    "ml_fisher_lda_closed_form",
+    # slots 44-50: r14 changed-code cohort refresh + the remaining
+    # worst-ratio resident
     "ml_item_item_cf",
-    "similarity_label_mmd_drift",
+    "dedup_end_to_end_canonical",
+    "dedup_cluster_components",
+    "quality_functional_dependencies",
     "dedup_simhash",
     "dedup_simhash_banded",
-    # slots 7-9: wave 41 remainder (never-checked)
-    "text_yule_k_characteristic",
-    "pipeline_weighted_priority_sample",
-    "agg_bh_fdr_source_drift",
-    # slots 10-11: wave 42 (never-checked)
-    "ml_cooks_distance_topk",
-    "agg_mahalanobis_outliers",
-    # slots 12-15: wave 43 (new this round)
-    "agg_cohens_d_weekend",
-    "agg_chow_break_daily",
-    "agg_breusch_pagan_order_size",
-    "text_distinct_ngram_diversity",
-    # slots 16-50: all 35 remaining r11 fan-out-flip re-verdicts
-    "events_churn_rate_weekly",
-    "events_decayed_engagement",
-    "events_exp_gap_fit",
-    "graph_degree_distribution",
-    "ml_average_precision",
-    "ml_expected_calibration_error",
-    "ml_isotonic_calibration_bins",
-    "ml_kendall_tau_daily",
-    "ml_log_loss",
-    "ml_logreg_newton_probe",
-    "ml_mann_whitney_u",
-    "ml_mcnemar_test",
-    "ml_ols_normal_equations",
-    "ml_ridge_normal_equations",
-    "pandas_cogroup_reconcile",
-    "pipeline_source_cap_sample",
-    "quality_date_gaps",
-    "quality_l_diversity",
-    "subquery_not_in_null_semantics",
-    "timeseries_bollinger_bands",
-    "timeseries_cross_correlation",
-    "timeseries_dtw_distance",
-    "timeseries_granger_lag1",
-    "timeseries_hurst_rs",
-    "timeseries_ljung_box",
-    "timeseries_periodogram_fixed",
-    "timeseries_rolling_zscore_by_key",
-    "timeseries_runs_test",
-    "timeseries_sax_symbols",
-    "timeseries_spectral_entropy",
-    "timeseries_var_expected_shortfall",
-    "timeseries_variance_ratio",
-    "timeseries_wow_growth",
-    "window_gaps_islands_dates",
-    "window_hampel_outliers",
+    "ml_simplified_silhouette",
     # ---- end of the 50-slot window ----
 ]
 

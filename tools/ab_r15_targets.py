@@ -787,6 +787,37 @@ def probe_elast(spark, rounds):
     return _mk_arms(spark, "ml_price_elasticity_by_brand", None)
 
 
+def _gated(qname):
+    # the item_cf/kcore device: run the whole (small-result) query
+    # under the AQE gate and materialize INSIDE it (persist+count),
+    # so the per-stage AQE materialization jobs disappear on small
+    # facts and the gate self-retires at data scale
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_data_ingestion_spark.catalog import small_fact_aqe_gate
+
+        with small_fact_aqe_gate(spark, sf_dir, "lineitem",
+                                 scale_shuffle=True):
+            df = registry.QUERIES[qname](spark, sf_dir).persist()
+            df.count()
+        return df
+
+    return fn
+
+
+def probe_ldagate(spark, rounds):
+    return _mk_arms(
+        spark, "ml_fisher_lda_closed_form", _gated("ml_fisher_lda_closed_form")
+    )
+
+
+def probe_elastgate(spark, rounds):
+    return _mk_arms(
+        spark,
+        "ml_price_elasticity_by_brand",
+        _gated("ml_price_elasticity_by_brand"),
+    )
+
+
 # ---------------------------------------------------------------- utils
 
 def _mk_arms(spark, qname, cand_fn):
@@ -825,6 +856,8 @@ PROBES = {
     "pq3": probe_pq3,
     "pq4": probe_pq4,
     "elast": probe_elast,
+    "ldagate": probe_ldagate,
+    "elastgate": probe_elastgate,
 }
 
 
